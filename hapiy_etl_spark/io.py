@@ -1,0 +1,60 @@
+"""Table IO: parquet scans/writes and view registration.
+
+The driver test tables (TESTDATA.md) are one parquet file per table under
+``{sf_dir}/{name}.parquet``. ``load_tables`` registers each as a temp
+view so queries can be written in either the DataFrame or SQL API —
+Catalyst produces the same plan. Scans get predicate pushdown + column
+pruning for free because everything downstream is declarative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hapiy_etl_spark.session import tune_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver parquet table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view; return name → DataFrame.
+
+    Also tunes the (possibly driver-owned) session: UTC timezone and AQE
+    are required for oracle parity and sane shuffles.
+    """
+    tune_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Partitioned parquet write — the scale-out sink.
+
+    At 100 TB, partition by a low-cardinality pruning key (date, source)
+    so downstream scans prune; writers should `repartition` on the
+    partition columns first to avoid small-file explosion.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

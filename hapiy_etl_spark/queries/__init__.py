@@ -1,0 +1,5 @@
+"""Named query modules. Importing this package registers every query."""
+
+from hapiy_etl_spark.queries import (  # noqa: F401
+    relational,
+)

@@ -1,0 +1,360 @@
+"""Core relational queries: scan→filter→project→agg→sort, joins, set ops.
+
+Covers SURVEY.md §2B "Projection / filter / predicates", "Joins",
+"Sort / limit / top-k", "Set ops" rows. All Catalyst built-ins — filters
+and projections reach the parquet scan (PushedFilters / ReadSchema),
+joins pick broadcast-hash for the dim side, aggregates do partial
+(map-side) combine automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import load_tables
+from hapiy_etl_spark.registry import register
+
+# Exact, order-independent money arithmetic: DOUBLE → DECIMAL(18,2) before
+# SUM so Spark and DuckDB agree bit-for-bit regardless of partial-agg order.
+DEC = "decimal(18,2)"
+
+
+def _money(col: F.Column) -> F.Column:
+    return col.cast(DEC)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: filter→groupBy→8 aggs→sort (flagship).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    qty = _money(F.col("l_quantity"))
+    price = _money(F.col("l_extendedprice"))
+    disc = _money(F.col("l_discount"))
+    one_minus_disc = _money(F.lit(1) - F.col("l_discount"))
+    one_plus_tax = _money(F.lit(1) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * one_minus_disc * one_plus_tax).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+        l.l_orderkey,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        o.o_orderdate,
+        o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 style: 3-way join, filtered dims, grouped revenue, top-10.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    # customer is small → broadcast; orders⋈lineitem shuffles on orderkey
+    # (co-partitioned at scale via bucketing on l_orderkey/o_orderkey).
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    ords = t["orders"].where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t["lineitem"].where(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_money(F.col("l_extendedprice")) * _money(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+        n.n_name,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 style: 6-way star join with broadcast dims, regional rollup.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    ords = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    # Dims (region/nation/supplier/customer) are broadcast — only
+    # orders⋈lineitem is a real shuffle at scale.
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(_money(F.col("l_extendedprice")) * _money(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "filter_predicate_algebra",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+    FROM orders
+    WHERE (o_orderstatus IN ('O', 'F'))
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND NOT (o_custkey IS NULL)
+      AND (o_orderkey % 2 = 0 OR o_totalprice > 150000)
+    ORDER BY o_orderkey
+    """,
+    doc="Boolean predicate algebra: isin/between/like/null-check/and-or-not.",
+)
+def filter_predicate_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    return (
+        o.where(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000, 200000)
+            & F.col("o_orderpriority").like("%URGENT%")
+            & ~F.col("o_custkey").isNull()
+            & ((F.col("o_orderkey") % 2 == 0) | (F.col("o_totalprice") > 150000))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("o_totalprice").cast(DEC).alias("total_dec"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM customer c WHERE EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+        (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+    """,
+    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins.",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c, o = t["customer"], t["orders"]
+    ok = o.select("o_custkey")
+    semi = c.join(ok, c.c_custkey == ok.o_custkey, "left_semi").count()
+    anti = c.join(ok, c.c_custkey == ok.o_custkey, "left_anti").count()
+    return spark.createDataFrame([(semi, anti)], "n_with_orders long, n_without_orders long")
+
+
+@register(
+    "join_outer_coalesce",
+    oracle="""
+    SELECT
+        c.c_custkey,
+        c.c_name,
+        COALESCE(o.cnt, 0) AS order_count,
+        CAST(COALESCE(o.total, 0) AS DOUBLE) AS order_total
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS cnt,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="Left-outer join with null-coalescing (REF R4 semantics, coalesce).",
+)
+def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    agg = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"), F.sum(_money(F.col("o_totalprice"))).alias("total"))
+    )
+    c = t["customer"]
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("order_count"),
+            F.coalesce(F.col("total"), F.lit(0)).cast("double").alias("order_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+    doc="Top-k per group via row_number window (the top-k kernel).",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        t["customer"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+@register(
+    "set_operations",
+    oracle="""
+    WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         build AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM build)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM hi INTERSECT SELECT * FROM build)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM build)
+    ORDER BY op
+    """,
+    doc="Set ops: union-distinct, intersect, except/subtract.",
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"]
+    hi = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    build = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rows = [
+        ("union", hi.union(build).distinct().count()),
+        ("intersect", hi.intersect(build).count()),
+        ("except", hi.exceptAll(build).distinct().count()),
+    ]
+    return spark.createDataFrame(sorted(rows), "op string, n long")
+
+
+@register(
+    "theta_range_join",
+    oracle="""
+    SELECT p.p_partkey, COUNT(*) AS n_pricier_lines
+    FROM part p
+    JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice > p.p_retailprice * 2
+    GROUP BY p.p_partkey
+    ORDER BY p.p_partkey
+    """,
+    doc="Non-equi (theta/range) join: equi key + range residual predicate.",
+)
+def theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    p, li = t["part"], t["lineitem"]
+    # Equi component keeps this a hash join (broadcast on part); the range
+    # term is a residual filter — never a cartesian product at scale.
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_extendedprice > p.p_retailprice * 2),
+        )
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_pricier_lines"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "cross_join_dims",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE n.n_regionkey = r.r_regionkey OR r.r_regionkey = 0
+    ORDER BY r.r_name, n.n_name
+    """,
+    doc="Cross join (dims only) with post-filter.",
+)
+def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    r, n = t["region"], t["nation"]
+    return (
+        r.crossJoin(n)
+        .where((F.col("n_regionkey") == F.col("r_regionkey")) | (F.col("r_regionkey") == 0))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )

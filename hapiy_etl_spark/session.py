@@ -1,0 +1,62 @@
+"""SparkSession factory and session tuning.
+
+Config posture (SURVEY.md §4.2): AQE on (runtime shuffle coalescing, skew
+join splitting, dynamic broadcast), UTC session timezone (oracle parity
+with DuckDB's naive-UTC timestamps), Arrow enabled for the Pandas-UDF
+path, shuffle partitions sized to local cores (prod: ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session we are handed (the driver
+# constructs its own SparkSession for entry()/queries(); these are the
+# knobs that can still be set post-construction).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent).
+
+    Safe on a session we didn't build — only sets runtime-mutable confs.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # conf not runtime-settable in this build — best effort
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "hapiy_etl_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a local SparkSession tuned for this engine.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    On a real cluster the same confs apply; only master/memory change.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_session(spark)
