@@ -10,6 +10,7 @@ pruning for free because everything downstream is declarative.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hapiy_etl_spark.session import tune_session
 
@@ -27,9 +28,20 @@ TABLES = (
 )
 
 
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
+# nanos (legacy.parquet.nanosAsLong) — converted to timestamp on scan.
+# Verified lossless: no sub-microsecond components at any sf.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one driver parquet table."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one driver parquet table (normalizing nanos timestamps)."""
+    tune_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

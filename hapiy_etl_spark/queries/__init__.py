@@ -1,5 +1,8 @@
 """Named query modules. Importing this package registers every query."""
 
 from hapiy_etl_spark.queries import (  # noqa: F401
+    aggregates,
     relational,
+    scalar,
+    windows,
 )

@@ -1,0 +1,316 @@
+"""Aggregation depth: stats, distinct, percentiles, cube/rollup/grouping
+sets, pivot, collect_list/set (SURVEY.md §2B "Aggregations").
+
+Spark does partial (map-side) + final aggregation automatically for all
+of these — at 100 TB the shuffle carries only partial states, not rows.
+Decimal casts keep double sums order-independent for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import load_tables
+from hapiy_etl_spark.registry import register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "agg_basic_stats",
+    oracle="""
+    SELECT
+        l_returnflag,
+        COUNT(*) AS n_rows,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+        CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        ROUND(stddev_samp(l_quantity), 4) AS std_qty,
+        ROUND(var_samp(l_quantity), 4) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="count/countDistinct/min/max/sum/avg/stddev/variance per group.",
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT
+        ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qty_price
+    FROM lineitem
+    """,
+    doc="Bivariate aggregates: Pearson corr, sample/population covariance.",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qty_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="df.distinct() — hash-agg dedup of the projection.",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].select("l_returnflag", "l_linestatus").distinct().orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        CAST(median(o_orderkey) AS DOUBLE) AS median_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+            F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+            F.percentile("o_orderkey", 0.5).cast("double").alias("median_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        l_returnflag, l_linestatus,
+        grouping(l_returnflag, l_linestatus) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP hierarchy with grouping_id.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy("gid", F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT
+        o_orderstatus, o_orderpriority,
+        grouping(o_orderstatus, o_orderpriority) AS gid,
+        COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE over two dims with grouping_id.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+        .orderBy("gid", F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS via Spark SQL.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT
+        n_regionkey,
+        list_sort(list(DISTINCT n_name)) AS nations,
+        COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="collect_set sorted for determinism (array-valued aggregation).",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("nation",))
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"), F.count("*").alias("n"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT
+        l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_O,
+        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Pivot (conditional aggregation) with fixed value list.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.coalesce(F.sum(F.col("l_quantity").cast(DEC)), F.lit(0).cast("decimal(28,2)")))
+        .select(
+            "l_returnflag",
+            F.col("O").cast("double").alias("qty_O"),
+            F.col("F").cast("double").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_first_last_ordered",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_desc
+        FROM orders
+    )
+    SELECT o_custkey,
+           MIN(CASE WHEN rn_asc = 1 THEN o_orderkey END) AS first_order,
+           MIN(CASE WHEN rn_desc = 1 THEN o_orderkey END) AS last_order,
+           COUNT(*) AS n_orders
+    FROM ranked
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    ORDER BY o_custkey
+    """,
+    doc="first/last by explicit order (min_by/max_by) + HAVING.",
+)
+def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    # min_by/max_by tie-break deterministically on a unique struct key
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderkey", key).alias("first_order"),
+            F.max_by("o_orderkey", key).alias("last_order"),
+            F.count("*").alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 8)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only check;
+    # exactness invariant asserted in tests/test_aggregates.py
+    doc="approx_count_distinct (HLL++) — the 100 TB-scale distinct-count path.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # GK-sketch result is engine-specific — rows-only; bounds
+    # asserted in tests/test_aggregates.py
+    doc="percentile_approx (Greenwald-Khanna) — approximate quantiles at scale.",
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("exact_median"),
+    )

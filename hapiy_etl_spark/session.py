@@ -21,6 +21,9 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Driver testdata (events.parquet) carries TIMESTAMP(NANOS) which the
+    # Spark 4 parquet reader rejects; read as long and convert (io.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
