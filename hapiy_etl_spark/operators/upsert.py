@@ -1,0 +1,76 @@
+"""Keyed upsert (MERGE emulation) and last-write-wins dedup.
+
+Reference parity: the KV sink's ``kv.set`` overwrite-by-key semantics
+(reference git_etl.ts:127-132 — idempotent upsert keyed on commit hash).
+Plain parquet has no MERGE, so the kernel is:
+
+    new.dropDuplicates(keys)  ∪  existing ⟕anti new     (on keys)
+
+i.e. new rows win, existing rows survive only when their key is absent
+from the batch. At scale the anti-join shuffles on the key — bucket or
+partition the state table by the key to co-locate; with Delta/Iceberg
+available this becomes a native MERGE INTO (documented prod path).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dedup_by_key(df: DataFrame, keys: Sequence[str], order_col: str | None = None) -> DataFrame:
+    """One row per key. With ``order_col``, last-write-wins by it
+    (descending, deterministic); else an arbitrary-but-single row via
+    dropDuplicates (hash-agg, cheapest)."""
+    if order_col is None:
+        return df.dropDuplicates(list(keys))
+    w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def upsert_by_key(
+    existing: DataFrame | None,
+    new: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Return existing MERGE new on keys (new wins). Pure-DataFrame form."""
+    batch = dedup_by_key(new, keys, order_col)
+    if existing is None:
+        return batch
+    survivors = existing.join(batch.select(*keys), on=list(keys), how="left_anti")
+    return survivors.unionByName(batch)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Upsert into a parquet state table (write-temp-then-swap).
+
+    The swap keeps the operation atomic-enough for a single writer; real
+    concurrency needs a transactional table format (Delta MERGE).
+    """
+    target = Path(path)
+    existing = spark.read.parquet(path) if target.exists() else None
+    merged = upsert_by_key(existing, new, keys, order_col)
+
+    tmp = tempfile.mkdtemp(prefix="upsert_", dir=str(target.parent if target.parent.exists() else "/tmp"))
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.parquet(f"{tmp}/data")
+    if target.exists():
+        shutil.rmtree(target)
+    shutil.move(f"{tmp}/data", str(target))
+    shutil.rmtree(tmp, ignore_errors=True)

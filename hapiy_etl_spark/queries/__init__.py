@@ -2,6 +2,7 @@
 
 from hapiy_etl_spark.queries import (  # noqa: F401
     aggregates,
+    events,
     relational,
     scalar,
     windows,

@@ -1,0 +1,242 @@
+"""Time-window queries on the events stream table: tumbling, sliding,
+session windows, as-of join, watermark read, upsert (SURVEY.md §2B
+"Streaming" batch analogues + §4.3 custom ops).
+
+These are the batch-SQL twins of the streaming jobs in
+hapiy_etl_spark/streaming/ — same window semantics, DuckDB-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import load_tables
+from hapiy_etl_spark.operators.asof import asof_join
+from hapiy_etl_spark.operators.upsert import upsert_by_key
+from hapiy_etl_spark.registry import register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Tumbling 1h window aggregation (F.window ≡ time_bucket).",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM (
+        SELECT e.event_type,
+               time_bucket(INTERVAL '30 minutes', e.ts) - (k.k * INTERVAL '30 minutes') AS window_start
+        FROM events e
+        CROSS JOIN (VALUES (0), (1)) AS k(k)
+    )
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Sliding window 1h/30m — each row lands in len/slide=2 windows.",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, user_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Session windows (30m gap) in batch — F.session_window semantics: "
+    "end = last event + gap.",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts AS p_ts,
+               MAX(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.p_ts AS last_purchase_ts,
+           ROUND(p.p_value, 4) AS last_purchase_value
+    FROM clicks c
+    ASOF JOIN purchases p
+      ON c.user_id = p.user_id AND p.p_ts < c.ts
+    ORDER BY c.event_id
+    """,
+    doc="As-of join: each click ← most recent strictly-prior purchase per "
+    "user. Union+running-window implementation (one shuffle, no pair "
+    "blow-up); DuckDB native ASOF JOIN as oracle.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+        .select("user_id", F.col("ts").alias("p_ts"), "p_value")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_ts", "p_value"],
+        strict=True,
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.round("p_value", 4).alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "watermark_read",
+    oracle="""
+    SELECT MAX(ts) AS high_watermark, COUNT(ts) AS n_nonnull
+    FROM events
+    """,
+    doc="High-watermark read: null-safe MAX (REF R8, git_etl.ts:141-153).",
+)
+def watermark_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return t["events"].agg(F.max("ts").alias("high_watermark"), F.count("ts").alias("n_nonnull"))
+
+
+@register(
+    "incremental_since",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events
+    WHERE ts > (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Incremental fetch-since: strict > watermark filter pushed to scan "
+    "(REF R2/R9 — strict > replaces the reference's +1s hack).",
+)
+def incremental_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("wm"))
+    return (
+        ev.join(F.broadcast(wm))
+        .where(F.col("ts") > F.col("wm"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "upsert_merge",
+    oracle="""
+    WITH old_batch AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    new_batch AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM (
+        SELECT * FROM new_batch
+        UNION ALL
+        SELECT * FROM old_batch WHERE o_orderkey NOT IN (SELECT o_orderkey FROM new_batch)
+    )
+    ORDER BY o_orderkey
+    """,
+    doc="Keyed upsert (MERGE emulation): new batch wins, survivors via "
+    "anti-join (REF R6, git_etl.ts:127-132).",
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    old_batch = o.where(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new_batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    merged = upsert_by_key(old_batch, new_batch, keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
+    ).orderBy("o_orderkey")

@@ -1,0 +1,141 @@
+"""Unit tests for library operators: as-of join, interval join, upsert,
+watermark store."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.operators.asof import asof_join, interval_overlap_join
+from hapiy_etl_spark.operators.upsert import dedup_by_key, upsert_by_key, upsert_parquet
+from hapiy_etl_spark.operators.watermark import WatermarkStore
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:00:00"), 100.0),
+            ("A", ts("2024-01-01 10:05:00"), 101.0),
+            ("A", ts("2024-01-01 10:10:00"), 102.0),
+            ("B", ts("2024-01-01 10:03:00"), 50.0),
+        ],
+        "sym string, qts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:02:00"), 1),  # after 10:00 quote
+            ("A", ts("2024-01-01 10:05:00"), 2),  # exactly at 10:05
+            ("A", ts("2024-01-01 09:59:00"), 3),  # before any quote
+            ("B", ts("2024-01-01 10:04:00"), 4),
+            ("C", ts("2024-01-01 10:00:00"), 5),  # no quotes at all
+        ],
+        "sym string, tts timestamp, trade_id int",
+    )
+
+
+def test_asof_join_backward_inclusive(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_cols=["qts", "px"], how="left"
+    )
+    got = {r.trade_id: (r.px, r.qts) for r in out.collect()}
+    assert got[1] == (100.0, ts("2024-01-01 10:00:00"))
+    assert got[2] == (101.0, ts("2024-01-01 10:05:00"))  # inclusive: same-ts visible
+    assert got[3] == (None, None)
+    assert got[4] == (50.0, ts("2024-01-01 10:03:00"))
+    assert got[5] == (None, None)
+
+
+def test_asof_join_strict_and_inner(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts", right_cols=["px"], strict=True
+    )
+    got = {r.trade_id: r.px for r in out.collect()}
+    assert got[2] == 100.0  # strict: 10:05 quote NOT visible at 10:05 trade
+    assert 3 not in got and 5 not in got  # inner drops unmatched
+
+
+def test_asof_rejects_column_clash(spark, trades, quotes):
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades.withColumn("px", F.lit(0.0)),
+            quotes,
+            on="sym",
+            left_ts="tts",
+            right_ts="qts",
+            right_cols=["px"],
+        )
+
+
+def test_interval_overlap_join_bucketed_matches_plain(spark):
+    left = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 1),
+         ("A", ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"), 2)],
+        "sym string, s timestamp, e timestamp, lid int",
+    )
+    right = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:30:00"), ts("2024-01-01 12:30:00"), 10),
+         ("A", ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00"), 20)],
+        "sym string, s timestamp, e timestamp, rid int",
+    )
+    plain = interval_overlap_join(left, right, "sym", "s", "e", "s", "e")
+    pairs_plain = sorted((r["lid"], r["rid"]) for r in plain.select("lid", "rid").collect())
+    bucketed = interval_overlap_join(left, right, "sym", "s", "e", "s", "e", bucket_seconds=1800)
+    pairs_bucketed = sorted((r["lid"], r["rid"]) for r in bucketed.select("lid", "rid").collect())
+    # [12:00,13:00) vs [13:00,14:00) do NOT overlap (half-open)
+    assert pairs_plain == [(1, 10), (2, 10)]
+    assert pairs_bucketed == pairs_plain
+
+
+def test_dedup_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "old"), ("k1", 2, "new"), ("k2", 5, "only")],
+        "k string, seq int, v string",
+    )
+    out = {r.k: r.v for r in dedup_by_key(df, ["k"], order_col="seq").collect()}
+    assert out == {"k1": "new", "k2": "only"}
+
+
+def test_upsert_by_key_semantics(spark):
+    existing = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    new = spark.createDataFrame([("b", 20), ("c", 30), ("b", 20)], "k string, v int")
+    out = {r.k: r.v for r in upsert_by_key(existing, new, ["k"]).collect()}
+    assert out == {"a": 1, "b": 20, "c": 30}
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    path = str(tmp_path / "state")
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    upsert_parquet(spark, batch, path, ["k"])
+    upsert_parquet(spark, batch, path, ["k"])  # re-delivery is a no-op
+    assert spark.read.parquet(path).count() == 2
+    upsert_parquet(spark, spark.createDataFrame([("b", 99)], "k string, v int"), path, ["k"])
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {"a": 1, "b": 99}
+
+
+def test_watermark_store(spark, tmp_path):
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    assert store.get("src") is None
+    df = spark.createDataFrame(
+        [(ts("2024-01-01 10:00:00"),), (ts("2024-01-02 10:00:00"),), (None,)],
+        "ts timestamp",
+    )
+    wm = store.advance_from("src", df, "ts")
+    assert wm == ts("2024-01-02 10:00:00")  # max ignores nulls (REF R8)
+    # never lowers
+    older = spark.createDataFrame([(ts("2023-01-01 00:00:00"),)], "ts timestamp")
+    assert store.advance_from("src", older, "ts") == wm
+    # strict > filter: watermark row itself excluded, no same-second loss
+    remaining = store.incremental_filter("src", df, "ts").collect()
+    assert remaining == []
