@@ -1,0 +1,110 @@
+"""Structured Streaming: event-time watermarks, tumbling/sliding/session
+windows, stateful dedup, foreachBatch upsert sink.
+
+The reference's cron micro-batch loop (R12, git_etl.ts:351-355) maps to
+micro-batch triggers; its KV upsert sink (R6) to ``foreachBatch`` +
+the upsert operator. Batch twins of these queries live in
+queries/events.py so the DuckDB oracle can check the same semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hapiy_etl_spark.operators.upsert import upsert_parquet
+
+# Explicit schema (streaming sources must not infer). ts arrives as
+# long nanos (parquet TIMESTAMP(NANOS) read via nanosAsLong) and is
+# normalized exactly like the batch path (io.py).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source micro-batches)."""
+    # File stream sources take a directory; glob-filter to the events
+    # table (the sf dir holds all ten tables).
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h counts with event-time watermark (late rows beyond
+    the watermark are dropped; state is bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def stream_session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-merged), event-time watermarked."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame, keys: Sequence[str] = ("event_id",)) -> DataFrame:
+    """Stateful dedup bounded by the watermark — the streaming analogue
+    of the reference's idempotent keyed upsert (R6)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(list(keys))
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming query to completion against an in-memory sink
+    (micro-batch AvailableNow ≡ the reference's run-once-then-cron)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_upsert(
+    stream: DataFrame, path: str, keys: Sequence[str], checkpoint: str
+):
+    """Exactly-once-ish keyed upsert sink: each micro-batch MERGEs into
+    the parquet state table (foreachBatch + upsert operator). Re-delivered
+    batches are idempotent because the upsert is keyed (R6)."""
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        upsert_parquet(batch.sparkSession, batch, path, keys)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
