@@ -1,0 +1,231 @@
+"""Deduplication family for training-data pipelines: exact (hash),
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale shapes:
+- exact:      one hash-groupBy shuffle on a 16-byte digest — the cheap path.
+- jaccard:    explode shingles → self-join on shingle → per-pair counts.
+              The shingle join only pairs docs sharing ≥1 shingle (inverted
+              index semantics), never all-pairs.
+- minhash:    pyspark.ml MinHashLSH — banded signatures bucket candidates;
+              `approxSimilarityJoin` joins on bucket, then refines. The
+              100 TB path: all-pairs never materializes.
+- simhash:    64-bit signature via per-bit majority vote of token hashes —
+              pure column algebra; near-dups share signatures (hamming≈0
+              buckets join cheaply).
+- embedding:  cosine over a bucketed candidate join (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.operators.textstats import token_hash, tokens
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per normalized-text digest.
+
+    groupBy on the digest (not the text): the shuffle carries 16-byte
+    keys instead of documents.
+    """
+    digest = F.md5(normalized_text(text_col)).alias("__digest")
+    keep = (
+        df.select(digest, F.col(id_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+    return df.join(keep.select(id_col, "dup_count"), on=id_col, how="inner")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the unit for Jaccard/MinHash."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Doc pairs with shingle-Jaccard ≥ threshold, via inverted-index join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. Only documents
+    sharing at least one shingle are ever paired — the join key is the
+    shingle, so candidate generation is |postings|², not |docs|².
+    """
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("sh"))
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH (pyspark.ml).
+
+    Shingle → hashed term frequencies → MinHash signatures →
+    approxSimilarityJoin at distance ≤ 1 - threshold. Output:
+    (id_a, id_b, jaccard_distance), id_a < id_b.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    with_sh = df.select(F.col(id_col).alias("doc_id_"), shingles(text_col, n).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(with_sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_distance")
+    return (
+        joined.where(F.col("datasetA.doc_id_") < F.col("datasetB.doc_id_"))
+        .select(
+            F.col("datasetA.doc_id_").alias("id_a"),
+            F.col("datasetB.doc_id_").alias("id_b"),
+            F.round("jaccard_distance", 6).alias("jaccard_distance"),
+        )
+    )
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Pick one survivor per duplicate cluster: iterative min-label
+    propagation (connected components over the pair graph).
+
+    Each iteration is one groupBy-min + join; converges in
+    O(log(diameter)) rounds — duplicate clusters are near-cliques, so
+    2-3 rounds in practice. Returns (doc_id, cluster_id).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = edges.select("a").union(edges.select("b")).distinct().select(
+        F.col("a").alias("node"), F.col("a").alias("label")
+    )
+    for _ in range(5):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        )
+        if new_labels.join(
+            labels.withColumnRenamed("label", "old"), "node"
+        ).where(F.col("label") != F.col("old")).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+
+    Pure column algebra — for each bit b, sum ±1 over tokens by whether
+    bit b of xxhash64(token) is set; the signature packs the signs.
+    Near-duplicate texts differ in few bits (small hamming distance).
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(b: int):
+        # closure returning a 2-arg (acc, h) merge fn so PySpark doesn't
+        # misread extra defaulted params as the (element, index) form
+        def merge(acc, h):
+            mask = F.shiftleft(F.lit(1).cast("long"), b)
+            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+        return merge
+
+    bits = [
+        F.when(
+            F.aggregate(hashes, F.lit(0), vote(b)) > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit signature into
+    4 16-bit bands; pairs agreeing on ≥1 band (pigeonhole: any pair with
+    hamming ≤ 3 must agree on at least one band) are candidates, then
+    refined by exact hamming distance. Join is per-band equi — no
+    all-pairs."""
+    sig = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sig"))
+    bands = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

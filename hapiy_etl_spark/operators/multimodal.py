@@ -1,0 +1,112 @@
+"""Multimodal column conventions: image/audio/video as opaque binary
+payloads with typed metadata, plus Arrow-batched decode/feature UDFs.
+
+Schema convention (the build target's "multimodal columns"):
+
+    payload   BINARY                    -- the raw bytes, opaque to Spark
+    media     STRUCT<kind: STRING,      -- 'image' | 'audio' | 'video'
+                     mime: STRING,
+                     n_bytes: BIGINT,
+                     sha256: STRING>
+
+Partition guidance at 100 TB: payloads dominate bytes — store them
+sorted/partitioned by a pruning key and keep metadata in separate
+columns so metadata-only queries never touch payload pages (parquet
+column pruning does this for free).
+
+The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this container,
+so `decode_image_features` computes deterministic fake features from the
+bytes (clearly marked); the Spark-side plumbing — schema, mapInPandas
+batching, Arrow transfer, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, kind: str = "image", mime: str = "image/fake") -> DataFrame:
+    """Materialize the multimodal convention from a text column (test
+    stand-in for reading real media via spark.read.format('binaryFile'))."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(mime).alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ),
+    )
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, float]:
+    """FAKE decoder (real image libs absent in this container).
+
+    Deterministic features derived from a sha256 of the payload — the
+    stand-in for PIL's decode; swap this function for the real library
+    in production. Raising path kept for unsupported kinds.
+    """
+    h = hashlib.sha256(data).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    mean_luma = round(h[2] / 255.0, 6)
+    return width, height, mean_luma
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (id, payload) — each batch
+    decodes in one Python call, payload bytes never round-trip through
+    per-row pickling. This is the real 100 TB shape: decode parallelism
+    = partition count, payload column pruned everywhere else."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_luma": [f[2] for f in feats],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index (the decode itself is the stubbed stage). Demonstrates the
+    explode-to-frames shape: frame count derives from metadata, so the
+    plan never decodes to know how many rows it makes."""
+    n_frames = (F.col("media.n_bytes") % 100 + 1).cast("int")
+    return df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+        F.col("media.sha256").alias("payload_sha256"),
+    )

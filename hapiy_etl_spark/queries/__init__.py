@@ -3,7 +3,10 @@
 from hapiy_etl_spark.queries import (  # noqa: F401
     aggregates,
     events,
+    multimodal,
     relational,
     scalar,
+    text,
+    vectors,
     windows,
 )

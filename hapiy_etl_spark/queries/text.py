@@ -1,0 +1,264 @@
+"""Text-analysis and dedup queries over the documents table — the
+LLM-data-pipeline surface (build target north star).
+
+Column-expression operators (operators/textstats.py, operators/dedup.py)
+composed into named oracle queries. Non-SQL-expressible ops (MinHash
+LSH, SimHash) register rows-only with invariants in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import load_tables
+from hapiy_etl_spark.operators import dedup as D
+from hapiy_etl_spark.operators import textstats as TS
+from hapiy_etl_spark.registry import register
+
+# DuckDB twin of TS.STOPWORDS (keep in sync)
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in TS.STOPWORDS) + ")"
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH keep AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    )
+    SELECT d.doc_id, d.n_chars, k.dup_count
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Exact dedup: normalized-text md5 groupBy, keep lowest doc_id "
+    "(16-byte digests shuffle, not documents).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    kept = D.exact_dedup(t["documents"], "text", "doc_id")
+    return kept.select("doc_id", "n_chars", "dup_count").orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 via inverted-index "
+    "join (candidates share ≥1 shingle; never all-pairs).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # ML-seeded LSH sketches aren't SQL-reproducible;
+    # recall invariants on planted dups in tests/test_llm.py
+    doc="Near-dup candidates via MinHash LSH (banded signatures + "
+    "approxSimilarityJoin) — the 100 TB near-dedup path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", n=3, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is Spark-specific — signatures aren't portable;
+    # behavior verified on planted near-dups in tests/test_llm.py
+    doc="SimHash signatures + banded near-dup candidates (hamming ≤ 3).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT
+        doc_id,
+        len(string_split_regex(text, '\\s+')) AS n_tokens,
+        len(list_filter(
+            list_transform(
+                string_split(
+                    regexp_replace(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])',
+                                   '\\1' || chr(1), 'g'),
+                    chr(1)),
+                x -> trim(x)),
+            x -> x != '')) AS n_bpe_tokens,
+        length(text) AS n_chars_measured,
+        len(list_filter(string_split_regex(text, '\\s+'),
+                        t -> t IN {_SW_SQL})) AS n_stopwords
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex sub-word tokens.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = TS.tokens("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(TS.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+            F.length("text").alias("n_chars_measured"),
+            F.size(F.filter(toks, lambda x: x.isin(*TS.STOPWORDS))).alias("n_stopwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+            length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                / greatest(length(text), 1) AS punct_ratio,
+            len(list_filter(string_split_regex(text, '\\s+'), t -> t IN {_SW_SQL})) * 1.0
+                / greatest(len(string_split_regex(text, '\\s+')), 1) AS stopword_ratio,
+            list_aggregate(list_transform(string_split_regex(text, '\\s+'),
+                                          t -> length(t)), 'sum') * 1.0
+                / greatest(len(string_split_regex(text, '\\s+')), 1) AS avg_token_len
+        FROM documents
+    )
+    SELECT doc_id,
+        ROUND(punct_ratio, 6) AS punct_ratio,
+        ROUND(stopword_ratio, 6) AS stopword_ratio,
+        ROUND(avg_token_len, 6) AS avg_token_len,
+        ROUND(
+            least(stopword_ratio * 5, 1.0) * 0.4
+            + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+            + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10
+                    THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+    FROM feat
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring: punct/stopword/token-length features + composite "
+    "filter score (C4/Gopher-style heuristics), pure column algebra.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.round(TS.punct_ratio("text"), 6).alias("punct_ratio"),
+            F.round(TS.stopword_ratio("text"), 6).alias("stopword_ratio"),
+            F.round(TS.avg_token_len("text"), 6).alias("avg_token_len"),
+            TS.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    ws = "(" + ", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS[lang]) + ")"
+    return f"len(list_filter(string_split_regex(text, '\\s+'), t -> t IN {ws}))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_hits_sql('en')} AS s_en,
+               {_lang_hits_sql('es')} AS s_es,
+               {_lang_hits_sql('fr')} AS s_fr,
+               {_lang_hits_sql('de')} AS s_de
+        FROM documents
+    )
+    SELECT doc_id, lang,
+        CASE
+            WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+            WHEN s_fr >= s_de THEN 'fr'
+            ELSE 'de'
+        END AS lang_guess,
+        s_en, s_es, s_fr, s_de
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Language ID: stopword-hit n-gram heuristic, deterministic "
+    "priority argmax (en>es>fr>de).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    s = TS.lang_scores("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            TS.lang_id("text").alias("lang_guess"),
+            s["en"].alias("s_en"),
+            s["es"].alias("s_es"),
+            s["fr"].alias("s_fr"),
+            s["de"].alias("s_de"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS t,
+               generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+        FROM documents
+    )
+    SELECT doc_id,
+           SUM((('0x' || substr(md5(t), 1, 14))::BIGINT % 1000003) * pos) AS fingerprint
+    FROM tok
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprint: position-weighted rolling hash "
+    "(portable md5-derived token hash — identical in both engines).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select("doc_id", TS.doc_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,142 @@
+"""Similarity-search queries over the embeddings table (array<float>).
+
+Exact brute-force cosine top-k is the oracle-checked baseline (DuckDB
+list_cosine_similarity twin); LSH- and IVF-bucketed variants are the
+scale paths, rows-only + recall-tested against brute force in
+tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import load_tables
+from hapiy_etl_spark.operators import similarity as S
+from hapiy_etl_spark.registry import register
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.vec_id,
+               c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT vec_id, neighbor_id, rank, ROUND(sim, 6) AS cosine_sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """,
+    doc="Exact brute-force cosine top-3 for 10 query vectors: broadcast "
+    "queries x corpus, JVM-side zip_with/aggregate dot products, window "
+    "top-k. The correctness baseline for the ANN paths.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.cosine_topk(queries, emb, "vec_id", "vec_id", k=3).orderBy("vec_id", "rank")
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # hyperplane signatures aren't SQL-portable; recall vs
+    # brute force asserted in tests/test_llm.py
+    doc="Approximate top-k via random-hyperplane LSH buckets: equi-join "
+    "on signature → ~2^planes less corpus touched per query (scale path).",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.lsh_topk(queries, emb, "vec_id", "vec_id", k=3, n_planes=4).orderBy("vec_id", "rank")
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # KMeans quantizer is engine-specific; recall vs brute
+    # force asserted in tests/test_llm.py
+    doc="IVF-style ANN: KMeans coarse quantizer → inverted lists → "
+    "n_probe nearest cells searched per query.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(queries, emb, "vec_id", "vec_id", k=3, n_centroids=8, n_probe=2).orderBy(
+        "vec_id", "rank"
+    )
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.vec_id < b.vec_id
+     AND a.vec_id % 20 = 0 AND b.vec_id % 20 = 10
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-dup pairs above threshold (strided subsets "
+    "bound the pair count; the full-scale path is LSH-bucketed).",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    a = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.where(F.col("vec_id") % 20 == 10).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    sim = S.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", sim)
+        .where(F.col("__sim") > 0.3)
+        .select("id_a", "id_b", F.round("__sim", 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           len(MIN(embedding)) AS dim,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+           ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Vector-column profiling: dimension + L2-norm stats per label.",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    norm = S.l2_norm(F.col("embedding"))
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.size(F.min("embedding")).alias("dim"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+            F.round(F.min(norm), 4).alias("min_norm"),
+            F.round(F.max(norm), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

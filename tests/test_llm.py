@@ -1,0 +1,152 @@
+"""Invariant tests for non-SQL-expressible LLM ops (SURVEY.md §5.3):
+planted-duplicate recall for MinHash/SimHash, ANN recall vs brute
+force, decode-stub determinism and Arrow batch shape."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.operators import dedup as D
+from hapiy_etl_spark.operators import similarity as S
+from hapiy_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_features,
+    frame_sample_plan,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while data pipelines "
+    "shuffle partitions and brokers replay offsets across regions"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """100 distinct docs + exact dups of 0..4 + near dups (1 token edit) of 5..9."""
+    rng = random.Random(42)
+    vocab = BASE.split()
+    rows = []
+    for i in range(100):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(40)), None))
+    for j in range(5):  # exact duplicates
+        rows.append((100 + j, rows[j][1], j))
+    for j in range(5, 10):  # near duplicates: one token changed
+        toks = rows[j][1].split()
+        toks[7] = "REPLACED"
+        rows.append((100 + j, " ".join(toks), j))
+    return spark.createDataFrame(rows, "doc_id long, text string, dup_of long")
+
+
+def test_exact_dedup_removes_planted_exacts(spark, planted_docs):
+    kept = D.exact_dedup(planted_docs, "text", "doc_id")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert len(ids) == 105  # 110 − 5 exact dups
+    for j in range(5):
+        assert j in ids and (100 + j) not in ids  # lowest id survives
+    assert {r.dup_count for r in kept.where(F.col("doc_id") < 5).collect()} == {2}
+
+
+def test_minhash_lsh_recall_on_planted(spark, planted_docs):
+    pairs = D.minhash_lsh_pairs(planted_docs, "doc_id", "text", n=3, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for j in range(10):  # every planted pair (exact and near) recalled
+        assert (j, 100 + j) in got, f"planted pair {j} missed"
+    # all reported candidates truly meet the threshold (refine step ran)
+    assert pairs.where(F.col("jaccard_distance") > 0.5).count() == 0
+
+
+def test_jaccard_pairs_finds_planted_only_high(spark, planted_docs):
+    pairs = D.jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    for j in range(5):
+        assert got.get((j, 100 + j)) == 1.0  # exact dup → jaccard 1
+    for j in range(5, 10):
+        assert (j, 100 + j) in got  # near dup above 0.5
+
+
+def test_simhash_near_dup_on_planted(spark, planted_docs):
+    pairs = D.simhash_pairs(planted_docs, "doc_id", "text", max_hamming=8)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for j in range(5):
+        assert got.get((j, 100 + j)) == 0  # identical text → identical sig
+    found_near = sum((j, 100 + j) in got for j in range(5, 10))
+    assert found_near >= 3  # 1-token edit rarely flips > 8 bits
+
+
+def test_dedup_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
+    )
+    labels = {r.doc_id: r.cluster_id for r in D.dedup_clusters(pairs).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == labels[21] == labels[22] == labels[23] == 20
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """50 random 16-dim vectors; vec 100+q ≈ vec q + tiny noise."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    for q in range(5):
+        rows.append((100 + q, [x + rng.uniform(-0.01, 0.01) for x in rows[q][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_finds_planted_neighbor(spark, planted_vectors):
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    top = S.cosine_topk(queries, planted_vectors, "vec_id", "vec_id", k=1)
+    got = {r.vec_id: (r.neighbor_id, r.cosine_sim) for r in top.collect()}
+    for q in range(5):
+        assert got[q][0] == 100 + q  # the noisy copy is the nearest
+        assert got[q][1] > 0.999
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, planted_vectors):
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    exact = {
+        r.vec_id: r.neighbor_id
+        for r in S.cosine_topk(queries, planted_vectors, "vec_id", "vec_id", k=1).collect()
+    }
+    approx = S.lsh_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=1, dim=16, n_planes=4
+    )
+    got = {r.vec_id: r.neighbor_id for r in approx.collect()}
+    # near-identical vectors land in the same hyperplane bucket
+    hits = sum(got.get(q) == exact[q] for q in exact)
+    assert hits >= 4, f"LSH recall too low: {hits}/5"
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, planted_vectors):
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    approx = S.ivf_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=1, n_centroids=4, n_probe=2
+    )
+    got = {r.vec_id: r.neighbor_id for r in approx.collect()}
+    hits = sum(got.get(q) == 100 + q for q in range(5))
+    assert hits >= 4, f"IVF recall too low: {hits}/5"
+
+
+def test_decode_stub_deterministic_and_batched(spark):
+    df = spark.createDataFrame([(i, f"payload {i}") for i in range(20)], "doc_id long, text string")
+    with_payload = attach_binary_payload(df, "text")
+    a = sorted(decode_image_features(with_payload).collect())
+    b = sorted(decode_image_features(with_payload).collect())
+    assert a == b  # deterministic fake decode
+    assert all(64 <= r.width < 256 and 64 <= r.height < 256 for r in a)
+    assert len(a) == 20
+
+
+def test_frame_sample_counts_follow_metadata(spark):
+    df = spark.createDataFrame([(1, "x" * 95), (2, "y" * 10)], "doc_id long, text string")
+    out = frame_sample_plan(attach_binary_payload(df, "text"), every_n=10)
+    counts = {r[0]: 0 for r in out.collect()}
+    for r in out.collect():
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    # 95 bytes → 96 frames → ceil(96/10)=10 samples; 10 bytes → 11 frames → 2
+    assert counts == {1: 10, 2: 2}
