@@ -172,7 +172,11 @@ def ivf_topk(
     corp = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv")).withColumn(
         "__features", array_to_vector(F.col("__cv").cast("array<double>"))
     )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features", predictionCol="__cell")
+    # coarse quantizer: a handful of Lloyd iterations is plenty — cells
+    # only need to be roughly Voronoi, n_probe covers boundary error
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=8, featuresCol="__features", predictionCol="__cell"
+    )
     model = km.fit(corp)
     assigned = model.transform(corp).select("__cid", "__cv", "__cell")
 

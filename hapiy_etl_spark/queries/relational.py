@@ -212,9 +212,15 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     c, o = t["customer"], t["orders"]
     ok = o.select("o_custkey")
-    semi = c.join(ok, c.c_custkey == ok.o_custkey, "left_semi").count()
-    anti = c.join(ok, c.c_custkey == ok.o_custkey, "left_anti").count()
-    return spark.createDataFrame([(semi, anti)], "n_with_orders long, n_without_orders long")
+    # one composed plan (cross of two single-row aggs) — a single action,
+    # not two driver-side counts
+    semi = c.join(ok, c.c_custkey == ok.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_with_orders")
+    )
+    anti = c.join(ok, c.c_custkey == ok.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_without_orders")
+    )
+    return semi.crossJoin(anti)
 
 
 @register(
@@ -302,12 +308,17 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t["customer"]
     hi = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
     build = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rows = [
-        ("union", hi.union(build).distinct().count()),
-        ("intersect", hi.intersect(build).count()),
-        ("except", hi.exceptAll(build).distinct().count()),
-    ]
-    return spark.createDataFrame(sorted(rows), "op string, n long")
+
+    def counted(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.lit(op).alias("op"), F.count("*").alias("n"))
+
+    # one unioned plan → one action (three branches share the scan)
+    return (
+        counted(hi.union(build).distinct(), "union")
+        .unionByName(counted(hi.intersect(build), "intersect"))
+        .unionByName(counted(hi.exceptAll(build).distinct(), "except"))
+        .orderBy("op")
+    )
 
 
 @register(
