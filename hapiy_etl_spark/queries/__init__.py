@@ -7,6 +7,7 @@ from hapiy_etl_spark.queries import (  # noqa: F401
     relational,
     scalar,
     text,
+    udf,
     vectors,
     windows,
 )

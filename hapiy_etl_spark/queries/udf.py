@@ -1,0 +1,248 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md §2B): vectorized pandas_udf as the
+default extension point, applyInPandas for grouped-map (UDAF-shaped)
+work, Spark 4 UDTF, and map-typed column functions.
+
+The Python stages compute deterministic math, so each gets a real
+DuckDB oracle — the check proves the Arrow round-trip preserves values,
+not just that the query runs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hapiy_etl_spark.io import load_tables
+from hapiy_etl_spark.registry import register
+
+
+@F.pandas_udf(T.DoubleType())
+def discounted_charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) charge computation — the pandas_udf
+    extension point; ~10-100x over row-at-a-time Python UDFs."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) / 10000 AS charge
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="pandas_udf (Arrow-vectorized scalar): numeric round-trip parity "
+    "proves the Arrow transfer is exact. Truncation (floor) instead of "
+    "round: products of 2-decimal prices constantly land on x.xxxx5 "
+    "ties where Spark (shortest-repr HALF_UP) and DuckDB (binary-exact) "
+    "round differently; floor is bit-identical in both.",
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .where(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.floor(discounted_charge("l_extendedprice", "l_discount", "l_tax") * 10000) / 10000).alias(
+                "charge"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / NULLIF(STDDEV_SAMP(o_totalprice) OVER w, 0), 4) AS zscore
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="applyInPandas grouped-map (UDAF-shaped): per-customer z-score "
+    "normalization; one pandas DataFrame per group, Arrow both ways.",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["o_totalprice"].std(ddof=1)
+        mean = pdf["o_totalprice"].mean()
+        z = (pdf["o_totalprice"] - mean) / std if std and std > 0 else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "zscore": z.round(4),
+            }
+        )
+
+    return (
+        t["orders"]
+        .where(F.col("o_custkey") <= 100)
+        .groupBy("o_custkey")
+        .applyInPandas(zscore, "o_custkey long, o_orderkey long, zscore double")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value * value), 4) AS sum_sq
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="mapInPandas partition-batch iterator: per-batch numpy math, then "
+    "a normal groupBy — the custom-operator escape hatch.",
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+
+    def square(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"event_type": pdf["event_type"], "value_sq": pdf["value"] ** 2})
+
+    squared = t["events"].mapInPandas(square, "event_type string, value_sq double")
+    return (
+        squared.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value_sq"), 4).alias("sum_sq"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "udtf_explode_ranges",
+    oracle="""
+    SELECT r_regionkey,
+           unnest(range(0, r_regionkey + 1)) AS i,
+           r_regionkey * 10 + unnest(range(0, r_regionkey + 1)) AS coded
+    FROM region
+    ORDER BY r_regionkey, i
+    """,
+    doc="Spark 4 Python UDTF: one input row → variable output rows "
+    "(table function), registered into SQL.",
+)
+def udtf_explode_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("region",))
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int, coded int")
+    class ExpandRange:
+        def eval(self, key: int):
+            for i in range(key + 1):
+                yield i, key * 10 + i
+
+    spark.udtf.register("expand_range", ExpandRange)
+    return spark.sql(
+        """
+        SELECT r_regionkey, t.i, t.coded
+        FROM region, LATERAL expand_range(r_regionkey) t
+        ORDER BY r_regionkey, t.i
+        """
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               MAP(['lang', 'source'], [lang, source]) AS meta
+        FROM documents WHERE doc_id <= 100
+    )
+    SELECT doc_id,
+           map_keys(meta) AS ks,
+           meta['lang'][1] AS lang_val,  -- DuckDB map extract yields a list
+           cardinality(meta) AS n_entries
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Map-typed columns: create/map_keys/element_at/size.",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    meta = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return (
+        t["documents"]
+        .where(F.col("doc_id") <= 100)
+        .select(
+            "doc_id",
+            F.map_keys(meta).alias("ks"),
+            F.element_at(meta, "lang").alias("lang_val"),
+            F.size(meta).alias("n_entries"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_map_explode",
+    oracle="""
+    SELECT doc_id, u.key AS meta_key, u."value" AS meta_value
+    FROM (
+        SELECT doc_id, unnest(map_entries(MAP(['lang','source'], [lang, source]))) AS u
+        FROM documents WHERE doc_id <= 20
+    )
+    ORDER BY doc_id, meta_key
+    """,
+    doc="explode over map entries (map → rows).",
+)
+def fn_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    meta = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return (
+        t["documents"]
+        .where(F.col("doc_id") <= 20)
+        .select("doc_id", F.explode(meta).alias("meta_key", "meta_value"))
+        .orderBy("doc_id", "meta_key")
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    )
+    WHERE c_custkey <= 100
+    ORDER BY c_custkey, metric
+    """,
+    doc="Unpivot (wide→long) via DataFrame unpivot / SQL stack.",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer",))
+    return (
+        t["customer"]
+        .where(F.col("c_custkey") <= 100)
+        .select("c_custkey", F.col("c_acctbal").alias("acctbal"), F.col("c_nationkey").cast("double").alias("nationkey"))
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .orderBy("c_custkey", "metric")
+    )
+
+
+@register(
+    "sample_deterministic",
+    oracle=None,  # Bernoulli sampling RNG is engine-specific — rows-only;
+    # seed-stability asserted in tests/test_relational_extra.py
+    doc="Seeded sample (Bernoulli per-partition) — deterministic within "
+    "Spark for a fixed seed and partitioning.",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return t["orders"].sample(fraction=0.1, seed=42).select("o_orderkey").orderBy("o_orderkey")

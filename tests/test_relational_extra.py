@@ -1,0 +1,87 @@
+"""Extra surface tests: seeded sampling stability, salted join/agg
+equivalence, CSV/JSON source round-trips, plan-shape assertions
+(pushdown + broadcast — the 100 TB posture checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import read_table
+from hapiy_etl_spark.operators.skew import salted_agg, salted_join
+from hapiy_etl_spark.queries.relational import q1_pricing_summary, q3_shipping_priority
+
+
+def test_sample_seed_stable(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    a = [r.o_orderkey for r in o.sample(fraction=0.1, seed=42).select("o_orderkey").collect()]
+    b = [r.o_orderkey for r in o.sample(fraction=0.1, seed=42).select("o_orderkey").collect()]
+    assert a == b and 0 < len(a) < o.count()
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    plain = li.join(part, "l_partkey").groupBy("p_brand").agg(F.count("*").alias("n"))
+    salted = salted_join(li, part, "l_partkey", n_salts=8).groupBy("p_brand").agg(
+        F.count("*").alias("n")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (r.n, round(r.s, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n, round(r.s, 2))
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            aggs=[F.sum("c").alias("n"), F.sum("s").cast("double").alias("s")],
+            partial_aggs=[
+                F.count("*").alias("c"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+            ],
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    src = read_table(spark, sf_dir, "nation")
+    csv_path, json_path = str(tmp_path / "n.csv"), str(tmp_path / "n.json")
+    src.write.mode("overwrite").option("header", True).csv(csv_path)
+    src.write.mode("overwrite").json(json_path)
+    back_csv = spark.read.schema(src.schema).option("header", True).csv(csv_path)
+    back_json = spark.read.schema(src.schema).json(json_path)
+    orig = sorted(map(tuple, src.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == orig
+    assert sorted(map(tuple, back_json.collect())) == orig
+
+
+def test_q1_pushes_filter_to_scan(spark, sf_dir):
+    plan = q1_pricing_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], (
+        "shipdate filter must reach the parquet scan"
+    )
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    plan = q3_shipping_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "dim join must be broadcast, not shuffled"
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0] if "ReadSchema:" in plan else ""
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema, (
+        f"2-column projection must prune the scan, got {read_schema}"
+    )
