@@ -6,6 +6,7 @@ from hapiy_etl_spark.queries import (  # noqa: F401
     multimodal,
     relational,
     scalar,
+    subqueries,
     text,
     udf,
     vectors,

@@ -1,0 +1,118 @@
+"""Stateful streaming operator + late-data watermark behavior +
+bucketed/partitioned write paths (scale posture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import read_table, write_partitioned
+from hapiy_etl_spark.streaming.jobs import read_events_stream, run_to_memory
+from hapiy_etl_spark.streaming.stateful import running_user_totals
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(running_user_totals(events), "running_out", output_mode="update")
+    # last update per user must equal the batch aggregate
+    stream = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM running_out) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert set(stream) == set(batch)
+    for u in batch:
+        assert stream[u][0] == batch[u][0], u
+        assert abs(stream[u][1] - batch[u][1]) < 1e-6, u
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than (max_event_time - watermark) arriving in a later
+    micro-batch is dropped from append-mode windowed aggregation."""
+    import datetime as dt
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: events up to 12:00 → watermark advances to 11:50
+    write_batch([(t0, "a"), (t0 + dt.timedelta(hours=2), "a")], "b1")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a very late row at 10:05 — far behind the 11:50 watermark
+    write_batch([(t0 + dt.timedelta(minutes=5), "a")], "b2")
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.ws, r.n) for r in spark.sql("SELECT ws, k, n FROM late_out").collect()}
+    # the 10:00 window closed with n=1; the late row did NOT bump it to 2
+    assert (t0, 1) in rows
+    assert (t0, 2) not in rows
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(read_table(spark, sf_dir, "events"), out, partition_by=["event_type"])
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    n_click = read_table(spark, sf_dir, "events").where(F.col("event_type") == "click").count()
+    assert back.count() == n_click
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    # warehouse.dir is static — point each table at tmp via path option
+    orders.write.mode("overwrite").option("path", str(tmp_path / "ob")).bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable("orders_bucketed")
+    li.write.mode("overwrite").option("path", str(tmp_path / "lb")).bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable("lineitem_bucketed")
+    ob = spark.table("orders_bucketed")
+    lb = spark.table("lineitem_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+        # bucketed-on-key join: no Exchange (shuffle) below the join
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
