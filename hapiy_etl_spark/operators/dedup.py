@@ -147,35 +147,35 @@ def minhash_lsh_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
-    """Pick one survivor per duplicate cluster: iterative min-label
-    propagation (connected components over the pair graph).
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", rounds: int = 3) -> DataFrame:
+    """Pick one survivor per duplicate cluster: min-label propagation
+    (connected components over the pair graph), returns (doc_id,
+    cluster_id).
 
-    Each iteration is one groupBy-min + join; converges in
-    O(log(diameter)) rounds — duplicate clusters are near-cliques, so
-    2-3 rounds in practice. Returns (doc_id, cluster_id).
+    Label space shrinks by ≥ the graph diameter per round; duplicate
+    clusters are near-cliques (diameter ≤ 2-3), so the default 3 rounds
+    is exact for them — raise ``rounds`` for long-chain graphs. The loop
+    builds ONE lazy plan (no per-round actions): edges are cached so the
+    upstream candidate generator (LSH etc.) runs exactly once, and each
+    round is a broadcast-sized join + groupBy-min on (node, label) pairs.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = edges.select("a").union(edges.select("b")).distinct().select(
-        F.col("a").alias("node"), F.col("a").alias("label")
+    edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    labels = (
+        edges.select("a")
+        .union(edges.select("b"))
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("label"))
     )
-    for _ in range(5):
+    for _ in range(rounds):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select("node", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+        labels = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
+            "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
         )
-        if new_labels.join(
-            labels.withColumnRenamed("label", "old"), "node"
-        ).where(F.col("label") != F.col("old")).isEmpty():
-            labels = new_labels
-            break
-        labels = new_labels
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

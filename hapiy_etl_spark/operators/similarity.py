@@ -161,6 +161,7 @@ def ivf_topk(
     n_probe: int = 2,
     vec: str = "embedding",
     seed: int = 42,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer assigns each corpus vector
     to a centroid (the inverted file); each query searches its n_probe
@@ -177,7 +178,11 @@ def ivf_topk(
     km = KMeans(
         k=n_centroids, seed=seed, maxIter=8, featuresCol="__features", predictionCol="__cell"
     )
-    model = km.fit(corp)
+    # At true corpus scale pass train_fraction to fit the quantizer on a
+    # sample — centroids only need to be roughly right, and full-data
+    # Lloyd iterations would dominate the query.
+    train = corp if train_fraction is None else corp.sample(fraction=train_fraction, seed=seed)
+    model = km.fit(train)
     assigned = model.transform(corp).select("__cid", "__cv", "__cell")
 
     centroids = [

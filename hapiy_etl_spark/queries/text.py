@@ -107,6 +107,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_pipeline_end_to_end",
+    oracle=None,  # composes the ML-seeded LSH stage — rows-only; stage
+    # semantics covered by the oracle-checked/planted-recall pieces
+    doc="Full near-dedup pipeline: MinHash-LSH candidates → connected-"
+    "component clusters → keep lowest-id representative per cluster → "
+    "surviving corpus stats. The production 100 TB dedup recipe end-to-end.",
+)
+def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    # Materialize the candidate pairs once: the cluster loop and the
+    # survivor anti-join both reference them, and a lazy plan would
+    # replay the LSH join per branch.
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, jaccard_threshold=0.5).cache()
+    pairs.count()
+    clusters = D.dedup_clusters(pairs)
+    # survivors: docs not in any cluster, plus each cluster's min-id member
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_chars").alias("total_chars_kept"),
+    )
+
+
+@register(
     "text_token_stats",
     oracle=f"""
     SELECT
