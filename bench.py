@@ -35,8 +35,13 @@ def main() -> None:
     total = 0.0
     for name, q in all_queries().items():
         t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+        except Exception as ex:  # one broken query must not kill the bench
+            print(f"# {name}: FAILED {ex}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt

@@ -147,6 +147,109 @@ def minhash_lsh_pairs(
     )
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal hashes mod 2^31-1."""
+    state = seed or 1
+    out = []
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = state % (_MERSENNE31 - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def minhash_native_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via DataFrame-native MinHash banding —
+    no pyspark.ml, every stage declarative and codegen'd.
+
+    Pipeline: explode distinct shingles → one groupBy computing all k
+    minhash components (min of universal hashes mod 2^31-1) → band keys
+    (xxhash64 of each r-component slice) → equi-join per band → dedupe →
+    estimate Jaccard as the matching-component fraction of the full
+    signatures. Banding math: P(candidate) = 1-(1-s^r)^(k/r).
+
+    Output: (id_a, id_b, jaccard_est). The estimator has stddev
+    ~sqrt(s(1-s)/k); for dedup-grade thresholds (s ≥ ~0.7) k=16 is
+    ample. Scale shape: one shuffle for signatures, one band join on
+    16-byte keys, no all-pairs anywhere.
+    """
+    params = _hash_params(num_hashes, seed)
+    n_bands = num_hashes // band_size
+
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    ).select("doc", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min((F.col("h") * a + b) % _MERSENNE31).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    # signatures feed three branches (band explode + both refine sides) —
+    # cache and force once, or the shingle pass replays per branch
+    sig_arr = sig.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    ).cache()
+    sig_arr.count()
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", j * band_size + r + 1).cast("string")
+                            for r in range(band_size)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sig_arr.select("doc", F.explode(band_structs).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig_arr.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_arr.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
+        .where(F.col("jaccard_est") >= jaccard_threshold)
+    )
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", rounds: int = 3) -> DataFrame:
     """Pick one survivor per duplicate cluster: min-label propagation
     (connected components over the pair graph), returns (doc_id,

@@ -94,6 +94,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_native",
+    oracle=None,  # banding/signature hashes are engine-specific; planted
+    # recall + agreement with the ML path tested in tests/test_llm.py
+    doc="DataFrame-native MinHash banding (no pyspark.ml): one groupBy "
+    "for all signature components, band equi-join, signature-estimated "
+    "Jaccard — the fully-codegen'd near-dedup path.",
+)
+def dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.minhash_native_pairs(
+        t["documents"], "doc_id", "text", n=3, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # xxhash64 is Spark-specific — signatures aren't portable;
     # behavior verified on planted near-dups in tests/test_llm.py

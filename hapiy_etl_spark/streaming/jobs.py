@@ -77,6 +77,24 @@ def stream_dedup_within_watermark(events: DataFrame, keys: Sequence[str] = ("eve
     return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(list(keys))
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (broadcast)
+    static dim — the streaming enrich pattern; the dim is re-read per
+    batch if it's a table, so slowly-changing dims stay fresh."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """Sliding 1h/30m windowed counts with watermark (stream twin of the
+    oracle-checked window_sliding batch query)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion against an in-memory sink
     (micro-batch AvailableNow ≡ the reference's run-once-then-cron)."""

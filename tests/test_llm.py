@@ -58,6 +58,23 @@ def test_minhash_lsh_recall_on_planted(spark, planted_docs):
     assert pairs.where(F.col("jaccard_distance") > 0.5).count() == 0
 
 
+def test_minhash_native_recall_and_agreement(spark, planted_docs):
+    pairs = D.minhash_native_pairs(planted_docs, "doc_id", "text", n=3, jaccard_threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard_est for r in pairs.collect()}
+    for j in range(5):
+        assert got.get((j, 100 + j)) == 1.0, f"exact dup {j} must estimate 1.0"
+    near_found = sum((j, 100 + j) in got for j in range(5, 10))
+    assert near_found >= 4, f"native minhash recall too low: {near_found}/5"
+    # agreement with exact jaccard on real data: every reported pair is
+    # genuinely similar (estimator within banding tolerance)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    for p, est in got.items():
+        assert exact.get(p, 0.0) >= 0.3, f"false positive {p} est={est}"
+
+
 def test_jaccard_pairs_finds_planted_only_high(spark, planted_docs):
     pairs = D.jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.5)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
