@@ -33,9 +33,18 @@ TABLES = (
 # Verified lossless: no sub-microsecond components at any sf.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# DataFrame handles are immutable plans — safe to share across queries.
+# Memoizing skips repeated file listing + footer reads when many named
+# queries hit the same tables in one session (bench, driver runs).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver parquet table (normalizing nanos timestamps)."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
@@ -43,6 +52,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
             # 53-bit mantissa, so float division loses microseconds.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

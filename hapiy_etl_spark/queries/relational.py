@@ -262,6 +262,83 @@ def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+    WITH big_cust AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000
+    ),
+    big_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal,
+           o.n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN o.o_custkey IS NULL THEN 'cust_only'
+                ELSE 'both' END AS side
+    FROM big_cust c
+    FULL OUTER JOIN big_orders o ON c.c_custkey = o.o_custkey
+    ORDER BY custkey
+    """,
+    doc="Full-outer join with side classification and key coalescing.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big_cust = t["customer"].where(F.col("c_acctbal") > 7000).select("c_custkey", "c_acctbal")
+    big_orders = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        big_cust.join(big_orders, big_cust.c_custkey == big_orders.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_acctbal",
+            "n_orders",
+            F.when(F.col("c_custkey").isNull(), "order_only")
+            .when(F.col("o_custkey").isNull(), "cust_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "q2_min_cost_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_type, p_partkey, p_name, p_retailprice,
+               RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey) AS rnk
+        FROM part
+        WHERE p_size >= 10
+    )
+    SELECT p_type, p_partkey, p_name, p_retailprice
+    FROM ranked WHERE rnk = 1
+    ORDER BY p_type
+    """,
+    doc="TPC-H Q2 analogue: min-cost row per group (the argmin kernel — "
+    "window rank over partition, no self-join).",
+)
+def q2_min_cost_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("part",))
+    w = W.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return (
+        t["part"]
+        .where(F.col("p_size") >= 10)
+        .withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") == 1)
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type")
+    )
+
+
+@register(
     "topk_per_group",
     oracle="""
     SELECT c_mktsegment, c_custkey, c_acctbal
