@@ -83,6 +83,70 @@ def cosine_topk(
     )
 
 
+def cosine_topk_numpy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    k: int = 5,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via Arrow-batched numpy matmul (the vectorized
+    Pandas-UDF path): each corpus partition multiplies its (rows x dim)
+    block against the broadcast (dim x |Q|) query matrix in one BLAS
+    call, keeps its local top-k per query, and a tiny global window
+    refines partition winners. Same result as ``cosine_topk``; wins when
+    |Q| is large enough that per-pair column algebra dominates.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    q_rows = queries.select(query_id, vec).collect()
+    if not q_rows:
+        return cosine_topk(queries, corpus, query_id, corpus_id, k, vec, vec)
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def topk_partition(batches):
+        import pandas as pd
+
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            c_ids = pdf[corpus_id].to_numpy()
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)  # (corpus, queries)
+            out_q, out_c, out_s = [], [], []
+            kk = min(k + 1, sims.shape[0])  # +1 to survive self-match removal
+            for qi in range(sims.shape[1]):
+                col = sims[:, qi]
+                idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+                for ci in idx:
+                    if c_ids[ci] != ids[qi]:
+                        out_q.append(ids[qi])
+                        out_c.append(c_ids[ci])
+                        out_s.append(col[ci])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__sim": out_s})
+
+    local = corpus.select(corpus_id, vec).mapInPandas(
+        topk_partition, f"__qid long, __cid long, __sim double"
+    )
+    w = W.partitionBy("__qid").orderBy(F2.col("__sim").desc(), F2.col("__cid"))
+    return (
+        local.withColumn("rank", F2.row_number().over(w))
+        .where(F2.col("rank") <= k)
+        .select(
+            F2.col("__qid").alias(query_id),
+            F2.col("__cid").alias("neighbor_id"),
+            "rank",
+            F2.round("__sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG, no numpy on executors)."""
     state = seed or 1

@@ -47,6 +47,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_numpy",
+    oracle=None,  # BLAS summation order differs in last ulps from the
+    # sequential-fold oracle — equality with the column-algebra path is
+    # asserted in tests/test_llm.py instead
+    doc="Exact top-k via Arrow-batched numpy matmul (vectorized "
+    "Pandas-UDF path) — same results as ann_cosine_topk, wins for "
+    "large query sets.",
+)
+def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.cosine_topk_numpy(queries, emb, "vec_id", "vec_id", k=3).orderBy("vec_id", "rank")
+
+
+@register(
     "ann_lsh_topk",
     oracle=None,  # hyperplane signatures aren't SQL-portable; recall vs
     # brute force asserted in tests/test_llm.py

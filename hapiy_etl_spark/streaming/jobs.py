@@ -95,6 +95,33 @@ def sliding_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_click_purchase(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour after a click by
+    the same user. Both sides are watermarked and the join condition
+    time-bounds the match, so each side's state store evicts rows once
+    the watermark passes the bound — bounded state, the requirement for
+    stream-stream joins at scale."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"), F.col("value").alias("p_value"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id", "c_user", "c_ts", "p_ts", "p_value")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion against an in-memory sink
     (micro-batch AvailableNow ≡ the reference's run-once-then-cron)."""

@@ -124,6 +124,22 @@ def test_cosine_topk_finds_planted_neighbor(spark, planted_vectors):
         assert got[q][1] > 0.999
 
 
+def test_numpy_topk_equals_column_algebra(spark, planted_vectors):
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    exact = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in S.cosine_topk(queries, planted_vectors, "vec_id", "vec_id", k=3).collect()
+    }
+    vec = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine_sim)
+        for r in S.cosine_topk_numpy(queries, planted_vectors, "vec_id", "vec_id", k=3).collect()
+    }
+    assert set(exact) == set(vec)
+    for key in exact:
+        assert exact[key][0] == vec[key][0], key  # same neighbor
+        assert abs(exact[key][1] - vec[key][1]) < 1e-4  # same similarity
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, planted_vectors):
     queries = planted_vectors.where(F.col("vec_id") < 5)
     exact = {

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): operator semantics vs brute-force
+Python reference implementations on randomized small inputs.
+
+Each Spark round-trip is slow, so examples are capped — the value is in
+the randomized edge shapes (empty sides, all-duplicate keys, equal
+timestamps), not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hapiy_etl_spark.operators.asof import asof_join
+from hapiy_etl_spark.operators.upsert import dedup_by_key, upsert_by_key
+
+SETTINGS = settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+key_st = st.sampled_from(["a", "b", "c"])
+ts_st = st.integers(min_value=0, max_value=20).map(
+    lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=s)
+)
+
+
+@given(
+    left=st.lists(st.tuples(key_st, ts_st), max_size=8),
+    right=st.lists(st.tuples(key_st, ts_st, st.integers(0, 100)), max_size=8),
+)
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # dedupe right per (key, ts) — precondition of the operator — keeping max v
+    rmap: dict[tuple, int] = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(rmap.get((k, ts), -1), v)
+    right_rows = [(k, ts, v) for (k, ts), v in rmap.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k string, lts timestamp, lid long"
+    )
+    rdf = spark.createDataFrame(right_rows, "k string, rts timestamp, v long")
+    out = {
+        r.lid: r.v
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_cols=["v"], how="left"
+        ).collect()
+    }
+
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= ts]
+        expected = max(cands)[1] if cands else None
+        assert out.get(i) == expected, (i, k, ts, cands)
+
+
+@given(
+    existing=st.lists(st.tuples(key_st, st.integers(0, 9)), max_size=8),
+    new=st.lists(st.tuples(key_st, st.integers(10, 19)), max_size=8),
+)
+@SETTINGS
+def test_upsert_matches_dict_merge(spark, existing, new):
+    # reference semantics: new wins per key; arbitrary-but-single row per
+    # key within each batch → use last-write-wins on the value as tiebreak
+    edf = dedup_by_key(
+        spark.createDataFrame(existing + [("zz", -1)], "k string, v long"), ["k"], order_col="v"
+    )
+    ndf = dedup_by_key(
+        spark.createDataFrame(new + [("zz9", -1)], "k string, v long"), ["k"], order_col="v"
+    )
+    merged = {r.k: r.v for r in upsert_by_key(edf, ndf, ["k"], order_col="v").collect()}
+
+    emap: dict[str, int] = {}
+    for k, v in existing + [("zz", -1)]:
+        emap[k] = max(emap.get(k, -(10**9)), v)
+    nmap: dict[str, int] = {}
+    for k, v in new + [("zz9", -1)]:
+        nmap[k] = max(nmap.get(k, -(10**9)), v)
+    assert merged == {**emap, **nmap}
+
+
+@given(rows=st.lists(st.tuples(key_st, st.integers(0, 50), st.text(max_size=3)), max_size=10))
+@SETTINGS
+def test_dedup_last_write_wins_property(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(k, s, v, i) for i, (k, s, v) in enumerate(rows)], "k string, seq long, v string, rid long"
+    )
+    # deterministic LWW: order by (seq, rid) — make seq unique via rid tiebreak
+    out = {
+        r.k: r.rid
+        for r in dedup_by_key(
+            df.withColumn("ord", df.seq * 1000 + df.rid), ["k"], order_col="ord"
+        ).collect()
+    }
+    expected: dict[str, int] = {}
+    best: dict[str, tuple] = {}
+    for i, (k, s, _v) in enumerate(rows):
+        if k not in best or (s, i) > best[k]:
+            best[k] = (s, i)
+            expected[k] = i
+    assert out == expected

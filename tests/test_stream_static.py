@@ -39,6 +39,35 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     assert stream_counts == batch_counts and len(stream_counts) >= 4
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from hapiy_etl_spark.streaming.jobs import stream_stream_click_purchase
+
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_stream_click_purchase(events), "ss_join_out")
+    stream_pairs = {
+        (r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    batch_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    # single AvailableNow batch: watermark starts at epoch, nothing is
+    # late, so the stream must emit exactly the batch join
+    assert stream_pairs == batch_pairs and len(batch_pairs) > 0
+
+
 def test_sliding_stream_matches_batch(spark, sf_dir):
     events = read_events_stream(spark, sf_dir)
     run_to_memory(sliding_counts_stream(events), "sliding_out")
