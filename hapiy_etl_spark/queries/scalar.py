@@ -276,6 +276,136 @@ def fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
+           last_day(o_orderdate)::TIMESTAMP AS month_end,
+           date_diff('month', o_orderdate, TIMESTAMP '2000-06-15 00:00:00') AS months_to_ref,
+           date_trunc('week', o_orderdate)::TIMESTAMP AS week_start,
+           (epoch(o_orderdate)::BIGINT // 86400)::BIGINT AS epoch_days
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+    doc="Date arithmetic: add_months/last_day/months-diff/week-trunc/"
+    "epoch-day bucketing (the partition-key derivation toolkit).",
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .where(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3mo"),
+            F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+            (
+                F.months_between(
+                    F.date_trunc("month", F.lit("2000-06-15").cast("timestamp")),
+                    F.date_trunc("month", F.col("o_orderdate")),
+                )
+            ).cast("bigint").alias("months_to_ref"),
+            F.date_trunc("week", "o_orderdate").alias("week_start"),
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("epoch_days"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "fn_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]+a') AS a_words,
+           len(regexp_extract_all(text, '[a-z]+a')) AS n_a_words,
+           regexp_matches(text, 'data.*data') AS has_two_datas
+    FROM documents
+    WHERE doc_id <= 50
+    ORDER BY doc_id
+    """,
+    doc="regexp_extract_all + rlike over documents.",
+)
+def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .where(F.col("doc_id") <= 50)
+        .select(
+            "doc_id",
+            F.regexp_extract_all("text", F.lit("[a-z]+a"), F.lit(0)).alias("a_words"),
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+a"), F.lit(0))).alias("n_a_words"),
+            F.col("text").rlike("data.*data").alias("has_two_datas"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT e.event_id,
+           TRY_CAST(json_extract_string(e.props, '$.k') AS INT) AS k_int,
+           TRY_CAST(e.event_type AS INT) AS type_as_int,
+           CASE WHEN e.event_id % 5 = 0 THEN NULL
+                ELSE round(e.value / (e.event_id % 5), 4) END AS safe_div
+    FROM events e
+    WHERE e.event_id <= 300
+    ORDER BY e.event_id
+    """,
+    doc="ANSI-safe operations: try_cast (malformed → null), try_divide "
+    "(zero → null) — the dirty-data ingestion toolkit.",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .where(F.col("event_id") <= 300)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+            F.col("event_type").try_cast("int").alias("type_as_int"),
+            F.round(F.try_divide(F.col("value"), F.col("event_id") % 5), 4).alias("safe_div"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT doc_id,
+           struct_pack(lang := lang, source := source).lang AS meta_lang,
+           concat(struct_pack(lang := lang, source := source).lang, '/',
+                  struct_pack(lang := lang, source := source).source) AS meta_path,
+           [struct_pack(k := 'n_chars', v := n_chars)][1].v AS first_metric
+    FROM documents
+    WHERE doc_id <= 50
+    ORDER BY doc_id
+    """,
+    doc="Struct columns: construction, nested field access, structs in "
+    "arrays (the typed-metadata pattern). Output stays scalar — struct "
+    "value serialization differs across engines.",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    meta = F.struct(F.col("lang").alias("lang"), F.col("source").alias("source"))
+    return (
+        t["documents"]
+        .where(F.col("doc_id") <= 50)
+        .select(
+            "doc_id",
+            meta.getField("lang").alias("meta_lang"),
+            F.concat(meta.getField("lang"), F.lit("/"), meta.getField("source")).alias("meta_path"),
+            F.element_at(
+                F.array(F.struct(F.lit("n_chars").alias("k"), F.col("n_chars").alias("v"))), 1
+            ).getField("v").alias("first_metric"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "fn_conditional",
     oracle="""
     SELECT

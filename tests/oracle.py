@@ -45,6 +45,11 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        # DuckDB structs arrive as dicts; Spark Rows as tuples. Normalize
+        # both to key-sorted value tuples (Spark side relies on struct
+        # fields already being declared in sorted order).
+        return tuple(_norm(val) for _k, val in sorted(v.items()))
     if isinstance(v, bytes):
         return v.hex()
     return v

@@ -44,6 +44,59 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert n_stream == n_total  # no key delivered twice
 
 
+def test_complete_mode_aggregation(spark, sf_dir):
+    """outputMode=complete re-emits the full aggregate each batch (no
+    watermark needed) — the dashboard-refresh pattern."""
+    events = read_events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("complete_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_counts = {
+        r.event_type: r["count"] for r in spark.sql("SELECT * FROM complete_out").collect()
+    }
+    batch_counts = {
+        r.event_type: r["count"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").groupBy("event_type").count().collect()
+    }
+    assert stream_counts == batch_counts
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, sf_dir, tmp_path):
+    """Restarting a foreachBatch-upsert stream from its checkpoint must
+    not reprocess (exactly-once via offsets + idempotent keyed sink)."""
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    seen_batches = []
+
+    for run in range(2):
+        events = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+        from hapiy_etl_spark.operators.upsert import upsert_parquet
+
+        def _sink(batch, epoch_id, _run=run):
+            if not batch.isEmpty():
+                seen_batches.append((_run, epoch_id, batch.count()))
+                upsert_parquet(batch.sparkSession, batch, sink, ["event_id"])
+
+        q = (
+            events.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 0 processed everything; run 1 found committed offsets → no batches
+    assert any(r == 0 for r, _, _ in seen_batches)
+    assert not any(r == 1 for r, _, _ in seen_batches)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.read.parquet(sink).count() == n_src
+
+
 def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
     events = read_events_stream(spark, sf_dir)
     q = foreach_batch_upsert(
