@@ -1,0 +1,65 @@
+"""Time-series operators: regular-grid resampling and gap-fill
+(forward fill) — the feature-engineering companions to the window ops.
+
+Both are pure column algebra / window compositions:
+- the time spine comes from `sequence()` + `explode` (no driver loop,
+  cardinality derived per group inside the plan);
+- forward fill is `last(value, ignorenulls=True)` over an unbounded
+  preceding window — one shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def time_spine(df: DataFrame, key: str, ts: str, step_seconds: int) -> DataFrame:
+    """One row per (key, grid_ts) covering [min(ts), max(ts)] per key at
+    a regular step, grid-aligned to the epoch."""
+    bounds = df.groupBy(key).agg(F.min(ts).alias("__lo"), F.max(ts).alias("__hi"))
+    lo = (F.col("__lo").cast("long") / step_seconds).cast("long") * step_seconds
+    hi = (F.col("__hi").cast("long") / step_seconds).cast("long") * step_seconds
+    return bounds.select(
+        key,
+        F.explode(F.sequence(lo, hi, F.lit(step_seconds))).alias("__epoch"),
+    ).select(key, F.timestamp_seconds("__epoch").alias("grid_ts"))
+
+
+def resample_ffill(
+    df: DataFrame, key: str, ts: str, value: str, step_seconds: int
+) -> DataFrame:
+    """Resample each key's series onto a regular grid, carrying the last
+    observation forward (step-function semantics).
+
+    Grid slot t gets the latest observation with ts <= t+step-1 within
+    the slot, else the previous slot's carried value; leading slots
+    before the first observation stay null.
+    """
+    slot = (F.col(ts).cast("long") / step_seconds).cast("long") * step_seconds
+    # last observation within each slot (deterministic: max ts wins,
+    # value as tiebreak for equal timestamps)
+    per_slot = (
+        df.select(key, slot.alias("__epoch"), F.col(ts).alias("__ts"), F.col(value).alias("__v"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(key, "__epoch").orderBy(F.col("__ts").desc(), F.col("__v").desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select(key, "__epoch", F.col("__v").alias("slot_value"))
+    )
+    spine = time_spine(df, key, ts, step_seconds)
+    joined = spine.join(
+        per_slot,
+        (spine[key] == per_slot[key]) & (spine.grid_ts.cast("long") == per_slot.__epoch),
+        "left",
+    ).select(spine[key], "grid_ts", "slot_value")
+    ffill = W.partitionBy(key).orderBy("grid_ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        key,
+        "grid_ts",
+        F.last("slot_value", ignorenulls=True).over(ffill).alias("value_ffill"),
+    )

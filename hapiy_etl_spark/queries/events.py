@@ -207,6 +207,72 @@ def incremental_since(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_ffill",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 100),
+    bounds AS (
+        SELECT user_id,
+               (floor(epoch(MIN(ts)))::BIGINT // 3600) * 3600 AS lo,
+               (floor(epoch(MAX(ts)))::BIGINT // 3600) * 3600 AS hi
+        FROM ev GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS ep FROM bounds
+    ),
+    slotted AS (
+        SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS ep, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600
+                                  ORDER BY ts DESC, value DESC) AS rn
+        FROM ev
+    ),
+    s1 AS (SELECT user_id, ep, value FROM slotted WHERE rn = 1)
+    SELECT sp.user_id,
+           to_timestamp(sp.ep)::TIMESTAMP AS grid_ts,
+           ROUND(last_value(s1.value IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.ep
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
+    FROM spine sp
+    LEFT JOIN s1 ON s1.user_id = sp.user_id AND s1.ep = sp.ep
+    ORDER BY sp.user_id, grid_ts
+    """,
+    doc="Time-series resample to a 1h grid + forward fill (gap-fill): "
+    "spine via sequence/explode, carry-forward via last(ignorenulls) "
+    "window — the feature-engineering resample kernel.",
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.timeseries import resample_ffill as rf
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].where(F.col("user_id") < 100)
+    out = rf(ev, key="user_id", ts="ts", value="value", step_seconds=3600)
+    return out.select(
+        "user_id", "grid_ts", F.round("value_ffill", 4).alias("value_ffill")
+    ).orderBy("user_id", "grid_ts")
+
+
+@register(
+    "sort_null_ordering",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS maybe_type
+    FROM events
+    WHERE event_id <= 100
+    ORDER BY maybe_type ASC NULLS LAST, event_id DESC
+    """,
+    doc="Explicit null ordering in sorts (nulls-last asc + desc tiebreak).",
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    maybe = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("event_type"))
+    return (
+        t["events"]
+        .where(F.col("event_id") <= 100)
+        .select("event_id", maybe.alias("maybe_type"))
+        .orderBy(F.col("maybe_type").asc_nulls_last(), F.col("event_id").desc())
+    )
+
+
+@register(
     "upsert_merge",
     oracle="""
     WITH old_batch AS (

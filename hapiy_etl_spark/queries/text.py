@@ -132,10 +132,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    # Materialize the candidate pairs once: the cluster loop and the
-    # survivor anti-join both reference them, and a lazy plan would
-    # replay the LSH join per branch.
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, jaccard_threshold=0.5).cache()
+    # Native MinHash banding (already signature-cached internally) — the
+    # faster candidate generator; materialize pairs once since the
+    # cluster loop and survivor anti-join both reference them.
+    pairs = D.minhash_native_pairs(docs, "doc_id", "text", n=3, jaccard_threshold=0.5).cache()
     pairs.count()
     clusters = D.dedup_clusters(pairs)
     # survivors: docs not in any cluster, plus each cluster's min-id member
