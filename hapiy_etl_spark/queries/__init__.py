@@ -17,6 +17,7 @@ _MODULES = (
     "scalar",
     "subqueries",
     "text",
+    "tpch_more",
     "udf",
     "vectors",
     "windows",

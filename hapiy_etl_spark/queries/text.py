@@ -279,6 +279,50 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_redaction",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               concat('contact user', doc_id, '@example.com or call 555',
+                      lpad(CAST(doc_id * 7919 % 10000000 AS VARCHAR), 7, '0'),
+                      ' re: ', substr(text, 1, 40)) AS msg
+        FROM documents WHERE doc_id <= 100
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{7,}', '<PHONE>', 'g') AS redacted,
+           regexp_matches(msg, '@') AS had_email
+    FROM synth
+    ORDER BY doc_id
+    """,
+    doc="PII-ish redaction: email + long-digit-run scrubbing via regex "
+    "(the training-data scrub pass), pure column ops.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    msg = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555"),
+        F.lpad(((F.col("doc_id") * 7919) % 10000000).cast("string"), 7, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(msg, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        r"\d{7,}",
+        "<PHONE>",
+    )
+    return (
+        t["documents"]
+        .where(F.col("doc_id") <= 100)
+        .select("doc_id", redacted.alias("redacted"), msg.contains("@").alias("had_email"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     WITH tok AS (

@@ -1,0 +1,89 @@
+"""SCD2 lifecycle, compaction, stratified sampling, HLL sketch tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from hapiy_etl_spark.io import read_table
+from hapiy_etl_spark.operators.maintenance import compact_parquet, stratified_sample
+from hapiy_etl_spark.operators.scd2 import OPEN_TS, scd2_apply, scd2_as_of, scd2_current, scd2_init
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_lifecycle(spark):
+    b1 = spark.createDataFrame(
+        [(1, "alice", "NY", ts("2024-01-01 00:00:00")),
+         (2, "bob", "LA", ts("2024-01-01 00:00:00"))],
+        "id long, name string, city string, eff timestamp",
+    )
+    dim = scd2_init(b1, ["id"], "eff")
+    # batch 2: alice moves, bob unchanged (no-op), carol is new
+    b2 = spark.createDataFrame(
+        [(1, "alice", "SF", ts("2024-02-01 00:00:00")),
+         (2, "bob", "LA", ts("2024-02-01 00:00:00")),
+         (3, "carol", "TX", ts("2024-02-01 00:00:00"))],
+        "id long, name string, city string, eff timestamp",
+    )
+    dim2 = scd2_apply(dim, b2, ["id"], "eff", compare_cols=["name", "city"])
+
+    rows = {(r.id, r.city, r.valid_from, r.valid_to) for r in dim2.collect()}
+    # alice: closed NY version + open SF version
+    assert (1, "NY", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")) in rows
+    assert (1, "SF", ts("2024-02-01 00:00:00"), OPEN_TS) in rows
+    # bob: single untouched open version (no spurious version)
+    assert sum(1 for r in rows if r[0] == 2) == 1
+    # carol: new open version
+    assert (3, "TX", ts("2024-02-01 00:00:00"), OPEN_TS) in rows
+
+    current = {(r.id, r.city) for r in scd2_current(dim2).collect()}
+    assert current == {(1, "SF"), (2, "LA"), (3, "TX")}
+    as_of_jan = {(r.id, r.city) for r in scd2_as_of(dim2, ts("2024-01-15 00:00:00")).collect()}
+    assert as_of_jan == {(1, "NY"), (2, "LA")}
+
+
+def test_scd2_idempotent_redelivery(spark):
+    b1 = spark.createDataFrame(
+        [(1, "a", "X", ts("2024-01-01 00:00:00"))], "id long, name string, city string, eff timestamp"
+    )
+    dim = scd2_init(b1, ["id"], "eff")
+    # redelivering the identical batch produces no new versions
+    dim2 = scd2_apply(dim, b1, ["id"], "eff", compare_cols=["name", "city"])
+    assert dim2.count() == 1
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "shattered")
+    src = read_table(spark, sf_dir, "orders")
+    src.repartition(16).write.parquet(path)
+    from pathlib import Path
+
+    before = sum(1 for p in Path(path).rglob("*.parquet"))
+    assert before >= 16
+    after = compact_parquet(spark, path, target_files=2)
+    assert after <= 2
+    assert spark.read.parquet(path).count() == src.count()
+
+
+def test_stratified_sample(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    sample = stratified_sample(docs, "lang", {"en": 0.5, "es": 1.0}, seed=42)
+    langs = {r.lang for r in sample.select("lang").distinct().collect()}
+    assert langs <= {"en", "es"}  # unlisted strata excluded
+    n_es_all = docs.where(F.col("lang") == "es").count()
+    assert sample.where(F.col("lang") == "es").count() == n_es_all  # fraction 1.0 keeps all
+
+
+def test_hll_sketch_agg_mergeable(spark, sf_dir):
+    """Spark 3.5+ datasketches HLL: per-group sketches union to the
+    global estimate — the mergeable-sketch pattern for distributed
+    distinct counts (sketch once, merge anywhere)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+    merged = per_flag.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).first().est
+    exact = li.select("l_orderkey").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
