@@ -87,3 +87,15 @@ def test_hll_sketch_agg_mergeable(spark, sf_dir):
     merged = per_flag.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).first().est
     exact = li.select("l_orderkey").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_table_format_gateway_graceful(spark):
+    import pytest as _pytest
+
+    from hapiy_etl_spark.operators.table_formats import delta_available, merge_upsert
+
+    if delta_available(spark):  # environment-dependent: native path exists
+        return
+    batch = spark.createDataFrame([(1, "a")], "id long, v string")
+    with _pytest.raises(NotImplementedError, match="upsert_parquet"):
+        merge_upsert(spark, "/tmp/nope", batch, ["id"])
