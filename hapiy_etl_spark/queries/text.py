@@ -279,6 +279,113 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_encode_documents",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS t,
+               generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+        FROM documents
+    ),
+    vocab AS (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) - 1 AS token_id
+        FROM tok GROUP BY t
+    )
+    SELECT k.doc_id,
+           array_agg(v.token_id ORDER BY k.pos) AS token_ids,
+           COUNT(*) AS n_tokens
+    FROM tok k JOIN vocab v ON k.t = v.t
+    WHERE k.doc_id <= 100
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+    doc="Tokenizer-prep kernel: build a frequency-ranked vocab (word → "
+    "contiguous id), then encode each document as its ordered id "
+    "sequence — posexplode + broadcast vocab join + order-restoring "
+    "sort_array(struct(pos,id)).",
+)
+def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(W.orderBy(F.col("freq").desc(), F.col("t"))) - 1,
+        )
+        .select("t", "token_id")
+    )
+    # collect_list is order-nondeterministic — restore order by sorting
+    # (pos, id) structs, then projecting the id
+    encoded = (
+        tok.where(F.col("doc_id") <= 100)
+        .join(F.broadcast(vocab), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s.getField("token_id"),
+            ).alias("token_ids"),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+    return encoded
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT 'lineitem_rows' AS check_name, COUNT(*) AS value FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_null_shipdate', COUNT(*) FROM lineitem WHERE l_shipdate IS NULL
+    UNION ALL
+    SELECT 'lineitem_orphan_orders', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_orphan_customers', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_dup_pk', COUNT(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_negative_price', COUNT(*) FROM lineitem WHERE l_extendedprice < 0
+    ORDER BY check_name
+    """,
+    doc="Data-quality expectations report: null-rate, PK uniqueness, "
+    "FK referential integrity (anti-joins), domain checks — one unioned "
+    "plan, one action.",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.lit(name).alias("check_name"), F.count("*").alias("value"))
+
+    dup_pk = o.groupBy("o_orderkey").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    return (
+        check("lineitem_rows", li)
+        .unionByName(check("lineitem_null_shipdate", li.where(F.col("l_shipdate").isNull())))
+        .unionByName(
+            check("lineitem_orphan_orders", li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"))
+        )
+        .unionByName(
+            check("orders_orphan_customers", o.join(c, o.o_custkey == c.c_custkey, "left_anti"))
+        )
+        .unionByName(check("orders_dup_pk", dup_pk))
+        .unionByName(check("lineitem_negative_price", li.where(F.col("l_extendedprice") < 0)))
+        .orderBy("check_name")
+    )
+
+
+@register(
     "text_pii_redaction",
     oracle="""
     WITH synth AS (

@@ -35,6 +35,78 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+FINAL_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def finalized_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions emitted ONLY when closed — either a new event
+    arrives past the gap, or the event-time watermark passes
+    last_event + gap (EventTimeTimeout). This is the operator
+    session_window can't express in update-as-you-go form: nothing is
+    emitted for a session still in flight, and idle sessions finalize
+    from the timeout, not from new data.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            out.append((key[0], start_ms, last_ms + gap_ms, n))
+        else:
+            ts_ms: list[int] = []
+            for pdf in pdfs:
+                ts_ms.extend(int(v.value // 1_000_000) for v in pdf["ts"])
+            ts_ms.sort()
+            if not ts_ms:
+                return
+            if state.exists:
+                start_ms, last_ms, n = state.get
+            else:
+                start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
+            for t_ms in ts_ms:
+                if t_ms - last_ms > gap_ms:
+                    out.append((key[0], start_ms, last_ms + gap_ms, n))
+                    start_ms, last_ms, n = t_ms, t_ms, 1
+                else:
+                    last_ms = max(last_ms, t_ms)
+                    n += 1
+            state.update((start_ms, last_ms, n))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start_ms", "session_end_ms", "n_events"]
+            )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FINAL_SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Stateful per-user event counter/total across micro-batches.
 

@@ -80,6 +80,56 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert (t0, 2) not in rows
 
 
+def test_event_time_timeout_finalizes_idle_session(spark, tmp_path):
+    """A session with no further events must finalize when the event-time
+    watermark (advanced by OTHER keys' data) passes last_event + gap."""
+    import datetime as dt
+
+    from hapiy_etl_spark.streaming.stateful import finalized_sessions
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # user 1: two events 10:00, 10:10 → session [10:00, 10:40) once closed
+    write([(t0, 1), (t0 + dt.timedelta(minutes=10), 1)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    )
+    q = (
+        finalized_sessions(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM sessions_out").count() == 0  # in flight: nothing emitted
+
+    # user 2 far in the future pushes the watermark past user 1's gap
+    write([(t0 + dt.timedelta(hours=5), 2)])
+    q.processAllAvailable()
+    # one more batch so the timeout (evaluated against the new watermark) fires
+    write([(t0 + dt.timedelta(hours=6), 2)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    start_ms = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    end_ms = start_ms + 40 * 60 * 1000  # last event 10:10 + 30m gap
+    assert (1, start_ms, end_ms, 2) in rows, rows
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     out = str(tmp_path / "events_by_type")
     write_partitioned(read_table(spark, sf_dir, "events"), out, partition_by=["event_type"])
