@@ -9,6 +9,43 @@ PER_PAGE = 50
 TOTAL = 230  # 5 pages: 50*4 + 30
 
 
+# Upstream extent for the streaming source test. File-backed: the
+# stream reader executes in a separate Python runner process, so
+# module-level mutation would not reach it.
+PAGES_FILE = "/tmp/spark_graft_rest_pages.txt"
+
+
+def set_current_pages(n: int) -> None:
+    with open(PAGES_FILE, "w") as f:
+        f.write(str(n))
+
+
+def latest_page(endpoint: str) -> int:
+    try:
+        with open(PAGES_FILE) as f:
+            return int(f.read().strip())
+    except OSError:
+        return 2
+
+
+def fetch_fixed_page(endpoint: str, page: int) -> list[str]:
+    """Exactly PER_PAGE rows per page (page count driven by latest_page)."""
+    start = (page - 1) * PER_PAGE
+    return [
+        json.dumps(
+            {
+                "sha": f"{endpoint}-p{page}-sha{i}",
+                "commit": {
+                    "author": {"email": "a@x", "date": f"2024-01-01T00:{i % 60:02d}:00Z"},
+                    "committer": None,
+                    "message": f"msg {i}",
+                },
+            }
+        )
+        for i in range(start, start + PER_PAGE)
+    ]
+
+
 def fake_fetch_page(endpoint: str, page: int) -> list[str]:
     start, end = (page - 1) * PER_PAGE, min(page * PER_PAGE, TOTAL)
     return [

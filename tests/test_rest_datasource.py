@@ -39,6 +39,42 @@ def test_paged_rest_partitions_by_page_range(spark):
     assert df.rdd.getNumPartitions() == 3  # pages [1,2],[3,4],[5]
 
 
+def test_paged_rest_streaming_incremental(spark, tmp_path):
+    """Streaming source: micro-batch 1 reads pages 1-2; after the
+    upstream grows to 3 pages, the next batch reads ONLY page 3."""
+    import tests.fixtures_rest as fx
+
+    fx.set_current_pages(2)
+    spark.dataSource.register(PagedRestDataSource)
+    stream = (
+        spark.readStream.format("paged_rest")
+        .schema(WIRE_DDL)
+        .option("endpoint", "o/r")
+        .option("fetcher", "tests.fixtures_rest.fetch_fixed_page")
+        .option("latest_page", "tests.fixtures_rest.latest_page")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.sql("SELECT count(*) n FROM rest_stream_out").first().n
+    assert n1 == 2 * fx.PER_PAGE
+
+    fx.set_current_pages(3)  # upstream grows by one page
+    q.processAllAvailable()
+    q.stop()
+    n2 = spark.sql("SELECT count(*) n FROM rest_stream_out").first().n
+    assert n2 == 3 * fx.PER_PAGE  # only the new page arrived (no re-read)
+    dupes = spark.sql(
+        "SELECT sha FROM rest_stream_out GROUP BY sha HAVING count(*) > 1"
+    ).count()
+    assert dupes == 0
+
+
 def test_paged_rest_feeds_parse_commits(spark):
     parsed = parse_commits(_read(spark), "o/r")
     assert parsed.where(F.col("commit_ts").isNull()).count() == 0
