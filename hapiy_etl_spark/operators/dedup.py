@@ -83,6 +83,10 @@ def jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     ).select("doc", F.xxhash64("s").alias("sh"))
+    # NOTE: no cache here — within one action Spark reuses the identical
+    # shingle Exchange across the three branches (ReusedExchange);
+    # measured: caching costs more than it saves. Cache only when the
+    # pairs feed MULTIPLE actions (see dedup_pipeline_end_to_end).
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
