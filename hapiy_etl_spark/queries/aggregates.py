@@ -289,6 +289,38 @@ def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitwise_boolean",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id % 256) AS band,
+           bit_or(event_id % 256) AS bor,
+           bit_xor(event_id % 256) AS bxor,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 90) AS any_large
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Bitwise (bit_and/or/xor) and boolean (every/any) aggregates.",
+)
+def agg_bitwise_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    b = F.col("event_id") % 256
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.bit_and(b).alias("band"),
+            F.bit_or(b).alias("bor"),
+            F.bit_xor(b).alias("bxor"),
+            F.every(F.col("value") > 0).alias("all_positive"),
+            F.some(F.col("value") > 90).alias("any_large"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "agg_approx_count_distinct",
     oracle=None,  # HLL sketches differ across engines — rows-only check;
     # exactness invariant asserted in tests/test_aggregates.py
