@@ -202,7 +202,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         n_regionkey,
-        list_sort(list(DISTINCT n_name)) AS nations,
+        array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
         COUNT(*) AS n
     FROM nation
     GROUP BY n_regionkey
@@ -215,7 +215,11 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["nation"]
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"), F.count("*").alias("n"))
+        .agg(
+            # serialized: ndarray cells crash the driver's canonicalizer
+            F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias("nations"),
+            F.count("*").alias("n"),
+        )
         .orderBy("n_regionkey")
     )
 

@@ -165,7 +165,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_predicate_algebra",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_orderpriority,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec
     FROM orders
     WHERE (o_orderstatus IN ('O', 'F'))
       AND o_totalprice BETWEEN 1000 AND 200000
@@ -191,7 +191,7 @@ def filter_predicate_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderstatus",
             "o_orderpriority",
-            F.col("o_totalprice").cast(DEC).alias("total_dec"),
+            F.col("o_totalprice").cast(DEC).cast("double").alias("total_dec"),
         )
         .orderBy("o_orderkey")
     )

@@ -121,12 +121,12 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         round(l_extendedprice, 1) AS price_r1,
         CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-        abs(l_discount - 0.05) AS disc_dev,
+        round(abs(l_discount - 0.05), 4) AS disc_dev,
         round(power(l_quantity, 2), 4) AS qty_sq,
         round(sqrt(l_extendedprice), 4) AS price_sqrt,
         round(ln(l_extendedprice), 4) AS price_ln,
         round(log10(l_extendedprice), 4) AS price_log10,
-        sign(l_discount - 0.05) AS disc_sign,
+        CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
         greatest(l_tax, l_discount) AS max_rate,
         least(l_tax, l_discount) AS min_rate,
         l_orderkey % 7 AS key_mod
@@ -147,12 +147,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 1).alias("price_r1"),
             F.floor("l_extendedprice").alias("price_floor"),
             F.ceil("l_extendedprice").alias("price_ceil"),
-            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
             F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
             F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
             F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
             F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
-            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+            F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
             F.greatest("l_tax", "l_discount").alias("max_rate"),
             F.least("l_tax", "l_discount").alias("min_rate"),
             (F.col("l_orderkey") % 7).alias("key_mod"),
@@ -169,12 +169,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(string_split(text, ' ')) AS n_tokens,
         list_contains(string_split(text, ' '), 'data') AS has_data,
         string_split(text, ' ')[2] AS second_token,
-        list_slice(string_split(text, ' '), 1, 3) AS first3,
+        array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS first3,
         len(list_distinct(string_split(text, ' '))) AS n_unique,
-        list_sort(list_slice(string_split(text, ' '), 1, 3)) AS first3_sorted,
+        array_to_string(list_sort(list_slice(string_split(text, ' '), 1, 3)), '|') AS first3_sorted,
         array_to_string(list_slice(string_split(text, ' '), 1, 3), '-') AS first3_joined,
         len(list_filter(string_split(text, ' '), tok -> length(tok) > 5)) AS n_long_tokens,
-        list_transform(list_slice(string_split(text, ' '), 1, 3), tok -> upper(tok)) AS first3_upper
+        array_to_string(list_transform(list_slice(string_split(text, ' '), 1, 3), tok -> upper(tok)), '|') AS first3_upper
     FROM documents
     WHERE doc_id <= 50
     ORDER BY doc_id
@@ -192,12 +192,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(toks).alias("n_tokens"),
             F.array_contains(toks, "data").alias("has_data"),
             F.element_at(toks, 2).alias("second_token"),
-            F.slice(toks, 1, 3).alias("first3"),
+            # array outputs serialized to strings: the driver's pandas-based
+            # canonicalizer cannot hash ndarray cells (CORRECTNESS_r01)
+            F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
             F.size(F.array_distinct(toks)).alias("n_unique"),
-            F.sort_array(F.slice(toks, 1, 3)).alias("first3_sorted"),
+            F.array_join(F.sort_array(F.slice(toks, 1, 3)), "|").alias("first3_sorted"),
             F.array_join(F.slice(toks, 1, 3), "-").alias("first3_joined"),
             F.size(F.filter(toks, lambda tok: F.length(tok) > 5)).alias("n_long_tokens"),
-            F.transform(F.slice(toks, 1, 3), lambda tok: F.upper(tok)).alias("first3_upper"),
+            F.array_join(F.transform(F.slice(toks, 1, 3), lambda tok: F.upper(tok)), "|").alias(
+                "first3_upper"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -317,7 +321,7 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]+a') AS a_words,
+           array_to_string(regexp_extract_all(text, '[a-z]+a'), '|') AS a_words,
            len(regexp_extract_all(text, '[a-z]+a')) AS n_a_words,
            regexp_matches(text, 'data.*data') AS has_two_datas
     FROM documents
@@ -333,7 +337,9 @@ def fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") <= 50)
         .select(
             "doc_id",
-            F.regexp_extract_all("text", F.lit("[a-z]+a"), F.lit(0)).alias("a_words"),
+            F.array_join(F.regexp_extract_all("text", F.lit("[a-z]+a"), F.lit(0)), "|").alias(
+                "a_words"
+            ),
             F.size(F.regexp_extract_all("text", F.lit("[a-z]+a"), F.lit(0))).alias("n_a_words"),
             F.col("text").rlike("data.*data").alias("has_two_datas"),
         )

@@ -292,7 +292,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok GROUP BY t
     )
     SELECT k.doc_id,
-           array_agg(v.token_id ORDER BY k.pos) AS token_ids,
+           array_to_string(array_agg(v.token_id ORDER BY k.pos), '|') AS token_ids,
            COUNT(*) AS n_tokens
     FROM tok k JOIN vocab v ON k.t = v.t
     WHERE k.doc_id <= 100
@@ -328,9 +328,13 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab), "t")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: s.getField("token_id"),
+            # serialized: ndarray cells crash the driver's canonicalizer
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s.getField("token_id").cast("string"),
+                ),
+                "|",
             ).alias("token_ids"),
             F.count("*").alias("n_tokens"),
         )

@@ -164,7 +164,7 @@ def udtf_explode_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id <= 100
     )
     SELECT doc_id,
-           map_keys(meta) AS ks,
+           array_to_string(list_sort(map_keys(meta)), '|') AS ks,
            meta['lang'][1] AS lang_val,  -- DuckDB map extract yields a list
            cardinality(meta) AS n_entries
     FROM m
@@ -180,7 +180,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") <= 100)
         .select(
             "doc_id",
-            F.map_keys(meta).alias("ks"),
+            # serialized: ndarray cells crash the driver's canonicalizer
+            F.array_join(F.sort_array(F.map_keys(meta)), "|").alias("ks"),
             F.element_at(meta, "lang").alias("lang_val"),
             F.size(meta).alias("n_entries"),
         )

@@ -26,4 +26,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF_SMOKE
+    # override to replay parity at the driver's sf0.01:
+    #   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMOKE)

@@ -25,3 +25,33 @@ def test_all_queries_runnable(spark, sf_dir):
         if q.oracle is None:
             df = q.fn(spark, sf_dir)
             assert df.count() >= 0, q.name
+
+
+def test_harness_rejects_decimal_vs_float():
+    """The local gate must be as dtype-strict as the driver's hash."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from tests.oracle import compare_frames
+
+    with _pytest.raises(AssertionError, match="value mismatch"):
+        compare_frames("planted", ["v"], [(Decimal("3.50"),)], ["v"], [(3.5,)])
+
+
+def test_harness_rejects_int_vs_float():
+    import pytest as _pytest
+
+    from tests.oracle import compare_frames
+
+    with _pytest.raises(AssertionError, match="value mismatch"):
+        compare_frames("planted", ["v"], [(1,)], ["v"], [(1.0,)])
+
+
+def test_harness_rejects_array_cells():
+    import pytest as _pytest
+
+    from tests.oracle import UnsafeOutputError, compare_frames
+
+    with _pytest.raises(UnsafeOutputError):
+        compare_frames("planted", ["v"], [([1, 2],)], ["v"], [([1, 2],)])
