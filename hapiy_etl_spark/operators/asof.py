@@ -51,9 +51,18 @@ def asof_join(
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
 
+    # All right columns travel as ONE struct: last(ignorenulls) over a
+    # single payload guarantees every filled column comes from the SAME
+    # right row (per-column fills could mix rows when right values are
+    # null), and the struct — non-null for every right row even when all
+    # its fields are null — doubles as the match marker, so a genuine
+    # null right value is not conflated with "no match".
+    payload = "__asof_payload"
     lhs = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(0))
     rhs = right.select(
-        *keys, F.col(right_ts).alias(_TS), *[F.col(c) for c in right_cols]
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.struct(*[F.col(c) for c in right_cols]).alias(payload),
     ).withColumn(_SIDE, F.lit(1))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
@@ -65,20 +74,17 @@ def asof_join(
         .orderBy(F.col(_TS), side_order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__filled_{c}") for c in right_cols]
-    )
+    filled = unioned.select("*", F.last(payload, ignorenulls=True).over(w).alias("__filled"))
     out = (
         filled.where(F.col(_SIDE) == 0)
-        .drop(_SIDE, _TS, *right_cols)
-        .select("*", *[F.col(f"__filled_{c}").alias(c) for c in right_cols])
-        .drop(*[f"__filled_{c}" for c in right_cols])
+        .drop(_SIDE, _TS, payload)
+        .select("*", *[F.col(f"__filled.{c}").alias(c) for c in right_cols])
     )
     if how == "inner":
-        out = out.where(F.col(right_cols[0]).isNotNull())
+        out = out.where(F.col("__filled").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+    return out.drop("__filled")
 
 
 def interval_overlap_join(

@@ -68,13 +68,28 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Doc pairs with shingle-Jaccard ≥ threshold, via inverted-index join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. Only documents
     sharing at least one shingle are ever paired — the join key is the
     shingle, so candidate generation is |postings|², not |docs|².
+
+    ``df_cap`` is the posting-list frequency cap every production
+    near-dedup needs: a shingle appearing in d documents contributes
+    d(d-1)/2 candidate pairs, so ONE boilerplate/stopword shingle with a
+    hot posting list makes the self-join quadratic on a skewed key.
+    Shingles with document frequency > df_cap carry ~zero Jaccard signal
+    and are dropped BEFORE the self-join (one groupBy-count + left-anti
+    join); per-document sizes are computed over the retained shingles so
+    the Jaccard denominator stays consistent with the numerator.
+    ``None`` disables the cap (exact semantics over all shingles).
 
     The join/shuffle key is xxhash64(shingle) — 8 bytes instead of a
     multi-word string; a 64-bit collision would need ~2^32 distinct
@@ -83,6 +98,15 @@ def jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     ).select("doc", F.xxhash64("s").alias("sh"))
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("sh")
+        )
+        # hot set is tiny (heavy hitters only) — broadcast the anti side
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     # NOTE: no cache here — within one action Spark reuses the identical
     # shingle Exchange across the three branches (ReusedExchange);
     # measured: caching costs more than it saves. Cache only when the
@@ -349,23 +373,60 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("doc", sig.alias("sig"))
 
 
+def _simhash_tables(max_hamming: int) -> list[tuple[int, ...]]:
+    """Block-combination tables for the Manku web-dedup scheme.
+
+    Split 64 bits into m = max_hamming + 3 blocks. A pair with hamming
+    ≤ d differs in ≤ d blocks, so it AGREES on some (m-d)-subset of
+    blocks — probing every C(m, m-d) subset as a join key guarantees
+    recall 1.0 for hamming ≤ d. For d=3: m=6 blocks (~11 bits each),
+    C(6,3)=20 tables with ~32-bit keys.
+    """
+    from itertools import combinations
+
+    m = max_hamming + 3
+    return list(combinations(range(m), m - max_hamming))
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash banding: split the 64-bit signature into
-    4 16-bit bands; pairs agreeing on ≥1 band (pigeonhole: any pair with
-    hamming ≤ 3 must agree on at least one band) are candidates, then
-    refined by exact hamming distance. Join is per-band equi — no
-    all-pairs."""
+    """Near-dup pairs by SimHash block banding (Manku et al.'s web-dedup
+    layout): split the 64-bit signature into m = max_hamming + 3 blocks
+    and emit one join key per (m - max_hamming)-block combination —
+    C(m,3)=20 tables of ~32-bit keys for the default hamming ≤ 3.
+    Pigeonhole guarantees recall 1.0; candidates are refined by exact
+    hamming distance. Join is per-table equi — no all-pairs.
+
+    Bucket-occupancy math (why not 4×16-bit bands): a 16-bit band key
+    bounds the bucket space at 65,536, so beyond ~10⁵–10⁶ docs the
+    per-bucket pair count grows as (n/65k)² per band — quadratic on a
+    saturated key space. A ~32-bit combined key gives ~4·10⁹ buckets:
+    at 10⁹ docs the expected bucket occupancy is <1 and candidate
+    volume stays ~linear. The cost is C(m,3)/4 = 5× more exploded rows,
+    all 16-byte (table, key) pairs — the right trade at scale.
+    """
     sig = simhash_signatures(df, id_col, text_col)
+    tables = _simhash_tables(max_hamming)
+    m = max_hamming + 3
+    widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+
+    def block(i: int) -> Column:
+        return F.shiftright("sig", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    def table_key(combo: tuple[int, ...]) -> Column:
+        # pack the chosen block values into one long (combined ~32 bits)
+        key = F.lit(0).cast("long")
+        for i in combo:
+            key = F.shiftleft(key, widths[i]).bitwiseOR(block(i))
+        return key
+
     bands = sig.select(
         "doc",
         "sig",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                )
-                for i in range(4)
+                F.struct(F.lit(t).alias("band"), table_key(combo).alias("key"))
+                for t, combo in enumerate(tables)
             ])
         ).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -42,8 +42,18 @@ def scd2_apply(
     - new keys: a first open version appends.
     Rows whose compare_cols are identical to the current open version
     are no-ops (no spurious versions).
+
+    A batch may carry several rows per key (e.g. a CDC feed replaying
+    multiple updates): only the LATEST row per key by effective_ts is
+    applied — micro-batch semantics collapse intermediate versions to
+    the final state. Without this dedup the changed-keys inner join
+    would fan out, producing multiple open versions and duplicated
+    closing rows.
     """
+    from hapiy_etl_spark.operators.upsert import dedup_by_key
+
     key_list = list(keys)
+    batch = dedup_by_key(batch, key_list, order_col=effective_ts)
     open_rows = dim.where(F.col("valid_to") == F.lit(OPEN_TS))
     closed_rows = dim.where(F.col("valid_to") != F.lit(OPEN_TS))
 

@@ -49,13 +49,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
     ),
-    sh AS (
+    sh0 AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    range(1, greatest(len(t) - 2, 1) + 1),
                    i -> array_to_string(t[i:i+2], ' ')))) AS s
         FROM toks
     ),
+    -- posting-frequency cap (df_cap=100): hot boilerplate shingles carry
+    -- no Jaccard signal and cost quadratic candidate pairs
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -70,13 +74,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     doc="Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 via inverted-index "
-    "join (candidates share ≥1 shingle; never all-pairs).",
+    "join (candidates share ≥1 shingle; never all-pairs) with a "
+    "posting-frequency cap on hot shingles (df_cap=100, mirrored in the "
+    "oracle) — the skew guard that keeps the self-join linear at scale.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    return D.jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return D.jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.5, df_cap=100
+    ).orderBy("id_a", "id_b")
 
 
 @register(

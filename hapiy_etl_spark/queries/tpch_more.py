@@ -93,7 +93,7 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
     """,
-    doc="TPC-H Q14: conditional-revenue ratio over a broadcast dim join.",
+    doc="TPC-H Q14: conditional-revenue ratio over an AQE-sized dim join.",
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
@@ -104,7 +104,9 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(28,4)"))
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        # part is not broadcast-forced: AQE picks (at 100 TB part is tens
+        # of GB; at bench SF it still auto-broadcasts under the threshold)
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
@@ -151,8 +153,11 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
     return (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer/supplier are NOT broadcast-forced: at 100 TB they are
+        # hundreds of GB — let AQE pick the strategy (it still broadcasts
+        # them at small SF where they fit under the threshold)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .where(
@@ -193,8 +198,10 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(DEC) * F.col("l_quantity").cast(DEC) * F.lit(0.4).cast(DEC)
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        # part/supplier sized by AQE, not forced (LIKE selectivity is
+        # unknowable to the planner; a wrong forced broadcast OOMs executors)
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
@@ -229,7 +236,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .where(block("Brand#1", 1, 15, 1, 21) | block("Brand#2", 10, 30, 10, 40) | block("Brand#3", 20, 50, 20, 50))
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
     )

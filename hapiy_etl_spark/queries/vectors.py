@@ -80,45 +80,73 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=None,  # KMeans quantizer is engine-specific; recall vs brute
     # force asserted in tests/test_llm.py
-    doc="IVF-style ANN: KMeans coarse quantizer → inverted lists → "
-    "n_probe nearest cells searched per query.",
+    doc="IVF-style ANN: KMeans coarse quantizer (fit on a 20% sample — "
+    "full-corpus Lloyd would dominate at scale; cells only need to be "
+    "roughly Voronoi) → inverted lists → n_probe nearest cells per query.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.where(F.col("vec_id") < 10)
-    return S.ivf_topk(queries, emb, "vec_id", "vec_id", k=3, n_centroids=8, n_probe=2).orderBy(
-        "vec_id", "rank"
-    )
+    return S.ivf_topk(
+        queries, emb, "vec_id", "vec_id", k=3, n_centroids=8, n_probe=2, train_fraction=0.2
+    ).orderBy("vec_id", "rank")
+
+
+_SIGN_BITS = 8  # 256 buckets; bump for denser corpora
+
+
+def _sign_bucket_sql(col: str) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIGN_BITS)
+    ) + ")"
 
 
 @register(
     "embedding_cosine_neardup",
-    oracle="""
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_sign_bucket_sql("embedding")} AS bucket
+        FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
-    FROM embeddings a
-    JOIN embeddings b
-      ON a.vec_id < b.vec_id
-     AND a.vec_id % 20 = 0 AND b.vec_id % 20 = 10
+    FROM bucketed a
+    JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3
     ORDER BY id_a, id_b
     """,
-    doc="Embedding-cosine near-dup pairs above threshold (strided subsets "
-    "bound the pair count; the full-scale path is LSH-bucketed).",
+    doc="Embedding-cosine near-dup pairs above threshold via a "
+    "deterministic sign-bucket LSH (bucket = sign bits of the first 8 "
+    "dims, mirrored exactly in the oracle): candidates come from a "
+    "bucket EQUI-join — no all-pairs nested loop anywhere in the plan. "
+    "Sign agreement is the 0-probe hyperplane-LSH special case; the "
+    "production path with tunable recall is ann_lsh_topk (random "
+    "hyperplanes + multi-probe).",
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    a = emb.where(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+
+    bucket = F.lit(0)
+    for i in range(_SIGN_BITS):
+        bucket = bucket + F.when(
+            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
     )
-    b = emb.where(F.col("vec_id") % 20 == 10).select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
     )
     sim = S.cosine(F.col("ea"), F.col("eb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn("__sim", sim)
         .where(F.col("__sim") > 0.3)
         .select("id_a", "id_b", F.round("__sim", 6).alias("cosine_sim"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -41,9 +42,31 @@ def _resolve(dotted: str):
     return getattr(importlib.import_module(mod), name)
 
 
+def _resolve_token(options: dict) -> str | None:
+    """R14 credential plumbing (reference git_etl.ts:12,340-346: the
+    ``GITHUB_PAT`` env var read once in the driver process and handed to
+    the client). ``.option("token_env", "GITHUB_PAT")`` names the env
+    var; the token is resolved HERE, in the planning process (which
+    inherits the Spark launch environment — set the var before
+    spark-submit, exactly like the reference's process env), and shipped
+    to tasks inside the pickled partition, like any Spark credential
+    broadcast. ``.option("token", ...)`` passes a literal instead (e.g.
+    from a driver-side secret manager lookup)."""
+    if "token" in options:
+        return options["token"]
+    env = options.get("token_env")
+    return os.environ.get(env) if env else None
+
+
+def _call_fetcher(fetch_page, endpoint: str, page: int, token: str | None):
+    # token-less fetchers keep the plain 2-arg signature
+    return fetch_page(endpoint, page, token=token) if token is not None else fetch_page(endpoint, page)
+
+
 class PageRange(InputPartition):
-    def __init__(self, endpoint: str, start: int, end: int, fetcher: str) -> None:
+    def __init__(self, endpoint: str, start: int, end: int, fetcher: str, token: str | None) -> None:
         self.endpoint, self.start, self.end, self.fetcher = endpoint, start, end, fetcher
+        self.token = token
 
 
 class PagedRestReader(DataSourceReader):
@@ -53,11 +76,12 @@ class PagedRestReader(DataSourceReader):
         self.n_pages = int(options.get("n_pages", "1"))
         self.pages_per_partition = int(options.get("pages_per_partition", "4"))
         self.fetcher = options["fetcher"]
+        self.token = _resolve_token(options)
 
     def partitions(self) -> list[PageRange]:
         step = self.pages_per_partition
         return [
-            PageRange(self.endpoint, p, min(p + step, self.n_pages + 1), self.fetcher)
+            PageRange(self.endpoint, p, min(p + step, self.n_pages + 1), self.fetcher, self.token)
             for p in range(1, self.n_pages + 1, step)
         ]
 
@@ -65,7 +89,7 @@ class PagedRestReader(DataSourceReader):
         fetch_page = _resolve(partition.fetcher)
         names = [f.name for f in self.schema_.fields]
         for page in range(partition.start, partition.end):
-            for raw in fetch_page(partition.endpoint, page):
+            for raw in _call_fetcher(fetch_page, partition.endpoint, page, partition.token):
                 row = json.loads(raw)
                 yield tuple(_to_row_value(row.get(n), self.schema_[n].dataType) for n in names)
 
@@ -85,11 +109,16 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
     (replacing its ad-hoc high-watermark with engine-managed
     exactly-once offsets).
 
-    Offsets are page numbers: ``{"page": n}`` means pages 1..n are
-    committed. ``latest_page(endpoint)`` (resolved like ``fetcher``)
-    reports the current upstream extent. The Simple reader runs on the
-    driver — right for a polling prototype; the partition-parallel batch
-    reader above is the backfill path.
+    Offsets are ``{"page": p, "row": r}``: every page < p is fully
+    committed, plus the first r rows of page p. Tracking the row offset
+    of the tail page matters for append-style upstreams whose newest
+    page is still filling: a whole-page offset would commit the partial
+    page and silently skip rows appended to it later, while (page, row)
+    re-reads the tail page and emits only its suffix — exactly-once
+    without data loss. ``latest_page(endpoint)`` (resolved like
+    ``fetcher``) reports the current upstream extent. The Simple reader
+    runs on the driver — right for a polling prototype; the
+    partition-parallel batch reader above is the backfill path.
     """
 
     def __init__(self, schema: StructType, options: dict) -> None:
@@ -97,27 +126,48 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
         self.endpoint = options.get("endpoint", "")
         self.fetcher = options["fetcher"]
         self.latest_page_fn = options["latest_page"]
+        self.token = _resolve_token(options)
 
     def initialOffset(self) -> dict:
-        return {"page": 0}
+        return {"page": 1, "row": 0}
 
-    def _rows(self, first_page: int, last_page: int) -> list[tuple]:
+    @staticmethod
+    def _norm(off: dict) -> tuple[int, int]:
+        # legacy whole-page offsets {"page": n} meant pages 1..n committed
+        if "row" not in off:
+            return int(off.get("page", 0)) + 1, 0
+        return int(off["page"]), int(off["row"])
+
+    def _fetch(self, page: int) -> list[tuple]:
         fetch_page = _resolve(self.fetcher)
         names = [f.name for f in self.schema_.fields]
-        out = []
-        for page in range(first_page, last_page + 1):
-            for raw in fetch_page(self.endpoint, page):
-                row = json.loads(raw)
-                out.append(tuple(_to_row_value(row.get(n), self.schema_[n].dataType) for n in names))
-        return out
+        return [
+            tuple(_to_row_value(json.loads(raw).get(n), self.schema_[n].dataType) for n in names)
+            for raw in _call_fetcher(fetch_page, self.endpoint, page, self.token)
+        ]
 
     def read(self, start: dict):
-        latest = int(_resolve(self.latest_page_fn)(self.endpoint))
-        end = {"page": max(latest, start["page"])}
-        return iter(self._rows(start["page"] + 1, end["page"])), end
+        start_page, start_row = self._norm(start)
+        latest = max(int(_resolve(self.latest_page_fn)(self.endpoint)), start_page)
+        out: list[tuple] = []
+        end_page, end_row = start_page, start_row
+        for page in range(start_page, latest + 1):
+            page_rows = self._fetch(page)
+            skip = start_row if page == start_page else 0
+            out.extend(page_rows[skip:])
+            end_page, end_row = page, max(len(page_rows), skip if page == start_page else 0)
+        return iter(out), {"page": end_page, "row": end_row}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows(start["page"] + 1, end["page"]))
+        start_page, start_row = self._norm(start)
+        end_page, end_row = self._norm(end)
+        out: list[tuple] = []
+        for page in range(start_page, end_page + 1):
+            page_rows = self._fetch(page)
+            lo = start_row if page == start_page else 0
+            hi = end_row if page == end_page else len(page_rows)
+            out.extend(page_rows[lo:hi])
+        return iter(out)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint

@@ -13,6 +13,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
+# R14 token-plumbing fixture env var: must exist BEFORE the JVM starts —
+# Python DataSource planning workers inherit the launch environment, so
+# a mid-test os.environ change never reaches them (same rule applies in
+# production: export the PAT before spark-submit).
+os.environ.setdefault("FAKE_REST_PAT", "s3cret")
+
 
 @pytest.fixture(scope="session")
 def spark():

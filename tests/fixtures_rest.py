@@ -61,3 +61,39 @@ def fake_fetch_page(endpoint: str, page: int) -> list[str]:
         )
         for i in range(start, end)
     ]
+
+
+# Tail-page growth scenario: the newest page fills incrementally.
+TAIL_FILE = "/tmp/spark_graft_rest_tail.txt"
+
+
+def set_tail_rows(n: int) -> None:
+    with open(TAIL_FILE, "w") as f:
+        f.write(str(n))
+
+
+def _tail_rows() -> int:
+    try:
+        with open(TAIL_FILE) as f:
+            return int(f.read().strip())
+    except OSError:
+        return PER_PAGE
+
+
+def fetch_growing_page(endpoint: str, page: int) -> list[str]:
+    """Full pages except the current latest, which has _tail_rows() rows."""
+    n = _tail_rows() if page == latest_page(endpoint) else PER_PAGE
+    start = (page - 1) * PER_PAGE
+    return [
+        json.dumps({"sha": f"{endpoint}-p{page}-sha{start + i}", "commit": None})
+        for i in range(n)
+    ]
+
+
+def fetch_page_with_token(endpoint: str, page: int, token: str | None = None) -> list[str]:
+    """R14 fixture: echoes the auth token into each row."""
+    start = (page - 1) * PER_PAGE
+    return [
+        json.dumps({"sha": f"tok={token}-sha{i}", "commit": None})
+        for i in range(start, start + PER_PAGE)
+    ]

@@ -183,3 +183,34 @@ def test_frame_sample_counts_follow_metadata(spark):
         counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
     # 95 bytes → 96 frames → ceil(96/10)=10 samples; 10 bytes → 11 frames → 2
     assert counts == {1: 10, 2: 2}
+
+
+def test_jaccard_df_cap_preserves_planted(spark, planted_docs):
+    """Capped and uncapped results agree when no shingle is hot."""
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(
+            planted_docs, "doc_id", "text", n=3, threshold=0.5, df_cap=50
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_jaccard_df_cap_prunes_hot_shingles(spark):
+    """Boilerplate shared by every doc must not make the self-join
+    quadratic: with the cap, docs that only share hot shingles produce
+    ZERO candidate pairs; without it, all C(n,2) pairs materialize."""
+    boiler = "terms of service apply to all content on this mirror site daily"
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert hot.count() == 50 * 49 // 2  # boilerplate pairs everything
+    capped = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, df_cap=10)
+    assert capped.count() == 0  # hot shingles dropped -> no candidates at all

@@ -139,3 +139,29 @@ def test_watermark_store(spark, tmp_path):
     # strict > filter: watermark row itself excluded, no same-second loss
     remaining = store.incremental_filter("src", df, "ts").collect()
     assert remaining == []
+
+
+def test_asof_join_null_right_values_from_same_row(spark):
+    """A genuinely-null right value must not be conflated with no-match,
+    and filled columns must all come from the SAME right row (the struct
+    payload guarantees both)."""
+    quotes = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:00:00"), 100.0, "nyse"),
+            # latest quote has a NULL px but a real venue
+            ("A", ts("2024-01-01 10:05:00"), None, "arca"),
+        ],
+        "sym string, qts timestamp, px double, venue string",
+    )
+    trades = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:06:00"), 1)],
+        "sym string, tts timestamp, trade_id int",
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px", "venue"], how="inner",
+    ).collect()
+    # matched (inner keeps it) even though px is null; no mixing with the
+    # 10:00 row's px=100.0
+    assert len(out) == 1
+    assert out[0].px is None and out[0].venue == "arca"

@@ -79,3 +79,80 @@ def test_paged_rest_feeds_parse_commits(spark):
     parsed = parse_commits(_read(spark), "o/r")
     assert parsed.where(F.col("commit_ts").isNull()).count() == 0
     assert parsed.select("commit_hash").distinct().count() == 230
+
+
+def test_paged_rest_streaming_partial_tail_page(spark, tmp_path):
+    """(page, row) offsets: rows appended to a partially-filled tail
+    page after it was read must still arrive in the next micro-batch
+    (whole-page offsets would silently drop them)."""
+    import tests.fixtures_rest as fx
+
+    fx.set_current_pages(2)
+    fx.set_tail_rows(30)  # page 2 is only 30/50 full
+    spark.dataSource.register(PagedRestDataSource)
+    stream = (
+        spark.readStream.format("paged_rest")
+        .schema("sha string")
+        .option("endpoint", "o/r")
+        .option("fetcher", "tests.fixtures_rest.fetch_growing_page")
+        .option("latest_page", "tests.fixtures_rest.latest_page")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_tail_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT count(*) n FROM rest_tail_out").first().n == 50 + 30
+
+    fx.set_tail_rows(50)  # page 2 finishes filling
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) n FROM rest_tail_out").first().n == 100
+    dupes = spark.sql(
+        "SELECT sha FROM rest_tail_out GROUP BY sha HAVING count(*) > 1"
+    ).count()
+    assert dupes == 0
+
+
+def test_paged_rest_token_env_plumbing(spark):
+    """R14: .option('token_env', VAR) resolves the env var (set before
+    the Spark launch, as in production) and hands the token to the
+    fetcher (reference git_etl.ts:340-346). FAKE_REST_PAT is exported in
+    conftest.py before the JVM starts."""
+    spark.dataSource.register(PagedRestDataSource)
+    df = (
+        spark.read.format("paged_rest")
+        .schema("sha string")
+        .option("endpoint", "o/r")
+        .option("n_pages", 1)
+        .option("fetcher", "tests.fixtures_rest.fetch_page_with_token")
+        .option("token_env", "FAKE_REST_PAT")
+        .load()
+    )
+    shas = [r.sha for r in df.collect()]
+    assert shas and all(s.startswith("tok=s3cret-") for s in shas)
+
+
+def test_paged_rest_token_literal_option(spark):
+    """.option('token', ...) passes a literal credential through."""
+    spark.dataSource.register(PagedRestDataSource)
+    df = (
+        spark.read.format("paged_rest")
+        .schema("sha string")
+        .option("endpoint", "o/r")
+        .option("n_pages", 1)
+        .option("fetcher", "tests.fixtures_rest.fetch_page_with_token")
+        .option("token", "lit3ral")
+        .load()
+    )
+    shas = [r.sha for r in df.collect()]
+    assert shas and all(s.startswith("tok=lit3ral-") for s in shas)
+
+
+def test_paged_rest_without_token_env(spark):
+    """No token_env -> fetcher called with the plain 2-arg signature."""
+    df = _read(spark, n_pages=1, ppp=1)
+    assert df.count() > 0

@@ -99,3 +99,27 @@ def test_table_format_gateway_graceful(spark):
     batch = spark.createDataFrame([(1, "a")], "id long, v string")
     with _pytest.raises(NotImplementedError, match="upsert_parquet"):
         merge_upsert(spark, "/tmp/nope", batch, ["id"])
+
+
+def test_scd2_duplicate_keys_in_batch_collapse_to_latest(spark):
+    """A batch replaying several updates per key applies only the latest
+    (micro-batch semantics): exactly one open version, one closing row."""
+    b1 = spark.createDataFrame(
+        [(1, "alice", "NY", ts("2024-01-01 00:00:00"))],
+        "id long, name string, city string, eff timestamp",
+    )
+    dim = scd2_init(b1, ["id"], "eff")
+    b2 = spark.createDataFrame(
+        [
+            (1, "alice", "SF", ts("2024-02-01 00:00:00")),
+            (1, "alice", "TX", ts("2024-03-01 00:00:00")),  # latest wins
+        ],
+        "id long, name string, city string, eff timestamp",
+    )
+    dim2 = scd2_apply(dim, b2, ["id"], "eff", compare_cols=["name", "city"])
+    rows = dim2.where("id = 1").collect()
+    open_rows = [r for r in rows if r.valid_to == OPEN_TS]
+    closed = [r for r in rows if r.valid_to != OPEN_TS]
+    assert len(open_rows) == 1 and open_rows[0].city == "TX"
+    assert len(closed) == 1 and closed[0].city == "NY"
+    assert closed[0].valid_to == ts("2024-03-01 00:00:00")
