@@ -184,22 +184,66 @@ def lsh_topk(
     n_planes: int = 8,
     vec: str = "embedding",
     seed: int = 42,
+    n_tables: int = 1,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket (equi-join on the
     signature), refined by exact cosine + window top-k. With b planes the
-    corpus-side work drops ~2^b-fold; recall is tunable via b (and at
-    scale, multi-probe or multiple tables)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec).alias("__qv")).withColumn(
-        "__bucket", lsh_bucket(F.col("__qv"), planes)
+    corpus-side work drops ~2^b-fold.
+
+    Recall control at scale — two orthogonal knobs beyond b:
+    - ``n_tables``: T independent plane sets; a true neighbor is missed
+      only if it misses EVERY table, so recall = 1-(1-p^b)^T at the cost
+      of T corpus signature rows (corpus side grows linearly in T).
+    - ``multi_probe``: radius-1 probing — each QUERY also probes the b
+      buckets at hamming distance 1 from its own, recovering neighbors
+      that disagree on exactly one hyperplane. Costs b extra rows on the
+      tiny (broadcast) query side and nothing on the corpus side — the
+      cheap knob; prefer it before adding tables.
+    Defaults (1 table, no probing) match the single-table behavior.
+    """
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe supports radius 0 or 1")
+    tables = [_hyperplanes(dim, n_planes, seed + 977 * t) for t in range(n_tables)]
+
+    q_base = queries.select(F.col(query_id).alias("__qid"), F.col(vec).alias("__qv"))
+    c_base = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv"))
+
+    c_sigs = F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), lsh_bucket(F.col("__cv"), p).alias("bucket"))
+            for t, p in enumerate(tables)
+        ]
     )
-    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv")).withColumn(
-        "__bucket", lsh_bucket(F.col("__cv"), planes)
+    c = c_base.select("__cid", "__cv", F.explode(c_sigs).alias("__s")).select(
+        "__cid", "__cv", F.col("__s.table").alias("__table"), F.col("__s.bucket").alias("__bucket")
     )
+
+    def probes(t: int, p: list[list[float]]):
+        base = lsh_bucket(F.col("__qv"), p)
+        out = [F.struct(F.lit(t).alias("table"), base.alias("bucket"))]
+        if multi_probe >= 1:
+            out += [
+                F.struct(
+                    F.lit(t).alias("table"),
+                    base.bitwiseXOR(F.lit(1 << i).cast("long")).alias("bucket"),
+                )
+                for i in range(n_planes)
+            ]
+        return out
+
+    q_sigs = F.array(*[s for t, p in enumerate(tables) for s in probes(t, p)])
+    q = q_base.select("__qid", "__qv", F.explode(q_sigs).alias("__s")).select(
+        "__qid", "__qv", F.col("__s.table").alias("__table"), F.col("__s.bucket").alias("__bucket")
+    )
+
     sim = (
         F.broadcast(q)
-        .join(c, on="__bucket")
+        .join(c, on=["__table", "__bucket"])
         .where(F.col("__qid") != F.col("__cid"))
+        # a pair can collide in several tables/probes — dedupe BEFORE the
+        # cosine refine so each candidate is scored once
+        .dropDuplicates(["__qid", "__cid"])
         .select("__qid", "__cid", cosine(F.col("__qv"), F.col("__cv")).alias("__sim"))
     )
     w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid"))

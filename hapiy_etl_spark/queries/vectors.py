@@ -67,13 +67,17 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # hyperplane signatures aren't SQL-portable; recall vs
     # brute force asserted in tests/test_llm.py
     doc="Approximate top-k via random-hyperplane LSH buckets: equi-join "
-    "on signature → ~2^planes less corpus touched per query (scale path).",
+    "on signature → ~2^planes less corpus touched per query, with "
+    "radius-1 multi-probe on the broadcast query side for recall "
+    "(misses only neighbors differing on ≥2 hyperplanes).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.where(F.col("vec_id") < 10)
-    return S.lsh_topk(queries, emb, "vec_id", "vec_id", k=3, n_planes=4).orderBy("vec_id", "rank")
+    return S.lsh_topk(
+        queries, emb, "vec_id", "vec_id", k=3, n_planes=4, multi_probe=1
+    ).orderBy("vec_id", "rank")
 
 
 @register(

@@ -214,3 +214,25 @@ def test_jaccard_df_cap_prunes_hot_shingles(spark):
     assert hot.count() == 50 * 49 // 2  # boilerplate pairs everything
     capped = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, df_cap=10)
     assert capped.count() == 0  # hot shingles dropped -> no candidates at all
+
+
+def test_lsh_multiprobe_and_tables_improve_recall(spark, planted_vectors):
+    """Multi-probe / multi-table candidate sets strictly contain the
+    single-table set, so recall is monotone in both knobs."""
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+
+    def hits(**kw):
+        got = {
+            r.vec_id: r.neighbor_id
+            for r in S.lsh_topk(
+                queries, planted_vectors, "vec_id", "vec_id", k=1, dim=16, n_planes=6, **kw
+            ).collect()
+        }
+        return sum(got.get(q) == 100 + q for q in range(5))
+
+    base = hits()
+    probed = hits(multi_probe=1)
+    tabled = hits(n_tables=3)
+    assert probed >= base
+    assert tabled >= base
+    assert hits(n_tables=2, multi_probe=1) == 5  # belt and braces: full recall
