@@ -306,3 +306,54 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    converted AS (
+        SELECT DISTINCT e.user_id
+        FROM events e JOIN signups s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s.signup_ts
+          AND e.ts < s.signup_ts + INTERVAL 7 DAY
+    )
+    SELECT (SELECT COUNT(*) FROM signups) AS n_signups,
+           (SELECT COUNT(*) FROM converted) AS n_converted,
+           ROUND(CAST((SELECT COUNT(*) FROM converted) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM signups), 4) AS conv_rate
+    """,
+    doc="Sequential funnel: users whose first signup is followed by a "
+    "purchase within 7 days. Aggregate-then-join shape (signups collapse "
+    "to one row per user BEFORE the join) so the shuffle carries user "
+    "keys, not event logs.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    signups = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    converted = (
+        e.where(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .where(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (F.col("ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_s = signups.agg(F.count("*").alias("n_signups"))
+    n_c = converted.agg(F.count("*").alias("n_converted"))
+    return n_s.crossJoin(n_c).select(
+        "n_signups",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_signups"), 4).alias("conv_rate"),
+    )

@@ -464,3 +464,98 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", TS.doc_fingerprint("text").alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_sequence_pack",
+    oracle="""
+    WITH counted AS (
+        SELECT doc_id, source,
+               len(string_split_regex(text, '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, doc_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        FROM counted
+    )
+    SELECT source,
+           CAST(FLOOR(start_off / 512) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS n_tokens_packed,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+    doc="Training-example sequence packing: lay documents end-to-end per "
+    "source shard (deterministic doc_id order) and bin them into "
+    "512-token sequences via a running-sum window — the tokenizer-prep "
+    "kernel that turns a corpus into fixed-length training examples. "
+    "Partitioned by shard so the cumulative sum never needs a global "
+    "single-partition sort (the 100 TB shape: pack within shards).",
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    counted = t["documents"].select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    placed = counted.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            "source", F.floor(F.col("start_off") / 512).cast("bigint").alias("seq_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_packed"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+@register(
+    "corpus_split_sample",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN substr(md5(text), 32, 1) < 'c' THEN 'train'
+                    WHEN substr(md5(text), 32, 1) < 'e' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM tagged
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    doc="Deterministic content-hash train/val/test split (75/12.5/12.5 by "
+    "the last md5 nibble of the text): reproducible across engines, "
+    "partitions, and reruns — no RNG, no seed plumbing, and a duplicated "
+    "document always lands in the same split (no train/test leakage "
+    "through near-copies of the same text).",
+)
+def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    nibble = F.substring(F.md5("text"), 32, 1)
+    split = (
+        F.when(nibble < "c", "train").when(nibble < "e", "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -105,6 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "window_analytic",
     "window_frames_running",
     "window_sessionize",
+    # new in r2 — need their first driver row
+    "text_sequence_pack",
+    "corpus_split_sample",
+    "events_funnel_conversion",
 )
 
 
