@@ -101,7 +101,14 @@ def cosine_topk_numpy(
     import numpy as np
     from pyspark.sql import functions as F2
 
-    q_rows = queries.select(query_id, vec).collect()
+    q_rows = queries.select(query_id, vec).limit(100_001).collect()
+    if len(q_rows) > 100_000:
+        # the query matrix is broadcast to every task — an unbounded
+        # collect here would OOM the driver/executors at corpus scale
+        raise ValueError(
+            "cosine_topk_numpy broadcasts the query set; >100k query vectors "
+            "won't fit a task broadcast — chunk the queries or use lsh_topk/ivf_topk"
+        )
     if not q_rows:
         return cosine_topk(queries, corpus, query_id, corpus_id, k, vec, vec)
     q_ids = np.array([r[0] for r in q_rows])

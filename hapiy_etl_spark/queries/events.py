@@ -357,3 +357,63 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converted",
         F.round(F.col("n_converted").cast("double") / F.col("n_signups"), 4).alias("conv_rate"),
     )
+
+
+@register(
+    "interval_overlap_sessions",
+    oracle="""
+    WITH s AS (
+        SELECT event_id AS session_id, user_id,
+               ts AS s_start, ts + INTERVAL 1 HOUR AS s_end
+        FROM events WHERE event_type = 'signup'
+    ),
+    e AS (
+        SELECT event_id AS error_id, user_id,
+               ts AS e_start, ts + INTERVAL 10 MINUTE AS e_end
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT s.session_id, e.error_id, s.user_id
+    FROM s JOIN e
+      ON s.user_id = e.user_id
+     AND s.s_start < e.e_end AND e.e_start < s.s_end
+    ORDER BY session_id, error_id
+    """,
+    doc="Interval overlap join (operators/asof.py:interval_overlap_join, "
+    "bucketized): per-user signup sessions [ts, ts+1h) x error windows "
+    "[ts, ts+10m) that intersect. Both sides explode onto 1h time "
+    "buckets and equi-join on (user_id, bucket) before the exact overlap "
+    "filter — a hash join with bounded fan-out instead of a per-key "
+    "cartesian; the oracle checks the plain inequality-join semantics.",
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.asof import interval_overlap_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    sessions = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("session_id"),
+        "user_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("s_end"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e_end"),
+    )
+    joined = interval_overlap_join(
+        sessions,
+        errors,
+        on="user_id",
+        left_start="s_start",
+        left_end="s_end",
+        right_start="e_start",
+        right_end="e_end",
+        bucket_seconds=3600,
+    )
+    return joined.select(
+        F.col("l.session_id").alias("session_id"),
+        F.col("r.error_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+    ).orderBy("session_id", "error_id")

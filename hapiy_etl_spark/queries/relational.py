@@ -92,14 +92,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
-    # customer is small → broadcast; orders⋈lineitem shuffles on orderkey
-    # (co-partitioned at scale via bucketing on l_orderkey/o_orderkey).
+    # orders⋈lineitem shuffles on orderkey (co-partitioned at scale via
+    # bucketing on l_orderkey/o_orderkey). customer is NOT broadcast-
+    # forced: AQE broadcasts it while it fits, shuffles it when it
+    # doesn't (at 100 TB a forced customer broadcast OOMs executors).
     cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
     ords = t["orders"].where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     li = t["lineitem"].where(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(_money(F.col("l_extendedprice")) * _money(F.lit(1) - F.col("l_discount")))
@@ -138,14 +140,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    # Dims (region/nation/supplier/customer) are broadcast — only
-    # orders⋈lineitem is a real shuffle at scale.
+    # nation/region are 25/5 rows at ANY scale → always broadcast.
+    # customer/supplier grow with the data → AQE-sized, never forced.
     return (
         t["lineitem"]
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -414,11 +416,12 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("part", "lineitem"))
     p, li = t["part"], t["lineitem"]
-    # Equi component keeps this a hash join (broadcast on part); the range
-    # term is a residual filter — never a cartesian product at scale.
+    # Equi component keeps this a hash join; the range term is a residual
+    # filter — never a cartesian product at scale. part is AQE-sized, not
+    # broadcast-forced (it grows with the data).
     return (
         li.join(
-            F.broadcast(p),
+            p,
             (li.l_partkey == p.p_partkey) & (li.l_extendedprice > p.p_retailprice * 2),
         )
         .groupBy("p_partkey")
@@ -445,4 +448,37 @@ def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_regionkey") == F.col("r_regionkey")) | (F.col("r_regionkey") == 0))
         .select("r_name", "n_name")
         .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY nationkey
+    """,
+    doc="Skew-salted join (operators/skew.py:salted_join): the fact side "
+    "gets a random salt, the dim side explodes n_salts-fold, and the "
+    "shuffle key becomes (suppkey, salt) so a hot supplier spreads over "
+    "16 reducers. The aggregate is salt-independent, so the plain-join "
+    "oracle verifies the salting is semantics-preserving.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    li = t["lineitem"].select(F.col("l_suppkey").alias("suppkey"), "l_extendedprice")
+    sup = t["supplier"].select(F.col("s_suppkey").alias("suppkey"), "s_nationkey")
+    joined = salted_join(li, sup, on="suppkey", n_salts=16)
+    return (
+        joined.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("nationkey")
     )

@@ -89,8 +89,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=None,  # ML-seeded LSH sketches aren't SQL-reproducible;
     # recall invariants on planted dups in tests/test_llm.py
-    doc="Near-dup candidates via MinHash LSH (banded signatures + "
-    "approxSimilarityJoin) — the 100 TB near-dedup path.",
+    doc="Near-dup candidates via pyspark.ml MinHash LSH (banded "
+    "signatures + approxSimilarityJoin). Compatibility path only: the "
+    "DataFrame-native banding (dedup_minhash_native) does the same job "
+    "~2.5x faster (2.3 s vs 5.7 s at sf0.1) and is what "
+    "dedup_pipeline_end_to_end uses; ml-LSH explodes signatures "
+    "per-hash-table and is NOT the preferred scale path.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
