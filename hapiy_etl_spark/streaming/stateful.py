@@ -136,3 +136,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 `transformWithStateInPandas` twin of `running_user_totals`.
+
+    Same semantics (per-user running (n, total) across micro-batches,
+    update-mode emission), expressed in the new StatefulProcessor API —
+    the successor to applyInPandasWithState: typed state handles
+    (ValueState/ListState/MapState) instead of one opaque tuple, state
+    TTL support, and per-processor init/close lifecycle. Kept alongside
+    the GroupState form so both stateful surfaces stay covered.
+
+    Runtime requirements (enforced by Spark, not this module): the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``)
+    and the ``protobuf`` package for the transformWithState Python
+    runner. This container lacks protobuf, so the execution test is
+    skip-gated (tests/test_streaming_stateful.py); the plan construction
+    itself is exercised unconditionally.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -166,3 +166,63 @@ def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+
+def _have_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_plan_constructs(spark, sf_dir):
+    """transformWithStateInPandas plan builds against the streaming
+    source (API wiring check — execution needs protobuf + RocksDB)."""
+    from hapiy_etl_spark.streaming.stateful import running_user_totals_tws
+
+    out = running_user_totals_tws(read_events_stream(spark, sf_dir))
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "total_value"]
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithState Python runner requires protobuf (absent in container)",
+)
+def test_tws_running_totals_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) produces
+    the same final per-user totals as the GroupState form and the batch
+    aggregate."""
+    from hapiy_etl_spark.streaming.stateful import running_user_totals_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(running_user_totals_tws(events), "tws_out", output_mode="update")
+    stream = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM tws_out) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert set(stream) == set(batch)
+    for u in batch:
+        assert stream[u][0] == batch[u][0], u
+        assert abs(stream[u][1] - batch[u][1]) < 1e-6, u
