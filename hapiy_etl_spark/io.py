@@ -82,3 +82,33 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str] | None =
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_json_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON scan with explicit schema and a corrupt-record policy — the
+    ingestion-hardening knob a REST/log pipeline needs when upstream
+    emits the occasional malformed line.
+
+    - ``PERMISSIVE`` (default): bad lines become a row with every data
+      column null and the raw line captured in ``corrupt_col`` —
+      quarantine-able downstream (filter on the column, route to a
+      dead-letter sink) without failing the batch;
+    - ``DROPMALFORMED``: bad lines silently dropped;
+    - ``FAILFAST``: abort on the first bad line.
+
+    Explicit schema is mandatory (inference both costs an extra scan at
+    scale and hides drift); the corrupt column is appended to it here.
+    """
+    full = schema + (f", {corrupt_col} string" if mode.upper() == "PERMISSIVE" else "")
+    return (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -85,3 +85,46 @@ def test_scan_prunes_columns(spark, sf_dir):
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema, (
         f"2-column projection must prune the scan, got {read_schema}"
     )
+
+
+def test_read_json_robust_corrupt_record_modes(spark, tmp_path):
+    """Malformed lines: PERMISSIVE quarantines into _corrupt_record,
+    DROPMALFORMED drops, FAILFAST raises."""
+    import pytest as _pytest
+
+    from hapiy_etl_spark.io import read_json_robust
+
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "v": "c"}\n'
+    )
+    path, ddl = str(p), "id bigint, v string"
+
+    perm = read_json_robust(spark, path, ddl).collect()
+    assert len(perm) == 3
+    bad = [r for r in perm if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].id is None and "not json" in bad[0]._corrupt_record
+    assert {r.id for r in perm if r._corrupt_record is None} == {1, 3}
+
+    dropped = read_json_robust(spark, path, ddl, mode="DROPMALFORMED").collect()
+    assert {r.id for r in dropped} == {1, 3}
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_json_robust(spark, path, ddl, mode="FAILFAST").collect()
+
+
+def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
+    """DataFrame.freqItems (approximate heavy hitters, one pass) must
+    return a superset of the items above the support threshold."""
+    from hapiy_etl_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    approx = set(ev.freqItems(["event_type"], support=0.15).first()[0])
+    total = ev.count()
+    true_heavy = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().where(F.col("count") > 0.15 * total).collect()
+    }
+    assert true_heavy <= approx
