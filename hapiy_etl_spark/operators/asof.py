@@ -106,6 +106,13 @@ def interval_overlap_join(
     is bounded by interval_length/bucket. Use buckets ≳ the typical
     interval length. Without it, a plain conditional join (fine when
     keys are selective).
+
+    A pair overlapping several buckets would match once per shared
+    bucket; instead of deduplicating afterwards (an extra wide-key
+    shuffle, and it would also collapse genuinely identical input rows)
+    each pair is emitted ONLY from the bucket containing its overlap
+    start, max(l_start, r_start) — every overlapping pair shares that
+    bucket, so exactly one match survives.
     """
     keys = [on] if isinstance(on, str) else list(on)
     overlap = (F.col(f"l.{left_start}") < F.col(f"r.{right_end}")) & (
@@ -129,9 +136,12 @@ def interval_overlap_join(
     cond = F.col("l.__bucket") == F.col("r.__bucket")
     for k in key_eq:
         cond = cond & k
+    overlap_start_bucket = (
+        F.greatest(F.col(f"l.{left_start}"), F.col(f"r.{right_start}")).cast("long")
+        / bucket_seconds
+    ).cast("long")
     return (
-        lb.join(rb, cond & overlap)
+        lb.join(rb, cond & overlap & (F.col("l.__bucket") == overlap_start_bucket))
         .drop(F.col("l.__bucket"))
         .drop(F.col("r.__bucket"))
-        .dropDuplicates()  # a pair can share several buckets
     )

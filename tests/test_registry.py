@@ -34,3 +34,32 @@ def test_query_count_floor():
     assert len(qs) >= 80, f"registry shrank: {len(qs)}"
     with_oracle = sum(1 for q in qs.values() if q.oracle)
     assert with_oracle >= 69, f"oracle coverage shrank: {with_oracle}"
+
+
+def test_no_registered_query_plans_all_pairs(spark, sf_dir):
+    """Scale invariant: no registered query may ship a cartesian or
+    nested-loop join over data-sized inputs. 1-row aggregate cross
+    joins (two single-row summary sides combined into one output row)
+    are the only sanctioned nested-loop shape."""
+    # queries whose nested-loop shape is sanctioned because one side is
+    # bounded (1-row aggregates, a fixed query set, or fixed-size dims)
+    ONE_ROW_CROSS_OK = {
+        "join_semi_anti",  # 1-row x 1-row summary cross
+        "q14_promo_revenue_ratio",  # same
+        "events_funnel_conversion",  # same
+        "data_quality_report",  # unioned 1-row checks
+        "cross_join_dims",  # 5x25 fixed-size dims, intentional demo
+        "incremental_since",  # 1-row watermark aggregate joined to facts
+        "ann_cosine_topk",  # documented exact baseline: bounded broadcast
+        #   query set x corpus (the scale paths are ann_lsh/ann_ivf)
+        "ann_ivf_topk",  # bounded cross: |queries| x |centroids|, both
+        #   broadcast, to rank probe cells
+    }
+    offenders = []
+    for q in all_queries().values():
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+            q.name not in ONE_ROW_CROSS_OK
+        ):
+            offenders.append(q.name)
+    assert not offenders, f"all-pairs join plans in: {offenders}"
