@@ -102,3 +102,76 @@ def test_dedup_last_write_wins_property(spark, rows):
             best[k] = (s, i)
             expected[k] = i
     assert out == expected
+
+
+@given(
+    left=st.lists(st.tuples(key_st, ts_st), max_size=6),
+    right=st.lists(
+        st.tuples(key_st, ts_st, st.one_of(st.none(), st.integers(0, 100))), max_size=6
+    ),
+)
+@SETTINGS
+def test_asof_join_with_null_right_values(spark, left, right):
+    """Genuinely-null right values must round-trip as matches carrying
+    null — never as no-match, and never mixed with another row's value
+    (the struct-payload guarantee)."""
+    rmap: dict[tuple, int | None] = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = v  # last wins; (key, ts) unique after this
+    right_rows = [(k, ts, v) for (k, ts), v in rmap.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], "k string, lts timestamp, lid long"
+    )
+    rdf = spark.createDataFrame(right_rows, "k string, rts timestamp, v long")
+    got = {
+        r.lid: (True, r.v)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_cols=["v"], how="inner"
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        cands = [(rts, v) for (rk, rts, v) in right_rows if rk == k and rts <= ts]
+        if cands:
+            expected_v = max(cands, key=lambda t: t[0])[1]
+            assert got.get(i) == (True, expected_v), (i, k, ts, cands)
+        else:
+            assert i not in got, (i, k, ts)
+
+
+@given(
+    left=st.lists(st.tuples(key_st, st.integers(0, 30), st.integers(1, 20)), max_size=7),
+    right=st.lists(st.tuples(key_st, st.integers(0, 30), st.integers(1, 20)), max_size=7),
+)
+@SETTINGS
+def test_interval_overlap_bucketed_matches_bruteforce(spark, left, right):
+    """Bucketized interval join == brute-force O(n^2) overlap scan,
+    with multiplicity preserved (no dedup-collapse of identical rows)."""
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def mk(rows, sname, ename, idname):
+        return [
+            (k, base + _dt.timedelta(minutes=s), base + _dt.timedelta(minutes=s + d), i)
+            for i, (k, s, d) in enumerate(rows)
+        ]
+
+    lrows = mk(left, "ls", "le", "lid")
+    rrows = mk(right, "rs", "re", "rid")
+    ldf = spark.createDataFrame(lrows, "k string, ls timestamp, le timestamp, lid long")
+    rdf = spark.createDataFrame(rrows, "k string, rs timestamp, re timestamp, rid long")
+    from hapiy_etl_spark.operators.asof import interval_overlap_join
+
+    out = interval_overlap_join(
+        ldf, rdf, on="k", left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_seconds=600,
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    expected = sorted(
+        (li, ri)
+        for (lk, ls, le, li) in lrows
+        for (rk, rs, re, ri) in rrows
+        if lk == rk and ls < re and rs < le
+    )
+    assert got == expected
