@@ -26,3 +26,60 @@ def observed(df: DataFrame, name: str, *metrics) -> tuple[DataFrame, Observation
             F.sum(F.when(F.col(first).isNull(), 1).otherwise(0)).alias(f"null_{first}"),
         )
     return df.observe(obs, *metrics), obs
+
+
+class ProgressCapture:
+    """StreamingQueryListener that collects per-batch progress — the
+    streaming face of R15 observability (reference git_etl.ts:67-71
+    logs per-poll counts; Structured Streaming surfaces the same
+    numbers engine-side as StreamingQueryProgress, including any
+    `observe` metrics attached to the stream, with zero extra passes).
+
+    Usage:
+        cap = ProgressCapture.attach(spark)
+        ... run streaming query ...
+        cap.rows_per_batch()   # [(batch_id, numInputRows), ...]
+        cap.observed("name")   # observedMetrics rows for an Observation
+        cap.detach(spark)
+    """
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        capture = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                capture.progress.append(event.progress)
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self.progress: list = []
+        self._listener = _Listener()
+
+    @classmethod
+    def attach(cls, spark) -> "ProgressCapture":
+        cap = cls()
+        spark.streams.addListener(cap._listener)
+        return cap
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)
+
+    def rows_per_batch(self) -> list[tuple[int, int]]:
+        return [(p.batchId, p.numInputRows) for p in self.progress]
+
+    def observed(self, name: str) -> list[dict]:
+        out = []
+        for p in self.progress:
+            m = p.observedMetrics.get(name)
+            if m is not None:
+                out.append(m.asDict())
+        return out
