@@ -277,6 +277,7 @@ def ivf_topk(
     vec: str = "embedding",
     seed: int = 42,
     train_fraction: float | None = None,
+    max_iter: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer assigns each corpus vector
     to a centroid (the inverted file); each query searches its n_probe
@@ -289,9 +290,11 @@ def ivf_topk(
         "__features", array_to_vector(F.col("__cv").cast("array<double>"))
     )
     # coarse quantizer: a handful of Lloyd iterations is plenty — cells
-    # only need to be roughly Voronoi, n_probe covers boundary error
+    # only need to be roughly Voronoi, n_probe covers boundary error.
+    # Each iteration is a full Spark job (fixed scheduling cost dwarfs
+    # the 64-dim math locally), so the default is deliberately small.
     km = KMeans(
-        k=n_centroids, seed=seed, maxIter=8, featuresCol="__features", predictionCol="__cell"
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__features", predictionCol="__cell"
     )
     # At true corpus scale pass train_fraction to fit the quantizer on a
     # sample — centroids only need to be roughly right, and full-data

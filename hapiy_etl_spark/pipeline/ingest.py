@@ -183,24 +183,57 @@ class RestCommitsSource:
         return df
 
 
+_CRON_FIELD = r"[0-9*/,\-]+"
+
+
+def cron_interval_seconds(cron: str) -> int | None:
+    """Map the reference's poll cron to a micro-batch trigger interval
+    (R12): ``*/N * * * *`` → N*60 s processingTime; anything else →
+    None (caller uses availableNow / external scheduling)."""
+    import re as _re
+
+    m = _re.fullmatch(r"\*/(\d+) \* \* \* \*", cron.strip())
+    return int(m.group(1)) * 60 if m else None
+
+
 @dataclass
 class PipelineConfig:
     """Run options ≡ reference RunOptions (git_etl.ts:35-42) with the
-    same defaults + validation throws (R13, git_etl.ts:161-286)."""
+    same defaults + validation throws (R13, git_etl.ts:161-286):
+    repo/owner pairing, cron parseability, state-path, boolean checks,
+    and the useGithubToken → env-var credential convention (R14,
+    git_etl.ts:12,340-346 — flag on, token read from the environment
+    once at startup)."""
 
     repo: str = "fx_firecast"
     owner: str = "nakennedy11"
     state_dir: str = "./commit_state"
     clear_on_startup: bool = True
+    cron_schedule: str = "*/5 * * * *"
+    use_github_token: bool = False
+    token_env: str = "GITHUB_PAT"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        for name in ("repo", "owner", "state_dir"):
+        import re as _re
+
+        for name in ("repo", "owner", "state_dir", "token_env"):
             v = getattr(self, name)
             if not isinstance(v, str) or not v.strip():
                 raise ValueError(f"config field {name!r} must be a non-empty string")
-        if not isinstance(self.clear_on_startup, bool):
-            raise ValueError("clear_on_startup must be a boolean")
+        for name in ("clear_on_startup", "use_github_token"):
+            if not isinstance(getattr(self, name), bool):
+                raise ValueError(f"{name} must be a boolean")
+        fields_ = self.cron_schedule.split()
+        if len(fields_) != 5 or not all(_re.fullmatch(_CRON_FIELD, f) for f in fields_):
+            raise ValueError(f"cron_schedule not parseable: {self.cron_schedule!r}")
+
+    def resolve_token(self) -> str | None:
+        """R14: the credential leaves the environment only when the flag
+        says so (reference reads GITHUB_PAT iff useGithubToken)."""
+        import os as _os
+
+        return _os.environ.get(self.token_env) if self.use_github_token else None
 
 
 class CommitsPipeline:

@@ -149,3 +149,27 @@ def test_rest_source_paginates(spark):
     assert df.count() == 250
     parsed = parse_commits(df, "r")
     assert parsed.where(F.col("commit_ts").isNull()).count() == 0
+
+
+def test_config_cron_and_token_validation():
+    """R13 cron parseability + R14 flag-gated env credential."""
+    import os
+
+    import pytest as _pytest
+
+    from hapiy_etl_spark.pipeline.ingest import PipelineConfig, cron_interval_seconds
+
+    with _pytest.raises(ValueError, match="cron_schedule"):
+        PipelineConfig(cron_schedule="every five minutes")
+    with _pytest.raises(ValueError, match="cron_schedule"):
+        PipelineConfig(cron_schedule="*/5 * * *")  # 4 fields
+    with _pytest.raises(ValueError, match="use_github_token"):
+        PipelineConfig(use_github_token="yes")  # type: ignore[arg-type]
+
+    assert cron_interval_seconds("*/5 * * * *") == 300
+    assert cron_interval_seconds("*/1 * * * *") == 60
+    assert cron_interval_seconds("0 3 * * *") is None  # not an every-N form
+
+    cfg = PipelineConfig(use_github_token=True, token_env="FAKE_REST_PAT")
+    assert cfg.resolve_token() == os.environ["FAKE_REST_PAT"]  # set in conftest
+    assert PipelineConfig(use_github_token=False).resolve_token() is None
