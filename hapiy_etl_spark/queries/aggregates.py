@@ -350,3 +350,72 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.round(F.percentile("o_totalprice", 0.5), 4).alias("exact_median"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Linear-regression aggregate family (regr_slope/intercept/r2/"
+    "count): price-vs-quantity fit per return flag — single-pass "
+    "algebraic aggregates, partial+final merge like any sum.",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_totalprice > 100000) AS DOUBLE) AS big_total,
+           COUNT(*) FILTER (WHERE o_custkey % 2 = 0) AS n_even_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="FILTER-clause aggregates (count_if / conditional sums): "
+    "per-aggregate predicates in one pass over the data — no self-joins "
+    "or repeated scans for multi-condition rollups.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > 100000,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            )
+            .cast("double")
+            .alias("big_total"),
+            F.count_if(F.col("o_custkey") % 2 == 0).alias("n_even_cust"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -175,3 +175,38 @@ def subq_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_suppkey
         """
     )
+
+
+@register(
+    "subq_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 4) AS o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 100
+    ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc="Correlated LATERAL subquery (Spark 4 SQL): top-2 orders per "
+    "customer via a per-row dependent subquery. Catalyst decorrelates "
+    "this into the same window/top-k plan as the explicit "
+    "topk_per_group form — the oracle proves the rewrite is exact.",
+)
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 4) AS o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )

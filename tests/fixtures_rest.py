@@ -15,16 +15,27 @@ TOTAL = 230  # 5 pages: 50*4 + 30
 PAGES_FILE = "/tmp/spark_graft_rest_pages.txt"
 
 
+def _atomic_write(path: str, value: int) -> None:
+    # the stream reader polls these files continuously (default trigger);
+    # a truncate-then-write would expose an empty file mid-write and
+    # crash the poll with int('') — write-temp-then-rename is atomic
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(value))
+    os.replace(tmp, path)
+
+
 def set_current_pages(n: int) -> None:
-    with open(PAGES_FILE, "w") as f:
-        f.write(str(n))
+    _atomic_write(PAGES_FILE, n)
 
 
 def latest_page(endpoint: str) -> int:
     try:
         with open(PAGES_FILE) as f:
             return int(f.read().strip())
-    except OSError:
+    except (OSError, ValueError):
         return 2
 
 
@@ -68,15 +79,14 @@ TAIL_FILE = "/tmp/spark_graft_rest_tail.txt"
 
 
 def set_tail_rows(n: int) -> None:
-    with open(TAIL_FILE, "w") as f:
-        f.write(str(n))
+    _atomic_write(TAIL_FILE, n)
 
 
 def _tail_rows() -> int:
     try:
         with open(TAIL_FILE) as f:
             return int(f.read().strip())
-    except OSError:
+    except (OSError, ValueError):
         return PER_PAGE
 
 
