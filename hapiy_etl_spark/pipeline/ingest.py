@@ -157,14 +157,23 @@ class RestCommitsSource:
         repo: str,
         fetch_page: Callable[[str, str, int, datetime | None], list[str]],
         per_page: int = 100,
+        token: str | None = None,
     ) -> None:
+        """``token`` is the resolved credential (R14) — typically
+        ``PipelineConfig.resolve_token()``; passed to ``fetch_page`` as
+        a keyword only when set, so token-less fetchers keep the plain
+        4-arg signature."""
         self.owner, self.repo, self.fetch_page, self.per_page = owner, repo, fetch_page, per_page
+        self.token = token
 
     def fetch(self, spark: SparkSession, since: datetime | None) -> DataFrame:
         pages: list[str] = []
         page_no = 1
         while True:
-            rows = self.fetch_page(self.owner, self.repo, page_no, since)
+            if self.token is not None:
+                rows = self.fetch_page(self.owner, self.repo, page_no, since, token=self.token)
+            else:
+                rows = self.fetch_page(self.owner, self.repo, page_no, since)
             pages.extend(rows)
             if len(rows) < self.per_page:
                 break

@@ -173,3 +173,31 @@ def test_config_cron_and_token_validation():
     cfg = PipelineConfig(use_github_token=True, token_env="FAKE_REST_PAT")
     assert cfg.resolve_token() == os.environ["FAKE_REST_PAT"]  # set in conftest
     assert PipelineConfig(use_github_token=False).resolve_token() is None
+
+
+def test_rest_source_token_passthrough(spark):
+    """R14 end-to-end: config flag -> env token -> fetcher kwarg."""
+    from hapiy_etl_spark.pipeline.ingest import PipelineConfig, RestCommitsSource
+
+    seen_tokens = []
+
+    def fetch_page(owner, repo, page, since, token=None):
+        seen_tokens.append(token)
+        return []  # one empty page ends the loop
+
+    cfg = PipelineConfig(use_github_token=True, token_env="FAKE_REST_PAT")
+    src = RestCommitsSource("o", "r", fetch_page, token=cfg.resolve_token())
+    src.fetch(spark, None)
+    assert seen_tokens == ["s3cret"]
+
+    # flag off -> plain 4-arg call, no token kwarg
+    calls = []
+
+    def fetch_plain(owner, repo, page, since):
+        calls.append(page)
+        return []
+
+    RestCommitsSource("o", "r", fetch_plain, token=PipelineConfig().resolve_token()).fetch(
+        spark, None
+    )
+    assert calls == [1]
