@@ -50,7 +50,9 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 
 # The driver's correctness pass covers only the FIRST 50 registered
 # queries per round (CORRECTNESS_r01 == list(query_fns())[:50]), so
-# ordering is evidence budget. Round 2 front-loads the 42 queries that
+# ordering is evidence budget. Regenerate this list each round with
+# `python tools/rotate_priority.py` (failures first, then never-checked,
+# then stalest greens). Round 2 front-loads the 42 queries that
 # got no r1 row (registered after the cap) plus the 5 r1 failures now
 # fixed (array-output serialization + decimal/sign dtype casts); the 42
 # r1-green queries keep their r1 evidence and sort after the window.
