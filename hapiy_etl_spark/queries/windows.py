@@ -177,3 +177,36 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS sum_last_hour
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="Time-interval RANGE window frame: per-user rolling 1-hour "
+    "count/sum keyed on event time, not row position — the sliding "
+    "aggregation shape rows-frames can't express when events are "
+    "irregularly spaced. One shuffle on the partition key.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS sum_last_hour
+        FROM events
+        WHERE user_id <= 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+        """
+    )
