@@ -620,3 +620,62 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     clusters = D.dedup_clusters(pairs, rounds=6)
     return clusters.orderBy("doc_id")
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS w,
+               generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+        FROM documents
+    ),
+    big AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cnt2 AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+    cnt1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    scored AS (
+        SELECT g.doc_id, ln(c2 * 1.0 / c1) AS lp
+        FROM big g JOIN cnt2 USING (bg) JOIN cnt1 USING (w1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Corpus-LM quality score (the CCNet/KenLM-style filter kernel): "
+    "train a bigram model ON the corpus itself — P(w2|w1) = "
+    "c(w1 w2)/c(w1·) over bigram occurrences — and score each document "
+    "by its mean log-probability. Low scores flag machine-garbled or "
+    "out-of-distribution text for pretraining filtration. All column "
+    "algebra: bigrams via zip_with (no self-join on the Spark side), "
+    "two count aggregates, two hash joins on string keys.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", r"\s+")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    # pair up adjacent tokens; the zip_with null-padding at the tail is
+    # dropped by the isNotNull filter (F.concat propagates nulls)
+    bg_arr = F.filter(
+        F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    big = (
+        t["documents"]
+        .select("doc_id", F.explode(bg_arr).alias("bg"))
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+    )
+    cnt2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    cnt1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        big.join(cnt2, "bg")
+        .join(cnt1, "w1")
+        .select("doc_id", F.log(F.col("c2") / F.col("c1")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("lp"), 4).alias("avg_logp"))
+        .orderBy("doc_id")
+    )
