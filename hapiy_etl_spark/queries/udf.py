@@ -247,3 +247,40 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
     return t["orders"].sample(fraction=0.1, seed=42).select("o_orderkey").orderBy("o_orderkey")
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NULL) AS n_no_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT type over semi-structured JSON: parse_json once "
+    "into a binary variant (no per-access re-parse, unlike repeated "
+    "get_json_object), then typed variant_get extraction feeding plain "
+    "aggregates. The open-schema path for event property columns.",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    missing = F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("m").isNull()).alias("n_no_missing"),
+        )
+        .orderBy("event_type")
+    )
