@@ -679,3 +679,81 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("lp"), 4).alias("avg_logp"))
         .orderBy("doc_id")
     )
+
+
+_BM25_TERMS = ("data", "pipeline", "model", "stream")
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS f FROM tok
+        WHERE t IN {_BM25_TERMS_SQL} GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS nd FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                   ln((stats.n_docs - df.nd + 0.5) / (df.nd + 0.5) + 1)
+                   * tf.f * 2.2
+                   / (tf.f + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avg_dl))
+               ) AS score,
+               COUNT(*) AS n_terms_hit
+        FROM tf
+        JOIN df USING (t)
+        JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms_hit, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 full-text ranking (k1=1.2, b=0.75) for a fixed query-term "
+    "set: tf per (doc, term), df per term, document-length "
+    "normalization against the corpus average — the search-scoring "
+    "kernel, all as aggregates + hash joins. Scale shape: the only "
+    "corpus-wide pieces are doc lengths (groupBy) and two tiny "
+    "broadcast-able side tables (per-term df, 1-row corpus stats); "
+    "no all-pairs anything.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = t["documents"].select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("t")
+    )
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    tf = (
+        tok.where(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("f"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("nd"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1
+    )
+    norm = F.col("f") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avg_dl"))
+    contrib = idf * F.col("f") * 2.2 / norm
+    return (
+        tf.join(F.broadcast(df), "t")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"), F.count("*").alias("n_terms_hit"))
+        .select("doc_id", "n_terms_hit", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

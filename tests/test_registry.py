@@ -54,6 +54,7 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   query set x corpus (the scale paths are ann_lsh/ann_ivf)
         "ann_ivf_topk",  # bounded cross: |queries| x |centroids|, both
         #   broadcast, to rank probe cells
+        "text_bm25_search",  # 1-row corpus-stats aggregate crossed in
     }
     offenders = []
     for q in all_queries().values():
