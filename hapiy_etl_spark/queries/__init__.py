@@ -12,6 +12,7 @@ import sys
 _MODULES = (
     "aggregates",
     "events",
+    "graph",
     "multimodal",
     "relational",
     "scalar",
