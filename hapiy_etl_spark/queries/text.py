@@ -757,3 +757,47 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH state AS (
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+        SELECT doc_id, n_chars,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE doc_id >= 400
+    ),
+    batch_kept AS (
+        SELECT MIN(doc_id) AS doc_id, digest
+        FROM batch GROUP BY digest
+    )
+    SELECT b.doc_id, b.n_chars
+    FROM batch b
+    JOIN batch_kept k ON b.doc_id = k.doc_id
+    WHERE b.digest NOT IN (SELECT digest FROM state)
+    ORDER BY b.doc_id
+    """,
+    doc="Incremental dedup — the production shape for a continuously "
+    "ingesting corpus: dedup the NEW batch internally (min doc_id per "
+    "digest), then anti-join its digests against the historical state "
+    "(docs < 400 stand in for the state table). Only 16-byte digests "
+    "shuffle; the state side at scale is a bucketed digest table so "
+    "each increment joins without re-reading documents.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    digest = F.md5(D.normalized_text("text")).alias("digest")
+    state = docs.where(F.col("doc_id") < 400).select(digest).distinct()
+    batch = docs.where(F.col("doc_id") >= 400).select("doc_id", "n_chars", digest)
+    batch_kept = batch.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        batch.join(batch_kept.select("doc_id"), "doc_id")
+        .join(state, "digest", "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
