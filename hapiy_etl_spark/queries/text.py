@@ -618,7 +618,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(
         t["documents"], "doc_id", "text", n=3, threshold=0.5, df_cap=100
     ).cache()
-    clusters = D.dedup_clusters(pairs, rounds=6)
+    # rounds=4 = observed convergence (round 3 on every fixture/SF) + 1
+    # margin; near-dup clusters at threshold 0.5 are dense near-cliques.
+    # The exact-components oracle fails loudly if a longer chain ever
+    # appears — raise rounds then. checkpoint_every=2 -> one lineage
+    # break, final plan depth 3^2 (measured 2.9 s warm at sf0.1 vs 7.9 s
+    # for rounds=6).
+    clusters = D.dedup_clusters(pairs, rounds=4, checkpoint_every=2)
     return clusters.orderBy("doc_id")
 
 
