@@ -286,7 +286,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     rounds: int = 3,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Pick one survivor per duplicate cluster: min-label propagation
     (connected components over the pair graph), returns (doc_id,
@@ -302,13 +302,16 @@ def dedup_clusters(
     Iterative lineage is the classic Spark trap: each round's plan
     embeds the previous round's twice, so an unbroken loop builds an
     O(3^rounds) plan. ``checkpoint_every`` breaks the lineage with an
-    eager ``localCheckpoint`` every k rounds — executor-local storage,
-    no HDFS round-trip; for long jobs on preemptible clusters use
-    reliable ``checkpoint()`` instead (survives executor loss).
-    Measured at sf0.1, 6 rounds: no truncation 6.3 s (3^6 plan), every
-    2 rounds 12.6 s (action overhead dominates the tiny label table),
-    every 3 rounds 4.6 s — the default; one break caps plan depth at
-    3^3 while paying a single extra action.
+    eager ``localCheckpoint`` — executor-local storage, no HDFS
+    round-trip; for long jobs on preemptible clusters use reliable
+    ``checkpoint()`` instead (survives executor loss).
+
+    Cadence rule (measured at sf0.1): aim for exactly ONE break near
+    the end — each break is a full action over a tiny label table, so
+    extra breaks cost more than they save, and no break leaves the
+    final plan exponentially deep. rounds=3: unbroken 13-23 s, one
+    break (k=2) ~7 s. rounds=6: two breaks (k=2) 12.6 s, one break
+    (k=3) 4.6 s, unbroken 6.3 s.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
