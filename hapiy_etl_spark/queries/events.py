@@ -417,3 +417,86 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.error_id").alias("error_id"),
         F.col("l.user_id").alias("user_id"),
     ).orderBy("session_id", "error_id")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS act_week
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        WHERE e.ts >= c.cohort_week
+    )
+    SELECT c.cohort_week,
+           CAST(datediff('day', c.cohort_week, a.act_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM cohort c JOIN activity a ON a.user_id = c.user_id
+    WHERE datediff('day', c.cohort_week, a.act_week) / 7 <= 4
+    GROUP BY c.cohort_week, week_offset
+    ORDER BY c.cohort_week, week_offset
+    """,
+    doc="Cohort retention matrix: users bucketed by signup week, counted "
+    "as active per week-offset (0..4). Aggregate-then-join both sides "
+    "(cohort = one row per user, activity deduped to user-week) so the "
+    "join never fans out beyond user x week.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select("user_id", "cohort_week", F.date_trunc("week", "ts").alias("act_week"))
+        .distinct()
+    )
+    offset = (F.datediff("act_week", "cohort_week") / 7).cast("bigint")
+    return (
+        activity.withColumn("week_offset", offset)
+        .where(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 200 THEN 11
+                ELSE CAST(FLOOR(value / 20) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Fixed-width histogram via width_bucket(value, 0, 200, 10): "
+    "single-pass binned aggregation (bucket 0 = underflow, 11 = "
+    "overflow; the oracle mirrors with floor arithmetic since DuckDB "
+    "lacks width_bucket).",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .select(
+            F.width_bucket("value", F.lit(0.0), F.lit(200.0), F.lit(10)).alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("total"),
+        )
+        .orderBy("bucket")
+    )
