@@ -112,3 +112,24 @@ def read_json_robust(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_parquet_resilient(
+    spark: SparkSession, path: str, ignore_corrupt: bool = True
+) -> DataFrame:
+    """Directory-scan that survives damaged files — the long-running
+    ingestion posture: one truncated/zero-byte part file (failed
+    writer, partial copy) must not fail a 100 TB backfill.
+
+    ``ignore_corrupt=True`` maps to ``spark.sql.files.ignoreCorruptFiles``
+    semantics per-read (corrupt files contribute zero rows and the scan
+    continues); ``False`` restores fail-fast. Missing-file tolerance for
+    snapshot-then-delete races is the sibling knob
+    (``ignoreMissingFiles``), also set here.
+    """
+    flag = "true" if ignore_corrupt else "false"
+    return (
+        spark.read.option("ignoreCorruptFiles", flag)
+        .option("ignoreMissingFiles", flag)
+        .parquet(path)
+    )

@@ -128,3 +128,26 @@ def test_freq_items_superset_of_true_heavy_hitters(spark, sf_dir):
         for r in ev.groupBy("event_type").count().where(F.col("count") > 0.15 * total).collect()
     }
     assert true_heavy <= approx
+
+
+def test_read_parquet_resilient_skips_corrupt_part(spark, sf_dir, tmp_path):
+    """A truncated part file must not fail the scan in resilient mode,
+    and must fail it in fail-fast mode."""
+    import shutil
+
+    import pytest as _pytest
+
+    from hapiy_etl_spark.io import read_parquet_resilient, read_table
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", d / "part-000.parquet")
+    # truncated copy: valid magic prefix, broken footer
+    raw = (d / "part-000.parquet").read_bytes()
+    (d / "part-001.parquet").write_bytes(raw[: len(raw) // 3])
+
+    good = read_table(spark, sf_dir, "nation").count()
+    assert read_parquet_resilient(spark, str(d)).count() == good
+
+    with _pytest.raises(Exception):
+        read_parquet_resilient(spark, str(d), ignore_corrupt=False).count()
