@@ -74,3 +74,46 @@ def upsert_parquet(
         shutil.rmtree(target)
     shutil.move(f"{tmp}/data", str(target))
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Reconciliation diff between two snapshots: one row per changed
+    key, tagged ``op`` ∈ {I, U, D} (insert/update/delete), carrying the
+    NEW side's values for I/U and the OLD side's for D.
+
+    The CDC-generation primitive: feeding the output to an SCD2/upsert
+    sink replays ``old → new``. One full-outer join on the key — at
+    scale both snapshots should be bucketed on the key so the join is
+    Exchange-free. ``compare_cols`` defaults to all non-key columns;
+    unchanged rows are dropped (null-safe comparison, so NULL→NULL is
+    unchanged and NULL→value is an update).
+    """
+    key_list = list(keys)
+    cols = compare_cols if compare_cols is not None else [
+        c for c in new.columns if c not in key_list
+    ]
+    o = old.select(*key_list, *[F.col(c).alias(f"__o_{c}") for c in cols], F.lit(1).alias("__in_o"))
+    n = new.select(*key_list, *[F.col(c).alias(f"__n_{c}") for c in cols], F.lit(1).alias("__in_n"))
+    j = o.join(n, on=key_list, how="full_outer")
+
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_o").isNull(), F.lit("I"))
+        .when(F.col("__in_n").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    # D rows must carry OLD values (the new side is null there), I/U rows
+    # the NEW values — coalesce(new, old) does both.
+    out_cols = [F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in cols]
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op").isNotNull())
+        .select("op", *key_list, *out_cols)
+    )

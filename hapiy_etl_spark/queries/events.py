@@ -500,3 +500,54 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "table_diff_snapshots",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 != 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 4 != 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           ROUND(COALESCE(n.o_totalprice, o.o_totalprice), 4) AS o_totalprice
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    ORDER BY o_orderkey
+    """,
+    doc="Snapshot reconciliation diff (operators/upsert.py:table_diff): "
+    "full-outer join on the key, null-safe column comparison, rows "
+    "tagged I/U/D — the CDC-generation primitive whose output replayed "
+    "through the upsert/SCD2 sink reproduces new from old.",
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.upsert import table_diff
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    old = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.where(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        "o_totalprice",
+    )
+    d = table_diff(old, new, keys=["o_orderkey"])
+    return d.select(
+        "op", "o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
+    ).orderBy("o_orderkey")

@@ -165,3 +165,40 @@ def test_asof_join_null_right_values_from_same_row(spark):
     # 10:00 row's px=100.0
     assert len(out) == 1
     assert out[0].px is None and out[0].venue == "arca"
+
+
+def test_table_diff_replay_reproduces_new(spark):
+    """Applying the diff to old (delete D keys, upsert I/U rows) must
+    reproduce new exactly — the CDC round-trip contract."""
+    from hapiy_etl_spark.operators.upsert import table_diff, upsert_by_key
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c2", 30.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    d = table_diff(old, new, keys=["k"])
+    ops = {r.k: r.op for r in d.collect()}
+    assert ops == {1: "D", 3: "U", 5: "I"}  # 2 and 4 unchanged -> absent
+
+    deletes = d.where("op = 'D'").select("k")
+    upserts = d.where("op != 'D'").drop("op")
+    replayed = upsert_by_key(old.join(deletes, "k", "left_anti"), upserts, keys=["k"])
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on read: files written with different columns
+    merge into the union schema (new columns null for old files)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(f"{p}/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, score double").write.parquet(
+        f"{p}/batch=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "s", "score", "batch"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}

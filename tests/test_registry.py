@@ -22,7 +22,10 @@ def test_oracles_reference_known_tables_only():
         # crude FROM/JOIN table extraction; CTE names get defined inline
         # CTE names, incl. recursive form with a column list: name(a, b) AS (
         ctes = set(re.findall(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", q.oracle, re.IGNORECASE))
-        refs = re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", q.oracle, re.IGNORECASE)
+        # lookbehind: `x IS [NOT] DISTINCT FROM y` is a comparison, not a scan
+        refs = re.findall(
+            r"(?:(?<!DISTINCT )FROM|JOIN)\s+([a-z_][a-z0-9_]*)", q.oracle, re.IGNORECASE
+        )
         for r in refs:
             if r.lower() in {"lateral", "unnest", "range", "generate_series"}:
                 continue
