@@ -46,3 +46,63 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling (df.sampleBy) — balanced training
     subsets from skewed class distributions."""
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave key over 2+ numeric columns.
+
+    Each column is first rank-normalized by the caller to [0, 2^bits)
+    (e.g. ntile or min-max scaling); this helper interleaves the bit
+    patterns so that sorting by the result clusters rows that are close
+    in EVERY dimension. Writing a table z-ordered means a range filter
+    on any participating column touches a small fraction of files
+    (parquet min/max row-group stats line up with the clustering) —
+    the lakehouse data-skipping layout, no table format required.
+    Pure column algebra: bits x columns shift/mask/or operations.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def zorder_sort(df, cols: list[str], bits: int = 16, num_partitions: int | None = None):
+    """Repartition-by-range + sort on the Morton key of min-max-scaled
+    columns — the write-side clustering pass (pair with compact()).
+
+    ``num_partitions=None`` lets AQE size the range partitions to the
+    advisory partition bytes (the production default — output files land
+    near the target size). Pass an explicit count to pin the layout
+    (AQE does not coalesce user-specified partition counts; small local
+    datasets would otherwise collapse into one partition)."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    )
+    scaled = df.crossJoin(F.broadcast(bounds))
+    scale_cols = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1))
+        scale_cols.append(
+            F.least(
+                F.floor((F.col(c) - mn) / span * ((1 << bits) - 1)),
+                F.lit((1 << bits) - 1),
+            ).cast("long")
+        )
+    keyed = scaled.withColumn("__zkey", zorder_key(scale_cols, bits))
+    parted = (
+        keyed.repartitionByRange(num_partitions, "__zkey")
+        if num_partitions
+        else keyed.repartitionByRange("__zkey")
+    )
+    return parted.sortWithinPartitions("__zkey").drop(
+        "__zkey", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )

@@ -123,3 +123,59 @@ def test_scd2_duplicate_keys_in_batch_collapse_to_latest(spark):
     assert len(open_rows) == 1 and open_rows[0].city == "TX"
     assert len(closed) == 1 and closed[0].city == "NY"
     assert closed[0].valid_to == ts("2024-03-01 00:00:00")
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """Spark bit-interleave == reference Morton code."""
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.maintenance import zorder_key
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_key([F.col("x"), F.col("y")], bits=3)).collect()
+    }
+
+    def morton(x, y, bits=3):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+
+
+def test_zorder_sort_improves_minmax_skipping(spark):
+    """Z-ordered layout: per-partition min/max ranges on BOTH dims are
+    tight, so a range predicate on either column can skip most
+    partitions (the parquet row-group analogue)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import spark_partition_id
+
+    from hapiy_etl_spark.operators.maintenance import zorder_sort
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1 << 12), rng.randrange(1 << 12)) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(16)
+    z = zorder_sort(df, ["x", "y"], bits=12, num_partitions=32)
+
+    spans = (
+        z.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    full = 1 << 12
+    # every clustered partition must cover far less than the full domain
+    # on at least one dim, and on average both dims shrink substantially
+    avg_sx = sum(r.sx for r in spans) / len(spans)
+    avg_sy = sum(r.sy for r in spans) / len(spans)
+    assert avg_sx < full * 0.6 and avg_sy < full * 0.6, (avg_sx, avg_sy)
