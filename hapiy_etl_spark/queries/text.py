@@ -807,3 +807,60 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_decontamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id >= 50),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id)
+    SELECT t.doc_id,
+           COUNT(*) AS n_hits,
+           ROUND(COUNT(*) * 1.0 / sz.n_sh, 6) AS contamination
+    FROM train t
+    JOIN bench b ON t.s = b.s
+    JOIN sizes sz ON sz.doc_id = t.doc_id
+    GROUP BY t.doc_id, sz.n_sh
+    HAVING COUNT(*) * 1.0 / sz.n_sh >= 0.2
+    ORDER BY contamination DESC, t.doc_id
+    """,
+    doc="Benchmark decontamination — the train/eval overlap detector "
+    "every pretraining pipeline runs before training: flag training "
+    "documents whose shingle overlap with the benchmark set (docs < 50 "
+    "standing in for the eval suite) exceeds 20%. The benchmark shingle "
+    "set is tiny relative to the corpus -> broadcast semi-shaped join; "
+    "the corpus side streams through one hash join on 8-byte shingle "
+    "hashes, never materializing pairs.",
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = t["documents"].select(
+        "doc_id", F.explode(D.shingles("text", 3)).alias("s")
+    )
+    bench = sh.where(F.col("doc_id") < 50).select("s").distinct()
+    train = sh.where(F.col("doc_id") >= 50)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_sh"), 6).alias("contamination"),
+        )
+        .where(F.col("contamination") >= 0.2)
+        .orderBy(F.col("contamination").desc(), "doc_id")
+    )
