@@ -46,6 +46,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # a few queries legitimately cache() intermediates (label
+        # propagation, pipelines); drop those blocks between queries so
+        # accumulated storage doesn't pressure later timings
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
