@@ -476,3 +476,79 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_span_tokens: int | None = None,
+    df_cap: int | None = 200,
+) -> DataFrame:
+    """Exact-substring dedup detector (the suffix-array-style pass of
+    "Deduplicating Training Data Makes Language Models Better",
+    distributed): find document pairs sharing a VERBATIM token run of
+    ≥ min_span_tokens (default k), and report the longest such run.
+
+    Positions matter here (unlike Jaccard's distinct shingles):
+    1. slide a k-token window over every document → (doc, pos, hash);
+    2. equi-join windows on the 8-byte hash (id_a < id_b);
+    3. matches from one contiguous shared span all lie on one DIAGONAL
+       (pos_a - pos_b constant), at consecutive pos_a — islands of
+       consecutive positions per (pair, diagonal) are found with the
+       classic pos - row_number() grouping, so the longest shared run
+       is max(island length) + k - 1 tokens, computed EXACTLY without
+       any character-level rescan;
+    4. ``df_cap`` drops k-gram hashes appearing in > cap windows
+       (boilerplate guard, same skew argument as jaccard_pairs).
+
+    Output: (id_a, id_b, longest_span_tokens, n_shared_kgrams).
+    """
+    from pyspark.sql import Window as W
+
+    if min_span_tokens is None:
+        min_span_tokens = k
+
+    toks = tokens(text_col)
+    win = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("h"),
+        ),
+    )
+    grams = (
+        df.select(F.col(id_col).alias("doc"), F.explode(win).alias("w"))
+        .select("doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    if df_cap is not None:
+        grams = (
+            grams.withColumn("__df", F.count("*").over(W.partitionBy("h")))
+            .where(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
+    a, b = grams.alias("a"), grams.alias("b")
+    matches = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("id_a"),
+        F.col("b.doc").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    run_w = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = matches.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(run_w)
+    )
+    runs = islands.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_len") + F.lit(k - 1)).alias("longest_span_tokens"),
+            F.sum("run_len").alias("n_shared_kgrams"),
+        )
+        .where(F.col("longest_span_tokens") >= min_span_tokens)
+    )

@@ -864,3 +864,64 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("contamination") >= 0.2)
         .orderBy(F.col("contamination").desc(), "doc_id")
     )
+
+
+@register(
+    "dedup_exact_substring",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - 10, -1) + 1),
+                                     i -> i)) AS pos,
+               unnest(list_transform(range(0, greatest(len(t) - 10, -1) + 1),
+                                     i -> array_to_string(t[i+1:i+10], ' '))) AS g
+        FROM toks
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS dfreq
+            FROM grams
+        ) WHERE dfreq <= 200
+    ),
+    matches AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM capped a JOIN capped b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    islands AS (
+        SELECT id_a, id_b, diag, pos_a,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                          ORDER BY pos_a) AS grp
+        FROM matches
+    ),
+    runs AS (
+        SELECT id_a, id_b, diag, grp, COUNT(*) AS run_len
+        FROM islands GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b,
+           MAX(run_len) + 9 AS longest_span_tokens,
+           SUM(run_len) AS n_shared_kgrams
+    FROM runs
+    GROUP BY id_a, id_b
+    HAVING MAX(run_len) + 9 >= 12
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact-substring dedup (suffix-array-style, distributed): "
+    "positional 10-gram hash join + diagonal island detection finds the "
+    "longest VERBATIM shared token run per doc pair exactly — pairs "
+    "with a run >= 12 tokens are flagged. The span length comes from "
+    "consecutive-position islands (pos - row_number grouping) on the "
+    "match diagonal, no character rescan; hot k-grams df-capped.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        D.shared_span_pairs(
+            t["documents"], "doc_id", "text", k=10, min_span_tokens=12, df_cap=200
+        )
+        .orderBy("id_a", "id_b")
+    )

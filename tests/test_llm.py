@@ -236,3 +236,22 @@ def test_lsh_multiprobe_and_tables_improve_recall(spark, planted_vectors):
     assert probed >= base
     assert tabled >= base
     assert hits(n_tables=2, multi_probe=1) == 5  # belt and braces: full recall
+
+
+def test_shared_span_pairs_exact_lengths(spark):
+    """Planted verbatim spans: reported longest run equals the true
+    shared-token count, and sub-threshold overlap is not flagged."""
+    span = " ".join(f"w{i}" for i in range(15))  # 15-token verbatim span
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"one two three {span} four"),
+        (3, "completely different text with no overlap at all here okay"),
+        # doc 4 shares only 8 tokens with the span (< k=10 window)
+        (4, "x1 x2 " + " ".join(f"w{i}" for i in range(8)) + " y1 y2 y3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.longest_span_tokens
+        for r in D.shared_span_pairs(docs, "doc_id", "text", k=10, min_span_tokens=12).collect()
+    }
+    assert got == {(1, 2): 15}
