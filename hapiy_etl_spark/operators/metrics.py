@@ -83,3 +83,14 @@ class ProgressCapture:
             if m is not None:
                 out.append(m.asDict())
         return out
+
+
+def watermark_drop_counts(progress_list) -> int:
+    """Total rows dropped by watermark across captured progress events —
+    the silent-data-loss counter a production stream must alert on
+    (stateOperators[].numRowsDroppedByWatermark)."""
+    total = 0
+    for p in progress_list:
+        for op in p.stateOperators:
+            total += int(op.numRowsDroppedByWatermark or 0)
+    return total

@@ -551,3 +551,46 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "op", "o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH binned AS (
+        SELECT value, ntile(8) OVER (ORDER BY value, event_id) AS bin
+        FROM events
+    )
+    SELECT bin,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    doc="Equi-depth (quantile) histogram via ntile(8): every bin holds "
+    "~the same row count and the [lo, hi] bounds trace the empirical "
+    "distribution — the optimizer-statistics / skew-diagnosis "
+    "complement to the fixed-width width_bucket histogram. "
+    "Deterministic tie-break on event_id keeps both engines aligned on "
+    "duplicate values. SCALE NOTE: a global-order ntile funnels through "
+    "one window partition — exact and fine at oracle scale; at 100 TB "
+    "compute approx percentile boundaries (agg_percentile_approx) and "
+    "assign bins by range comparison instead (no global sort).",
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.orderBy("value", "event_id")
+    return (
+        t["events"]
+        .select("value", F.ntile(8).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bin")
+    )

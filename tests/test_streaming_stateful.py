@@ -254,3 +254,51 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
         )
+
+
+def test_watermark_drop_counter_surfaces(spark, tmp_path):
+    """The dropped-late-row count is observable engine-side
+    (numRowsDroppedByWatermark) through ProgressCapture — the
+    silent-data-loss alert hook."""
+    import datetime as dt
+    import time
+
+    from hapiy_etl_spark.operators.metrics import ProgressCapture, watermark_drop_counts
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    write_batch([(t0, "a"), (t0 + dt.timedelta(hours=2), "a")])
+
+    cap = ProgressCapture.attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "k")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dropcount_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        write_batch([(t0 + dt.timedelta(minutes=5), "a")])  # far behind watermark
+        q.processAllAvailable()
+        q.stop()
+        deadline = time.time() + 15
+        while time.time() < deadline and watermark_drop_counts(cap.progress) == 0:
+            time.sleep(0.3)
+        assert watermark_drop_counts(cap.progress) == 1
+    finally:
+        cap.detach(spark)
