@@ -594,3 +594,77 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "events_funnel_multistep",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= s1.t1 AND e.ts < s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s2.t2 AND e.ts < s2.t2 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_clicked,
+           (SELECT COUNT(*) FROM s3) AS n_purchased,
+           ROUND(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 4) AS step2_rate,
+           ROUND(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 4) AS step3_rate
+    """,
+    doc="Ordered multi-step funnel: signup -> first click within 7 days "
+    "-> first purchase within 7 days of that click. Each step collapses "
+    "to one (user, first_ts) row BEFORE the next join, so every stage "
+    "shuffles user keys only and step ordering is enforced by the "
+    "anchored timestamps, not a fragile sessionization.",
+)
+def events_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+
+    def first_after(prev, etype, anchor_col):
+        return (
+            e.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") >= F.col(anchor_col))
+                & (F.col("ts") < F.col(anchor_col) + F.expr("INTERVAL 7 DAYS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts"))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "click", "t1").withColumnRenamed("min(ts)", "t2")
+    s3 = first_after(s2, "purchase", "t2").withColumnRenamed("min(ts)", "t3")
+    n1 = s1.agg(F.count("*").alias("n_signup"))
+    n2 = s2.agg(F.count("*").alias("n_clicked"))
+    n3 = s3.agg(F.count("*").alias("n_purchased"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_signup",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked").cast("double") / F.col("n_signup"), 4).alias("step2_rate"),
+            F.round(F.col("n_purchased").cast("double") / F.col("n_signup"), 4).alias("step3_rate"),
+        )
+    )

@@ -50,6 +50,7 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "join_semi_anti",  # 1-row x 1-row summary cross
         "q14_promo_revenue_ratio",  # same
         "events_funnel_conversion",  # same
+        "events_funnel_multistep",  # three 1-row step counts crossed
         "data_quality_report",  # unioned 1-row checks
         "cross_join_dims",  # 5x25 fixed-size dims, intentional demo
         "incremental_since",  # 1-row watermark aggregate joined to facts
