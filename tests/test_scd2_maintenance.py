@@ -179,3 +179,40 @@ def test_zorder_sort_improves_minmax_skipping(spark):
     avg_sx = sum(r.sx for r in spans) / len(spans)
     avg_sy = sum(r.sy for r in spans) / len(spans)
     assert avg_sx < full * 0.6 and avg_sy < full * 0.6, (avg_sx, avg_sy)
+
+
+def test_kmv_sketch_accuracy_and_set_ops(spark):
+    """KMV estimates within ~3/sqrt(k) of truth; merge is idempotent;
+    intersection via inclusion-exclusion lands near the true overlap."""
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 256
+    # group A: values 0..9999; group B: 5000..14999 -> overlap 5000
+    rows = [("a", v) for v in range(10_000)] + [("b", v) for v in range(5_000, 15_000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, ["g"], "v", k=k).cache()
+    est = {r.g: r.e for r in sk.select("g", kmv_estimate(F.col("sketch"), k).alias("e")).collect()}
+    tol = 3.0 / (k - 2) ** 0.5  # ~19% at k=256
+    assert abs(est["a"] - 10_000) / 10_000 < tol
+    assert abs(est["b"] - 10_000) / 10_000 < tol
+
+    a = sk.where("g = 'a'").select(F.col("sketch").alias("sa"))
+    b = sk.where("g = 'b'").select(F.col("sketch").alias("sb"))
+    both = a.crossJoin(b)
+    row = both.select(
+        kmv_estimate(kmv_merge(F.col("sa"), F.col("sa"), k), k).alias("self_merge"),
+        kmv_estimate(kmv_merge(F.col("sa"), F.col("sb"), k), k).alias("union_e"),
+        kmv_intersect_estimate(F.col("sa"), F.col("sb"), k).alias("inter_e"),
+    ).first()
+    assert abs(row.self_merge - est["a"]) < 1e-9  # idempotent merge
+    assert abs(row.union_e - 15_000) / 15_000 < tol
+    # intersection inherits three estimators' noise — looser bound
+    assert abs(row.inter_e - 5_000) / 5_000 < 3 * tol
+    sk.unpersist()
