@@ -419,3 +419,46 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle=None,  # xxhash64-based sketch values are Spark-specific;
+    # accuracy bounds + merge idempotence tested in
+    # tests/test_scd2_maintenance.py::test_kmv_sketch_accuracy_and_set_ops
+    doc="KMV (theta-style) mergeable distinct sketches per event_type: "
+    "per-group estimate, pairwise union/intersection estimates between "
+    "the two largest groups — the set-operation sketch capability "
+    "(operators/sketches.py) surfaced as a query. Rows-only check; "
+    "estimator error bound ~1/sqrt(k-2) is pytest-verified.",
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+        kmv_union_estimate,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    k = 256
+    sk = kmv_sketch(t["events"], ["event_type"], "user_id", k=k)
+    per_group = sk.select(
+        "event_type", F.round(kmv_estimate(F.col("sketch"), k), 2).alias("distinct_users_est")
+    )
+    a = sk.where(F.col("event_type") == "click").select(F.col("sketch").alias("sa"))
+    b = sk.where(F.col("event_type") == "purchase").select(F.col("sketch").alias("sb"))
+    pair = a.crossJoin(b)
+    union_row = pair.select(
+        F.lit("click|purchase union").alias("event_type"),
+        F.round(kmv_union_estimate(F.col("sa"), F.col("sb"), k), 2).alias(
+            "distinct_users_est"
+        ),
+    )
+    inter_row = pair.select(
+        F.lit("click&purchase intersect").alias("event_type"),
+        F.round(kmv_intersect_estimate(F.col("sa"), F.col("sb"), k), 2).alias(
+            "distinct_users_est"
+        ),
+    )
+    return per_group.unionByName(union_row).unionByName(inter_row).orderBy("event_type")

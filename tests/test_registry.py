@@ -59,6 +59,7 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "ann_ivf_topk",  # bounded cross: |queries| x |centroids|, both
         #   broadcast, to rank probe cells
         "text_bm25_search",  # 1-row corpus-stats aggregate crossed in
+        "agg_kmv_distinct_sketch",  # two 1-row sketch sides crossed
     }
     offenders = []
     for q in all_queries().values():
