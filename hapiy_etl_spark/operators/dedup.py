@@ -511,8 +511,15 @@ def shared_span_pairs(
         min_span_tokens = k
 
     toks = tokens(text_col)
+    # Guard short documents: sequence(0, -1) is NOT empty in Spark (it
+    # yields the descending [0, -1], and slice(toks, 0, k) then throws
+    # INVALID_PARAMETER_VALUE.START). Docs with < k tokens have no
+    # k-gram window at all — emit an empty array for them.
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
     win = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1))),
+        idx,
         lambda i: F.struct(
             i.alias("pos"),
             F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias("h"),

@@ -453,7 +453,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           SUM((('0x' || substr(md5(t), 1, 14))::BIGINT % 1000003) * pos) AS fingerprint
+           CAST(SUM((('0x' || substr(md5(t), 1, 14))::BIGINT % 1000003) * pos) AS BIGINT) AS fingerprint
     FROM tok
     GROUP BY doc_id
     ORDER BY doc_id
@@ -487,7 +487,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(FLOOR(start_off / 512) AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS n_tokens_packed,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_packed,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM placed
@@ -903,8 +903,8 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM islands GROUP BY id_a, id_b, diag, grp
     )
     SELECT id_a, id_b,
-           MAX(run_len) + 9 AS longest_span_tokens,
-           SUM(run_len) AS n_shared_kgrams
+           CAST(MAX(run_len) + 9 AS BIGINT) AS longest_span_tokens,
+           CAST(SUM(run_len) AS BIGINT) AS n_shared_kgrams
     FROM runs
     GROUP BY id_a, id_b
     HAVING MAX(run_len) + 9 >= 12

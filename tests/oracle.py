@@ -24,6 +24,7 @@ from decimal import Decimal
 
 import duckdb
 import numpy as np
+import pandas as pd
 
 from hapiy_etl_spark.io import TABLES
 
@@ -46,7 +47,7 @@ def _canon(v, col: str):
     ('decimal', '5'). The driver's pandas hash distinguishes them, so we
     must too.
     """
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, (np.floating, float)):
         f = float(v)
@@ -106,17 +107,29 @@ def compare_frames(name: str, s_cols, s_rows, d_cols, d_rows) -> None:
         )
 
 
+def _pdf_rows(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    """Rows out of a pandas frame, PRESERVING pandas dtypes per cell.
+
+    Going through pandas is the point: the driver materializes both
+    sides as pandas frames, so dtype coercions that happen only there
+    must happen here too. The canonical example (r2's three hash
+    failures): DuckDB returns HUGEINT for SUM over integers, and
+    ``.df()`` materializes HUGEINT as float64 — ``fetchall()`` would
+    have handed us Python ints and hidden the seam.
+    """
+    cols = list(pdf.columns)
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def compare(spark, query, sf_dir: str) -> None:
     """Assert Spark result == DuckDB oracle result for one Query."""
     sdf = query.fn(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols, s_rows = _pdf_rows(sdf.toPandas())
 
     con = duckdb_conn(sf_dir)
     try:
-        res = con.execute(query.oracle)
-        d_cols = [c[0] for c in res.description]
-        d_rows = res.fetchall()
+        d_cols, d_rows = _pdf_rows(con.execute(query.oracle).df())
     finally:
         con.close()
 

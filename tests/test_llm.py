@@ -248,6 +248,12 @@ def test_shared_span_pairs_exact_lengths(spark):
         (3, "completely different text with no overlap at all here okay"),
         # doc 4 shares only 8 tokens with the span (< k=10 window)
         (4, "x1 x2 " + " ".join(f"w{i}" for i in range(8)) + " y1 y2 y3"),
+        # docs shorter than k=10 tokens: no k-gram window exists at all.
+        # Spark's sequence(0, -1) yields [0, -1] (descending), which made
+        # slice(toks, 0, k) throw at runtime before the short-doc guard.
+        (5, "tiny doc"),
+        (6, ""),
+        (7, "exactly nine tokens here one two three four five"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {

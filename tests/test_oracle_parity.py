@@ -48,6 +48,33 @@ def test_harness_rejects_int_vs_float():
         compare_frames("planted", ["v"], [(1,)], ["v"], [(1.0,)])
 
 
+def test_harness_reproduces_duckdb_hugeint_seam():
+    """DuckDB returns HUGEINT for SUM over integers, which ``.df()``
+    materializes as float64 while Spark emits int64 — the root cause of
+    all three r02 driver hash failures. The local gate must surface it:
+    an un-cast integer SUM mismatches an int result, and the registry
+    convention (CAST ... AS BIGINT) fixes it."""
+    import duckdb as _duckdb
+
+    from tests.oracle import _pdf_rows, compare_frames
+
+    con = _duckdb.connect()
+    try:
+        cols, rows = _pdf_rows(
+            con.execute("SELECT SUM(x) AS s FROM (VALUES (1), (2)) t(x)").df()
+        )
+        f_cols, f_rows = _pdf_rows(
+            con.execute(
+                "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1), (2)) t(x)"
+            ).df()
+        )
+    finally:
+        con.close()
+    with pytest.raises(AssertionError, match="value mismatch"):
+        compare_frames("planted", ["s"], [(3,)], cols, rows)
+    compare_frames("planted", ["s"], [(3,)], f_cols, f_rows)
+
+
 def test_harness_rejects_array_cells():
     import pytest as _pytest
 
