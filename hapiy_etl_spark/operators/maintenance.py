@@ -59,11 +59,17 @@ def zorder_key(cols: list, bits: int = 16):
     (parquet min/max row-group stats line up with the clustering) —
     the lakehouse data-skipping layout, no table format required.
     Pure column algebra: bits x columns shift/mask/or operations.
+
+    The key is a SIGNED long, so the interleave must stay out of bit 63:
+    with bits=16 and 4 columns the last bit would land on the sign bit,
+    flipping high-key rows negative and silently inverting the sort.
+    ``bits`` is capped at ``63 // len(cols)`` (e.g. 4 cols -> 15 bits).
     """
     from pyspark.sql import functions as F
 
-    key = F.lit(0).cast("long")
     n = len(cols)
+    bits = min(bits, 63 // n)
+    key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
             bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
@@ -82,6 +88,11 @@ def zorder_sort(df, cols: list[str], bits: int = 16, num_partitions: int | None 
     datasets would otherwise collapse into one partition)."""
     from pyspark.sql import functions as F
 
+    # Match zorder_key's sign-bit cap BEFORE scaling, so the rank
+    # normalization targets exactly the bits that get interleaved
+    # (otherwise the high-order — most clustering-relevant — bits of
+    # the scaled value would be silently dropped).
+    bits = min(bits, 63 // len(cols))
     bounds = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],

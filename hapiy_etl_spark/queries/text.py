@@ -133,21 +133,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_pipeline_end_to_end",
-    oracle=None,  # composes the ML-seeded LSH stage — rows-only; stage
-    # semantics covered by the oracle-checked/planted-recall pieces
-    doc="Full near-dedup pipeline: MinHash-LSH candidates → connected-"
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+    ),
+    comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM comp WHERE cluster_id <> node)
+    SELECT COUNT(*) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars_kept
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    doc="Full near-dedup pipeline, oracle-checked END TO END: exact "
+    "Jaccard candidate pairs (df-capped inverted index) → connected-"
     "component clusters → keep lowest-id representative per cluster → "
-    "surviving corpus stats. The production 100 TB dedup recipe end-to-end.",
+    "surviving corpus stats, verified against a recursive-CTE exact-"
+    "components + survivor-aggregate DuckDB twin. The production 100 TB "
+    "dedup recipe; swap in minhash_native_pairs (dedup_minhash_native) "
+    "as the candidate generator when estimated Jaccard suffices.",
 )
 def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    # Native MinHash banding (already signature-cached internally) — the
-    # faster candidate generator; materialize pairs once since the
-    # cluster loop and survivor anti-join both reference them.
-    pairs = D.minhash_native_pairs(docs, "doc_id", "text", n=3, jaccard_threshold=0.5).cache()
+    # Exact Jaccard via the df-capped inverted-index self-join — same
+    # candidate generator as dedup_cluster_assign, so the whole pipeline
+    # is deterministic and oracle-exact. Materialize pairs once: the
+    # cluster loop iterates over them.
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, df_cap=100).cache()
     pairs.count()
-    clusters = D.dedup_clusters(pairs)
+    clusters = D.dedup_clusters(pairs, rounds=4, checkpoint_every=2)
     # survivors: docs not in any cluster, plus each cluster's min-id member
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     kept = docs.join(losers, "doc_id", "left_anti")

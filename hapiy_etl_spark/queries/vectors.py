@@ -16,9 +16,10 @@ from hapiy_etl_spark.operators import similarity as S
 from hapiy_etl_spark.registry import register
 
 
-@register(
-    "ann_cosine_topk",
-    oracle="""
+# Shared by both exact top-k paths (column algebra and numpy matmul):
+# they compute the same ranking, and after ROUND(sim, 6) the BLAS
+# summation-order ulp differences vanish, so one oracle serves both.
+_EXACT_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
     sims AS (
         SELECT q.vec_id,
@@ -34,7 +35,12 @@ from hapiy_etl_spark.registry import register
     SELECT vec_id, neighbor_id, rank, ROUND(sim, 6) AS cosine_sim
     FROM ranked WHERE rank <= 3
     ORDER BY vec_id, rank
-    """,
+    """
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_EXACT_TOPK_ORACLE,
     doc="Exact brute-force cosine top-3 for 10 query vectors: broadcast "
     "queries x corpus, JVM-side zip_with/aggregate dot products, window "
     "top-k. The correctness baseline for the ANN paths.",
@@ -48,9 +54,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk_numpy",
-    oracle=None,  # BLAS summation order differs in last ulps from the
-    # sequential-fold oracle — equality with the column-algebra path is
-    # asserted in tests/test_llm.py instead
+    oracle=_EXACT_TOPK_ORACLE,  # same exact result as ann_cosine_topk;
+    # ROUND(sim, 6) absorbs BLAS summation-order ulps (equality with the
+    # column-algebra path is also asserted in tests/test_llm.py)
     doc="Exact top-k via Arrow-batched numpy matmul (vectorized "
     "Pandas-UDF path) — same results as ann_cosine_topk, wins for "
     "large query sets.",

@@ -52,65 +52,62 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # queries per round (CORRECTNESS_r01 == list(query_fns())[:50]), so
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
-# then stalest greens). Round 2 front-loads the 42 queries that
-# got no r1 row (registered after the cap) plus the 5 r1 failures now
-# fixed (array-output serialization + decimal/sign dtype casts); the 42
-# r1-green queries keep their r1 evidence and sort after the window.
+# then stalest greens).
+# r3 window (tools/rotate_priority.py over CORRECTNESS_r01+r02):
+# the 3 r2 dtype-seam failures first (fixed, need re-proof), then the
+# 26 queries registered after the r2 cap that have never had a driver
+# row, then the stalest r1 greens as backfill.
 PRIORITY: tuple[str, ...] = (
-    # r1 hash/canonicalizer failures, fixed this round
-    "agg_collect",
-    "filter_predicate_algebra",
-    "fn_math",
-    "fn_array",
-    "fn_regexp_extract_all",
-    # never-checked in r1 (driver cap): subqueries / tpch_more / text /
-    # udf / vectors / windows families, in module order
-    "subq_exists_priority",
-    "subq_scalar_above_avg",
-    "subq_correlated_avg_qty",
-    "subq_in_large_orders",
-    "subq_not_in_anti",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_native",
-    "dedup_simhash",
-    "dedup_pipeline_end_to_end",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "vocab_encode_documents",
-    "data_quality_report",
-    "text_pii_redaction",
     "text_fingerprint",
-    "q6_forecast_revenue",
     "q12_priority_by_linestatus",
-    "q14_promo_revenue_ratio",
-    "q7_nation_pair_volume",
-    "q9_profit_by_nation_year",
-    "q19_disjunctive_predicates",
-    "udf_pandas_vectorized",
-    "udf_grouped_map_zscore",
-    "udf_map_in_pandas",
-    "udtf_explode_ranges",
-    "fn_map",
-    "fn_map_explode",
-    "unpivot_stack",
-    "sample_deterministic",
-    "ann_cosine_topk",
-    "ann_cosine_topk_numpy",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_neardup",
-    "embedding_stats",
-    "window_ranking",
-    "window_analytic",
-    "window_frames_running",
-    "window_sessionize",
-    # new in r2 — need their first driver row
     "text_sequence_pack",
-    "corpus_split_sample",
-    "events_funnel_conversion",
+    "agg_regression",
+    "agg_filter_clause",
+    "agg_kmv_distinct_sketch",
+    "interval_overlap_sessions",
+    "events_cohort_retention",
+    "events_value_histogram",
+    "table_diff_snapshots",
+    "events_equidepth_histogram",
+    "events_funnel_multistep",
+    "graph_pagerank_trade",
+    "join_skew_salted",
+    "subq_lateral_topn",
+    "dedup_cluster_assign",
+    "text_bigram_logprob",
+    "text_bm25_search",
+    "dedup_incremental_batch",
+    "text_decontamination",
+    "dedup_exact_substring",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "q22_dormant_rich_customers",
+    "q4_order_priority_checking",
+    "q10_returned_item_reporting",
+    "fn_variant",
+    "window_time_range_frame",
+    "agg_basic_stats",
+    "agg_corr_covar",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_first_last_ordered",
+    "agg_bitwise_boolean",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_join_events",
+    "watermark_read",
+    "incremental_since",
+    "resample_ffill",
+    "sort_null_ordering",
+    "upsert_merge",
 )
 
 

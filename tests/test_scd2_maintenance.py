@@ -148,6 +148,27 @@ def test_zorder_key_matches_python_morton(spark):
         assert z == morton(x, y), (x, y)
 
 
+def test_zorder_key_4col_never_negative(spark):
+    """Sign-bit regression: with bits=16 and 4 columns the last
+    interleaved bit used to land on bit 63 of the signed long, making
+    high-key rows negative so they sorted FIRST. The cap
+    (bits = 63 // n_cols) must keep every key non-negative and keep
+    the key monotone in the top bit of each column."""
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.maintenance import zorder_key
+
+    top = (1 << 16) - 1
+    rows = [(0, 0, 0, 0), (top, top, top, top), (top, 0, top, 0)]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    got = df.withColumn("z", zorder_key(cols, bits=16)).collect()
+    by_key = {(r.a, r.b, r.c, r.d): r.z for r in got}
+    assert all(z >= 0 for z in by_key.values()), by_key
+    # the all-max corner must sort after everything else
+    assert by_key[(top, top, top, top)] == max(by_key.values())
+
+
 def test_zorder_sort_improves_minmax_skipping(spark):
     """Z-ordered layout: per-partition min/max ranges on BOTH dims are
     tight, so a range predicate on either column can skip most

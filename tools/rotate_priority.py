@@ -33,16 +33,23 @@ def main() -> None:
         root.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
     )
+    # Structural errors (driver-side, not a verdict on the query): keep
+    # the prior round's verdict. A hash_match:false row is a REAL
+    # failure and must supersede an earlier green (failures re-enter
+    # the front of the window for re-proof).
+    STRUCTURAL = {"timeout", "driver_error", "oom", "skipped"}
     latest: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
     for path in rounds:
         rnum = int(re.search(r"r(\d+)", path.name).group(1))
         for name, row in json.loads(path.read_text()).items():
             green = bool(row.get("hash_match")) or row.get("err") == "no_oracle"
-            # a later round's row supersedes; a green row is never
-            # downgraded by a later structural error (e.g. timeout)
             prev = latest.get(name)
             if prev is None or rnum > prev[0]:
-                latest[name] = (rnum, green or (prev[1] if prev else False))
+                structural = row.get("err") in STRUCTURAL
+                if structural and prev is not None:
+                    latest[name] = (rnum, prev[1])
+                else:
+                    latest[name] = (rnum, green)
 
     names = list(all_queries())
     failed = [n for n in names if n in latest and not latest[n][1]]
