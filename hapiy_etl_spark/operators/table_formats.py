@@ -6,6 +6,13 @@ no lakehouse jars. In production the same call sites route through a
 real MERGE INTO — this module is that seam: it detects an available
 format and either executes the native MERGE or tells the caller exactly
 which emulation to use instead.
+
+Environment note (r3): the build container bakes its Python deps and
+forbids package installation, and `import delta` fails — so the native
+MERGE branch cannot execute here by policy, not by oversight. The
+fallback path (upsert_parquet) carries the oracle-checked semantics;
+the native branch is exercised the first time the package lands on a
+real cluster classpath.
 """
 
 from __future__ import annotations

@@ -482,3 +482,94 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+def _morton_sql(cols: list[str], bits: int) -> str:
+    """DuckDB bit-interleave expression mirroring operators/maintenance.py
+    zorder_key — generated, so the oracle stays bit-for-bit in lockstep."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+_Z_SCALE_SQL = """
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey AS BIGINT) AS c0,
+               CAST(l_suppkey AS BIGINT) AS c1,
+               CAST(l_quantity AS BIGINT) AS c2
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT MIN(c0) mn0, MAX(c0) mx0,
+               MIN(c1) mn1, MAX(c1) mx1,
+               MIN(c2) mn2, MAX(c2) mx2
+        FROM src
+    ),
+    scaled AS (
+        SELECT l_orderkey, l_linenumber,
+               LEAST(CAST(FLOOR((c0 - mn0) / (CASE WHEN mx0 > mn0 THEN mx0 - mn0 ELSE 1 END) * 255) AS BIGINT), 255) AS s0,
+               LEAST(CAST(FLOOR((c1 - mn1) / (CASE WHEN mx1 > mn1 THEN mx1 - mn1 ELSE 1 END) * 255) AS BIGINT), 255) AS s1,
+               LEAST(CAST(FLOOR((c2 - mn2) / (CASE WHEN mx2 > mn2 THEN mx2 - mn2 ELSE 1 END) * 255) AS BIGINT), 255) AS s2
+        FROM src, bounds
+        WHERE l_orderkey <= 100
+    )
+"""
+
+
+@register(
+    "maintenance_zorder_key",
+    oracle=_Z_SCALE_SQL
+    + f"""
+    SELECT l_orderkey, l_linenumber,
+           {_morton_sql(["s0", "s1", "s2"], 8)} AS zkey
+    FROM scaled
+    ORDER BY zkey, l_orderkey, l_linenumber
+    """,
+    doc="Multi-column Z-order (Morton) clustering key over 3 lineitem "
+    "dims, min-max scaled to 8 bits each against FULL-table bounds "
+    "(one broadcast 1-row aggregate) — the write-side layout key that "
+    "makes parquet min/max row-group stats skip files on range filters "
+    "over ANY participating column. The oracle recomputes the exact "
+    "bit interleave in DuckDB, so scaling arithmetic and bit layout "
+    "are verified end to end (operators/maintenance.py:zorder_key; "
+    "zorder_sort adds repartitionByRange + sortWithinPartitions on "
+    "this same key and is exercised in tests/test_scd2_maintenance.py).",
+)
+def maintenance_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.maintenance import zorder_key
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    src = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").cast("long").alias("c0"),
+        F.col("l_suppkey").cast("long").alias("c1"),
+        F.col("l_quantity").cast("long").alias("c2"),
+    )
+    bounds = src.agg(
+        *[F.min(f"c{i}").alias(f"mn{i}") for i in range(3)],
+        *[F.max(f"c{i}").alias(f"mx{i}") for i in range(3)],
+    )
+    scaled = src.where(F.col("l_orderkey") <= 100).crossJoin(F.broadcast(bounds))
+    scols = []
+    for i in range(3):
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1))
+        scols.append(
+            F.least(
+                F.floor((F.col(f"c{i}") - mn) / span * 255), F.lit(255)
+            ).cast("long")
+        )
+    return (
+        scaled.select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_key(scols, bits=8).alias("zkey"),
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+    )

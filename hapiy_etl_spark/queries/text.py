@@ -809,6 +809,105 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY_TABLE = [
+    (1, "data pipeline"),
+    (2, "model training stream"),
+    (3, "quality data filter"),
+]
+_BM25_QUERIES_SQL = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERY_TABLE)
+
+
+@register(
+    "text_bm25_query_table",
+    oracle=f"""
+    WITH queries(query_id, qtext) AS (VALUES {_BM25_QUERIES_SQL}),
+    qterm AS (
+        SELECT DISTINCT query_id, unnest(string_split_regex(qtext, '\\s+')) AS t
+        FROM queries
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM doclen),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS f FROM tok
+        WHERE t IN (SELECT DISTINCT t FROM qterm) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS nd FROM tf GROUP BY t),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               SUM(
+                   ln((stats.n_docs - df.nd + 0.5) / (df.nd + 0.5) + 1)
+                   * tf.f * 2.2
+                   / (tf.f + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avg_dl))
+               ) AS score,
+               COUNT(*) AS n_terms_hit
+        FROM qterm q
+        JOIN tf ON tf.t = q.t
+        JOIN df ON df.t = q.t
+        JOIN doclen ON doclen.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, n_terms_hit, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, doc_id, n_terms_hit, ROUND(score, 4) AS bm25, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="BM25 batch search with a QUERY TABLE input (k1=1.2, b=0.75): "
+    "all queries score in ONE pass — corpus stats (doc lengths, "
+    "per-term df, 1-row totals) are computed once and shared; the "
+    "query-term table and per-term df are broadcast; top-5 per query "
+    "via ranking window. The many-queries-at-once retrieval shape "
+    "(eval-set retrieval, hard-negative mining) — corpus work is "
+    "amortized across the whole query batch instead of per query.",
+)
+def text_bm25_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    qdf = spark.createDataFrame(_BM25_QUERY_TABLE, "query_id long, qtext string")
+    qterm = qdf.select(
+        "query_id", F.explode(F.array_distinct(F.split("qtext", r"\s+"))).alias("t")
+    ).distinct()
+    tok = t["documents"].select("doc_id", F.explode(F.split("text", r"\s+")).alias("t"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl"))
+    tf = (
+        tok.join(F.broadcast(qterm.select("t").distinct()), "t")
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("f"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("nd"))
+    idf = F.log((F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1)
+    norm = F.col("f") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avg_dl"))
+    contrib = idf * F.col("f") * 2.2 / norm
+    scored = (
+        F.broadcast(qterm)
+        .join(tf, "t")
+        .join(F.broadcast(df), "t")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score"), F.count("*").alias("n_terms_hit"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", "doc_id", "n_terms_hit", F.round("score", 4).alias("bm25"), "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "dedup_incremental_batch",
     oracle="""

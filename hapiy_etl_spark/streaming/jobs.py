@@ -153,3 +153,66 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_kmv_rollup(
+    stream: DataFrame,
+    path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    checkpoint: str,
+    k: int = 256,
+):
+    """Streaming mergeable-sketch rollup: each micro-batch KMV-sketches
+    its rows and merges into a parquet sketch-state table (union + keep
+    k smallest hashes per group) — a distinct-count rollup that never
+    re-reads history, the streaming twin of agg_kmv_distinct_sketch.
+
+    Why sketches and not dropDuplicates: the state is k doubles per
+    group regardless of stream length, and the merge is associative /
+    commutative / IDEMPOTENT (re-merging an already-absorbed batch is a
+    set union with itself), so at-least-once re-delivery cannot inflate
+    the estimate. At cluster scale the sketch state stays broadcast-
+    sized while exact distinct state grows with cardinality.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    gcols = list(group_cols)
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        new = kmv_sketch(batch, gcols, value_col, k)
+        target = Path(path)
+        if target.exists():
+            state = spark.read.parquet(path)
+            s, n = state.alias("s"), new.alias("n")
+            merged = s.join(n, on=gcols, how="full").select(
+                *gcols,
+                F.when(F.col("s.sketch").isNull(), F.col("n.sketch"))
+                .when(F.col("n.sketch").isNull(), F.col("s.sketch"))
+                .otherwise(kmv_merge(F.col("s.sketch"), F.col("n.sketch"), k))
+                .alias("sketch"),
+            )
+        else:
+            merged = new
+        tmp = tempfile.mkdtemp(
+            prefix="kmv_", dir=str(target.parent if target.parent.exists() else "/tmp")
+        )
+        merged.write.mode("overwrite").parquet(f"{tmp}/data")
+        if target.exists():
+            shutil.rmtree(path)
+        shutil.move(f"{tmp}/data", str(target))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -110,3 +110,68 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
     src_n = read_events_stream(spark, sf_dir).sparkSession.read.parquet(f"{sf_dir}/events.parquet").count()
     assert out.count() == src_n
     assert out.select("event_id").distinct().count() == src_n
+
+
+def test_foreach_batch_kmv_rollup_equals_batch_and_is_idempotent(spark, sf_dir, tmp_path):
+    """Streaming KMV rollup: (a) the merged sketch state equals the
+    batch sketch over the full table EXACTLY (k-smallest of a union ==
+    k-smallest of per-part k-smallest), and (b) replaying the whole
+    stream into the same state (fresh checkpoint = full re-delivery)
+    changes nothing — the merge is idempotent under at-least-once."""
+    from hapiy_etl_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_kmv_rollup
+
+    K = 64
+    sink = str(tmp_path / "kmv_state")
+
+    def run(ckpt: str):
+        events = read_events_stream(spark, sf_dir)
+        q = foreach_batch_kmv_rollup(
+            events.select("event_type", "user_id"),
+            sink,
+            group_cols=["event_type"],
+            value_col="user_id",
+            checkpoint=str(tmp_path / ckpt),
+            k=K,
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    state = {
+        r.event_type: tuple(r.sketch)
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        r.event_type: tuple(r.sketch)
+        for r in kmv_sketch(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            ["event_type"],
+            "user_id",
+            k=K,
+        ).collect()
+    }
+    assert state == batch
+
+    # full re-delivery: fresh checkpoint reprocesses every micro-batch
+    run("ckpt2")
+    replayed = {
+        r.event_type: tuple(r.sketch)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert replayed == state
+
+    # and the estimates are sane: within ~4/sqrt(k-2) of the exact count
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    sk = spark.read.parquet(sink)
+    est = {
+        r.event_type: r.est
+        for r in sk.select("event_type", kmv_estimate(F.col("sketch"), K).alias("est")).collect()
+    }
+    for et, n in exact.items():
+        assert abs(est[et] - n) <= max(4.0 * n / (K - 2) ** 0.5, 2.0), (et, est[et], n)
