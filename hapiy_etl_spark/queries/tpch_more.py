@@ -485,3 +485,362 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+               MIN(l.l_extendedprice) AS min_price
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, ps.min_price
+    FROM ps
+    JOIN part p     ON p.p_partkey = ps.partkey
+    JOIN supplier s ON s.s_suppkey = ps.suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 5
+      AND ps.min_price = (SELECT MIN(ps2.min_price) FROM ps ps2
+                          WHERE ps2.partkey = ps.partkey)
+    ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 analogue (no partsupp table in this dataset — "
+    "per-(part,supplier) MIN offered price from lineitem stands in for "
+    "ps_supplycost): region-filtered supplier pool, correlated MIN "
+    "subquery selecting the cheapest supplier(s) per part. Spark plans "
+    "the correlation as a window-MIN over the aggregated pair table — "
+    "one shuffle, no re-join with a subquery.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    eu_sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    ps = (
+        t["lineitem"]
+        .join(eu_sup.select("s_suppkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    best = ps.withColumn(
+        "__best", F.min("min_price").over(W.partitionBy("partkey"))
+    ).where(F.col("min_price") == F.col("__best"))
+    return (
+        best.join(t["part"].where(F.col("p_size") <= 5),
+                  F.col("p_partkey") == F.col("partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_acctbal", "s_name", F.col("n_name").alias("nation"),
+                "p_partkey", "min_price")
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_national_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           ROUND(
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE),
+               6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 analogue: one nation's share of yearly revenue for a "
+    "part type sold into a region — 8-way star join (two roles for "
+    "nation), conditional-sum ratio. Dims broadcast; the fact table "
+    "shuffles once for the year aggregate.",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir,
+        ("lineitem", "part", "orders", "customer", "nation", "region", "supplier"),
+    )
+    n1 = t["nation"].select(F.col("n_nationkey").alias("c_nkey"),
+                            F.col("n_regionkey").alias("c_rkey"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("s_nkey"),
+                            F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC)
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0).cast(DEC))
+    return (
+        t["lineitem"]
+        .join(t["part"].where(F.col("p_type") == "ECONOMY"),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"].where(F.col("r_name") == "AMERICA")),
+              F.col("r_regionkey") == F.col("c_rkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nkey") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY 1
+    )
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM val
+    WHERE CAST(value AS DOUBLE) > (SELECT CAST(SUM(value) AS DOUBLE) FROM val) * 0.001
+    ORDER BY value DESC, partkey
+    """,
+    doc="TPC-H Q11 analogue (shipped value per part stands in for "
+    "partsupp stock value): per-part value for a nation group, kept "
+    "only when above a fraction of the TOTAL value — scalar aggregate "
+    "subquery. The threshold compare happens in double on BOTH engines "
+    "(decimal sums are exact, the double conversion is deterministic), "
+    "so the boundary is engine-independent. Spark: 1-row total "
+    "broadcast-crossJoined, no recompute of the val CTE.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    nat = t["nation"].where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    val = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+            ).alias("__value")
+        )
+        .cache()
+    )
+    total = val.agg(F.sum("__value").cast("double").alias("__total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("__value").cast("double") > F.col("__total") * 0.001)
+        .select("partkey", F.col("__value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15: quarterly revenue view + scalar-MAX subquery picking "
+    "the top supplier(s). Exact decimal sums make the MAX-equality "
+    "engine-independent. Spark: the revenue aggregate is computed once "
+    "and its 1-row MAX is broadcast back against it.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            ).alias("__rev")
+        )
+        .cache()
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("__rev") == F.col("__mx"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 analogue (lineitem part-supplier pairs stand in for "
+    "partsupp): distinct-supplier counts per (brand, type, size) with "
+    "negated dim predicates and a NOT-IN anti-join excluding flagged "
+    "suppliers. Spark: broadcast anti-join + distinct-aggregate.",
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    parts = t["part"].where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    flagged = t["supplier"].where(F.col("s_name").like("%77%")).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(flagged), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH agg AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN agg a  ON a.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#7'
+      AND 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * a.cnt < a.sq
+    """,
+    doc="TPC-H Q17: revenue from small-quantity orders, correlated "
+    "per-part average-quantity threshold. The classic qty < 0.2*AVG "
+    "predicate is algebraically rearranged to 5*qty*cnt < sum — all "
+    "exact decimal/integer arithmetic, so the boundary cannot drift "
+    "between engines (AVG-as-double would). Spark: the per-part "
+    "aggregate joins back on partkey; AQE picks the join side.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    agg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"].where(F.col("p_brand") == "Brand#7"),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(agg, F.col("pk") == F.col("l_partkey"))
+        .where(
+            F.lit(5) * F.col("l_quantity").cast(DEC) * F.col("cnt") < F.col("sq")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7.0, 4)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 140
+    )
+    AND s.s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    )
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 analogue: suppliers who shipped a large volume of a "
+    "LIKE-filtered part family in a year, restricted to a nation set — "
+    "nested IN subqueries (part filter inside the volume aggregate "
+    "inside the supplier filter). Spark: both INs become semi-joins; "
+    "the part filter broadcasts into the lineitem scan.",
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    bolt_parts = t["part"].where(F.col("p_name").like("%bolt%")).select("p_partkey")
+    big_shippers = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(bolt_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__vol"))
+        .where(F.col("__vol") > 140)
+        .select("l_suppkey")
+    )
+    nat = (
+        t["nation"]
+        .where(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select("n_nationkey")
+    )
+    return (
+        t["supplier"]
+        .join(big_shippers, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )

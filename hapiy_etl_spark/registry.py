@@ -55,8 +55,8 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # then stalest greens).
 # r3 window (tools/rotate_priority.py over CORRECTNESS_r01+r02):
 # the 3 r2 dtype-seam failures first (fixed, need re-proof), then the
-# 26 queries registered after the r2 cap that have never had a driver
-# row, then the stalest r1 greens as backfill.
+# 35 queries with no driver row yet (26 post-r2-cap registrations + the
+# 9 new r3 queries), then the stalest r1 greens as backfill.
 PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "q12_priority_by_linestatus",
@@ -87,6 +87,15 @@ PRIORITY: tuple[str, ...] = (
     "q10_returned_item_reporting",
     "fn_variant",
     "window_time_range_frame",
+    "maintenance_zorder_key",
+    "text_bm25_query_table",
+    "q2_min_cost_supplier",
+    "q8_national_market_share",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion_suppliers",
     "agg_basic_stats",
     "agg_corr_covar",
     "agg_distinct",
@@ -99,15 +108,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_bitwise_boolean",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_join_events",
-    "watermark_read",
-    "incremental_since",
-    "resample_ffill",
-    "sort_null_ordering",
-    "upsert_merge",
 )
 
 
