@@ -84,6 +84,29 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str] | None =
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Bucketed table write: pay the shuffle ONCE at write time.
+
+    Both sides of a recurring join bucketed by the join key (same
+    bucket count) make every later join/aggregation on that key
+    exchange-free — the planner reads co-located buckets instead of
+    shuffling 100 TB per query. ``sortBy`` additionally pre-sorts
+    within buckets so SortMergeJoin skips its sort. This is the
+    pre-partitioning lever for fact-fact joins too big to broadcast;
+    tests assert the joined plan contains no Exchange.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def read_json_robust(
     spark: SparkSession,
     path: str,

@@ -668,3 +668,30 @@ def events_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_purchased").cast("double") / F.col("n_signup"), 4).alias("step3_rate"),
         )
     )
+
+
+@register(
+    "events_frequent_users",
+    oracle="""
+    WITH total AS (SELECT COUNT(*) AS n FROM events)
+    SELECT e.user_id,
+           COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / MAX(t.n), 6) AS frequency
+    FROM events e CROSS JOIN total t
+    GROUP BY e.user_id
+    HAVING COUNT(*) > 0.0075 * MAX(t.n)
+    ORDER BY n DESC, user_id
+    """,
+    doc="Frequent-items (heavy hitters): every user above 0.75% of the "
+    "event stream, EXACT, via per-partition Misra-Gries candidate "
+    "summaries (O(capacity) task memory, NO shuffle of singleton keys) "
+    "+ broadcast semi-join exact recount "
+    "(operators/heavyhitters.py:frequent_items). The plain GROUP BY "
+    "oracle proves the bounded-memory path loses nothing: any key over "
+    "N/(capacity+1) must survive at least one partition summary.",
+)
+def events_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.heavyhitters import frequent_items
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return frequent_items(t["events"], "user_id", phi=0.0075)

@@ -1068,3 +1068,142 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(text, '\\s+') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                     i -> array_to_string(t[i:i+1], ' '))) AS bg
+        FROM tok WHERE len(t) >= 2
+    ),
+    bigstats AS (
+        SELECT doc_id,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg)
+        GROUP BY doc_id
+    ),
+    tokstats AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_distinct
+        FROM tok
+    )
+    SELECT ts.doc_id,
+           ROUND(bs.top_bigram_count * 1.0 / bs.n_bigrams, 4) AS top_bigram_frac,
+           ROUND(1.0 - ts.n_distinct * 1.0 / ts.n_tokens, 4) AS dup_token_frac,
+           (bs.top_bigram_count * 1.0 / bs.n_bigrams > 0.18
+            OR 1.0 - ts.n_distinct * 1.0 / ts.n_tokens > 0.85) AS flagged
+    FROM tokstats ts JOIN bigstats bs ON bs.doc_id = ts.doc_id
+    ORDER BY ts.doc_id
+    """,
+    doc="Gopher-style repetition quality filter: per-document top-bigram "
+    "fraction (boilerplate detector) and duplicate-token fraction "
+    "(degenerate-text detector), thresholded into a drop flag. The "
+    "bigram stats shuffle (doc_id, bigram) count pairs — long keys, "
+    "never documents; the token stats are pure array algebra on the "
+    "scan. The standard pretraining corpus-hygiene pass.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", r"\s+")
+    docs = t["documents"].select("doc_id", toks.alias("t")).cache()
+    big = (
+        docs.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    tokstats = docs.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    top_frac = F.col("top_bigram_count") / F.col("n_bigrams")
+    dup_frac = F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")
+    return (
+        tokstats.join(big, "doc_id")
+        .select(
+            "doc_id",
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            F.round(dup_frac, 4).alias("dup_token_frac"),
+            ((top_frac > 0.18) | (dup_frac > 0.85)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Target sampling rate per source shard for the deterministic mix
+# (portable md5-derived per-doc uniform — identical in DuckDB).
+_MIX_RATES = {"web": 0.5, "books": 1.0, "code": 0.8, "wiki": 1.0, "news": 0.25}
+_MIX_RATES_SQL = ", ".join(f"('{s}', {r})" for s, r in _MIX_RATES.items())
+
+
+@register(
+    "corpus_mix_sample",
+    oracle=f"""
+    WITH rates(source, rate) AS (VALUES {_MIX_RATES_SQL}),
+    hashed AS (
+        SELECT d.doc_id, d.source, d.n_chars, r.rate,
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT % 1000000) / 1000000.0 AS u
+        FROM documents d JOIN rates r ON r.source = d.source
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           MIN(doc_id) AS first_doc
+    FROM hashed
+    WHERE u < rate
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Deterministic weighted corpus mixing: per-source target "
+    "sampling rates applied via a portable md5-derived per-doc uniform "
+    "(hash-threshold sampling, no RNG state) — the domain-reweighting "
+    "step of pretraining data assembly. Reproducible across engines, "
+    "partitionings, and reruns; joins only against a broadcast "
+    "rate table. Scale: a pure map-side filter on the scan.",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    rates = spark.createDataFrame(
+        list(_MIX_RATES.items()), "source string, rate double"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("bigint") % 1000000
+    ) / 1000000.0
+    return (
+        t["documents"]
+        .join(F.broadcast(rates), "source")
+        .where(u < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

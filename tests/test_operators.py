@@ -202,3 +202,34 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(df.columns) == {"id", "s", "score", "batch"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_bucketed_write_join_is_shuffle_free(spark, sf_dir):
+    """Both join sides bucketed by the join key (same bucket count):
+    the SortMergeJoin plan must contain NO Exchange — the write-time
+    shuffle replaces every query-time shuffle on that key. The 100 TB
+    fact-fact join lever."""
+    import contextlib
+    import io as _io
+
+    from hapiy_etl_spark.io import read_table, write_bucketed
+
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "orderkey")
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+    write_bucketed(orders, "bq_orders", "orderkey", n_buckets=8)
+    write_bucketed(li.select("orderkey", "l_extendedprice"), "bq_lineitem", "orderkey", n_buckets=8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bq_orders").join(spark.table("bq_lineitem"), "orderkey")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bq_orders")
+        spark.sql("DROP TABLE IF EXISTS bq_lineitem")

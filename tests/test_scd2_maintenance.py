@@ -237,3 +237,23 @@ def test_kmv_sketch_accuracy_and_set_ops(spark):
     # intersection inherits three estimators' noise — looser bound
     assert abs(row.inter_e - 5_000) / 5_000 < 3 * tol
     sk.unpersist()
+
+
+def test_frequent_items_exact_under_tiny_capacity(spark):
+    """Misra-Gries candidates + exact recount: with capacity far below
+    the distinct-key count, every key above the phi threshold is still
+    found with its EXACT count (the MG superset guarantee), and nothing
+    below the threshold leaks in."""
+    from hapiy_etl_spark.operators.heavyhitters import frequent_items
+
+    # 3 hot keys (600/300/150 of 2050 rows) + 1000 singleton keys
+    rows = (
+        [(1,)] * 600 + [(2,)] * 300 + [(3,)] * 150 + [(1000 + i,) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    got = {
+        r.k: r.n for r in frequent_items(df, "k", phi=0.05, capacity=16).collect()
+    }
+    n = len(rows)
+    assert got == {1: 600, 2: 300, 3: 150}
+    assert all(c > 0.05 * n for c in got.values())
