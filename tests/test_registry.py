@@ -59,7 +59,11 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "ann_ivf_topk",  # bounded cross: |queries| x |centroids|, both
         #   broadcast, to rank probe cells
         "text_bm25_search",  # 1-row corpus-stats aggregate crossed in
+        "text_bm25_query_table",  # same 1-row corpus-stats cross
         "agg_kmv_distinct_sketch",  # two 1-row sketch sides crossed
+        "maintenance_zorder_key",  # 1-row min/max bounds aggregate crossed
+        "q11_important_stock",  # 1-row total-value aggregate crossed
+        "events_frequent_users",  # 1-row stream-total aggregate crossed
     }
     offenders = []
     for q in all_queries().values():
