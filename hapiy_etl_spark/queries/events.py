@@ -695,3 +695,38 @@ def events_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("events",))
     return frequent_items(t["events"], "user_id", phi=0.0075)
+
+
+@register(
+    "events_redact_props",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+(\\.[0-9]+)?')) AS BIGINT)
+               AS n_redacted
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    doc="Pattern-redaction pass (the PII/log-scrub shape): every "
+    "numeric literal in the raw props payload replaced by a <NUM> "
+    "sentinel, with a per-record redaction count for audit. Pure "
+    "map-side regexp on the scan — the same plumbing carries "
+    "email/phone/SSN patterns on a real corpus; redaction never "
+    "shuffles, so it costs one pass at any scale.",
+)
+def events_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    pat = r"[0-9]+(\.[0-9]+)?"
+    return (
+        t["events"]
+        .where(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.regexp_replace("props", pat, "<NUM>").alias("redacted"),
+            F.size(F.regexp_extract_all("props", F.lit(pat), 0))
+            .cast("long")
+            .alias("n_redacted"),
+        )
+        .orderBy("event_id")
+    )

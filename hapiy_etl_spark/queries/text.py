@@ -1207,3 +1207,164 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t, unnest(range(0, len(t), 8)) AS s
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(s // 8 AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(t[s + 1 : s + 12]) AS BIGINT) AS n_tokens_chunk,
+           array_to_string(t[s + 1 : s + 12], ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Sliding-window document chunking (size=12 tokens, stride=8, "
+    "i.e. 4-token overlap) — the RAG/context-window prep step. One "
+    "explode of start offsets + array slices per doc: pure column "
+    "algebra on the scan, no shuffle at all until the output sort; "
+    "chunk count scales with corpus tokens / stride, never quadratic. "
+    "Short docs (< chunk size) yield exactly one truncated chunk — the "
+    "sequence() guard pattern from the exact-substring fix applies.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", r"\s+")
+    # starts 0, 8, 16, ... strictly below n_tokens (n>=1 since split
+    # of any string yields at least one element)
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(8))
+    return (
+        t["documents"]
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / 8).cast("long").alias("chunk_id"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(F.slice("t", F.col("s") + 1, 12)).cast("long").alias("n_tokens_chunk"),
+            F.array_join(F.slice("t", F.col("s") + 1, 12), " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "corpus_lang_quota",
+    oracle="""
+    WITH hashed AS (
+        SELECT lang, doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS u
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+        FROM hashed
+    )
+    SELECT lang, doc_id, rn
+    FROM ranked WHERE rn <= 50
+    ORDER BY lang, rn
+    """,
+    doc="Per-language quota capping (50 docs/lang) in deterministic "
+    "md5-hash order — the language-balancing step of corpus assembly "
+    "(cap the head languages so the tail survives the token budget). "
+    "Hash order makes the kept set reproducible across engines, "
+    "partitionings, and reruns, unlike rand()-based sampling. Scale: "
+    "one shuffle on lang; with few giant language partitions the "
+    "window would skew, so at 100 TB this becomes a two-phase "
+    "per-partition-prune + global top-Q (the topk_per_group pattern).",
+)
+def corpus_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast(
+        "long"
+    )
+    w = W.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        t["documents"]
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 50)
+        .orderBy("lang", "rn")
+    )
+
+
+@register(
+    "doc_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, rank,
+           ROUND(tfidf, 6) AS tfidf
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    doc="Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/"
+    "(df+1))) — keyword extraction / doc signature for retrieval and "
+    "clustering. Two aggregations riding one shuffle key family "
+    "(term), a 1-row N cross, and a per-doc ranking window; the df "
+    "side is vocabulary-sized (heavy-tailed, shrinks under any "
+    "dictionary), never corpus-sized.",
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = t["documents"].agg(F.count_distinct("doc_id").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "rank",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )

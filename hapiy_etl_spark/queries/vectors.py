@@ -194,3 +194,82 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "semdedup_assign",
+    oracle="""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    sims AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid AS cluster_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM sims
+    ),
+    best AS (
+        SELECT vec_id, embedding, cluster_id, sim FROM assigned WHERE rn = 1
+    ),
+    scan AS (
+        SELECT vec_id, cluster_id, sim, embedding,
+               lag(embedding) OVER (PARTITION BY cluster_id
+                                    ORDER BY sim DESC, vec_id) AS prev
+        FROM best
+    )
+    SELECT vec_id, cluster_id,
+           ROUND(sim, 6) AS centroid_sim,
+           COALESCE(list_cosine_similarity(embedding::DOUBLE[], prev::DOUBLE[]) > 0.92,
+                    FALSE) AS is_neardup
+    FROM scan
+    ORDER BY vec_id
+    """,
+    doc="SemDeDup-style semantic dedup: assign every embedding to its "
+    "nearest of 8 deterministic centroids (vec_id < 8), then flag "
+    "near-duplicates by a SORTED-NEIGHBOR scan within each cluster — "
+    "sort members by similarity-to-centroid and compare each vector "
+    "only to its predecessor (cosine > 0.92). The scan replaces the "
+    "O(n²/k) within-cluster pairwise matrix with one window pass: "
+    "semantically-identical vectors have near-identical centroid "
+    "similarity, so they land adjacent in the sort order. Centroid "
+    "cross is 8 broadcast rows; everything else is one shuffle on "
+    "cluster_id. On a real pipeline the centroids come from a sampled "
+    "k-means fit (the ann_ivf_topk quantizer).",
+)
+def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sim = S.cosine(F.col("embedding"), F.col("cvec"))
+    w_best = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    best = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cluster_id"), "sim")
+    )
+    w_scan = W.partitionBy("cluster_id").orderBy(F.col("sim").desc(), "vec_id")
+    prev = F.lag("embedding").over(w_scan)
+    return (
+        best.withColumn("prev", prev)
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round("sim", 6).alias("centroid_sim"),
+            F.coalesce(
+                S.cosine(F.col("embedding"), F.col("prev")) > 0.92, F.lit(False)
+            ).alias("is_neardup"),
+        )
+        .orderBy("vec_id")
+    )

@@ -64,6 +64,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "maintenance_zorder_key",  # 1-row min/max bounds aggregate crossed
         "q11_important_stock",  # 1-row total-value aggregate crossed
         "events_frequent_users",  # 1-row stream-total aggregate crossed
+        "doc_tfidf_topterms",  # 1-row corpus-N aggregate crossed
+        "semdedup_assign",  # bounded cross: corpus x 8 broadcast centroids
     }
     offenders = []
     for q in all_queries().values():
