@@ -1,7 +1,12 @@
 """Benchmark runner: every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line on stdout:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+The driver captures only the tail of stdout (~2000 chars), so the
+stdout line carries a HEADLINE subset of per-query timings and must
+stay well under that limit. The full per-query timing map is written
+to ``BENCH_FULL.json`` next to this file and echoed to stderr.
 
 Each query is timed end-to-end (plan build → execute → collect-to-count).
 A warmup query runs first so JVM/codegen startup isn't billed to q1.
@@ -16,6 +21,41 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# One representative per operator family, heaviest members included, so
+# the driver-visible line tracks both flagship latency and the scale-
+# sensitive dedup/similarity/graph paths. Everything else is in
+# BENCH_FULL.json.
+HEADLINE: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "subq_in_large_orders",
+    "window_sessionize",
+    "asof_join_events",
+    "agg_cube",
+    "udf_grouped_map_zscore",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_assign",
+    "dedup_exact_substring",
+    "dedup_pipeline_end_to_end",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_neardup",
+    "semdedup_assign",
+    "graph_pagerank_trade",
+    "text_bm25_search",
+    "text_decontamination",
+    "text_token_stats",
+    "text_sequence_pack",
+    "multimodal_decode_features",
+    "events_funnel_multistep",
+)
 
 
 def main() -> None:
@@ -52,17 +92,33 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    full = dict(payload)
+    full["queries"] = timings
+    (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
     )
+    print(json.dumps(full), file=sys.stderr)
+    line = json.dumps(payload, separators=(",", ":"))
+    # Hard guard: the driver parses the last line out of a ~2000-char
+    # stdout tail; a longer line silently breaks the per-round bench.
+    if len(line) > 1600:
+        drop = sorted(headline, key=headline.get)  # shed cheapest first
+        while len(line) > 1600 and drop:
+            headline.pop(drop.pop(0))
+            payload["queries"] = headline
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

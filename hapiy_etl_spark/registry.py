@@ -53,61 +53,61 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r3 window (tools/rotate_priority.py over CORRECTNESS_r01+r02):
-# the 3 r2 dtype-seam failures first (fixed, need re-proof), then the
-# 35 queries with no driver row yet (26 post-r2-cap registrations + the
-# 9 new r3 queries), then the stalest r1 greens as backfill.
+# r4 window (tools/rotate_priority.py over CORRECTNESS_r01+r02+r03):
+# zero failures outstanding; the 8 queries registered after the r3 cap
+# get their first driver row, then the stalest r1 greens as backfill.
+# New r4 registrations are appended ahead of the backfill as they land.
 PRIORITY: tuple[str, ...] = (
-    "text_fingerprint",
-    "q12_priority_by_linestatus",
-    "text_sequence_pack",
-    "agg_regression",
-    "agg_filter_clause",
-    "agg_kmv_distinct_sketch",
-    "interval_overlap_sessions",
-    "events_cohort_retention",
-    "events_value_histogram",
-    "table_diff_snapshots",
-    "events_equidepth_histogram",
-    "events_funnel_multistep",
-    "graph_pagerank_trade",
-    "join_skew_salted",
-    "subq_lateral_topn",
-    "dedup_cluster_assign",
-    "text_bigram_logprob",
-    "text_bm25_search",
-    "dedup_incremental_batch",
-    "text_decontamination",
-    "dedup_exact_substring",
-    "q13_order_count_distribution",
-    "q18_large_volume_customers",
-    "q21_sole_returning_supplier",
-    "q22_dormant_rich_customers",
-    "q4_order_priority_checking",
-    "q10_returned_item_reporting",
-    "fn_variant",
-    "window_time_range_frame",
-    "maintenance_zorder_key",
-    "text_bm25_query_table",
-    "q2_min_cost_supplier",
-    "q8_national_market_share",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion_suppliers",
-    "agg_basic_stats",
-    "agg_corr_covar",
-    "agg_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_first_last_ordered",
-    "agg_bitwise_boolean",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
+    "events_frequent_users",
+    "events_redact_props",
+    "text_repetition_filter",
+    "corpus_mix_sample",
+    "text_chunk_overlap",
+    "corpus_lang_quota",
+    "doc_tfidf_topterms",
+    "semdedup_assign",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_join_events",
+    "watermark_read",
+    "incremental_since",
+    "resample_ffill",
+    "sort_null_ordering",
+    "upsert_merge",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_semi_anti",
+    "join_outer_coalesce",
+    "join_full_outer",
+    "q2_min_cost_per_group",
+    "topk_per_group",
+    "set_operations",
+    "theta_range_join",
+    "cross_join_dims",
+    "fn_string",
+    "fn_datetime",
+    "fn_explode_wordcount",
+    "fn_json",
+    "fn_json_schema",
+    "fn_datetime_arith",
+    "fn_try_safe",
+    "fn_struct",
+    "fn_conditional",
+    "fn_hash",
+    "agg_collect",
+    "events_funnel_conversion",
+    "filter_predicate_algebra",
+    "fn_math",
+    "fn_array",
+    "fn_regexp_extract_all",
+    "subq_exists_priority",
+    "subq_scalar_above_avg",
+    "subq_correlated_avg_qty",
 )
 
 
