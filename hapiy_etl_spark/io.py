@@ -52,6 +52,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
             # 53-bit mantissa, so float division loses microseconds.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Parquet timestamp[us] without a timezone annotation reads as
+    # TIMESTAMP_NTZ in Spark 4 (inferTimestampNTZ). Normalize to the
+    # session-timezone TIMESTAMP (session is pinned UTC): same instant,
+    # but NTZ forbids cast-to-epoch (used by resample/sessionize) and
+    # DuckDB's naive-timestamp oracle semantics already match UTC.
+    for fld in df.schema.fields:
+        if fld.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
