@@ -19,7 +19,9 @@ from hapiy_etl_spark.operators.upsert import upsert_parquet
 
 # Explicit schema (streaming sources must not infer). ts arrives as
 # long nanos (parquet TIMESTAMP(NANOS) read via nanosAsLong) and is
-# normalized exactly like the batch path (io.py).
+# normalized exactly like the batch path (io.py). Kept for fixtures
+# written in that legacy shape; driver data now ships timestamp[us],
+# so read_events_stream derives the schema from the parquet footer.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -33,16 +35,27 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (file-source micro-batches)."""
-    # File stream sources take a directory; glob-filter to the events
-    # table (the sf dir holds all ten tables).
+    """readStream over the events parquet (file-source micro-batches).
+
+    Stream sources need an explicit schema; take it from the parquet
+    footer (one driver-side batch-read plan, no job) so the same code
+    handles both the legacy nanos-as-long layout and timestamp[us].
+    Normalization mirrors io.read_table: epoch handling downstream
+    expects session-timezone TIMESTAMP, never NTZ.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw_schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
