@@ -1156,8 +1156,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Target sampling rate per source shard for the deterministic mix
-# (portable md5-derived per-doc uniform — identical in DuckDB).
-_MIX_RATES = {"web": 0.5, "books": 1.0, "code": 0.8, "wiki": 1.0, "news": 0.25}
+# (portable md5-derived per-doc uniform — identical in DuckDB). The
+# driver corpus ships sources src0..src19; cycle four rates over them
+# (a quality-tiered mix: keep-all, half, quarter, 80%).
+_MIX_RATES = {f"src{i}": (1.0, 0.5, 0.25, 0.8)[i % 4] for i in range(20)}
 _MIX_RATES_SQL = ", ".join(f"('{s}', {r})" for s, r in _MIX_RATES.items())
 
 
