@@ -57,10 +57,11 @@ def subq_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_retailprice
     FROM part
-    WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part)
+    WHERE p_retailprice > 1.03 * (SELECT AVG(p_retailprice) FROM part)
     ORDER BY p_partkey
     """,
-    doc="Scalar subquery: parts priced >1.5x the global average "
+    doc="Scalar subquery: parts priced >1.03x the global average "
+    "(retail prices are uniform on [900,1000), so 1.5x selects nothing) "
     "(broadcast single-row aggregate, not a per-row loop).",
 )
 def subq_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +70,7 @@ def subq_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_partkey, p_name, p_retailprice
         FROM part
-        WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part)
+        WHERE p_retailprice > 1.03 * (SELECT AVG(p_retailprice) FROM part)
         ORDER BY p_partkey
         """
     )
@@ -157,7 +158,8 @@ def subq_in_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.s_suppkey, s.s_name
     FROM supplier s
     WHERE s.s_suppkey NOT IN (
-        SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+        SELECT l_suppkey FROM lineitem
+            WHERE l_quantity > 48 AND l_returnflag = 'R' AND l_discount > 0.08
     )
     ORDER BY s.s_suppkey
     """,
@@ -170,7 +172,8 @@ def subq_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.s_suppkey, s.s_name
         FROM supplier s
         WHERE s.s_suppkey NOT IN (
-            SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+            SELECT l_suppkey FROM lineitem
+            WHERE l_quantity > 48 AND l_returnflag = 'R' AND l_discount > 0.08
         )
         ORDER BY s.s_suppkey
         """

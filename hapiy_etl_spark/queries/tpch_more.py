@@ -388,13 +388,15 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_acctbal > (
         SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
     )
-    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c.c_nationkey
     ORDER BY nation
     """,
     doc="TPC-H Q22 analogue (nationkey standing in for phone country "
-    "code): above-average-balance customers with no orders — scalar avg "
-    "subquery + anti-join, the dormant-high-value-accounts shape.",
+    "code): above-average-balance customers with no order since "
+    "2000-01-01 — scalar avg subquery + anti-join, the "
+    "dormant-high-value-accounts shape.",
 )
 def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ("customer", "orders"))
@@ -407,7 +409,8 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_acctbal > (
             SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
         )
-        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c.c_nationkey
         ORDER BY nation
         """

@@ -55,7 +55,9 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # then stalest greens).
 # r4 window (tools/rotate_priority.py over CORRECTNESS_r01+r02+r03):
 # zero failures outstanding; the 8 queries registered after the r3 cap
-# get their first driver row, then the stalest r1 greens as backfill.
+# get their first driver row, then the three queries whose predicates
+# were re-seated for the regenerated testdata (their old green rows
+# attest the OLD SQL), then the stalest r1 greens as backfill.
 # New r4 registrations are appended ahead of the backfill as they land.
 PRIORITY: tuple[str, ...] = (
     "events_frequent_users",
@@ -66,6 +68,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_lang_quota",
     "doc_tfidf_topterms",
     "semdedup_assign",
+    "subq_scalar_above_avg",
+    "subq_not_in_anti",
+    "q22_dormant_rich_customers",
     "window_tumbling",
     "window_sliding",
     "window_session",
@@ -106,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "fn_array",
     "fn_regexp_extract_all",
     "subq_exists_priority",
-    "subq_scalar_above_avg",
     "subq_correlated_avg_qty",
 )
 
