@@ -67,3 +67,79 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exactly-once triangle counting via degree-ordered orientation —
+    the scale-safe formulation (wedge work is bounded by sum of
+    C(oriented-outdeg, 2), and orientation caps oriented outdegree at
+    O(sqrt(|E|)) for any graph).
+
+    Input: an undirected edge list (any orientation, self-loops and
+    duplicates tolerated). Output: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    clustering is the global coefficient 3*triangles / wedges.
+
+    Plan shape: canonicalize + distinct (one shuffle on the edge),
+    degree aggregate, two broadcast-sized joins to attach degrees,
+    wedge self-join on the oriented source, then a semi-join against
+    the canonical edge set to close triangles. No step materializes
+    more than Σ C(outdeg,2) candidate rows, and the heavy self-join
+    key (the wedge apex) is the LOW-degree endpoint by construction —
+    degree-ordering is the skew guard.
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("dega")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("degb")), "b")
+    )
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    # unordered out-neighbor pair (by id), closed against the canonical
+    # edge set: id-canonical closure needs no rank lookup on w1/w2
+    wedge_pairs = e1.join(e2, "u").where(F.col("e1.w") < F.col("e2.w"))
+    triangles = wedge_pairs.join(
+        e,
+        (F.col("e1.w") == F.col("a")) & (F.col("e2.w") == F.col("b")),
+        "left_semi",
+    )
+    n_tri = triangles.agg(F.count("*").alias("n_triangles"))
+    n_wedge = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    # four 1-row aggregates composed with crossJoin (sanctioned pattern:
+    # each side is exactly one row)
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedge)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )

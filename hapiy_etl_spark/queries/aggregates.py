@@ -462,3 +462,86 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_group.unionByName(union_row).unionByName(inter_row).orderBy("event_type")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS distinct_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="EXACT distinct counting via mergeable roaring-style bitmaps "
+    "(bitmap_construct_agg over bit positions, bucketed by "
+    "bitmap_bucket_number): each (group, bucket) reduces to a <=4KB "
+    "bitmap, buckets merge associatively (map-side partial agg), and "
+    "the final count is a sum of bitmap_count per bucket. The exact "
+    "counterpart of the HLL sketch path: billions of int keys shuffle "
+    "as fixed-size bitmaps, not key sets. Oracle is plain "
+    "COUNT(DISTINCT) — proving the bitmap rollup loses nothing.",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    per_bucket = (
+        t["orders"]
+        .groupBy(
+            "o_orderpriority",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("o_custkey"))
+            ).alias("bm")
+        )
+    )
+    return (
+        per_bucket.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.bitmap_count(F.col("bm")))
+            .cast("long")
+            .alias("distinct_customers")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_listagg_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+               AS statuses,
+           quantile_disc(o_totalprice, 0.25) AS p25_price,
+           quantile_disc(o_totalprice, 0.50) AS p50_price,
+           quantile_disc(o_totalprice, 0.75) AS p75_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="SQL:2023 ordered-set aggregates: LISTAGG(DISTINCT .. ) WITHIN "
+    "GROUP (deterministic ordered concatenation) and PERCENTILE_DISC "
+    "(discrete quantiles — returns an actual data element, so "
+    "cross-engine equality is exact with no float-interpolation seam).",
+)
+def agg_listagg_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, '|')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p25_price,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p50_price,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                   AS p75_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -730,3 +730,52 @@ def events_redact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day AS day,
+           COUNT(DISTINCT u.user_id) AS users_7d
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+    doc="Trailing-7-day distinct active users per day — the rolling "
+    "COUNT DISTINCT shape that window frames cannot express (DISTINCT "
+    "over a sliding range). Formulated scale-first: dedup to "
+    "(day, user) grain, then each pair CONTRIBUTES to its 7 target "
+    "days via sequence+explode — a pure equi-shuffle of 7x|day-user| "
+    "rows, no theta join, no per-day rescan; a semi-join against the "
+    "observed-day spine drops phantom trailing days.",
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    du = (
+        t["events"]
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("w_day"),
+        "user_id",
+    )
+    spine = du.select("day").distinct()
+    return (
+        contrib.groupBy("w_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .join(spine, contrib.w_day == spine.day, "left_semi")
+        .select(F.col("w_day").alias("day"), "users_7d")
+        .orderBy("day")
+    )

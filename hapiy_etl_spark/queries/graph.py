@@ -88,3 +88,90 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round(F.col("rank") * 1000, 6).alias("rank_k")
     ).orderBy("node")
+
+
+_BASKET_CAP = 64  # parts kept per order (lowest partkey first) — the
+# df_cap-style fanout cap: pair generation per order is bounded at
+# C(cap,2) even against an adversarial giant order. Driver orders hold
+# <= 7 lineitems, so the cap is a no-op at every driver SF and the
+# oracle sees identical data.
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    capped AS (
+        SELECT o, p FROM (
+            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
+            FROM op
+        ) WHERE rn <= {_BASKET_CAP}
+    ),
+    pp AS (
+        SELECT x.p AS x, y.p AS y
+        FROM capped x JOIN capped y ON x.o = y.o AND x.p < y.p
+    ),
+    e AS (
+        SELECT x AS a, y AS b FROM pp GROUP BY x, y HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS deg
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        GROUP BY v
+    ),
+    o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS w
+        FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w
+        WHERE EXISTS (SELECT 1 FROM e WHERE e.a = e1.w AND e.b = e2.w)
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6) AS clustering
+    """,
+    doc="Exactly-once triangle counting + global clustering coefficient "
+    "over the part co-purchase graph (parts appearing together in >= 2 "
+    "distinct orders — the market-basket affinity graph; 3.4k edges at "
+    "sf0.01 and 3.6k at sf0.1, i.e. edge count stays sparse as the "
+    "corpus grows because pair support concentrates). Per-order fanout "
+    "capped at 64 parts; degree-ordered orientation bounds wedge work "
+    "at sum C(outdeg,2) with oriented outdegree O(sqrt(E)) — the "
+    "distributed-triangle formulation that survives skew "
+    "(operators/graph.py:triangle_stats).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hapiy_etl_spark.operators.graph import triangle_stats
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    op = t["lineitem"].select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    capped = (
+        op.withColumn(
+            "rn", F.row_number().over(W.partitionBy("o").orderBy("p"))
+        )
+        .where(F.col("rn") <= _BASKET_CAP)
+        .drop("rn")
+    )
+    x, y = capped.alias("x"), capped.alias("y")
+    pairs = x.join(y, "o").where(F.col("x.p") < F.col("y.p"))
+    edges = (
+        pairs.groupBy(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_stats(edges)

@@ -847,3 +847,59 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_nationkey")
         .orderBy("s_name")
     )
+
+
+@register(
+    "sales_yoy_growth",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, yr,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / LAG(revenue) OVER (
+               PARTITION BY nation ORDER BY yr) - 1, 4) AS yoy_growth
+    FROM rev
+    ORDER BY nation, yr
+    """,
+    doc="Year-over-year revenue growth per nation (the TPC-DS-style "
+    "period-comparison report): aggregate to (nation, year) grain "
+    "FIRST, then a lag window over the tiny aggregate — the "
+    "window-over-agg composition that avoids self-joining the fact "
+    "table. Dimension joins broadcast; the only big shuffle is the "
+    "group-by, and the window runs on |nations| x |years| rows.",
+)
+def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = W.partitionBy("nation").orderBy("yr")
+    return rev.select(
+        "nation",
+        "yr",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 4).alias(
+            "yoy_growth"
+        ),
+    ).orderBy("nation", "yr")

@@ -71,6 +71,11 @@ PRIORITY: tuple[str, ...] = (
     "subq_scalar_above_avg",
     "subq_not_in_anti",
     "q22_dormant_rich_customers",
+    "graph_triangle_count",
+    "events_rolling_distinct_users",
+    "agg_bitmap_distinct",
+    "agg_listagg_disc",
+    "sales_yoy_growth",
     "window_tumbling",
     "window_sliding",
     "window_session",

@@ -233,3 +233,31 @@ def test_bucketed_write_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bq_orders")
         spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 (4 triangles) + a pendant path + a disconnected edge, with
+    duplicate/reversed/self-loop noise the canonicalizer must absorb."""
+    from hapiy_etl_spark.operators.graph import triangle_stats
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    noise = [(2, 1), (3, 1), (5, 5)]  # reversed dups + self-loop
+    extra = [(4, 5), (6, 7)]  # pendant edge + disconnected edge
+    edges = spark.createDataFrame(k4 + noise + extra, "src long, dst long")
+    row = triangle_stats(edges).collect()[0]
+    assert row.n_nodes == 7
+    assert row.n_edges == 8
+    assert row.n_triangles == 4
+    # wedges: deg = {1:3, 2:3, 3:3, 4:4, 5:1, 6:1, 7:1} -> 3+3+3+6 = 15
+    assert row.n_wedges == 15
+    assert abs(row.clustering - 3.0 * 4 / 15) < 1e-6
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A star graph has wedges but zero triangles."""
+    from hapiy_etl_spark.operators.graph import triangle_stats
+
+    star = [(0, i) for i in range(1, 6)]
+    row = triangle_stats(spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 10
