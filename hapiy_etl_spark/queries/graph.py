@@ -151,25 +151,39 @@ _BASKET_CAP = 64  # parts kept per order (lowest partkey first) — the
     "(operators/graph.py:triangle_stats).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from hapiy_etl_spark.operators.graph import triangle_stats
 
     t = load_tables(spark, sf_dir, ("lineitem",))
-    op = t["lineitem"].select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    capped = (
-        op.withColumn(
-            "rn", F.row_number().over(W.partitionBy("o").orderBy("p"))
+    # One shuffle to (order -> sorted capped part array), then pair
+    # generation as a higher-order array expression (C(n,2) structs,
+    # n <= cap) — replaces the window-cap + self-join formulation
+    # (two extra shuffles of the full item list; measured ~2x slower).
+    # collect_set dedups (order, part) within the aggregation, so no
+    # separate distinct pass is needed either.
+    per_order = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("p")), 1, _BASKET_CAP).alias(
+                "parts"
+            )
         )
-        .where(F.col("rn") <= _BASKET_CAP)
-        .drop("rn")
     )
-    x, y = capped.alias("x"), capped.alias("y")
-    pairs = x.join(y, "o").where(F.col("x.p") < F.col("y.p"))
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     edges = (
-        pairs.groupBy(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        per_order.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
         .select("src", "dst")
