@@ -1370,3 +1370,55 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, doc_id, n_chars,
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                    % 1000000 + 1) / 1000001.0)
+               / (ln(n_chars + 1.0)) AS ekey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ekey, doc_id) AS rn
+        FROM scored
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rn
+    FROM ranked WHERE rn <= 25
+    ORDER BY lang, rn
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "exponential-jitter keys: key = -ln(u)/w, keep the k smallest per "
+    "stratum) with weight = ln(n_chars+1) — longer documents "
+    "preferentially kept, the quality/length-weighted corpus "
+    "subsampling step. u is the portable md5-derived per-doc uniform "
+    "(never 0: +1/1000001 shift), so the kept set is deterministic "
+    "across engines, partitionings, and reruns. One shuffle on the "
+    "stratum; the A-Res key trick turns weighted-without-replacement "
+    "into a plain top-k per group, which scales as topk_per_group.",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("long") % 1000000 + 1
+    ) / 1000001.0
+    ekey = -F.log(u) / F.log(F.col("n_chars") + 1.0)
+    w = W.partitionBy("lang").orderBy(ekey.asc(), F.col("doc_id").asc())
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 25)
+        .orderBy("lang", "rn")
+    )

@@ -284,3 +284,74 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS seq
+        FROM events WHERE user_id < 200
+    ),
+    r AS (
+        SELECT user_id, event_id, seq, value, value AS ewma
+        FROM ev WHERE seq = 1
+        UNION ALL
+        SELECT ev.user_id, ev.event_id, ev.seq, ev.value,
+               0.3 * ev.value + 0.7 * r.ewma
+        FROM r JOIN ev ON ev.user_id = r.user_id AND ev.seq = r.seq + 1
+    )
+    SELECT user_id, event_id, seq,
+           CAST(floor(ewma * 1000.0 + 0.5) AS BIGINT) AS ewma_milli
+    FROM r
+    ORDER BY user_id, seq
+    """,
+    doc="Per-key EWMA smoothing (alpha=0.3, e_t = 0.3*x_t + 0.7*e_{t-1}) "
+    "via applyInPandas — the grouped-map shape is how genuinely "
+    "sequential per-key state (inexpressible as a window frame) "
+    "distributes: one shuffle on the key, arbitrary-length recursion "
+    "inside the group. Cross-engine equality is engineered, not hoped "
+    "for: the oracle is a recursive CTE running the SAME IEEE op "
+    "sequence (0.3*x + 0.7*e), and the output projects to integer "
+    "milli-units with floor(x*1000+0.5) in both engines — decimal "
+    "ROUND at any precision is unstable here because 2-decimal inputs "
+    "with decimal coefficients land EXACTLY on .xxxx5 boundaries "
+    "(observed: 83.24825), where Spark/DuckDB/pandas each break ties "
+    "differently.",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = pdf["value"].to_numpy(dtype="float64")
+        out = np.empty(len(v))
+        e = v[0]
+        out[0] = e
+        for i in range(1, len(v)):
+            # same literal coefficients and op order as the oracle CTE
+            e = 0.3 * v[i] + 0.7 * e
+            out[i] = e
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "seq": pdf.index + 1,
+                "ewma_milli": np.floor(out * 1000.0 + 0.5).astype("int64"),
+            }
+        )
+
+    return (
+        t["events"]
+        .where(F.col("user_id") < 200)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            ewma, "user_id long, event_id long, seq long, ewma_milli long"
+        )
+        .orderBy("user_id", "seq")
+    )

@@ -76,6 +76,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_bitmap_distinct",
     "agg_listagg_disc",
     "sales_yoy_growth",
+    "corpus_weighted_sample",
+    "timeseries_ewma",
     "window_tumbling",
     "window_sliding",
     "window_session",
