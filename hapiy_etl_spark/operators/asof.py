@@ -35,13 +35,24 @@ def asof_join(
     *,
     strict: bool = False,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join, backward (default) or forward, with optional tolerance.
 
-    For every left row, attach ``right_cols`` from the latest right row
-    with ``right.right_ts <= left.left_ts`` (``<`` when ``strict``),
-    matching on ``on`` keys. ``how`` is ``inner`` (drop unmatched lefts)
-    or ``left`` (keep them with nulls).
+    Backward: for every left row, attach ``right_cols`` from the latest
+    right row with ``right.right_ts <= left.left_ts`` (``<`` when
+    ``strict``). Forward: from the EARLIEST right row with
+    ``right_ts >= left_ts`` (``>`` when ``strict``) — the
+    next-event-attribution shape. ``tolerance_seconds`` bounds the
+    match distance ``|left_ts - right_ts|``; beyond it the left row
+    counts as unmatched (dropped under ``how='inner'``, right columns
+    null under ``how='left'``). Matching is on ``on`` keys.
+
+    Both directions are the same union + running-window plan — forward
+    just sorts time DESCENDING, so "last preceding right row" becomes
+    "nearest following right row". Still one shuffle, linear in
+    |L|+|R|, no pair blow-up.
 
     Right rows must be unique per (key, right_ts) for a deterministic
     result — pre-aggregate the right side otherwise.
@@ -50,41 +61,57 @@ def asof_join(
     clash = set(right_cols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
 
     # All right columns travel as ONE struct: last(ignorenulls) over a
     # single payload guarantees every filled column comes from the SAME
     # right row (per-column fills could mix rows when right values are
     # null), and the struct — non-null for every right row even when all
     # its fields are null — doubles as the match marker, so a genuine
-    # null right value is not conflated with "no match".
+    # null right value is not conflated with "no match". The matched
+    # right timestamp rides in the struct for the tolerance check.
     payload = "__asof_payload"
+    mts = "__asof_matched_ts"
     lhs = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(0))
     rhs = right.select(
         *keys,
         F.col(right_ts).alias(_TS),
-        F.struct(*[F.col(c) for c in right_cols]).alias(payload),
+        F.struct(
+            F.col(right_ts).alias(mts), *[F.col(c) for c in right_cols]
+        ).alias(payload),
     ).withColumn(_SIDE, F.lit(1))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     # At equal ts: non-strict → right sorts first (visible to the left
-    # row); strict → left sorts first (right not yet visible).
+    # row); strict → left sorts first (right not yet visible). The same
+    # side rule holds in both directions.
     side_order = F.col(_SIDE).desc() if not strict else F.col(_SIDE).asc()
+    ts_order = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
     w = (
         W.partitionBy(*keys)
-        .orderBy(F.col(_TS), side_order)
+        .orderBy(ts_order, side_order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select("*", F.last(payload, ignorenulls=True).over(w).alias("__filled"))
+    matched = F.col("__filled").isNotNull()
+    if tolerance_seconds is not None:
+        gap = F.col(_TS).cast("double") - F.col(f"__filled.{mts}").cast("double")
+        if direction == "forward":
+            gap = -gap
+        matched = matched & (gap <= F.lit(float(tolerance_seconds)))
+    kept = F.when(matched, F.col("__filled"))
     out = (
         filled.where(F.col(_SIDE) == 0)
-        .drop(_SIDE, _TS, payload)
-        .select("*", *[F.col(f"__filled.{c}").alias(c) for c in right_cols])
+        .withColumn("__kept", kept)
+        .drop(_SIDE, _TS, payload, "__filled")
+        .select("*", *[F.col(f"__kept.{c}").alias(c) for c in right_cols])
     )
     if how == "inner":
-        out = out.where(F.col("__filled").isNotNull())
+        out = out.where(F.col("__kept").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out.drop("__filled")
+    return out.drop("__kept")
 
 
 def interval_overlap_join(

@@ -779,3 +779,77 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("w_day").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+@register(
+    "asof_forward_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS c_ts, MIN(event_id) AS c_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    nxt AS (
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               (SELECT MIN(c.c_ts) FROM clicks c
+                WHERE c.user_id = p.user_id
+                  AND c.c_ts >= p.ts
+                  AND c.c_ts <= p.ts + INTERVAL 2 HOUR) AS next_click_ts
+        FROM purchases p
+    )
+    SELECT n.event_id, n.user_id, n.ts,
+           ROUND(n.value, 4) AS purchase_value,
+           n.next_click_ts,
+           c.c_event_id AS next_click_id
+    FROM nxt n
+    LEFT JOIN clicks c
+      ON c.user_id = n.user_id AND c.c_ts = n.next_click_ts
+    ORDER BY n.event_id
+    """,
+    doc="FORWARD as-of join with a 2-hour tolerance: each purchase -> "
+    "the next click by the same user within the window (post-purchase "
+    "engagement attribution), unmatched purchases kept with nulls. "
+    "Same union + running-window plan as the backward as-of — time "
+    "sorted descending turns 'latest preceding' into 'nearest "
+    "following'; the tolerance rides the filled struct, so it is one "
+    "shuffle regardless of window width (a range-join formulation "
+    "would rescan |clicks| per purchase).",
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("c_event_id"))
+        .select("user_id", F.col("ts").alias("c_ts"), "c_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        right_cols=["c_ts", "c_event_id"],
+        strict=False,
+        how="left",
+        direction="forward",
+        tolerance_seconds=2 * 3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("c_ts").alias("next_click_ts"),
+        F.col("c_event_id").alias("next_click_id"),
+    ).orderBy("event_id")

@@ -78,6 +78,7 @@ PRIORITY: tuple[str, ...] = (
     "sales_yoy_growth",
     "corpus_weighted_sample",
     "timeseries_ewma",
+    "asof_forward_tolerance",
     "window_tumbling",
     "window_sliding",
     "window_session",

@@ -261,3 +261,58 @@ def test_triangle_stats_triangle_free(spark):
     row = triangle_stats(spark.createDataFrame(star, "src long, dst long")).collect()[0]
     assert row.n_triangles == 0
     assert row.n_wedges == 10
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward direction picks the nearest FOLLOWING right row; the
+    tolerance nulls (how=left) or drops (how=inner) distant matches;
+    equal timestamps are visible when non-strict, invisible when
+    strict."""
+    import datetime as dt
+
+    from hapiy_etl_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, T(10)), (1, T(30)), (2, T(10))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), "a"), (1, T(12), "b"), (1, T(300), "c")],
+        "k long, rts timestamp, v string",
+    )
+    fwd = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], how="left", direction="forward",
+    ).orderBy("k", "lts").collect()
+    # t=10 sees the equal-ts 'a'; t=30 sees 'c'; k=2 unmatched
+    assert [r.v for r in fwd] == ["a", "c", None]
+
+    fwd_strict = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], how="left", direction="forward", strict=True,
+    ).orderBy("k", "lts").collect()
+    # strict: t=10 skips equal-ts 'a', lands on 'b'
+    assert [r.v for r in fwd_strict] == ["b", "c", None]
+
+    fwd_tol = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], how="left", direction="forward",
+        tolerance_seconds=60,
+    ).orderBy("k", "lts").collect()
+    # t=30 -> 'c' at t=300 is 270s away, beyond the 60s tolerance
+    assert [r.v for r in fwd_tol] == ["a", None, None]
+
+    fwd_tol_inner = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], how="inner", direction="forward",
+        tolerance_seconds=60,
+    ).collect()
+    assert [r.v for r in fwd_tol_inner] == ["a"]
+
+    back_tol = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v"], how="left", direction="backward",
+        tolerance_seconds=5,
+    ).orderBy("k", "lts").collect()
+    # backward tolerance: t=30's latest prior is 'b' at 12 (18s > 5s)
+    assert [r.v for r in back_tol] == ["a", None, None]
