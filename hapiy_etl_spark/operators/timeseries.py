@@ -63,3 +63,46 @@ def resample_ffill(
         "grid_ts",
         F.last("slot_value", ignorenulls=True).over(ffill).alias("value_ffill"),
     )
+
+
+def interval_union_stats(
+    df: DataFrame, key: str, start: str, end: str
+) -> DataFrame:
+    """Total covered time per key after merging overlapping/touching
+    intervals (the interval-union aggregate), plus the merged-segment
+    count — the gaps-and-islands sweep as pure window algebra.
+
+    Sweep: sort by (start, end) per key; an interval starts a new
+    segment iff its start lies strictly after the running max of all
+    prior ends; the running sum of new-segment flags is the segment id;
+    min(start)/max(end) per segment give the merged spans.
+
+    One shuffle on the key; everything else rides that partitioning.
+    Durations are computed in integer MICROSECONDS (unix_micros), so
+    the sum is exact long arithmetic — no float accumulation seam.
+    """
+    w_prev = (
+        W.partitionBy(key)
+        .orderBy(start, end)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy(key)
+        .orderBy(start, end)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max_end = F.max(end).over(w_prev)
+    is_new = (prev_max_end.isNull() | (F.col(start) > prev_max_end)).cast("long")
+    segments = (
+        df.select(key, start, end)
+        .withColumn("__seg", F.sum(is_new).over(w_run))
+        .groupBy(key, "__seg")
+        .agg(
+            F.min(F.unix_micros(F.col(start))).alias("__s"),
+            F.max(F.unix_micros(F.col(end))).alias("__e"),
+        )
+    )
+    return segments.groupBy(key).agg(
+        F.sum(F.col("__e") - F.col("__s")).alias("covered_micros"),
+        F.count("*").alias("n_segments"),
+    )

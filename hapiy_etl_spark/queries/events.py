@@ -853,3 +853,57 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").alias("next_click_ts"),
         F.col("c_event_id").alias("next_click_id"),
     ).orderBy("event_id")
+
+
+@register(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM iv
+    ),
+    seg AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS g
+        FROM m
+    ),
+    isl AS (
+        SELECT user_id, g, MIN(s) AS s, MAX(e) AS e
+        FROM seg GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(SUM(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_micros,
+           COUNT(*) AS n_segments
+    FROM isl
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Interval-union aggregate: total ACTIVE time per user after "
+    "merging overlapping/touching 1-hour activity windows around each "
+    "event, plus merged-segment count — the gaps-and-islands sweep "
+    "(operators/timeseries.py:interval_union_stats) as one shuffle of "
+    "window algebra. Durations summed in integer microseconds: exact "
+    "long arithmetic, no float-accumulation seam.",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.timeseries import interval_union_stats
+
+    t = load_tables(spark, sf_dir, ("events",))
+    iv = t["events"].select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    return interval_union_stats(iv, key="user_id", start="s", end="e").orderBy(
+        "user_id"
+    )

@@ -854,7 +854,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT n.n_name AS nation,
-               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS revenue
         FROM orders o

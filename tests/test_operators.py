@@ -316,3 +316,24 @@ def test_asof_forward_and_tolerance(spark):
     ).orderBy("k", "lts").collect()
     # backward tolerance: t=30's latest prior is 'b' at 12 (18s > 5s)
     assert [r.v for r in back_tol] == ["a", None, None]
+
+
+def test_interval_union_stats_merges_touching_and_overlapping(spark):
+    import datetime as dt
+
+    from hapiy_etl_spark.operators.timeseries import interval_union_stats
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        # key 1: [0,10) + [5,20) overlap -> [0,20); [20,30) touches -> merged;
+        # [40,50) separate. covered = 30+10 = 40s, 2 segments
+        (1, T(0), T(10)), (1, T(5), T(20)), (1, T(20), T(30)), (1, T(40), T(50)),
+        # key 2: containment [0,100) superset of [10,20)
+        (2, T(0), T(100)), (2, T(10), T(20)),
+    ]
+    df = spark.createDataFrame(rows, "k long, s timestamp, e timestamp")
+    out = {r.k: r for r in interval_union_stats(df, "k", "s", "e").collect()}
+    assert out[1].covered_micros == 40 * 1_000_000
+    assert out[1].n_segments == 2
+    assert out[2].covered_micros == 100 * 1_000_000
+    assert out[2].n_segments == 1

@@ -65,6 +65,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "q11_important_stock",  # 1-row total-value aggregate crossed
         "events_frequent_users",  # 1-row stream-total aggregate crossed
         "doc_tfidf_topterms",  # 1-row corpus-N aggregate crossed
+        "graph_triangle_count",  # four 1-row graph summaries crossed
+        #   into the single output row (nodes/edges/wedges/triangles)
         "semdedup_assign",  # bounded cross: corpus x 8 broadcast centroids
     }
     offenders = []
