@@ -79,6 +79,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_weighted_sample",
     "timeseries_ewma",
     "asof_forward_tolerance",
+    "interval_union_coverage",
     "window_tumbling",
     "window_sliding",
     "window_session",
