@@ -135,6 +135,35 @@ def stream_stream_click_purchase(events: DataFrame) -> DataFrame:
     ).select("click_id", "purchase_id", "c_user", "c_ts", "p_ts", "p_value")
 
 
+def stream_stream_click_purchase_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, with its within-1h
+    purchase when one exists. Outer rows (click, null purchase) can only
+    be EMITTED once the watermark passes the join bound — before that,
+    a matching purchase could still arrive — so null emission is itself
+    watermark-driven state eviction. Same bounded-state discipline as
+    the inner form; the time-bound condition is mandatory for outer
+    stream-stream joins (Spark rejects the unbounded form)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"), F.col("value").alias("p_value"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "c_user", "c_ts", "p_ts", "p_value")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion against an in-memory sink
     (micro-batch AvailableNow ≡ the reference's run-once-then-cron)."""

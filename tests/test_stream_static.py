@@ -81,3 +81,52 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
     assert stream_rows
     for k, n in stream_rows.items():
         assert batch_rows.get(k) == n, k
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, sf_dir):
+    """Outer rows (click with no within-1h purchase) may only be emitted
+    once the watermark clears the join bound; the AvailableNow run's
+    closing no-data batch advances the watermark past all data, so every
+    unmatched click must surface with a null purchase."""
+    from hapiy_etl_spark.streaming.jobs import stream_stream_click_purchase_outer
+
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_stream_click_purchase_outer(events), "ss_outer_out")
+    out = spark.sql("SELECT * FROM ss_outer_out").collect()
+    stream_matched = {(r.click_id, r.purchase_id) for r in out if r.purchase_id is not None}
+    stream_unmatched = {r.click_id for r in out if r.purchase_id is None}
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).collect()
+    batch_matched = {(r.click_id, r.purchase_id) for r in batch if r.purchase_id is not None}
+    # an unmatched click is only FINALIZED (null emitted) once the final
+    # watermark (max event time - 30min delay) clears its 1h join bound;
+    # trailing clicks legitimately stay in state when the stream ends
+    import datetime as dt
+
+    # ... and the global watermark is the MIN across both inputs'
+    # per-side watermarks (multipleWatermarkPolicy default)
+    final_wm = min(
+        ev.where(F.col("event_type") == "click").agg(F.max("ts")).first()[0],
+        ev.where(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0],
+    ) - dt.timedelta(minutes=30)
+    batch_unmatched = {
+        r.click_id
+        for r in batch
+        if r.purchase_id is None and r.c_ts + dt.timedelta(hours=1) < final_wm
+    }
+    assert stream_matched == batch_matched
+    assert stream_unmatched == batch_unmatched
+    assert len(batch_unmatched) > 0  # the outer path is actually exercised
