@@ -545,3 +545,73 @@ def agg_listagg_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_disc(value, 0.05) AS lo,
+               quantile_disc(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+           CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
+           COUNT(*) FILTER (e.value < b.lo) AS n_clipped_low,
+           COUNT(*) FILTER (e.value > b.hi) AS n_clipped_high,
+           ROUND(b.lo, 2) AS p05,
+           ROUND(b.hi, 2) AS p95
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.lo, b.hi
+    ORDER BY e.event_type
+    """,
+    doc="Winsorized robust statistics per group: clip values at the "
+    "5th/95th percentile before aggregating — the outlier-hardening "
+    "step of feature engineering. Bounds use PERCENTILE_DISC (exact "
+    "data elements, no interpolation), so clipped values stay exact "
+    "2-decimal inputs and the sums are seam-free decimal arithmetic. "
+    "Plan: tiny per-group bounds aggregate broadcast back onto the "
+    "fact scan — two passes, no window over the full data.",
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    bounds = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS hi
+        FROM events GROUP BY event_type
+        """
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        t["events"]
+        .join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_raw"),
+            F.sum(clipped.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_winsorized"),
+            F.count_if(F.col("value") < F.col("lo")).alias("n_clipped_low"),
+            F.count_if(F.col("value") > F.col("hi")).alias("n_clipped_high"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_raw",
+            "sum_winsorized",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round("lo", 2).alias("p05"),
+            F.round("hi", 2).alias("p95"),
+        )
+        .orderBy("event_type")
+    )

@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "timeseries_ewma",
     "asof_forward_tolerance",
     "interval_union_coverage",
+    "agg_winsorized_stats",
     "window_tumbling",
     "window_sliding",
     "window_session",
