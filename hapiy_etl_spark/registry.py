@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "asof_forward_tolerance",
     "interval_union_coverage",
     "agg_winsorized_stats",
+    "graph_reachability_bfs",
     "window_tumbling",
     "window_sliding",
     "window_session",
