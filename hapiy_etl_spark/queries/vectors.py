@@ -273,3 +273,77 @@ def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, e,
+               list_min(e) AS mn, list_max(e) AS mx
+        FROM d
+    ),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN mx > mn THEN
+                   list_transform(e, x ->
+                       CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))
+               ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+        FROM b
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(qv, v -> v = 0)) AS BIGINT) AS n_at_zero,
+           CAST(len(list_filter(qv, v -> v = 255)) AS BIGINT) AS n_at_max,
+           CAST(len(qv) AS BIGINT) AS dim
+    FROM q
+    ORDER BY vec_id
+    """,
+    doc="Per-vector int8 (0..255) min-max quantization of the embedding "
+    "column — the storage/bandwidth-compression step of a vector "
+    "pipeline (4x smaller than float32 before codec). Pure column "
+    "algebra: higher-order transform on the scan, no shuffle until the "
+    "output sort. Outputs are integer-only (quantized checksum + "
+    "saturation counts): tie-stable floor(x+0.5) in BOTH engines with "
+    "the identical op order, because decimal ROUND on the quantization "
+    "boundary is engine-dependent (the EWMA lesson applied to vectors).",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    d = F.transform("embedding", lambda x: x.cast("double"))
+    df = t["embeddings"].select(
+        "vec_id",
+        d.alias("e"),
+    ).select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("mn"),
+        F.array_max("e").alias("mx"),
+    )
+    quant = F.when(
+        F.col("mx") > F.col("mn"),
+        F.transform(
+            "e",
+            lambda x: F.floor(
+                (x - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+    ).otherwise(F.transform("e", lambda x: F.lit(0).cast("long")))
+    return (
+        df.select("vec_id", quant.alias("qv"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.size(F.filter("qv", lambda v: v == 0)).cast("long").alias("n_at_zero"),
+            F.size(F.filter("qv", lambda v: v == 255)).cast("long").alias("n_at_max"),
+            F.size("qv").cast("long").alias("dim"),
+        )
+        .orderBy("vec_id")
+    )

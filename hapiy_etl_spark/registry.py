@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "interval_union_coverage",
     "agg_winsorized_stats",
     "graph_reachability_bfs",
+    "embedding_quantize_int8",
     "window_tumbling",
     "window_sliding",
     "window_session",
