@@ -1422,3 +1422,90 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 25)
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "text_cdc_chunking",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t
+        FROM documents WHERE doc_id < 200
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        FROM tok
+    ),
+    flagged AS (
+        SELECT doc_id, i, t[i] AS token,
+               CASE WHEN i >= 3 AND
+                    ('0x' || substr(md5(array_to_string(t[i-2:i], ' ')),
+                                    1, 8))::BIGINT % 16 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM pos
+    ),
+    chunked AS (
+        SELECT doc_id, i, token,
+               SUM(boundary) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS chunk_id
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_tokens,
+           string_agg(token, ' ' ORDER BY i) AS chunk_text
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Content-defined chunking (FastCDC-style): a chunk boundary "
+    "falls wherever the rolling 3-token window hash hits 0 mod 16 "
+    "(target ~16-token chunks) — boundaries depend only on LOCAL "
+    "content, so an insertion re-chunks O(1) chunks instead of "
+    "shifting every downstream boundary the way fixed-stride chunking "
+    "does. That stability is what makes chunk-level dedup work on "
+    "near-identical documents. Portable md5 window hash; one shuffle "
+    "(doc-partitioned running sum) to number chunks.",
+)
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", r"\s+")
+    pos = (
+        t["documents"]
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", F.posexplode(toks).alias("i0", "token"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "token")
+    )
+    # rolling 3-token window text via lag, then the portable md5 hash
+    w_ord = W.partitionBy("doc_id").orderBy("i")
+    win_text = F.concat_ws(
+        " ", F.lag("token", 2).over(w_ord), F.lag("token", 1).over(w_ord), F.col("token")
+    )
+    boundary = F.when(
+        (F.col("i") >= 3)
+        & (
+            F.conv(F.substring(F.md5(win_text), 1, 8), 16, 10).cast("bigint") % 16
+            == 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    chunked = pos.select(
+        "doc_id",
+        "i",
+        "token",
+        F.sum(boundary).over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("listagg(token, ' ') WITHIN GROUP (ORDER BY i)").alias(
+                "chunk_text"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -83,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_winsorized_stats",
     "graph_reachability_bfs",
     "embedding_quantize_int8",
+    "text_cdc_chunking",
     "window_tumbling",
     "window_sliding",
     "window_session",

@@ -151,3 +151,19 @@ def test_read_parquet_resilient_skips_corrupt_part(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception):
         read_parquet_resilient(spark, str(d), ignore_corrupt=False).count()
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink parity: values round-trip exactly and filters
+    reach the ORC scan (PushedFilters) just like parquet."""
+    src = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev.orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    orig = sorted(map(tuple, src.limit(0).union(src.where("event_id < 50")).collect()))
+    got = sorted(map(tuple, back.where("event_id < 50").collect()))
+    assert got == orig
+    plan = back.where("event_id < 50")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_id" in plan.split("PushedFilters")[1][:200]
