@@ -55,6 +55,12 @@ HEADLINE: tuple[str, ...] = (
     "text_sequence_pack",
     "multimodal_decode_features",
     "events_funnel_multistep",
+    "graph_triangle_count",
+    "graph_reachability_bfs",
+    "events_frequent_users",
+    "timeseries_ewma",
+    "interval_union_coverage",
+    "events_rolling_distinct_users",
 )
 
 

@@ -615,3 +615,52 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Incremental materialized-aggregate maintenance: the standing "
+    "state (events before the watermark date) and the new batch (after "
+    "it) are aggregated SEPARATELY to algebraic partials "
+    "(count/sum/min/max), then merged by re-aggregating the two partial "
+    "rows — never rescanning history. The oracle is the full-table "
+    "aggregate, proving merge(partial(old), partial(new)) == agg(all): "
+    "the algebraic-mergeability contract that makes streaming "
+    "complete-mode, partial shuffles, and incremental view refresh "
+    "work. Decimal sums keep the merge exact.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    cutoff = "2024-01-15 00:00:00"
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = partial(t["events"].where(F.col("ts") < F.lit(cutoff)))
+    batch = partial(t["events"].where(F.col("ts") >= F.lit(cutoff)))
+    return (
+        state.unionByName(batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

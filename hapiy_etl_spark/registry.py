@@ -84,6 +84,7 @@ PRIORITY: tuple[str, ...] = (
     "graph_reachability_bfs",
     "embedding_quantize_int8",
     "text_cdc_chunking",
+    "incremental_agg_merge",
     "window_tumbling",
     "window_sliding",
     "window_session",
