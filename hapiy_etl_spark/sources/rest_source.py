@@ -31,8 +31,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -189,3 +191,63 @@ class PagedRestDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> PagedRestStreamReader:
         return PagedRestStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "RestBatchWriter":
+        return RestBatchWriter(self.options)
+
+
+class _PostReceipt(WriterCommitMessage):
+    def __init__(self, partition_id: int, n_rows: int, receipt: str) -> None:
+        self.partition_id, self.n_rows, self.receipt = partition_id, n_rows, receipt
+
+
+class RestBatchWriter(DataSourceWriter):
+    """Batch REST sink (the write-side twin of the paged reader): each
+    executor task serializes its partition to JSON-lines and hands it to
+    an injectable ``poster(endpoint, lines) -> receipt`` (a real client
+    would POST a bulk payload; the shipped test double spools to files).
+
+    Two-phase commit contract: a task's POST may be retried by Spark
+    (speculation, task restart), so the poster must be idempotent or
+    dedup-able by receipt; the job-level ``commit`` publishes a
+    manifest of every task receipt ONLY after all tasks succeed — the
+    all-or-nothing marker downstream consumers gate on (the same role
+    as parquet's _SUCCESS). ``abort`` publishes nothing, so a failed
+    job is invisible (reference R6's idempotent-upsert discipline,
+    carried to an external sink)."""
+
+    def __init__(self, options: dict) -> None:
+        self.endpoint = options["endpoint"]
+        self.poster = options["poster"]
+        self.token = _resolve_token(options)
+
+    def write(self, iterator) -> _PostReceipt:
+        from pyspark import TaskContext
+
+        post = _resolve(self.poster)
+        lines = []
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            lines.append(json.dumps(d, default=str, sort_keys=True))
+        pid = TaskContext.get().partitionId()
+        receipt = (
+            post(self.endpoint, lines, token=self.token)
+            if self.token is not None
+            else post(self.endpoint, lines)
+        )
+        return _PostReceipt(pid, len(lines), receipt)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "receipts": sorted(
+                (m.partition_id, m.n_rows, m.receipt) for m in messages
+            ),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.endpoint, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        # nothing was published; spooled task files carry no manifest,
+        # so downstream consumers never see the partial write
+        pass

@@ -107,3 +107,22 @@ def fetch_page_with_token(endpoint: str, page: int, token: str | None = None) ->
         json.dumps({"sha": f"tok={token}-sha{i}", "commit": None})
         for i in range(start, start + PER_PAGE)
     ]
+
+
+def spool_post_batch(endpoint: str, lines: list[str]) -> str:
+    """Writer test double: 'POST' a bulk payload by spooling it to a
+    uniquely-named file under the endpoint directory; the filename is
+    the receipt."""
+    import os
+    import uuid
+
+    os.makedirs(endpoint, exist_ok=True)
+    name = f"batch-{uuid.uuid4().hex}.jsonl"
+    with open(os.path.join(endpoint, name), "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return name
+
+
+def failing_post_batch(endpoint: str, lines: list[str]) -> str:
+    """Writer test double that fails — drives the abort path."""
+    raise RuntimeError("upstream rejected the batch")

@@ -156,3 +156,49 @@ def test_paged_rest_without_token_env(spark):
     """No token_env -> fetcher called with the plain 2-arg signature."""
     df = _read(spark, n_pages=1, ppp=1)
     assert df.count() > 0
+
+
+def test_rest_batch_writer_commits_manifest(spark, tmp_path):
+    """The write-side of the Python DataSource: every row lands exactly
+    once across task spool files, and the job-level manifest (the
+    all-or-nothing marker) matches the total."""
+    import json as _json
+    import os
+
+    spark.dataSource.register(PagedRestDataSource)
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink, exist_ok=True)
+    df = spark.range(100).selectExpr("id", "concat('v', id) AS v").repartition(4)
+    (
+        df.write.format("paged_rest")
+        .option("endpoint", sink)
+        .option("poster", "tests.fixtures_rest.spool_post_batch")
+        .mode("append")
+        .save()
+    )
+    manifest = _json.load(open(os.path.join(sink, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 100
+    rows = []
+    for _, _, receipt in manifest["receipts"]:
+        with open(os.path.join(sink, receipt)) as f:
+            rows.extend(_json.loads(ln) for ln in f if ln.strip())
+    assert sorted(r["id"] for r in rows) == list(range(100))
+
+
+def test_rest_batch_writer_abort_publishes_nothing(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    spark.dataSource.register(PagedRestDataSource)
+    sink = str(tmp_path / "sink_fail")
+    os.makedirs(sink, exist_ok=True)
+    with _pytest.raises(Exception):
+        (
+            spark.range(10).write.format("paged_rest")
+            .option("endpoint", sink)
+            .option("poster", "tests.fixtures_rest.failing_post_batch")
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(os.path.join(sink, "_MANIFEST.json"))
