@@ -167,3 +167,22 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, sf_dir, tmp_path):
     assert got == orig
     plan = back.where("event_id < 50")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "event_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """At 100 TB the optimizer's stats can be wrong; strategy hints are
+    the escape hatch and must actually switch the physical join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in plan(merged)
+    shuffled = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in plan(shuffled)
+    bcast = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    assert "BroadcastHashJoin" in plan(bcast)
