@@ -7,7 +7,13 @@ LSH. A scale-safe engine holds wall-clock growth near-linear while the
 output explodes. r2 measured x1/x2/x4; r3 extends to x8 (BASELINE.md
 "Scale-growth check" section records the numbers).
 
-Usage: python tools/scale_growth.py [k ...]   (default: 1 2 4 8)
+r4 adds `--graph`: disjoint k-fold lineitem replication (order AND
+part keys shifted — same distribution, k-times the rows) through the
+co-purchase triangle pipeline; edges/triangles must grow linearly and
+wall-clock must track input, never the wedge space.
+
+Usage: python tools/scale_growth.py [k ...]          (default: 1 2 4 8)
+       python tools/scale_growth.py --graph [k ...]  (default: 1 2 4)
 """
 
 from __future__ import annotations
@@ -34,11 +40,75 @@ def replicated(docs, k: int):
     )
 
 
+def graph_main(ks: list[int]) -> None:
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.graph import triangle_stats
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_graph")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    mo = li.agg(F.max("l_orderkey")).first()[0] + 1
+    mp = li.agg(F.max("l_partkey")).first()[0] + 1
+    results: dict[str, dict[str, float]] = {}
+    for k in ks:
+        reps = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * mo)).alias("o"),
+                (F.col("l_partkey") + F.lit(i * mp)).alias("p"),
+            )
+            for i in range(k)
+        ]
+        df = reps[0]
+        for x in reps[1:]:
+            df = df.unionAll(x)
+        per_order = df.groupBy("o").agg(
+            F.slice(F.sort_array(F.collect_set("p")), 1, 64).alias("parts")
+        )
+        pair = F.flatten(
+            F.transform(
+                "parts",
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("parts"), i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                ),
+            )
+        )
+        edges = (
+            per_order.select(F.explode(pair).alias("pr"))
+            .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 2)
+            .select("src", "dst")
+        )
+        t0 = time.time()
+        row = triangle_stats(edges).collect()[0]
+        dt = round(time.time() - t0, 2)
+        results[f"x{k}"] = {
+            "sec": dt,
+            "edges": row.n_edges,
+            "triangles": row.n_triangles,
+            "nodes": row.n_nodes,
+        }
+        print(f"x{k}: {dt}s {row.n_edges} edges {row.n_triangles} triangles", flush=True)
+        spark.catalog.clearCache()
+    print(json.dumps(results))
+    spark.stop()
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
 
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    args = sys.argv[1:]
+    if args and args[0] == "--graph":
+        graph_main([int(a) for a in args[1:]] or [1, 2, 4])
+        return
+    ks = [int(a) for a in args] or [1, 2, 4, 8]
     spark = get_spark("scale_growth")
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
