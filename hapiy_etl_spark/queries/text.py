@@ -1509,3 +1509,99 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "corpus_split_leakfree",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    walk(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+    ),
+    roots AS (
+        SELECT d.doc_id,
+               COALESCE(w.root, d.doc_id) AS root
+        FROM documents d
+        LEFT JOIN (SELECT node, MIN(label) AS root FROM walk GROUP BY node) w
+          ON w.node = d.doc_id
+    ),
+    tagged AS (
+        SELECT doc_id, root,
+               CASE WHEN substr(md5(CAST(root AS VARCHAR)), 32, 1) < 'c' THEN 'train'
+                    WHEN substr(md5(CAST(root AS VARCHAR)), 32, 1) < 'e' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM roots
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT root) AS n_groups,
+           CAST(COUNT(*) FILTER (doc_id != root) AS BIGINT) AS n_dup_members
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Leakage-FREE train/val/test split: the split key is the "
+    "near-dup CLUSTER ROOT (connected components over exact-Jaccard "
+    "pairs, min-label root; singletons key on themselves), so every "
+    "member of a duplicate cluster lands in the SAME split — "
+    "content-hash splitting alone (corpus_split_sample) only pins "
+    "EXACT copies together, while near-copies (3-token edits) can "
+    "straddle train/test and leak. The oracle recomputes exact "
+    "components via recursive CTE and the identical md5-nibble "
+    "assignment on the root.",
+)
+def corpus_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, df_cap=100
+    ).cache()
+    clusters = D.dedup_clusters(pairs, rounds=4, checkpoint_every=2)
+    roots = docs.join(
+        clusters.select("doc_id", F.col("cluster_id").alias("root")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("root", "doc_id").alias("root"))
+    nibble = F.substring(F.md5(F.col("root").cast("string")), 32, 1)
+    split = (
+        F.when(nibble < "c", "train").when(nibble < "e", "val").otherwise("test")
+    )
+    return (
+        roots.select("doc_id", "root", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("root").alias("n_groups"),
+            F.count_if(F.col("doc_id") != F.col("root")).alias("n_dup_members"),
+        )
+        .orderBy("split")
+    )

@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_quantize_int8",
     "text_cdc_chunking",
     "incremental_agg_merge",
+    "corpus_split_leakfree",
     "window_tumbling",
     "window_sliding",
     "window_session",
