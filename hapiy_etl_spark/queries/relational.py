@@ -573,3 +573,52 @@ def maintenance_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zkey", "l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k
+        FROM customer WHERE c_custkey <= 500
+    ),
+    r AS (
+        SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS k
+        FROM supplier
+    )
+    SELECT l.k AS k,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT l.c_custkey) AS n_customers,
+           COUNT(DISTINCT r.s_suppkey) AS n_suppliers
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    ORDER BY k NULLS FIRST
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of dropping out — the semantics needed "
+    "when a nullable attribute (here a NULLIF-derived bucket) is a "
+    "legitimate join key. Catalyst plans eqNullSafe as a HASH join "
+    "(null-safe equality is still an equi-predicate), not a nested "
+    "loop — worth pinning because the naive OR-of-IS-NULL rewrite "
+    "degenerates to BNLJ.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    l = (
+        t["customer"]
+        .where(F.col("c_custkey") <= 500)
+        .select("c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k"))
+    )
+    r = t["supplier"].select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("kr")
+    )
+    return (
+        l.join(r, l.k.eqNullSafe(F.col("kr")))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )

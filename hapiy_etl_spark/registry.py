@@ -86,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "text_cdc_chunking",
     "incremental_agg_merge",
     "corpus_split_leakfree",
+    "join_null_safe",
     "window_tumbling",
     "window_sliding",
     "window_session",
