@@ -1605,3 +1605,76 @@ def corpus_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "text_segment_dedup",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    seg AS (
+        SELECT doc_id,
+               CAST(s // 10 AS BIGINT) AS seg_id,
+               array_to_string(t[s + 1 : s + 10], ' ') AS seg_text
+        FROM tok, unnest(range(0, len(t), 10)) AS u(s)
+    ),
+    ranked AS (
+        SELECT doc_id, seg_id, seg_text,
+               ROW_NUMBER() OVER (PARTITION BY seg_text
+                                  ORDER BY doc_id, seg_id) AS occ
+        FROM seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(COUNT(*) FILTER (occ = 1) AS BIGINT) AS n_kept,
+           string_agg(CASE WHEN occ = 1 THEN seg_text END, ' '
+                      ORDER BY seg_id) AS text_kept
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Cross-corpus segment dedup + document reassembly (the C4 "
+    "'remove repeated three-sentence spans' hygiene pass, on 10-token "
+    "segments): every segment keeps only its FIRST occurrence corpus-"
+    "wide (ordered by doc_id, seg_id), and documents are rebuilt from "
+    "their surviving segments in order. One shuffle on the segment "
+    "text (the window key) and one on doc_id for reassembly; segment "
+    "keys could ride as xxhash64 digests at 100 TB, shrinking the "
+    "shuffle to 8 bytes per segment.",
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", r"\s+")
+    seg = (
+        t["documents"]
+        .select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(10))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / 10).cast("long").alias("seg_id"),
+            F.array_join(F.slice("t", F.col("s") + 1, 10), " ").alias("seg_text"),
+        )
+    )
+    occ = F.row_number().over(
+        W.partitionBy("seg_text").orderBy("doc_id", "seg_id")
+    )
+    ranked = seg.select("doc_id", "seg_id", "seg_text", occ.alias("occ"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count_if(F.col("occ") == 1).alias("n_kept"),
+            F.expr(
+                "listagg(CASE WHEN occ = 1 THEN seg_text END, ' ') "
+                "WITHIN GROUP (ORDER BY seg_id)"
+            ).alias("text_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -87,6 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "incremental_agg_merge",
     "corpus_split_leakfree",
     "join_null_safe",
+    "text_segment_dedup",
     "window_tumbling",
     "window_sliding",
     "window_session",

@@ -186,3 +186,21 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in plan(shuffled)
     bcast = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
     assert "BroadcastHashJoin" in plan(bcast)
+
+
+def test_read_table_normalizes_ntz_timestamps(spark, tmp_path, sf_dir):
+    """Parquet timestamp[us] without timezone reads as TIMESTAMP_NTZ in
+    Spark 4; read_table must normalize to session-timezone TIMESTAMP or
+    every epoch cast downstream breaks (r4 testdata regeneration)."""
+    from hapiy_etl_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # the epoch cast that broke under NTZ must work
+    assert ev.select(F.col("ts").cast("long")).first()[0] is not None
+    # and parity with what the raw file stores (same instant, UTC session)
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).to_pandas()
+    got = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert got[0] == raw["ts"].min() and got[1] == raw["ts"].max()
