@@ -622,3 +622,80 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+    WITH versions AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+               COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                        TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        FROM (
+            SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ),
+    pit AS (
+        SELECT * FROM versions
+        WHERE valid_from <= TIMESTAMP '1998-06-01 00:00:00'
+          AND valid_to > TIMESTAMP '1998-06-01 00:00:00'
+    )
+    SELECT o_orderpriority AS priority_as_of,
+           COUNT(*) AS n_customers,
+           MIN(o_custkey) AS first_custkey
+    FROM pit
+    GROUP BY o_orderpriority
+    ORDER BY priority_as_of
+    """,
+    doc="SCD2 point-in-time read (the feature-store time-travel shape): "
+    "orders replayed as a CDC feed build versioned customer-priority "
+    "rows (valid_from = order date, valid_to = next change, same-day "
+    "collapse keeps the last order per day — scd2_apply's micro-batch "
+    "rule), then the snapshot WHERE valid_from <= T < valid_to "
+    "reconstructs every customer's state as of 1998-06-01. One window "
+    "over the feed plus a pruned filter; at scale valid_from becomes "
+    "the partition column so PIT reads prune to one era.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    probe = "1998-06-01 00:00:00"
+    last_per_day = (
+        t["orders"]
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_custkey", "o_orderdate").orderBy(
+                    F.col("o_orderkey").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    lead_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = last_per_day.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(lead_w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    pit = versions.where(
+        (F.col("valid_from") <= F.lit(probe)) & (F.col("valid_to") > F.lit(probe))
+    )
+    return (
+        pit.groupBy(F.col("o_orderpriority").alias("priority_as_of"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("o_custkey").alias("first_custkey"),
+        )
+        .orderBy("priority_as_of")
+    )

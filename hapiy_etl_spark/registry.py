@@ -88,6 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_split_leakfree",
     "join_null_safe",
     "text_segment_dedup",
+    "scd2_point_in_time",
     "window_tumbling",
     "window_sliding",
     "window_session",
