@@ -130,8 +130,10 @@ def triangle_stats(
         "left_semi",
     )
     n_tri = triangles.agg(F.count("*").alias("n_triangles"))
+    # integer div keeps the wedge sum exact long arithmetic at any
+    # scale (float /2 then cast rounds once the sum passes 2^53)
     n_wedge = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges")
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = e.agg(F.count("*").alias("n_edges"))

@@ -651,7 +651,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
 
-    state = partial(t["events"].where(F.col("ts") < F.lit(cutoff)))
+    # null-ts rows route to the state side: a bare `<` would drop them
+    # from BOTH partials while the full-table oracle counts them,
+    # breaking the merge(partial,partial) == agg(all) contract
+    state = partial(
+        t["events"].where((F.col("ts") < F.lit(cutoff)) | F.col("ts").isNull())
+    )
     batch = partial(t["events"].where(F.col("ts") >= F.lit(cutoff)))
     return (
         state.unionByName(batch)

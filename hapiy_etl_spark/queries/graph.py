@@ -97,20 +97,19 @@ _BASKET_CAP = 64  # parts kept per order (lowest partkey first) — the
 # oracle sees identical data.
 
 
-def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Part co-purchase affinity edges: (src < dst) part pairs appearing
-    together in >= 2 distinct orders. One shuffle to
-    (order -> sorted capped part array), then pair generation as a
-    higher-order array expression (C(n,2) structs, n <= cap) — cheaper
-    than the window-cap + self-join formulation (two extra shuffles of
-    the full item list; measured ~2x slower). collect_set dedups
-    (order, part) inside the aggregation, so no separate distinct pass
-    is needed either."""
-    t = load_tables(spark, sf_dir, ("lineitem",))
+def copurchase_edges_from(op_df: DataFrame) -> DataFrame:
+    """Part co-purchase affinity edges from an (o, p) item DataFrame:
+    (src < dst) part pairs appearing together in >= 2 distinct orders.
+    One shuffle to (order -> sorted capped part array), then pair
+    generation as a higher-order array expression (C(n,2) structs,
+    n <= cap) — cheaper than the window-cap + self-join formulation
+    (two extra shuffles of the full item list; measured ~2x slower).
+    collect_set dedups (order, part) inside the aggregation, so no
+    separate distinct pass is needed either. Shared by the triangle /
+    BFS queries and tools/scale_growth.py --graph, so the measured
+    pipeline IS the registered one."""
     per_order = (
-        t["lineitem"]
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .groupBy("o")
+        op_df.groupBy("o")
         .agg(
             F.slice(F.sort_array(F.collect_set("p")), 1, _BASKET_CAP).alias(
                 "parts"
@@ -137,11 +136,20 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return copurchase_edges_from(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+    )
 
-@register(
-    "graph_triangle_count",
-    oracle=f"""
-    WITH op AS (
+
+# Shared edge-derivation CTE: the SINGLE source of truth for the oracle
+# side of the co-purchase graph (triangle + BFS) — mirrors
+# copurchase_edges_from exactly, including the fanout cap.
+_EDGE_CTE = f"""
+    op AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
     capped AS (
@@ -156,7 +164,13 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
         SELECT x AS a, y AS b FROM pp GROUP BY x, y HAVING COUNT(*) >= 2
-    ),
+    )"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGE_CTE},
     deg AS (
         SELECT v, COUNT(*) AS deg
         FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
@@ -195,25 +209,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hapiy_etl_spark.operators.graph import triangle_stats
 
     return triangle_stats(copurchase_edges(spark, sf_dir))
-
-
-_EDGE_CTE = f"""
-    op AS (
-        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ),
-    capped AS (
-        SELECT o, p FROM (
-            SELECT o, p, ROW_NUMBER() OVER (PARTITION BY o ORDER BY p) AS rn
-            FROM op
-        ) WHERE rn <= {_BASKET_CAP}
-    ),
-    pp AS (
-        SELECT x.p AS x, y.p AS y
-        FROM capped x JOIN capped y ON x.o = y.o AND x.p < y.p
-    ),
-    e AS (
-        SELECT x AS a, y AS b FROM pp GROUP BY x, y HAVING COUNT(*) >= 2
-    )"""
 
 
 @register(

@@ -341,7 +341,12 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
                 "seq": pdf.index + 1,
-                "ewma_milli": np.floor(out * 1000.0 + 0.5).astype("int64"),
+                # nullable Int64: a null/NaN input poisons the running
+                # EWMA exactly like the oracle's NULL propagation —
+                # plain astype(int64) would turn NaN into INT64_MIN
+                "ewma_milli": pd.Series(
+                    np.floor(out * 1000.0 + 0.5)
+                ).astype("Int64"),
             }
         )
 

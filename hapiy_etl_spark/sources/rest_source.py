@@ -193,7 +193,7 @@ class PagedRestDataSource(DataSource):
         return PagedRestStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "RestBatchWriter":
-        return RestBatchWriter(self.options)
+        return RestBatchWriter(self.options, overwrite=overwrite)
 
 
 class _PostReceipt(WriterCommitMessage):
@@ -216,10 +216,11 @@ class RestBatchWriter(DataSourceWriter):
     job is invisible (reference R6's idempotent-upsert discipline,
     carried to an external sink)."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         self.endpoint = options["endpoint"]
         self.poster = options["poster"]
         self.token = _resolve_token(options)
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _PostReceipt:
         from pyspark import TaskContext
@@ -238,12 +239,18 @@ class RestBatchWriter(DataSourceWriter):
         return _PostReceipt(pid, len(lines), receipt)
 
     def commit(self, messages) -> None:
-        manifest = {
-            "receipts": sorted(
-                (m.partition_id, m.n_rows, m.receipt) for m in messages
-            ),
-            "n_rows": sum(m.n_rows for m in messages),
-        }
+        receipts = sorted((m.partition_id, m.n_rows, m.receipt) for m in messages)
+        if self.overwrite:
+            # honor mode("overwrite"): retire every previously-posted
+            # batch that this job did not produce, so a
+            # directory-listing consumer sees exactly this job's data.
+            # Done at COMMIT time — a failed overwrite job must leave
+            # the prior state untouched (same contract as abort).
+            keep = {r for _, _, r in receipts}
+            for name in os.listdir(self.endpoint):
+                if name.startswith("batch-") and name not in keep:
+                    os.remove(os.path.join(self.endpoint, name))
+        manifest = {"receipts": receipts, "n_rows": sum(m.n_rows for m in messages)}
         with open(os.path.join(self.endpoint, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
 

@@ -108,12 +108,15 @@ def sliding_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_stream_click_purchase(events: DataFrame) -> DataFrame:
-    """Stream-stream inner join: purchases within 1 hour after a click by
+def stream_stream_click_purchase(
+    events: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Stream-stream join: purchases within 1 hour after a click by
     the same user. Both sides are watermarked and the join condition
     time-bounds the match, so each side's state store evicts rows once
     the watermark passes the bound — bounded state, the requirement for
-    stream-stream joins at scale."""
+    stream-stream joins at scale. ``how`` extends to ``leftOuter``
+    (see stream_stream_click_purchase_outer for the semantics)."""
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
@@ -131,7 +134,7 @@ def stream_stream_click_purchase(events: DataFrame) -> DataFrame:
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "inner",
+        how,
     ).select("click_id", "purchase_id", "c_user", "c_ts", "p_ts", "p_value")
 
 
@@ -140,28 +143,11 @@ def stream_stream_click_purchase_outer(events: DataFrame) -> DataFrame:
     purchase when one exists. Outer rows (click, null purchase) can only
     be EMITTED once the watermark passes the join bound — before that,
     a matching purchase could still arrive — so null emission is itself
-    watermark-driven state eviction. Same bounded-state discipline as
-    the inner form; the time-bound condition is mandatory for outer
-    stream-stream joins (Spark rejects the unbounded form)."""
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
-                F.col("event_id").alias("click_id"))
-        .withWatermark("c_ts", "30 minutes")
-    )
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
-                F.col("event_id").alias("purchase_id"), F.col("value").alias("p_value"))
-        .withWatermark("p_ts", "30 minutes")
-    )
-    return clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
-    ).select("click_id", "purchase_id", "c_user", "c_ts", "p_ts", "p_value")
+    watermark-driven state eviction. Same plan as the inner form (one
+    shared builder, only the join type differs); the time-bound
+    condition is mandatory for outer stream-stream joins (Spark
+    rejects the unbounded form)."""
+    return stream_stream_click_purchase(events, how="leftOuter")
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:

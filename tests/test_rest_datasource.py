@@ -202,3 +202,35 @@ def test_rest_batch_writer_abort_publishes_nothing(spark, tmp_path):
             .save()
         )
     assert not os.path.exists(os.path.join(sink, "_MANIFEST.json"))
+
+
+def test_rest_batch_writer_overwrite_retires_prior_batches(spark, tmp_path):
+    """mode('overwrite') must retire prior spool files at commit so a
+    directory-listing consumer sees exactly the new job's rows; a
+    failed overwrite leaves prior state untouched (commit-time action)."""
+    import json as _json
+    import os
+
+    spark.dataSource.register(PagedRestDataSource)
+    sink = str(tmp_path / "sink_ow")
+    os.makedirs(sink, exist_ok=True)
+
+    def write(df, mode):
+        (
+            df.write.format("paged_rest")
+            .option("endpoint", sink)
+            .option("poster", "tests.fixtures_rest.spool_post_batch")
+            .mode(mode)
+            .save()
+        )
+
+    write(spark.range(40).selectExpr("id"), "append")
+    write(spark.range(100, 110).selectExpr("id"), "overwrite")
+    files = [f for f in os.listdir(sink) if f.startswith("batch-")]
+    rows = []
+    for f in files:
+        with open(os.path.join(sink, f)) as fh:
+            rows.extend(_json.loads(ln) for ln in fh if ln.strip())
+    assert sorted(r["id"] for r in rows) == list(range(100, 110))
+    manifest = _json.load(open(os.path.join(sink, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 10

@@ -64,27 +64,9 @@ def graph_main(ks: list[int]) -> None:
         df = reps[0]
         for x in reps[1:]:
             df = df.unionAll(x)
-        per_order = df.groupBy("o").agg(
-            F.slice(F.sort_array(F.collect_set("p")), 1, 64).alias("parts")
-        )
-        pair = F.flatten(
-            F.transform(
-                "parts",
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("parts"), i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
-                    ),
-                    lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                ),
-            )
-        )
-        edges = (
-            per_order.select(F.explode(pair).alias("pr"))
-            .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
-            .agg(F.count("*").alias("n"))
-            .where(F.col("n") >= 2)
-            .select("src", "dst")
-        )
+        edges = __import__(
+            "hapiy_etl_spark.queries.graph", fromlist=["copurchase_edges_from"]
+        ).copurchase_edges_from(df)
         t0 = time.time()
         row = triangle_stats(edges).collect()[0]
         dt = round(time.time() - t0, 2)
