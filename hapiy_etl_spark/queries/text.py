@@ -1678,3 +1678,71 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH shares AS (
+        SELECT lang, COUNT(*) AS n,
+               COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS share
+        FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n, share,
+               pow(share, 0.5) / (SELECT MAX(pow(share, 0.5)) FROM shares)
+                   AS keep_rate
+        FROM shares
+    ),
+    sampled AS (
+        SELECT d.lang, r.keep_rate, r.share,
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))::BIGINT
+                % 1000000) / 1000000.0 AS u
+        FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang,
+           ROUND(share, 6) AS orig_share,
+           ROUND(keep_rate, 6) AS keep_rate,
+           COUNT(*) FILTER (u < keep_rate) AS n_kept
+    FROM sampled
+    GROUP BY lang, share, keep_rate
+    ORDER BY lang
+    """,
+    doc="Temperature-scaled LANGUAGE rebalancing (alpha=0.5 unigram-mix "
+    "temperature, the multilingual/multi-domain pretraining reweighting "
+    "rule): per-source keep rate proportional to share^alpha, "
+    "normalized so the largest source keeps everything — flattens the "
+    "domain distribution toward uniform without an explicit rate "
+    "table. Rates derive from a tiny per-source aggregate broadcast "
+    "back onto the scan; the per-doc decision is the portable md5 "
+    "uniform (reproducible across engines/partitionings/reruns).",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    total = docs.count()
+    shares = docs.groupBy("lang").agg(
+        (F.count("*") * 1.0 / F.lit(total)).alias("share")
+    )
+    max_pow = shares.agg(F.max(F.pow("share", 0.5)).alias("mx"))
+    rates = shares.crossJoin(F.broadcast(max_pow)).select(
+        "lang",
+        "share",
+        (F.pow("share", 0.5) / F.col("mx")).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("bigint") % 1000000
+    ) / 1000000.0
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "share", "keep_rate")
+        .agg(F.count_if(u < F.col("keep_rate")).alias("n_kept"))
+        .select(
+            "lang",
+            F.round("share", 6).alias("orig_share"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+            "n_kept",
+        )
+        .orderBy("lang")
+    )

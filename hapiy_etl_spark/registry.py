@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "join_null_safe",
     "text_segment_dedup",
     "scd2_point_in_time",
+    "corpus_mix_temperature",
     "window_tumbling",
     "window_sliding",
     "window_session",
