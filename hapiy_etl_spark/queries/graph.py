@@ -275,3 +275,79 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY seed, hops, node
         """
     )
+
+
+@register(
+    "basket_pair_lift",
+    oracle=f"""
+    WITH {_EDGE_CTE},
+    n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM capped),
+    part_support AS (
+        SELECT p, COUNT(DISTINCT o) AS n_p FROM capped GROUP BY p
+    ),
+    pair_support AS (
+        SELECT x AS a, y AS b, COUNT(*) AS n_ab
+        FROM pp GROUP BY x, y HAVING COUNT(*) >= 2
+    )
+    SELECT ps.a, ps.b, CAST(ps.n_ab AS BIGINT) AS n_together,
+           ROUND(ps.n_ab * 1.0 / sa.n_p, 6) AS confidence_a_to_b,
+           ROUND(ps.n_ab * 1.0 * (SELECT n FROM n_orders)
+                 / (sa.n_p * sb.n_p), 4) AS lift
+    FROM pair_support ps
+    JOIN part_support sa ON sa.p = ps.a
+    JOIN part_support sb ON sb.p = ps.b
+    ORDER BY lift DESC, ps.a, ps.b
+    LIMIT 100
+    """,
+    doc="Market-basket association metrics over the co-purchase pairs "
+    "(support >= 2): confidence P(b|a) and lift "
+    "P(a,b)/(P(a)P(b)) for the top-100 lifted part pairs — the "
+    "association-rule-mining shape sharing the SAME capped pair "
+    "derivation as the triangle/BFS queries (one source of truth, "
+    "Spark and oracle). Per-part supports are a second aggregate over "
+    "the capped item list; the pair join touches only surviving "
+    "pairs.",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    op = t["lineitem"].select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    capped = (
+        op.withColumn("rn", F.row_number().over(W.partitionBy("o").orderBy("p")))
+        .where(F.col("rn") <= _BASKET_CAP)
+        .drop("rn")
+        .cache()
+    )
+    n_orders = capped.agg(F.countDistinct("o").alias("n"))
+    part_support = capped.groupBy("p").agg(F.countDistinct("o").alias("n_p"))
+    x, y = capped.alias("x"), capped.alias("y")
+    pair_support = (
+        x.join(y, "o")
+        .where(F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    sa = part_support.select(F.col("p").alias("a"), F.col("n_p").alias("n_a"))
+    sb = part_support.select(F.col("p").alias("b"), F.col("n_p").alias("n_b"))
+    return (
+        pair_support.join(sa, "a")
+        .join(sb, "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_together"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n") / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(100)
+    )

@@ -903,3 +903,74 @@ def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     ).orderBy("nation", "yr")
+
+
+@register(
+    "customer_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, last_order, frequency, monetary,
+               NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+        FROM rfm
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(monetary), 2) AS segment_value
+    FROM scored
+    GROUP BY r_quartile, f_quartile, m_quartile
+    ORDER BY r_quartile, f_quartile, m_quartile
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary "
+    "quartiles): one aggregate to customer grain, three global NTILE "
+    "windows with deterministic tiebreaks, rolled up to the 4x4x4 "
+    "segment grid. The global windows run on the small customer-grain "
+    "aggregate (|customers| rows), never the fact table — the "
+    "aggregate-first discipline that keeps global ordering feasible "
+    "at scale.",
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    rfm = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_quartile"),
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )

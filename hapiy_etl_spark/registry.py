@@ -90,6 +90,8 @@ PRIORITY: tuple[str, ...] = (
     "text_segment_dedup",
     "scd2_point_in_time",
     "corpus_mix_temperature",
+    "customer_rfm_segmentation",
+    "basket_pair_lift",
     "window_tumbling",
     "window_sliding",
     "window_session",
