@@ -907,3 +907,49 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_union_stats(iv, key="user_id", start="s", end="e").orderBy(
         "user_id"
     )
+
+
+@register(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    stats AS (
+        SELECT event_type, day, n,
+               AVG(n * 1.0) OVER (PARTITION BY event_type) AS mu,
+               STDDEV_SAMP(n * 1.0) OVER (PARTITION BY event_type) AS sigma
+        FROM daily
+    )
+    SELECT event_type, day, n,
+           ROUND((n - mu) / NULLIF(sigma, 0), 4) AS zscore,
+           ABS(n - mu) > 2 * sigma AS anomaly
+    FROM stats
+    ORDER BY event_type, day
+    """,
+    doc="Daily volume anomaly detection: per-type daily counts z-scored "
+    "against that type's own distribution (window aggregates over the "
+    "day-grain rollup, never the raw stream), rows beyond 2 sigma "
+    "flagged — the monitoring/alerting shape. The heavy input "
+    "collapses to |types| x |days| rows before any window runs.",
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type")
+    mu = F.avg(F.col("n") * 1.0).over(w)
+    sigma = F.stddev_samp(F.col("n") * 1.0).over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round((F.col("n") - mu) / F.nullif(sigma, F.lit(0)), 4).alias("zscore"),
+        (F.abs(F.col("n") - mu) > 2 * sigma).alias("anomaly"),
+    ).orderBy("event_type", "day")

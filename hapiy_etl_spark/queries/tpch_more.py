@@ -974,3 +974,127 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
+
+
+@register(
+    "revenue_pareto_curve",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM cust
+    ),
+    per_decile AS (
+        SELECT decile, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+                   AS decile_revenue
+        FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           ROUND(decile_revenue, 2) AS decile_revenue,
+           ROUND(SUM(decile_revenue) OVER (ORDER BY decile)
+                 / SUM(decile_revenue) OVER (), 6) AS cum_share
+    FROM per_decile
+    ORDER BY decile
+    """,
+    doc="Pareto / revenue-concentration curve: customers bucketed into "
+    "revenue deciles (deterministic NTILE tiebreak), cumulative share "
+    "per decile — the 80/20 report. Decimal sums keep both the decile "
+    "totals and the cumulative ratio exact; the windows run on 10 "
+    "rows.",
+)
+def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    ranked = cust.select(
+        "revenue",
+        F.ntile(10)
+        .over(W.orderBy(F.col("revenue").desc(), F.col("o_custkey")))
+        .alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("decile_revenue"),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        F.round("decile_revenue", 2).alias("decile_revenue"),
+        F.round(
+            F.sum("decile_revenue").over(w_cum) / F.sum("decile_revenue").over(w_all),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+@register(
+    "supplier_lead_time",
+    oracle="""
+    WITH lt AS (
+        SELECT l.l_suppkey,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n_shipments,
+           CAST(quantile_disc(lead_days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(lead_days, 0.9) AS BIGINT) AS p90_days,
+           CAST(MAX(lead_days) AS BIGINT) AS max_days
+    FROM lt
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+    doc="Operational lead-time SLA report: order-to-ship days per "
+    "supplier with discrete p50/p90 (exact data elements — no "
+    "interpolation seam). One fact-to-fact equi-join (AQE-sized) and "
+    "one aggregate; datediff stays integer end to end.",
+)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    lt = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+        )
+    )
+    lt.createOrReplaceTempView("__lead_times")
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               COUNT(*) AS n_shipments,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lead_days)
+                    AS BIGINT) AS p50_days,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lead_days)
+                    AS BIGINT) AS p90_days,
+               CAST(MAX(lead_days) AS BIGINT) AS max_days
+        FROM __lead_times
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+        """
+    )

@@ -92,6 +92,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_mix_temperature",
     "customer_rfm_segmentation",
     "basket_pair_lift",
+    "revenue_pareto_curve",
+    "supplier_lead_time",
+    "events_daily_anomaly",
     "window_tumbling",
     "window_sliding",
     "window_session",
