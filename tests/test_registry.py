@@ -67,6 +67,10 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "doc_tfidf_topterms",  # 1-row corpus-N aggregate crossed
         "graph_triangle_count",  # four 1-row graph summaries crossed
         #   into the single output row (nodes/edges/wedges/triangles)
+        "corpus_mix_temperature",  # 1-row max-share aggregate crossed
+        #   into the per-language rate table
+        "basket_pair_lift",  # 1-row distinct-order-count aggregate
+        #   crossed into the lift denominator
         "semdedup_assign",  # bounded cross: corpus x 8 broadcast centroids
     }
     offenders = []
