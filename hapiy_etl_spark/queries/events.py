@@ -953,3 +953,69 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - mu) / F.nullif(sigma, F.lit(0)), 4).alias("zscore"),
         (F.abs(F.col("n") - mu) > 2 * sigma).alias("anomaly"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+    ),
+    mau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - INTERVAL 27 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, dau.dau, mau.mau,
+           ROUND(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM days d JOIN dau ON dau.day = d.day JOIN mau ON mau.day = d.day
+    ORDER BY d.day
+    """,
+    doc="DAU/MAU stickiness per day: daily actives over trailing-28-day "
+    "actives — the product-engagement ratio. Same "
+    "contribute-then-aggregate formulation as the rolling-distinct "
+    "kernel (each (day,user) explodes onto the 28 target days it "
+    "supports; pure equi-shuffle), composed with the per-day distinct "
+    "count; no theta join, no per-day rescan.",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    du = (
+        t["events"]
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .cache()
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 27 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("w_day"),
+        "user_id",
+    )
+    spine = du.select("day").distinct()
+    mau = (
+        contrib.groupBy("w_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .join(spine, contrib.w_day == spine.day, "left_semi")
+        .select(F.col("w_day").alias("day"), "mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") * 1.0 / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -95,6 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "revenue_pareto_curve",
     "supplier_lead_time",
     "events_daily_anomaly",
+    "events_dau_mau_stickiness",
     "window_tumbling",
     "window_sliding",
     "window_session",

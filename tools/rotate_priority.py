@@ -10,6 +10,11 @@ evidence across rounds, and prints a PRIORITY tuple that front-loads:
 3. backfill with the stalest green queries (oldest round first)
    up to the 50-slot window.
 
+Stalest-first backfill also covers testdata regenerations (r4): a
+green recorded before the regeneration attests results on data that
+no longer exists, and those rows are by construction the stalest, so
+they cycle back through the window first.
+
 Paste the output over PRIORITY in hapiy_etl_spark/registry.py.
 """
 
