@@ -924,7 +924,7 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day, n,
            ROUND((n - mu) / NULLIF(sigma, 0), 4) AS zscore,
-           ABS(n - mu) > 2 * sigma AS anomaly
+           ABS(ROUND((n - mu) / NULLIF(sigma, 0), 4)) > 2 AS anomaly
     FROM stats
     ORDER BY event_type, day
     """,
@@ -946,12 +946,17 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type")
     mu = F.avg(F.col("n") * 1.0).over(w)
     sigma = F.stddev_samp(F.col("n") * 1.0).over(w)
+    # the flag derives from the ROUNDED zscore: both engines compare
+    # the same 4-decimal quantity, so a day sitting on the 2-sigma
+    # boundary cannot flip between them (stddev merge algorithms
+    # differ in the last ulps)
+    zscore = F.round((F.col("n") - mu) / F.nullif(sigma, F.lit(0)), 4)
     return daily.select(
         "event_type",
         "day",
         "n",
-        F.round((F.col("n") - mu) / F.nullif(sigma, F.lit(0)), 4).alias("zscore"),
-        (F.abs(F.col("n") - mu) > 2 * sigma).alias("anomaly"),
+        zscore.alias("zscore"),
+        (F.abs(zscore) > 2).alias("anomaly"),
     ).orderBy("event_type", "day")
 
 
@@ -1002,11 +1007,12 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_day"),
         "user_id",
     )
-    spine = du.select("day").distinct()
+    # no spine semi-join needed: the inner join with dau below already
+    # restricts to observed days (unlike the rolling-distinct query,
+    # which has no such join)
     mau = (
         contrib.groupBy("w_day")
         .agg(F.countDistinct("user_id").alias("mau"))
-        .join(spine, contrib.w_day == spine.day, "left_semi")
         .select(F.col("w_day").alias("day"), "mau")
     )
     return (

@@ -97,25 +97,22 @@ _BASKET_CAP = 64  # parts kept per order (lowest partkey first) — the
 # oracle sees identical data.
 
 
-def copurchase_edges_from(op_df: DataFrame) -> DataFrame:
-    """Part co-purchase affinity edges from an (o, p) item DataFrame:
-    (src < dst) part pairs appearing together in >= 2 distinct orders.
-    One shuffle to (order -> sorted capped part array), then pair
-    generation as a higher-order array expression (C(n,2) structs,
-    n <= cap) — cheaper than the window-cap + self-join formulation
-    (two extra shuffles of the full item list; measured ~2x slower).
-    collect_set dedups (order, part) inside the aggregation, so no
-    separate distinct pass is needed either. Shared by the triangle /
-    BFS queries and tools/scale_growth.py --graph, so the measured
-    pipeline IS the registered one."""
-    per_order = (
-        op_df.groupBy("o")
-        .agg(
-            F.slice(F.sort_array(F.collect_set("p")), 1, _BASKET_CAP).alias(
-                "parts"
-            )
-        )
+def capped_baskets(op_df: DataFrame) -> DataFrame:
+    """(order -> sorted capped part array) in ONE shuffle: collect_set
+    dedups (order, part) inside the aggregation, sort+slice applies the
+    fanout cap. The single source of truth for the capped basket on
+    the Spark side (edges, pair supports, and the scale harness all
+    derive from it)."""
+    return op_df.groupBy("o").agg(
+        F.slice(F.sort_array(F.collect_set("p")), 1, _BASKET_CAP).alias("parts")
     )
+
+
+def basket_pairs(per_order: DataFrame) -> DataFrame:
+    """All (src < dst) part pairs per capped basket, generated as a
+    higher-order array expression (C(n,2) structs, n <= cap) — cheaper
+    than the window-cap + self-join formulation (two extra shuffles of
+    the full item list; measured ~2x slower)."""
     pair_structs = F.flatten(
         F.transform(
             "parts",
@@ -127,9 +124,19 @@ def copurchase_edges_from(op_df: DataFrame) -> DataFrame:
             ),
         )
     )
+    return per_order.select(F.explode(pair_structs).alias("pr")).select(
+        F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst")
+    )
+
+
+def copurchase_edges_from(op_df: DataFrame) -> DataFrame:
+    """Part co-purchase affinity edges from an (o, p) item DataFrame:
+    (src < dst) part pairs appearing together in >= 2 distinct orders.
+    Shared by the triangle / BFS queries and tools/scale_growth.py
+    --graph, so the measured pipeline IS the registered one."""
     return (
-        per_order.select(F.explode(pair_structs).alias("pr"))
-        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        basket_pairs(capped_baskets(op_df))
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
         .select("src", "dst")
@@ -312,22 +319,17 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem",))
     op = t["lineitem"].select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    from pyspark.sql import Window as W
-
-    capped = (
-        op.withColumn("rn", F.row_number().over(W.partitionBy("o").orderBy("p")))
-        .where(F.col("rn") <= _BASKET_CAP)
-        .drop("rn")
-        .cache()
     )
-    n_orders = capped.agg(F.countDistinct("o").alias("n"))
-    part_support = capped.groupBy("p").agg(F.countDistinct("o").alias("n_p"))
-    x, y = capped.alias("x"), capped.alias("y")
+    baskets = capped_baskets(op).cache()
+    n_orders = baskets.agg(F.count("*").alias("n"))
+    part_support = (
+        baskets.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n_p"))
+    )
     pair_support = (
-        x.join(y, "o")
-        .where(F.col("x.p") < F.col("y.p"))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        basket_pairs(baskets)
+        .groupBy(F.col("src").alias("a"), F.col("dst").alias("b"))
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= 2)
     )

@@ -1720,9 +1720,13 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    total = docs.count()
-    shares = docs.groupBy("lang").agg(
-        (F.count("*") * 1.0 / F.lit(total)).alias("share")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    total_row = counts.agg(F.sum("n").alias("total"))
+    # the same sanctioned 1-row-aggregate cross as max_pow below —
+    # deriving the total from the per-lang aggregate avoids a second
+    # full scan of documents
+    shares = counts.crossJoin(F.broadcast(total_row)).select(
+        "lang", (F.col("n") * 1.0 / F.col("total")).alias("share")
     )
     max_pow = shares.agg(F.max(F.pow("share", 0.5)).alias("mx"))
     rates = shares.crossJoin(F.broadcast(max_pow)).select(

@@ -925,7 +925,8 @@ def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_quartile, f_quartile, m_quartile,
            COUNT(*) AS n_customers,
-           ROUND(SUM(monetary), 2) AS segment_value
+           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS segment_value
     FROM scored
     GROUP BY r_quartile, f_quartile, m_quartile
     ORDER BY r_quartile, f_quartile, m_quartile
@@ -970,7 +971,9 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_quartile", "f_quartile", "m_quartile")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("monetary"), 2).alias("segment_value"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("segment_value"),
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
