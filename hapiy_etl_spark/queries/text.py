@@ -1750,3 +1750,71 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "doc_novelty_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS g
+        FROM tok
+    ),
+    firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM tri GROUP BY g
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_distinct_trigrams,
+           CAST(COUNT(*) FILTER (f.first_doc = t.doc_id) AS BIGINT)
+               AS n_novel,
+           ROUND(COUNT(*) FILTER (f.first_doc = t.doc_id) * 1.0 / COUNT(*), 6)
+               AS novelty
+    FROM tri t JOIN firsts f ON f.g = t.g
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Document novelty score (marginal-utility curation metric): the "
+    "fraction of a document's distinct trigrams whose FIRST corpus "
+    "occurrence (min doc_id) is this document — near-zero novelty "
+    "means the document adds nothing the corpus hasn't seen, the "
+    "data-curation complement of near-dedup (which only catches "
+    "pairwise similarity). One aggregate on the trigram key + one "
+    "join back; trigram keys would ride as xxhash64 digests at "
+    "100 TB.",
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", r"\s+")
+    tri_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    tri = (
+        t["documents"]
+        .select("doc_id", F.explode(tri_arr).alias("g"))
+    )
+    firsts = tri.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_trigrams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+            F.round(
+                F.count_if(F.col("first_doc") == F.col("doc_id")) * 1.0
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1101,3 +1101,56 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_suppkey
         """
     )
+
+
+@register(
+    "customer_order_cadence",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_days) AS n_gaps,
+           CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS median_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    HAVING COUNT(gap_days) >= 5
+    ORDER BY o_custkey
+    """,
+    doc="Customer purchase cadence: inter-order gap distribution per "
+    "customer (lag window with deterministic tiebreak, discrete median "
+    "— integer days end to end, no float seam), filtered to customers "
+    "with enough history. The churn-signal / replenishment-cycle "
+    "shape: one window over the per-customer order sequence, one "
+    "aggregate.",
+)
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t["orders"].select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    gaps.createOrReplaceTempView("__order_gaps")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               COUNT(gap_days) AS n_gaps,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)
+                    AS BIGINT) AS median_gap_days,
+               CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+        FROM __order_gaps
+        GROUP BY o_custkey
+        HAVING COUNT(gap_days) >= 5
+        ORDER BY o_custkey
+        """
+    )

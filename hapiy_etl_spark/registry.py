@@ -96,6 +96,8 @@ PRIORITY: tuple[str, ...] = (
     "supplier_lead_time",
     "events_daily_anomaly",
     "events_dau_mau_stickiness",
+    "doc_novelty_score",
+    "customer_order_cadence",
     "window_tumbling",
     "window_sliding",
     "window_session",
