@@ -43,10 +43,24 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode is a Python (Arrow-batched) stage — not SQL;
-    # determinism + batch shape tested in tests/test_llm.py
+    oracle="""
+    SELECT doc_id,
+           CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192
+                AS INTEGER) AS width,
+           CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192
+                AS INTEGER) AS height,
+           ROUND(('0x' || substr(sha256(text), 5, 2))::INT / 255.0, 6)
+               AS mean_luma
+    FROM documents
+    ORDER BY doc_id
+    """,
     doc="Arrow-batched image decode via mapInPandas (decoder stubbed "
-    "deterministically — real libs absent in this container).",
+    "deterministically — real libs absent in this container; swap "
+    "_fake_decode for PIL in production). The stub derives features "
+    "from sha256 bytes of the payload, which IS SQL-expressible, so "
+    "the whole mapInPandas pipeline — payload attach, Arrow batching, "
+    "schema, ordering — gets a full value-level oracle instead of a "
+    "rows-only check.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
