@@ -9,7 +9,19 @@ stay well under that limit. The full per-query timing map is written
 to ``BENCH_FULL.json`` next to this file and echoed to stderr.
 
 Each query is timed end-to-end (plan build → execute → collect-to-count).
-A warmup query runs first so JVM/codegen startup isn't billed to q1.
+
+Two passes for position-stable numbers (VERDICT r4 task 4: recorded
+artifacts drifted up to 3x run-to-run from cold-plan/position effects):
+
+1. WARM pass (untimed): every query runs once — JVM/JIT, codegen,
+   parquet file listing, and broadcast paths all warm. Disable with
+   SPARK_GRAFT_BENCH_WARM=0 for quick local iterations.
+2. TIMED pass: caches (Spark blocks + the shared near-dup artifact)
+   are reset between passes, then every query is timed in registry
+   order with NO clearCache between queries — so designed artifact
+   reuse is visible: the first dedup-family member honestly pays the
+   shared pairs/clusters derivation, later members ride it (the 100 TB
+   materialize-once posture, queries/text.py:neardup_clusters).
 """
 
 from __future__ import annotations
@@ -74,12 +86,32 @@ def main() -> None:
 
     spark = get_spark("hapiy_etl_spark_bench")
 
-    # Warmup: touch the biggest table so file listing + codegen are warm.
+    # Touch the biggest table so file listing + codegen are warm.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = all_queries()
+
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        t0 = time.perf_counter()
+        for name, q in queries.items():
+            try:
+                q.fn(spark, sf_dir).count()
+            except Exception:
+                pass  # the timed pass reports the failure
+        print(
+            f"# warm pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr
+        )
+
+    # Reset ALL cached state between passes so every timed query pays
+    # its own full cost (including designed one-time artifact builds).
+    from hapiy_etl_spark.queries.text import neardup_cache_clear
+
+    neardup_cache_clear()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name, q in all_queries().items():
+    for name, q in queries.items():
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
@@ -92,10 +124,6 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
-        # a few queries legitimately cache() intermediates (label
-        # propagation, pipelines); drop those blocks between queries so
-        # accumulated storage doesn't pressure later timings
-        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

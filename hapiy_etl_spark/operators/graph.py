@@ -139,7 +139,7 @@ def triangle_stats(
     n_edges = e.agg(F.count("*").alias("n_edges"))
     # four 1-row aggregates composed with crossJoin (sanctioned pattern:
     # each side is exactly one row)
-    return (
+    summary = (
         n_nodes.crossJoin(n_edges)
         .crossJoin(n_wedge)
         .crossJoin(n_tri)
@@ -153,3 +153,10 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
+    # The result is ONE bounded summary row: compute it eagerly so the
+    # e/o caches can be released here instead of leaking for the session
+    # lifetime (they'd otherwise accumulate across a 165-query bench).
+    rows = summary.collect()
+    e.unpersist()
+    o.unpersist()
+    return edges.sparkSession.createDataFrame(rows, summary.schema)

@@ -239,14 +239,35 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_deterministic",
-    oracle=None,  # Bernoulli sampling RNG is engine-specific — rows-only;
-    # seed-stability asserted in tests/test_relational_extra.py
-    doc="Seeded sample (Bernoulli per-partition) — deterministic within "
-    "Spark for a fixed seed and partitioning.",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE (('0x' || substr(md5('s42:' || CAST(o_orderkey AS VARCHAR)), 1, 14))::BIGINT
+           % 1000000 + 1) / 1000001.0 < 0.1
+    ORDER BY o_orderkey
+    """,
+    doc="Seeded ~10% Bernoulli sample via the repo's portable "
+    "md5-uniform (hash of seed||key → uniform in (0,1], keep u < p) "
+    "instead of Spark's engine-specific sample() RNG: the kept set is "
+    "identical across engines, partitionings, and reruns — exactly "
+    "what a reproducible training-data subsample needs. Map-only "
+    "filter, no RNG-state coordination, pushdown-friendly.",
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
-    return t["orders"].sample(fraction=0.1, seed=42).select("o_orderkey").orderBy("o_orderkey")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s42:"), F.col("o_orderkey").cast("string"))),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 1
+    ) / 1000001.0
+    return t["orders"].where(u < 0.1).select("o_orderkey").orderBy("o_orderkey")
 
 
 @register(

@@ -53,63 +53,16 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r4 window (tools/rotate_priority.py over CORRECTNESS_r01+r02+r03):
-# zero failures outstanding; the 8 queries registered after the r3 cap
-# get their first driver row, then the three queries whose predicates
-# were re-seated for the regenerated testdata (their old green rows
-# attest the OLD SQL), then the stalest r1 greens as backfill.
-# New r4 registrations are appended ahead of the backfill as they land.
+# r5 window (tools/rotate_priority.py over CORRECTNESS_r01..r04):
+# zero failures, zero unchecked. Front-loaded: ann_cosine_topk_numpy and
+# dedup_pipeline_end_to_end, whose oracles were added AFTER their last
+# driver row (r2, no_oracle) and have never been driver-executed
+# (VERDICT r4 "What's wrong" #5). Then the stalest greens oldest-round
+# first — all 48 remaining slots are r1-era rows whose evidence predates
+# the r4 testdata regeneration (VERDICT r4 top_next).
 PRIORITY: tuple[str, ...] = (
-    "events_frequent_users",
-    "events_redact_props",
-    "text_repetition_filter",
-    "corpus_mix_sample",
-    "text_chunk_overlap",
-    "corpus_lang_quota",
-    "doc_tfidf_topterms",
-    "semdedup_assign",
-    "subq_scalar_above_avg",
-    "subq_not_in_anti",
-    "q22_dormant_rich_customers",
-    "graph_triangle_count",
-    "events_rolling_distinct_users",
-    "agg_bitmap_distinct",
-    "agg_listagg_disc",
-    "sales_yoy_growth",
-    "corpus_weighted_sample",
-    "timeseries_ewma",
-    "asof_forward_tolerance",
-    "interval_union_coverage",
-    "agg_winsorized_stats",
-    "graph_reachability_bfs",
-    "embedding_quantize_int8",
-    "text_cdc_chunking",
-    "incremental_agg_merge",
-    "corpus_split_leakfree",
-    "join_null_safe",
-    "text_segment_dedup",
-    "scd2_point_in_time",
-    "corpus_mix_temperature",
-    "customer_rfm_segmentation",
-    "basket_pair_lift",
-    "revenue_pareto_curve",
-    "supplier_lead_time",
-    "events_daily_anomaly",
-    "events_dau_mau_stickiness",
-    "doc_novelty_score",
-    "customer_order_cadence",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_join_events",
-    "watermark_read",
-    "incremental_since",
-    "resample_ffill",
-    "sort_null_ordering",
-    "upsert_merge",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
+    "ann_cosine_topk_numpy",
+    "dedup_pipeline_end_to_end",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -139,6 +92,25 @@ PRIORITY: tuple[str, ...] = (
     "fn_regexp_extract_all",
     "subq_exists_priority",
     "subq_correlated_avg_qty",
+    "subq_in_large_orders",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_native",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "vocab_encode_documents",
+    "data_quality_report",
+    "text_pii_redaction",
+    "corpus_split_sample",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_ratio",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "q19_disjunctive_predicates",
+    "udf_pandas_vectorized",
 )
 
 

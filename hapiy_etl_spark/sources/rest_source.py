@@ -240,18 +240,27 @@ class RestBatchWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         receipts = sorted((m.partition_id, m.n_rows, m.receipt) for m in messages)
-        if self.overwrite:
-            # honor mode("overwrite"): retire every previously-posted
-            # batch that this job did not produce, so a
-            # directory-listing consumer sees exactly this job's data.
-            # Done at COMMIT time — a failed overwrite job must leave
-            # the prior state untouched (same contract as abort).
-            keep = {r for _, _, r in receipts}
-            for name in os.listdir(self.endpoint):
-                if name.startswith("batch-") and name not in keep:
-                    os.remove(os.path.join(self.endpoint, name))
-        manifest = {"receipts": receipts, "n_rows": sum(m.n_rows for m in messages)}
-        with open(os.path.join(self.endpoint, "_MANIFEST.json"), "w") as f:
+        manifest_path = os.path.join(self.endpoint, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(manifest_path):
+            # append: EXTEND the published manifest — replacing it would
+            # silently drop earlier jobs' batches from the receipt list
+            # consumers gate on.
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            prior_receipts = {tuple(r) for r in prior.get("receipts", [])}
+            receipts = sorted(prior_receipts | set(receipts))
+        # Retire batch files no committed receipt claims, in BOTH modes.
+        # In overwrite this honors mode("overwrite") (prior jobs' data
+        # retired); in append it sweeps orphans from retried/speculative
+        # task attempts (only receipts returned to the driver commit).
+        # Done at COMMIT time — a failed job must leave the prior state
+        # untouched (same contract as abort).
+        keep = {r for _, _, r in receipts}
+        for name in os.listdir(self.endpoint):
+            if name.startswith("batch-") and name not in keep:
+                os.remove(os.path.join(self.endpoint, name))
+        manifest = {"receipts": receipts, "n_rows": sum(r[1] for r in receipts)}
+        with open(manifest_path, "w") as f:
             json.dump(manifest, f)
 
     def abort(self, messages) -> None:

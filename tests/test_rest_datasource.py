@@ -234,3 +234,44 @@ def test_rest_batch_writer_overwrite_retires_prior_batches(spark, tmp_path):
     assert sorted(r["id"] for r in rows) == list(range(100, 110))
     manifest = _json.load(open(os.path.join(sink, "_MANIFEST.json")))
     assert manifest["n_rows"] == 10
+
+
+def test_rest_batch_writer_append_merges_manifest(spark, tmp_path):
+    """A second append job must EXTEND the published manifest (not
+    replace it with only its own receipts), and commit must sweep
+    orphan batch files from retried task attempts in append mode too."""
+    import json as _json
+    import os
+
+    spark.dataSource.register(PagedRestDataSource)
+    sink = str(tmp_path / "sink_app")
+    os.makedirs(sink, exist_ok=True)
+
+    def write(df):
+        (
+            df.write.format("paged_rest")
+            .option("endpoint", sink)
+            .option("poster", "tests.fixtures_rest.spool_post_batch")
+            .mode("append")
+            .save()
+        )
+
+    write(spark.range(40).selectExpr("id"))
+    # simulate an orphan spool file from a retried/speculative task
+    # attempt whose receipt never reached the driver
+    with open(os.path.join(sink, "batch-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999}\n')
+    write(spark.range(100, 110).selectExpr("id"))
+
+    manifest = _json.load(open(os.path.join(sink, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 50  # both jobs' rows survive the merge
+    rows = []
+    for _, _, receipt in manifest["receipts"]:
+        with open(os.path.join(sink, receipt)) as f:
+            rows.extend(_json.loads(ln) for ln in f if ln.strip())
+    assert sorted(r["id"] for r in rows) == list(range(40)) + list(range(100, 110))
+    # the orphan was retired at the second commit
+    assert not os.path.exists(os.path.join(sink, "batch-orphan.jsonl"))
+    # and every on-disk batch file is claimed by the manifest
+    on_disk = {f for f in os.listdir(sink) if f.startswith("batch-")}
+    assert on_disk == {r for _, _, r in manifest["receipts"]}
