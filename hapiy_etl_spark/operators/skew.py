@@ -57,3 +57,50 @@ def salted_agg(
     salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
     stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
     return stage1.groupBy(*keys).agg(*aggs)
+
+
+def hot_key_join(spark, sf_dir: str, k: int = 8, hot_share: float = 0.4, n_mappers: int = 16):
+    """Deliberately skewed shuffle join — the AQE skew-split demo shape.
+
+    lineitem is replicated k-fold and ``hot_share`` of its rows are
+    funneled onto supplier key 1, with an incompressible sha2 payload so
+    the hot reduce partition is heavy in BYTES (AQE sizes partitions on
+    compressed shuffle bytes; a hot partition of repeated 8-byte keys
+    compresses to ~nothing and never crosses the threshold). The result
+    joins supplier on the hot key and aggregates — broadcast disabled by
+    the caller so the join shuffles.
+
+    The ``repartition(n_mappers)`` is load-bearing: AQE can only split a
+    skewed reduce partition at MAP-OUTPUT granularity
+    (ShufflePartitionsUtil.createSkewPartitionSpecs walks per-mapper
+    sizes), so a single-file source scanned by one task yields exactly
+    one chunk per reduce partition and nothing can be split, no matter
+    how skewed. On a real cluster upstream parallelism gives this for
+    free; locally we must manufacture it. That asymmetry — skew-split
+    needs many mappers, salting does not — is itself the documented
+    finding.
+    """
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_suppkey", "l_orderkey", "l_extendedprice")
+    )
+    fact = (
+        li.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(
+            "l_suppkey",
+            F.when(F.rand(seed=7) < hot_share, F.lit(1)).otherwise(F.col("l_suppkey")),
+        )
+        .withColumn("l_orderkey", F.col("l_orderkey") * k + F.col("__r"))
+        .withColumn("noise", F.sha2(F.concat_ws("-", "l_orderkey", "__r"), 256))
+        .drop("__r")
+        .repartition(n_mappers)
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        fact.join(sup, fact.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("noise").alias("mx"),
+        )
+    )

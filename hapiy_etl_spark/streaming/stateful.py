@@ -107,6 +107,58 @@ def finalized_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def idle_flush_totals(events: DataFrame, idle_seconds: int = 2) -> DataFrame:
+    """Per-user accumulator flushed on PROCESSING-time idleness — the
+    third GroupState timeout mode next to EventTimeTimeout
+    (`finalized_sessions`) and NoTimeout (`running_user_totals`).
+
+    Rows accumulate (n, total) per key; nothing is emitted while data
+    keeps arriving. Once a key sees no new data for `idle_seconds` of
+    wall-clock time, the next micro-batch invokes the function with
+    `hasTimedOut`, the snapshot is emitted, and state is cleared — the
+    pattern for flushing per-key buffers to a sink when an upstream
+    producer goes quiet, independent of event time (the reference's
+    cron-driven "write what you have" flush, keyed). Unlike event-time
+    timeouts this needs no watermark: the clock is the engine's, so an
+    idle key flushes even if NO key ever advances event time. State is
+    keyed and checkpointed, sharding across executors like a shuffle.
+
+    Operational cost: while any processing-time state exists the engine
+    self-schedules no-data micro-batches to evaluate the clock
+    (shouldRunAnotherBatch is unconditionally true for this timeout
+    mode), so an ASAP trigger busy-loops; production jobs should pair
+    this operator with a processingTime trigger ≥ the desired clock
+    resolution. `processAllAvailable()` consequently never settles —
+    drive tests by polling the sink.
+    """
+    timeout_ms = idle_seconds * 1000
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            )
+        else:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            state.setTimeoutDuration(timeout_ms)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Stateful per-user event counter/total across micro-batches.
 

@@ -204,3 +204,47 @@ def test_read_table_normalizes_ntz_timestamps(spark, tmp_path, sf_dir):
     raw = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).to_pandas()
     got = ev.agg(F.min("ts"), F.max("ts")).first()
     assert got[0] == raw["ts"].min() and got[1] == raw["ts"].max()
+
+
+def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
+    """AQE must split the hot reduce partition of a deliberately skewed
+    shuffle join: final adaptive plan carries SortMergeJoin(skew=true)
+    and an `AQEShuffleRead skewed` on the fact side. Local data sits far
+    below the production skew thresholds, so the test lowers them — at
+    real scale the defaults (256 MB partition, 5x median) fire on their
+    own. The x8 wall-clock evidence lives in tools/scale_growth.py
+    --skew and BASELINE.md."""
+    from hapiy_etl_spark.operators.skew import hot_key_join
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        j = hot_key_join(spark, sf_dir, k=8, hot_share=0.4)
+        rows = j.collect()  # finalize THIS DataFrame's adaptive plan
+        assert len(rows) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        # reads "AQEShuffleRead skewed" or "... coalesced and skewed"
+        assert any(
+            "AQEShuffleRead" in ln and "skewed" in ln for ln in plan.splitlines()
+        ), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -130,6 +130,52 @@ def test_event_time_timeout_finalizes_idle_session(spark, tmp_path):
     assert (1, start_ms, end_ms, 2) in rows, rows
 
 
+def test_processing_time_timeout_flushes_idle_key(spark, tmp_path):
+    """A key with NO further data must flush once wall-clock idleness
+    exceeds the timeout — emitted from `hasTimedOut`, not from new data
+    for that key, and with no watermark in the plan at all.
+
+    NOTE the harness shape: with ProcessingTimeTimeout the engine
+    self-schedules no-data micro-batches to evaluate the clock
+    (FlatMapGroupsWithState.shouldRunAnotherBatch is always true), so
+    `processAllAvailable()` never settles — the test POLLS the memory
+    sink instead, and needs no driver data to make the timeout fire."""
+    import time
+
+    from hapiy_etl_spark.streaming.stateful import idle_flush_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.5)], "user_id long, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    q = (
+        idle_flush_totals(stream, idle_seconds=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("idle_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t0 = time.time()
+    # nothing may be emitted before idle_seconds of wall-clock pass
+    if time.time() - t0 < 1.5:
+        assert spark.sql("SELECT * FROM idle_out").count() == 0
+    flushed = []
+    deadline = time.time() + 60
+    while time.time() < deadline and not flushed:
+        flushed = spark.sql(
+            "SELECT user_id, n_events, total_value FROM idle_out WHERE user_id = 1"
+        ).collect()
+        if not flushed:
+            time.sleep(0.5)
+    q.stop()
+    assert flushed, "idle key never flushed"
+    assert (flushed[0].n_events, flushed[0].total_value) == (2, 15.5)
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     out = str(tmp_path / "events_by_type")
     write_partitioned(read_table(spark, sf_dir, "events"), out, partition_by=["event_type"])

@@ -82,6 +82,40 @@ def graph_main(ks: list[int]) -> None:
     spark.stop()
 
 
+def skew_main(ks: list[int]) -> None:
+    """AQE skew-join wall-clock at replicated scale: the x{k} hot-key
+    join (operators/skew.py:hot_key_join — 40% of rows on one supplier
+    key, incompressible payload) timed with AQE skewJoin ON vs OFF.
+    ON must carry SortMergeJoin(skew=true) in the final plan; the
+    OFF run shows what the hot reducer costs without the split.
+    Thresholds are lowered to local scale (production defaults fire
+    unaided at real partition sizes)."""
+    from hapiy_etl_spark.operators.skew import hot_key_join
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_skew")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    hot_key_join(spark, SF_DIR, k=1).collect()  # untimed session/JIT warmup
+    results: dict[str, dict[str, float | bool]] = {}
+    for k in ks:
+        for mode, enabled in (("aqe_on", "true"), ("aqe_off", "false")):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled)
+            j = hot_key_join(spark, SF_DIR, k=k, hot_share=0.4)
+            t0 = time.time()
+            j.collect()
+            dt = round(time.time() - t0, 2)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            split = "skew=true" in plan
+            results[f"x{k}_{mode}"] = {"sec": dt, "skew_split": split}
+            print(f"x{k} {mode}: {dt}s skew_split={split}", flush=True)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    print(json.dumps(results))
+    spark.stop()
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -89,6 +123,9 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
+        return
+    if args and args[0] == "--skew":
+        skew_main([int(a) for a in args[1:]] or [1, 8])
         return
     ks = [int(a) for a in args] or [1, 2, 4, 8]
     spark = get_spark("scale_growth")
