@@ -43,9 +43,11 @@ def merge_upsert(
     if not delta_available(spark):
         raise NotImplementedError(
             "No transactional table format on the classpath. Use "
-            "hapiy_etl_spark.operators.upsert.upsert_parquet (keyed "
-            "dedup + anti-join emulation) or add delta-spark jars for "
-            "native MERGE INTO."
+            "hapiy_etl_spark.operators.txstore.TxTable.merge (snapshot-"
+            "versioned parquet MERGE with optimistic concurrency and "
+            "time travel), hapiy_etl_spark.operators.upsert.upsert_parquet "
+            "(plain keyed emulation), or add delta-spark jars for native "
+            "MERGE INTO."
         )
     from delta.tables import DeltaTable
 

@@ -1,0 +1,170 @@
+"""Snapshot-versioned transactional parquet store with MERGE.
+
+The reference's sink is a transactional KV (git_etl.ts:127-132,348 —
+atomic upsert batches, readers never see partial writes). The lakehouse
+answer is Delta/Iceberg MERGE (operators/table_formats.py gateway), but
+this container ships no lakehouse jars — so this module provides the
+same guarantees from first principles on plain parquet, the way Delta
+itself does at the protocol level:
+
+- every write is a NEW immutable snapshot directory; live data is named
+  by a tiny JSON manifest, one per version, in ``_tx/``;
+- a commit is the ATOMIC CREATION of the next manifest file
+  (``os.open(O_CREAT|O_EXCL)``) — optimistic concurrency: two writers
+  racing to version N+1 cannot both win, the loser re-reads and
+  reapplies (exactly Delta's conflict protocol at file granularity);
+- readers resolve the highest manifest and see a complete snapshot or
+  nothing — no torn reads, and historical versions stay readable
+  (time travel) until vacuumed.
+
+Scale posture: the manifest holds directory names, never row data, so
+commit cost is O(1) regardless of table size; MERGE is the oracle-
+checked anti-join kernel from operators/upsert.py writing a
+copy-on-write snapshot. Atomic-create works on POSIX and HDFS-likes;
+on S3 the same protocol needs a conditional-put (documented seam, same
+as every lakehouse).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hapiy_etl_spark.operators.upsert import upsert_by_key
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+class TxTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = Path(path)
+        (self.path / "_tx").mkdir(parents=True, exist_ok=True)
+        (self.path / "data").mkdir(parents=True, exist_ok=True)
+
+    # -- snapshot resolution ------------------------------------------------
+    def latest_version(self) -> int:
+        vs = [int(p.stem[1:]) for p in (self.path / "_tx").glob("v*.json")]
+        return max(vs) if vs else 0
+
+    def _manifest(self, version: int) -> dict:
+        p = self.path / "_tx" / f"v{version:08d}.json"
+        if not p.exists():
+            raise FileNotFoundError(f"no version {version} at {self.path}")
+        return json.loads(p.read_text())
+
+    def history(self) -> list[dict]:
+        return [self._manifest(v) for v in range(1, self.latest_version() + 1)]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"empty table at {self.path}")
+        dirs = [str(self.path / "data" / d) for d in self._manifest(v)["dirs"]]
+        return self.spark.read.parquet(*dirs)
+
+    # -- commit protocol ----------------------------------------------------
+    def _write_data_dir(self, df: DataFrame) -> str:
+        d = f"s-{uuid.uuid4().hex[:12]}"
+        df.write.parquet(str(self.path / "data" / d))
+        return d
+
+    def _commit(self, parent: int, dirs: list[str], op: str) -> int:
+        """Atomically create manifest parent+1; raise on a lost race."""
+        version = parent + 1
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "dirs": dirs,
+            "ts": time.time(),
+        }
+        p = self.path / "_tx" / f"v{version:08d}.json"
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} already committed by another writer"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(manifest))
+        return version
+
+    # -- write operations ---------------------------------------------------
+    def overwrite(self, df: DataFrame) -> int:
+        d = self._write_data_dir(df)
+        return self._commit(self.latest_version(), [d], "overwrite")
+
+    def append(self, df: DataFrame) -> int:
+        """New version = parent's dirs + one new dir — no data rewrite."""
+        d = self._write_data_dir(df)
+        while True:
+            parent = self.latest_version()
+            dirs = (self._manifest(parent)["dirs"] if parent else []) + [d]
+            try:
+                return self._commit(parent, dirs, "append")
+            except ConcurrentCommitError:
+                continue  # re-resolve parent; the spooled dir is reusable
+
+    def merge(
+        self,
+        batch: DataFrame,
+        keys: Sequence[str],
+        order_col: str | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """MERGE (upsert): new rows win by key, survivors carry over —
+        copy-on-write snapshot, optimistic retry on writer races. Each
+        retry re-reads the NEW latest snapshot, so a concurrent commit's
+        rows are merged, not lost (write skew is resolved by key: last
+        committer's batch wins on overlapping keys)."""
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            existing = self.read(parent) if parent else None
+            merged = upsert_by_key(existing, batch, keys, order_col)
+            d = self._write_data_dir(merged)
+            try:
+                return self._commit(parent, [d], "merge")
+            except ConcurrentCommitError:
+                shutil.rmtree(self.path / "data" / d, ignore_errors=True)
+        raise ConcurrentCommitError(f"merge lost {max_retries} races at {self.path}")
+
+    def delete_where(self, condition: str, max_retries: int = 5) -> int:
+        """Transactional DELETE — copy-on-write of the surviving rows."""
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            survivors = self.read(parent).where(f"NOT ({condition})")
+            d = self._write_data_dir(survivors)
+            try:
+                return self._commit(parent, [d], "delete")
+            except ConcurrentCommitError:
+                shutil.rmtree(self.path / "data" / d, ignore_errors=True)
+        raise ConcurrentCommitError(f"delete lost {max_retries} races at {self.path}")
+
+    # -- maintenance ----------------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop data dirs referenced only by manifests older than the
+        last ``keep_last`` versions, plus orphans from aborted writes.
+        Time travel stays valid for the kept versions."""
+        latest = self.latest_version()
+        keep_from = max(1, latest - keep_last + 1)
+        live: set[str] = set()
+        for v in range(keep_from, latest + 1):
+            live.update(self._manifest(v)["dirs"])
+        removed = []
+        for d in (self.path / "data").iterdir():
+            if d.name not in live:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d.name)
+        for v in range(1, keep_from):
+            (self.path / "_tx" / f"v{v:08d}.json").unlink(missing_ok=True)
+        return sorted(removed)

@@ -1,0 +1,160 @@
+"""Versioned transactional store (snapshot isolation, MERGE, time
+travel, optimistic concurrency, vacuum) and the batch cron loop."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hapiy_etl_spark.operators.txstore import ConcurrentCommitError, TxTable
+from hapiy_etl_spark.pipeline.scheduler import CronLoop
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_txstore_overwrite_append_time_travel(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    assert _rows(t.read(version=1)) == [(1, "a")]  # time travel
+    t.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert _rows(t.read()) == [(9, "z")]
+    assert _rows(t.read(version=2)) == [(1, "a"), (2, "b")]
+    assert [m["op"] for m in t.history()] == ["overwrite", "append", "overwrite"]
+
+
+def test_txstore_merge_upsert_semantics(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), keys=["k"])
+    assert _rows(t.read()) == [(1, "a"), (2, "B"), (3, "c")]
+    # the pre-merge snapshot is untouched (readers never see partial state)
+    assert _rows(t.read(version=1)) == [(1, "a"), (2, "b")]
+
+
+def test_txstore_delete_where(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(i, i % 2) for i in range(6)], "k long, odd long"))
+    t.delete_where("odd = 1")
+    assert _rows(t.read()) == [(0, 0), (2, 0), (4, 0)]
+
+
+def test_txstore_concurrent_commit_conflict_and_retry(spark, tmp_path):
+    """A racing writer owns version N+1 → direct commit raises; merge's
+    optimistic retry re-reads the interloper's snapshot so BOTH writes
+    survive (no lost update)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+
+    interloper = TxTable(spark, str(tmp_path / "t"))
+
+    class RaceOnce(TxTable):
+        raced = False
+
+        def _commit(self, parent, dirs, op):
+            if not RaceOnce.raced and op == "merge":
+                RaceOnce.raced = True
+                interloper.merge(
+                    spark.createDataFrame([(5, "e")], "k long, v string"), keys=["k"]
+                )
+            return super()._commit(parent, dirs, op)
+
+    racer = RaceOnce(spark, str(tmp_path / "t"))
+    racer.merge(spark.createDataFrame([(2, "b")], "k long, v string"), keys=["k"])
+    assert _rows(racer.read()) == [(1, "a"), (2, "b"), (5, "e")]
+    # the lost round's manifest was never written: versions are gapless
+    assert [m["version"] for m in racer.history()] == [1, 2, 3]
+
+
+def test_txstore_direct_conflict_raises(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # steal version 2 out from under an overwrite
+    (tmp_path / "t" / "_tx" / "v00000002.json").write_text(
+        json.dumps({"version": 2, "parent": 1, "op": "overwrite", "dirs": [], "ts": 0})
+    )
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(1, ["nope"], "overwrite")
+
+
+def test_txstore_vacuum_drops_orphans_keeps_time_travel(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(3, "c")], "k long, v string"))
+    (tmp_path / "t" / "data" / "s-aborted-write").mkdir()  # crashed writer debris
+    removed = t.vacuum(keep_last=2)
+    assert "s-aborted-write" in removed
+    assert _rows(t.read()) == [(3, "c")]
+    assert _rows(t.read(version=2)) == [(2, "b")]  # kept window intact
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)  # vacuumed beyond the window
+
+
+def test_cron_loop_fires_on_grid_in_virtual_time():
+    now = {"t": 0.0}
+    fired = []
+
+    def clock():
+        return now["t"]
+
+    def sleep(s):
+        now["t"] += s
+
+    def job():
+        fired.append(now["t"])
+        now["t"] += 1.0  # each tick takes 1 s
+
+    loop = CronLoop(job=job, interval_s=10.0, clock=clock, sleep=sleep)
+    res = loop.run(max_ticks=3)
+    assert fired == [0.0, 10.0, 20.0]  # slow ticks don't shift the grid
+    assert [r.ok for r in res] == [True, True, True]
+
+
+def test_cron_loop_skips_missed_slots_no_burst():
+    now = {"t": 0.0}
+    fired = []
+
+    def clock():
+        return now["t"]
+
+    def sleep(s):
+        now["t"] += s
+
+    def job():
+        fired.append(now["t"])
+        now["t"] += 25.0 if len(fired) == 1 else 1.0  # first tick overruns 2 slots
+
+    loop = CronLoop(job=job, interval_s=10.0, clock=clock, sleep=sleep)
+    loop.run(max_ticks=4)
+    # tick 0 ends at 25: slot 10 is dropped outright (no catch-up
+    # burst), slot 20 fires once, late, at 25; slot 30 back on grid
+    assert fired == [0.0, 25.0, 30.0]
+
+
+def test_cron_loop_survives_failures_then_breaks_circuit():
+    now = {"t": 0.0}
+    calls = {"n": 0}
+
+    def clock():
+        return now["t"]
+
+    def sleep(s):
+        now["t"] += s
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] != 2:
+            raise RuntimeError("boom")
+
+    loop = CronLoop(
+        job=flaky, interval_s=1.0, max_consecutive_failures=3, clock=clock, sleep=sleep
+    )
+    with pytest.raises(RuntimeError, match="circuit open"):
+        loop.run(max_ticks=10)
+    # tick 1 succeeded, so the counter reset: 1 fail, 1 ok, then 3 fails
+    assert [r.ok for r in loop.results] == [False, True, False, False, False]
