@@ -16,6 +16,7 @@ _MODULES = (
     "multimodal",
     "relational",
     "scalar",
+    "stats",
     "subqueries",
     "text",
     "tpch_more",

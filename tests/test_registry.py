@@ -72,6 +72,10 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "basket_pair_lift",  # 1-row distinct-order-count aggregate
         #   crossed into the lift denominator
         "semdedup_assign",  # bounded cross: corpus x 8 broadcast centroids
+        "stat_chi2_independence",  # margin grid cross: |event_types| x
+        #   |day buckets| (5x7 category table), plus the 1-row total
+        "corpus_lang_drift_jsd",  # 1-row totals aggregate crossed into
+        #   the per-language probability table
     }
     offenders = []
     for q in all_queries().values():
