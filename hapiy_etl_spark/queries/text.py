@@ -1862,3 +1862,35 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "editsim_source_labels",
+    oracle="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 1 AND a.source <> b.source
+    ORDER BY src_a, src_b
+    """,
+    doc="Edit-distance similarity join (SymSpell deletion-neighborhood "
+    "blocking, operators/editsim.py): distinct source-label pairs "
+    "within Levenshtein distance 1. Candidates come from an equi-join "
+    "on single-deletion variants — never all-pairs — and the exact "
+    "Levenshtein verify runs only on candidates; the oracle brute-"
+    "forces the tiny distinct-label set. The scale evidence (planted "
+    "typos, recall vs brute force, no-cartesian plan) is "
+    "tests/test_operators.py::test_edit_distance_*.",
+)
+def editsim_source_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.editsim import edit_distance_pairs
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    labels = t["documents"].select("source").distinct().withColumn("id", F.col("source"))
+    pairs = edit_distance_pairs(labels, "id", "source", max_edit=1)
+    return pairs.select(
+        F.col("s_a").alias("src_a"),
+        F.col("s_b").alias("src_b"),
+        F.levenshtein("s_a", "s_b").cast("bigint").alias("dist"),
+    ).orderBy("src_a", "src_b")

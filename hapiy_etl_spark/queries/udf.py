@@ -381,3 +381,73 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "seq")
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def _median_cents(price: pd.Series) -> float:
+    """Series->scalar (GROUPED_AGG) pandas UDF: median price in integer
+    cents. Cents are exact integers in float64 and the median of an
+    (half-)integer multiset is exactly representable, so the result is
+    order-independent and bit-equal across engines — UDAF parity can be
+    value-checked, not just row-counted."""
+    import numpy as np
+
+    return float(np.median(np.rint(price.to_numpy() * 100.0)))
+
+
+@F.pandas_udf(T.LongType())
+def _n_rows(price: pd.Series) -> int:
+    """Group size — Spark forbids mixing GROUPED_AGG pandas UDFs with
+    JVM aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    count rides the same Arrow batch."""
+    return len(price)
+
+
+@F.pandas_udf(T.DoubleType())
+def _mad_cents(price: pd.Series) -> float:
+    """Median absolute deviation in cents — genuinely UDAF-shaped (two
+    dependent passes over the group: median, then median of distances);
+    no single built-in aggregate expresses it."""
+    import numpy as np
+
+    cents = np.rint(price.to_numpy() * 100.0)
+    return float(np.median(np.abs(cents - np.median(cents))))
+
+
+@register(
+    "udf_grouped_agg_mad",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, round(l_extendedprice * 100) AS cents
+        FROM lineitem
+    ),
+    m AS (SELECT l_returnflag, median(cents) AS med FROM c GROUP BY 1)
+    SELECT c.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(m.med) AS median_cents,
+           median(abs(c.cents - m.med)) AS mad_cents
+    FROM c JOIN m ON c.l_returnflag = m.l_returnflag
+    GROUP BY c.l_returnflag
+    ORDER BY c.l_returnflag
+    """,
+    doc="pandas_udf GROUPED_AGG (Series->scalar) — the third pandas-UDF "
+    "shape next to vectorized-scalar and grouped-map: per-group median "
+    "and median-absolute-deviation of price, computed in exact integer "
+    "cents so the Arrow-batched Python aggregate is value-identical to "
+    "the oracle's two-pass SQL (median of (half-)integers is exactly "
+    "representable; no float-summation order seam). Spark runs it as a "
+    "real aggregate: partial groups shuffle, the UDF sees each group "
+    "once.",
+)
+def udf_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            _n_rows("l_extendedprice").alias("n"),
+            _median_cents("l_extendedprice").alias("median_cents"),
+            _mad_cents("l_extendedprice").alias("mad_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

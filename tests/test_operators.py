@@ -337,3 +337,60 @@ def test_interval_union_stats_merges_touching_and_overlapping(spark):
     assert out[1].n_segments == 2
     assert out[2].covered_micros == 100 * 1_000_000
     assert out[2].n_segments == 1
+
+
+def test_edit_distance_pairs_match_bruteforce(spark):
+    """Deletion-neighborhood candidates + exact verify must find exactly
+    the brute-force Levenshtein<=1 pairs on a planted typo set (sub,
+    insert, delete, far-apart, and identical-string cases)."""
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.editsim import edit_distance_pairs
+
+    words = [
+        "spark", "sparc", "spak", "sparks",  # sub / delete / insert of spark
+        "shuffle", "shufle", "table", "cable", "fable",
+        "window", "widow", "totally-unrelated", "spark",  # dup string, new id
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "id", "s", max_edit=1).collect()
+    }
+    brute = {
+        (a_i, b_i)
+        for a_i, a_w in enumerate(words)
+        for b_i, b_w in enumerate(words)
+        if a_i < b_i and a_w != b_w and _lev(a_w, b_w) <= 1
+    }
+    assert got == brute
+    # the identical-string pair (0, 13) is excluded by the s_a != s_b rule
+    assert (0, 13) not in got
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_plan_has_no_cartesian(spark):
+    from hapiy_etl_spark.operators.editsim import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"word{i}") for i in range(50)], "id long, s string"
+    )
+    plan = (
+        edit_distance_pairs(df, "id", "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
