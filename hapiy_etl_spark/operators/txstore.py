@@ -78,7 +78,9 @@ class TxTable:
         df.write.parquet(str(self.path / "data" / d))
         return d
 
-    def _commit(self, parent: int, dirs: list[str], op: str) -> int:
+    def _commit(
+        self, parent: int, dirs: list[str], op: str, meta: dict | None = None
+    ) -> int:
         """Atomically create manifest parent+1; raise on a lost race."""
         version = parent + 1
         manifest = {
@@ -87,6 +89,7 @@ class TxTable:
             "op": op,
             "dirs": dirs,
             "ts": time.time(),
+            **({"meta": meta} if meta else {}),
         }
         p = self.path / "_tx" / f"v{version:08d}.json"
         try:
@@ -104,14 +107,16 @@ class TxTable:
         d = self._write_data_dir(df)
         return self._commit(self.latest_version(), [d], "overwrite")
 
-    def append(self, df: DataFrame) -> int:
-        """New version = parent's dirs + one new dir — no data rewrite."""
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        """New version = parent's dirs + one new dir — no data rewrite.
+        ``meta`` lands in the manifest (e.g. a streaming epoch id for
+        exactly-once replay detection)."""
         d = self._write_data_dir(df)
         while True:
             parent = self.latest_version()
             dirs = (self._manifest(parent)["dirs"] if parent else []) + [d]
             try:
-                return self._commit(parent, dirs, "append")
+                return self._commit(parent, dirs, "append", meta)
             except ConcurrentCommitError:
                 continue  # re-resolve parent; the spooled dir is reusable
 

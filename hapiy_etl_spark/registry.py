@@ -53,16 +53,21 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r5 window (tools/rotate_priority.py over CORRECTNESS_r01..r04):
-# zero failures, zero unchecked. Front-loaded: ann_cosine_topk_numpy and
-# dedup_pipeline_end_to_end, whose oracles were added AFTER their last
-# driver row (r2, no_oracle) and have never been driver-executed
-# (VERDICT r4 "What's wrong" #5). Then the stalest greens oldest-round
-# first — all 48 remaining slots are r1-era rows whose evidence predates
-# the r4 testdata regeneration (VERDICT r4 top_next).
+# r5 window v2 (tools/rotate_priority.py over CORRECTNESS_r01..r04,
+# regenerated after the round-5 additions): zero failures; the 7
+# never-driver-checked round-5 queries first (stats family, editsim,
+# GROUPED_AGG UDAF), then the two r2-era no_oracle rows whose oracles
+# have never been driver-executed, then the stalest r1-era greens whose
+# evidence predates the r4 testdata regeneration (VERDICT r4 top_next —
+# the remaining stale greens cycle through in r6).
 PRIORITY: tuple[str, ...] = (
-    "ann_cosine_topk_numpy",
-    "dedup_pipeline_end_to_end",
+    "stat_chi2_independence",
+    "stat_ab_proportion_ztest",
+    "corpus_lang_drift_jsd",
+    "sample_stratified_rates",
+    "doc_source_entropy",
+    "editsim_source_labels",
+    "udf_grouped_agg_mad",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -84,6 +89,8 @@ PRIORITY: tuple[str, ...] = (
     "fn_struct",
     "fn_conditional",
     "fn_hash",
+    "ann_cosine_topk_numpy",
+    "dedup_pipeline_end_to_end",
     "agg_collect",
     "events_funnel_conversion",
     "filter_predicate_algebra",
@@ -104,13 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "vocab_encode_documents",
     "data_quality_report",
     "text_pii_redaction",
-    "corpus_split_sample",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_ratio",
-    "q7_nation_pair_volume",
-    "q9_profit_by_nation_year",
-    "q19_disjunctive_predicates",
-    "udf_pandas_vectorized",
 )
 
 

@@ -150,6 +150,15 @@ def stream_stream_click_purchase_outer(events: DataFrame) -> DataFrame:
     return stream_stream_click_purchase(events, how="leftOuter")
 
 
+def stream_stream_click_purchase_full_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER join — both unmatched sides emit with
+    nulls once the watermark passes the join bound: clicks that never
+    converted AND purchases with no preceding click. Completes the
+    outer-join matrix next to the inner and LEFT OUTER forms; state
+    eviction is identical (the time bound is still mandatory)."""
+    return stream_stream_click_purchase(events, how="fullOuter")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion against an in-memory sink
     (micro-batch AvailableNow ≡ the reference's run-once-then-cron)."""
@@ -244,3 +253,41 @@ def foreach_batch_kmv_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_tx_append(stream: DataFrame, path: str, checkpoint: str):
+    """TRUE exactly-once streaming sink: each micro-batch appends one
+    snapshot version to a TxTable with the epoch id in the manifest.
+    A re-delivered batch (failure between sink success and offset
+    commit — the at-least-once window foreachBatch is documented to
+    have) is detected by scanning committed epoch ids and SKIPPED, so
+    rows land exactly once even for append-only (non-keyed) data —
+    stronger than the keyed-idempotence of foreach_batch_upsert, and
+    the manifest commit is atomic so a crash mid-append leaves only an
+    unreferenced spool dir (vacuumed later), never partial data."""
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        tx_append_once(batch, path, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tx_append_once(batch: DataFrame, path: str, epoch_id: int) -> bool:
+    """Commit one micro-batch to a TxTable iff this epoch hasn't already
+    been committed (scanned from manifest history). Returns True when it
+    appended, False when the epoch was a replay. Factored out of the
+    foreachBatch closure so the replay branch is directly testable."""
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    table = TxTable(batch.sparkSession, path)
+    done = {m.get("meta", {}).get("epoch") for m in table.history() if m.get("meta")}
+    if epoch_id in done:
+        return False
+    table.append(batch, meta={"epoch": epoch_id})
+    return True

@@ -130,3 +130,79 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, sf_dir)
     assert stream_matched == batch_matched
     assert stream_unmatched == batch_unmatched
     assert len(batch_unmatched) > 0  # the outer path is actually exercised
+
+
+def test_stream_stream_full_outer_emits_both_unmatched_sides(spark, sf_dir):
+    """FULL OUTER: unmatched clicks emit (click, null) AND unmatched
+    purchases emit (null, purchase) once the watermark clears each
+    side's bound — both null-emission paths in one query."""
+    import datetime as dt
+
+    from hapiy_etl_spark.streaming.jobs import stream_stream_click_purchase_full_outer
+
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_stream_click_purchase_full_outer(events), "ss_full_out")
+    out = spark.sql("SELECT * FROM ss_full_out").collect()
+    stream_matched = {
+        (r.click_id, r.purchase_id)
+        for r in out
+        if r.purchase_id is not None and r.click_id is not None
+    }
+    stream_unmatched_c = {r.click_id for r in out if r.purchase_id is None}
+    stream_unmatched_p = {r.purchase_id for r in out if r.click_id is None}
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    batch = clicks.join(purchases, cond, "fullOuter").collect()
+    batch_matched = {
+        (r.click_id, r.purchase_id)
+        for r in batch
+        if r.purchase_id is not None and r.click_id is not None
+    }
+    assert stream_matched == batch_matched
+
+    final_wm = min(
+        ev.where(F.col("event_type") == "click").agg(F.max("ts")).first()[0],
+        ev.where(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0],
+    ) - dt.timedelta(minutes=30)
+    # clicks: finalized once the watermark clears c_ts + 1h (same rule
+    # the LEFT OUTER test pins)
+    batch_unmatched_c = {
+        r.click_id
+        for r in batch
+        if r.click_id is not None
+        and r.purchase_id is None
+        and r.c_ts + dt.timedelta(hours=1) < final_wm
+    }
+    assert stream_unmatched_c == batch_unmatched_c
+    # purchases: a purchase can only match clicks that PRECEDE it, so it
+    # finalizes once the watermark passes p_ts; conservatively, every
+    # batch-unmatched purchase clearly behind the watermark must have
+    # emitted, and nothing the stream emitted may be matched in batch
+    batch_unmatched_p_all = {
+        r.purchase_id for r in batch if r.purchase_id is not None and r.click_id is None
+    }
+    batch_unmatched_p_final = {
+        r.purchase_id
+        for r in batch
+        if r.purchase_id is not None
+        and r.click_id is None
+        and r.p_ts < final_wm - dt.timedelta(minutes=1)
+    }
+    assert batch_unmatched_p_final <= stream_unmatched_p
+    assert stream_unmatched_p <= batch_unmatched_p_all
+    assert len(batch_unmatched_p_final) > 0  # the purchase-side path fired

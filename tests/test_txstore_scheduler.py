@@ -158,3 +158,73 @@ def test_cron_loop_survives_failures_then_breaks_circuit():
         loop.run(max_ticks=10)
     # tick 1 succeeded, so the counter reset: 1 fail, 1 ok, then 3 fails
     assert [r.ok for r in loop.results] == [False, True, False, False, False]
+
+
+def test_foreach_batch_tx_append_exactly_once(spark, tmp_path):
+    """The TxTable streaming sink commits each epoch once: a re-delivered
+    micro-batch (same epoch id) is detected in the manifest history and
+    skipped, so append-only rows never duplicate — and a restart with
+    the same checkpoint reprocesses nothing."""
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(1, "a"), (2, "b")])
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    foreach_batch_tx_append(stream, store, ckpt).awaitTermination()
+    t = TxTable(spark, store)
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+    # simulate foreachBatch re-delivery: the sink kernel with an epoch
+    # id that is already in the manifest history must refuse to append
+    from hapiy_etl_spark.streaming.jobs import tx_append_once
+
+    committed_epoch = t.history()[-1]["meta"]["epoch"]
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    n_versions = t.latest_version()
+    assert tx_append_once(batch, store, committed_epoch) is False
+    assert t.latest_version() == n_versions
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+    # restart with the same checkpoint + one new file: only the new
+    # file lands, as one new version
+    write([(3, "c")])
+    stream2 = spark.readStream.schema("k long, v string").parquet(src)
+    foreach_batch_tx_append(stream2, store, ckpt).awaitTermination()
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_max_files_per_trigger_paces_batches(spark, tmp_path):
+    """Source rate limiting: maxFilesPerTrigger=1 over 3 files must
+    process in 3+ micro-batches (bounded per-batch work — how a 100 TB
+    backfill avoids one giant first batch), and deliver all rows."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        spark.createDataFrame([(i, f"f{i}")], "k long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("paced_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, [p["numInputRows"] for p in q.recentProgress]
+    assert spark.sql("SELECT count(*) FROM paced_out").first()[0] == 3
