@@ -153,10 +153,11 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
-    # The result is ONE bounded summary row: compute it eagerly so the
-    # e/o caches can be released here instead of leaking for the session
-    # lifetime (they'd otherwise accumulate across a 165-query bench).
-    rows = summary.collect()
-    e.unpersist()
-    o.unpersist()
-    return edges.sparkSession.createDataFrame(rows, summary.schema)
+    # Returned LAZY on purpose: an eager collect-and-rewrap (tried in
+    # r5) releases the e/o caches but replaces the whole plan with a
+    # LocalTableScan — destroying the hash-join/no-cartesian plan
+    # evidence PLANS.md extracts and making fn() construction run the
+    # job. The caches are two small derived artifacts; callers that own
+    # the session reclaim them with spark.catalog.clearCache() (bench.py
+    # does so between its warm and timed passes).
+    return summary

@@ -63,7 +63,23 @@ class TxTable:
         return json.loads(p.read_text())
 
     def history(self) -> list[dict]:
-        return [self._manifest(v) for v in range(1, self.latest_version() + 1)]
+        """Manifests that still exist, oldest first — after a vacuum the
+        retained window starts above version 1, so this globs rather
+        than assuming a gapless range."""
+        vs = sorted(int(p.stem[1:]) for p in (self.path / "_tx").glob("v*.json"))
+        return [self._manifest(v) for v in vs]
+
+    def last_stream_epoch(self) -> int | None:
+        """Most recent committed streaming epoch id (manifest meta),
+        scanning newest-first and stopping at the first hit — O(1) for
+        a stream appending every batch, and replay detection stays
+        correct after vacuum because epochs are monotone per checkpoint
+        (a replayed epoch is never newer than the last committed)."""
+        for m in reversed(self.history()):
+            meta = m.get("meta") or {}
+            if "epoch" in meta:
+                return meta["epoch"]
+        return None
 
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
@@ -92,14 +108,24 @@ class TxTable:
             **({"meta": meta} if meta else {}),
         }
         p = self.path / "_tx" / f"v{version:08d}.json"
+        # write the FULL content to a temp name first, then hard-link to
+        # the final name: link() is atomic AND exclusive, so a reader
+        # can never observe a partial manifest and a crash before the
+        # link leaves only a temp file (swept by vacuum), never a
+        # half-written version that would wedge the table.
+        tmp = self.path / "_tx" / f".tmp-{uuid.uuid4().hex[:12]}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(manifest))
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, p)
         except FileExistsError:
             raise ConcurrentCommitError(
                 f"version {version} already committed by another writer"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(manifest))
+        finally:
+            tmp.unlink(missing_ok=True)
         return version
 
     # -- write operations ---------------------------------------------------
@@ -156,20 +182,33 @@ class TxTable:
         raise ConcurrentCommitError(f"delete lost {max_retries} races at {self.path}")
 
     # -- maintenance ----------------------------------------------------------
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> list[str]:
         """Drop data dirs referenced only by manifests older than the
-        last ``keep_last`` versions, plus orphans from aborted writes.
-        Time travel stays valid for the kept versions."""
+        last ``keep_last`` versions, plus debris from aborted writes.
+        Time travel stays valid for the kept versions.
+
+        ``min_age_s`` is the concurrency guard (same role as Delta's
+        vacuum retention): a writer spools its data dir BEFORE the
+        manifest commit, so an unreferenced dir younger than the window
+        may be an in-flight write, not garbage — only dirs (and temp
+        manifests) older than the window are removed. Keep it above the
+        longest plausible write duration."""
+        import time as _time
+
         latest = self.latest_version()
         keep_from = max(1, latest - keep_last + 1)
         live: set[str] = set()
         for v in range(keep_from, latest + 1):
             live.update(self._manifest(v)["dirs"])
+        cutoff = _time.time() - min_age_s
         removed = []
         for d in (self.path / "data").iterdir():
-            if d.name not in live:
+            if d.name not in live and d.stat().st_mtime < cutoff:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(d.name)
         for v in range(1, keep_from):
             (self.path / "_tx" / f"v{v:08d}.json").unlink(missing_ok=True)
+        for tmp in (self.path / "_tx").glob(".tmp-*"):
+            if tmp.stat().st_mtime < cutoff:
+                tmp.unlink(missing_ok=True)
         return sorted(removed)

@@ -19,23 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hapiy_etl_spark.functions import MD5_UNIFORM_SQL as _MD5_UNIFORM_SQL
+from hapiy_etl_spark.functions import md5_uniform as _md5_uniform
 from hapiy_etl_spark.io import load_tables
 from hapiy_etl_spark.registry import register
-
-# portable per-doc uniform in (0,1] — same expression family as
-# corpus_weighted_sample (md5 prefix → bigint → modular residue)
-def _md5_uniform(col):
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 14), 16, 10).cast("long")
-        % 1000000
-        + 1
-    ) / 1000001.0
-
-
-_MD5_UNIFORM_SQL = (
-    "((('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 14))::BIGINT "
-    "% 1000000 + 1) / 1000001.0)"
-)
 
 
 @register(
@@ -86,26 +73,30 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rowtot = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     coltot = obs.groupBy("bucket").agg(F.sum("o").alias("c"))
-    n_r = rowtot.count()
-    n_c = coltot.count()
     grid = F.broadcast(rowtot).crossJoin(F.broadcast(coltot))
     tot = obs.agg(F.sum("o").alias("n"))
     cells = (
         grid.join(obs, ["event_type", "bucket"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
+            "event_type",
+            "bucket",
             (F.col("r") * F.col("c") / F.col("n").cast("double")).alias("e"),
             F.coalesce(F.col("o"), F.lit(0)).alias("o"),
             "n",
         )
     )
     chi2 = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    # margin cardinalities computed IN the plan (count_distinct over the
+    # tiny grid) — no eager .count() jobs at construction time
+    n_r = F.count_distinct("event_type")
+    n_c = F.count_distinct("bucket")
     return cells.agg(
         F.round(chi2, 4).alias("chi2"),
-        F.lit((n_r - 1) * (n_c - 1)).cast("bigint").alias("dof"),
-        F.round(F.sqrt(chi2 / (F.max("n") * min(n_r - 1, n_c - 1))), 6).alias(
-            "cramers_v"
-        ),
+        ((n_r - 1) * (n_c - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * F.least(n_r - 1, n_c - 1))), 6
+        ).alias("cramers_v"),
         F.max("n").cast("bigint").alias("n"),
     )
 

@@ -1447,11 +1447,10 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from hapiy_etl_spark.functions import md5_uniform
+
     t = load_tables(spark, sf_dir, ("documents",))
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
-        .cast("long") % 1000000 + 1
-    ) / 1000001.0
+    u = md5_uniform(F.col("doc_id"))
     # greatest(n_chars, 1): n_chars=0 would make the weight ln(1)=0, and
     # 0-division is NULL in (non-ANSI) Spark but +inf in DuckDB — the two
     # engines would sort such a doc to opposite window ends. Clamp in

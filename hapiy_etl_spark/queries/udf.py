@@ -253,20 +253,10 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter, no RNG-state coordination, pushdown-friendly.",
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.functions import md5_uniform
+
     t = load_tables(spark, sf_dir, ("orders",))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("s42:"), F.col("o_orderkey").cast("string"))),
-                1,
-                14,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000000
-        + 1
-    ) / 1000001.0
+    u = md5_uniform(F.concat(F.lit("s42:"), F.col("o_orderkey").cast("string")))
     return t["orders"].where(u < 0.1).select("o_orderkey").orderBy("o_orderkey")
 
 

@@ -100,11 +100,14 @@ def _fetch_json_list(
             if ex.code not in _RETRY_STATUS or attempt >= max_retries:
                 raise
             retry_after = ex.headers.get("Retry-After") if ex.headers else None
-            delay = (
-                float(retry_after)
-                if retry_after and retry_after.replace(".", "").isdigit()
-                else backoff * (2**attempt)
-            )
+            # a malformed header (e.g. "1.2.3", or an HTTP-date) must
+            # fall back to exponential backoff, not crash the retry path
+            try:
+                delay = float(retry_after) if retry_after else None
+            except ValueError:
+                delay = None
+            if delay is None or delay < 0:
+                delay = backoff * (2**attempt)
             time.sleep(delay)
             attempt += 1
     items = json.loads(body)

@@ -135,7 +135,17 @@ def stream_stream_click_purchase(
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         how,
-    ).select("click_id", "purchase_id", "c_user", "c_ts", "p_ts", "p_value")
+    ).select(
+        "click_id",
+        "purchase_id",
+        # coalesce keeps the column non-null on BOTH outer sides: for a
+        # fullOuter orphan purchase c_user is null and p_user carries
+        # the attribution (identical to c_user on inner/left rows)
+        F.coalesce("c_user", "p_user").alias("c_user"),
+        "c_ts",
+        "p_ts",
+        "p_value",
+    )
 
 
 def stream_stream_click_purchase_outer(events: DataFrame) -> DataFrame:
@@ -280,14 +290,20 @@ def foreach_batch_tx_append(stream: DataFrame, path: str, checkpoint: str):
 
 def tx_append_once(batch: DataFrame, path: str, epoch_id: int) -> bool:
     """Commit one micro-batch to a TxTable iff this epoch hasn't already
-    been committed (scanned from manifest history). Returns True when it
-    appended, False when the epoch was a replay. Factored out of the
-    foreachBatch closure so the replay branch is directly testable."""
+    been committed. Returns True when it appended, False when the epoch
+    was a replay. Factored out of the foreachBatch closure so the
+    replay branch is directly testable.
+
+    Replay detection compares against the LAST committed epoch, not a
+    set of all epochs: epoch ids are monotone per checkpoint, so a
+    re-delivered batch is never newer than the newest commit — an O(1)
+    newest-first scan instead of re-parsing every manifest per batch,
+    and it stays correct after vacuum() drops old manifests."""
     from hapiy_etl_spark.operators.txstore import TxTable
 
     table = TxTable(batch.sparkSession, path)
-    done = {m.get("meta", {}).get("epoch") for m in table.history() if m.get("meta")}
-    if epoch_id in done:
+    last = table.last_stream_epoch()
+    if last is not None and epoch_id <= last:
         return False
     table.append(batch, meta={"epoch": epoch_id})
     return True

@@ -49,7 +49,7 @@ class _Handler(BaseHTTPRequestHandler):
         if self.server.fail_next > 0:
             self.server.fail_next -= 1
             self.send_response(429)
-            self.send_header("Retry-After", "0")
+            self.send_header("Retry-After", getattr(self.server, "retry_after", "0"))
             self.end_headers()
             return
         page = int(qs.get("page", ["1"])[0])
@@ -125,6 +125,19 @@ def test_retry_on_429_then_success(server):
     rows = github_fetch_page("o", "r", 1, per_page=10, api_root=_root(server))
     assert len(rows) == 10
     assert len(server.seen) == 3  # two 429s + success
+
+
+def test_retry_malformed_retry_after_falls_back_to_backoff(server):
+    """'Retry-After: 1.2.3' (or an HTTP-date) must not crash the retry
+    path with ValueError — it falls back to exponential backoff."""
+    from hapiy_etl_spark.sources.http_fetch import build_commits_request, _fetch_json_list
+
+    server.fail_next = 1
+    server.retry_after = "1.2.3"
+    req = build_commits_request("o", "r", 1, None, None, per_page=10, api_root=_root(server))
+    rows = _fetch_json_list(req, backoff=0.01)
+    assert len(rows) == 10
+    assert len(server.seen) == 2  # one 429 + success
 
 
 def test_retry_exhaustion_raises(server):

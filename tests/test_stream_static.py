@@ -206,3 +206,5 @@ def test_stream_stream_full_outer_emits_both_unmatched_sides(spark, sf_dir):
     assert batch_unmatched_p_final <= stream_unmatched_p
     assert stream_unmatched_p <= batch_unmatched_p_all
     assert len(batch_unmatched_p_final) > 0  # the purchase-side path fired
+    # orphan purchases keep user attribution (coalesced from p_user)
+    assert all(r.c_user is not None for r in out if r.click_id is None)

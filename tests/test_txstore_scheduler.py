@@ -87,8 +87,21 @@ def test_txstore_vacuum_drops_orphans_keeps_time_travel(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
     t.overwrite(spark.createDataFrame([(3, "c")], "k long, v string"))
     (tmp_path / "t" / "data" / "s-aborted-write").mkdir()  # crashed writer debris
-    removed = t.vacuum(keep_last=2)
+    (tmp_path / "t" / "data" / "s-inflight-write").mkdir()  # a writer mid-commit
+    # age guard: with the default retention nothing unreferenced is
+    # touched (it could be an in-flight writer's spool)...
+    assert t.vacuum(keep_last=2) == []
+    # ...with retention waived, debris goes — but we protect the
+    # "in-flight" dir by backdating only the aborted one
+    import os, time
+
+    old = time.time() - 10
+    os.utime(tmp_path / "t" / "data" / "s-aborted-write", (old, old))
+    removed = t.vacuum(keep_last=2, min_age_s=5)
     assert "s-aborted-write" in removed
+    assert "s-inflight-write" not in removed
+    (tmp_path / "t" / "data" / "s-inflight-write").rmdir()
+    t.vacuum(keep_last=2, min_age_s=0)
     assert _rows(t.read()) == [(3, "c")]
     assert _rows(t.read(version=2)) == [(2, "b")]  # kept window intact
     with pytest.raises(FileNotFoundError):
