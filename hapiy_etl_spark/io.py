@@ -92,6 +92,25 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str] | None =
     w.parquet(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Idempotent partition reload: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched
+    (``partitionOverwriteMode=dynamic``). The 100 TB daily-reload
+    pattern — re-running a day's job replaces that day's partitions
+    atomically-per-partition instead of truncating the whole table or
+    appending duplicates. Static mode (the default) would delete ALL
+    partitions first; the conf is set per-write and restored."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

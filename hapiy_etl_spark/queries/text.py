@@ -8,6 +8,7 @@ LSH, SimHash) register rows-only with invariants in tests/test_llm.py.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1893,3 +1894,43 @@ def editsim_source_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_b").alias("src_b"),
         F.levenshtein("s_a", "s_b").cast("bigint").alias("dist"),
     ).orderBy("src_a", "src_b")
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(substr(text, 1, 16) || 'cafe' || chr(769)) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(substr(text, 1, 16) || 'cafe' || chr(769))) AS BIGINT) AS len_nfc,
+           md5(nfc_normalize(substr(text, 1, 16) || 'cafe' || chr(769))) AS digest
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Unicode NFC normalization — the canonicalization step every "
+    "text pipeline runs before hashing/dedup (decomposed 'e'+U+0301 "
+    "and precomposed U+00E9 must dedup together). Spark has no "
+    "normalization built-in, so this is the vectorized-pandas-UDF "
+    "escape hatch (unicodedata, Arrow-batched); the oracle is DuckDB's "
+    "ICU nfc_normalize, so the check proves Python's NFC table and "
+    "ICU's agree byte-for-byte on the exercised codepoints. A "
+    "deterministic decomposed suffix is planted because the corpus "
+    "itself is pure ASCII (where NFC is the identity).",
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda v: unicodedata.normalize("NFC", v))
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    # decomposed on purpose; escape-spelled so no formatter can precompose it
+    raw = F.concat(F.substring("text", 1, 16), F.lit("cafe\u0301"))
+    d = t["documents"].select("doc_id", raw.alias("raw"), nfc(raw).alias("n"))
+    return d.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("len_raw"),
+        F.length("n").cast("bigint").alias("len_nfc"),
+        F.md5(F.col("n").cast("binary")).alias("digest"),
+    ).orderBy("doc_id")

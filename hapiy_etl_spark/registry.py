@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_source_entropy",
     "editsim_source_labels",
     "udf_grouped_agg_mad",
+    "text_unicode_nfc",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

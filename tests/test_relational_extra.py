@@ -248,3 +248,32 @@ def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """Re-running one partition's load must replace exactly that
+    partition: untouched partitions keep their rows, the touched one is
+    REPLACED (not appended), and static mode's truncate-everything
+    behavior is what we're NOT doing."""
+    from hapiy_etl_spark.io import overwrite_partitions_dynamic, read_table
+
+    out = str(tmp_path / "by_type")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    overwrite_partitions_dynamic(ev, out, ["event_type"])
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out).groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    # reload ONLY the click partition, with half its rows
+    clicks = ev.where(F.col("event_type") == "click")
+    half = clicks.where(F.col("event_id") % 2 == 0)
+    n_half = half.count()
+    overwrite_partitions_dynamic(half, out, ["event_type"])
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out).groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert after["click"] == n_half  # replaced, not appended
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k]  # untouched partitions intact
