@@ -81,12 +81,19 @@ class TxTable:
                 return meta["epoch"]
         return None
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
+        """Resolve a snapshot. ``merge_schema=True`` unions the schemas
+        of a multi-dir snapshot (appends may evolve the schema — added
+        columns read as null on old dirs); without it Spark picks one
+        file's schema and silently drops columns the others added."""
         v = self.latest_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"empty table at {self.path}")
         dirs = [str(self.path / "data" / d) for d in self._manifest(v)["dirs"]]
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     # -- commit protocol ----------------------------------------------------
     def _write_data_dir(self, df: DataFrame) -> str:
@@ -180,6 +187,37 @@ class TxTable:
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"delete lost {max_retries} races at {self.path}")
+
+    def optimize(
+        self,
+        zorder_by: Sequence[str] | None = None,
+        target_partitions: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Snapshot compaction (the OPTIMIZE half of the lakehouse
+        lifecycle): rewrite the current snapshot — K append dirs and
+        their small files — into one fresh dir, optionally Z-order
+        clustered (operators/maintenance.zorder_sort) so min-max file
+        skipping works on the listed columns. Copy-on-write like merge:
+        readers of old versions are untouched, a racing writer costs a
+        retry, and the superseded dirs age out via vacuum()."""
+        from hapiy_etl_spark.operators.maintenance import zorder_sort
+
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            snap = self.read(parent, merge_schema=True)
+            if zorder_by:
+                snap = zorder_sort(
+                    snap, list(zorder_by), num_partitions=target_partitions
+                )
+            elif target_partitions:
+                snap = snap.coalesce(target_partitions)
+            d = self._write_data_dir(snap)
+            try:
+                return self._commit(parent, [d], "optimize")
+            except ConcurrentCommitError:
+                shutil.rmtree(self.path / "data" / d, ignore_errors=True)
+        raise ConcurrentCommitError(f"optimize lost {max_retries} races at {self.path}")
 
     # -- maintenance ----------------------------------------------------------
     def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> list[str]:

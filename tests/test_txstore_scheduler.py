@@ -241,3 +241,39 @@ def test_max_files_per_trigger_paces_batches(spark, tmp_path):
     data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(data_batches) >= 3, [p["numInputRows"] for p in q.recentProgress]
     assert spark.sql("SELECT count(*) FROM paced_out").first()[0] == 3
+
+
+def test_txstore_optimize_compacts_snapshot(spark, tmp_path):
+    """Three append dirs collapse to one optimized dir; values are
+    unchanged, history records the op, and pre-optimize versions stay
+    readable (copy-on-write)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k long, v string"))
+    assert len(t._manifest(3)["dirs"]) == 3
+    t.optimize(target_partitions=1)
+    assert len(t._manifest(4)["dirs"]) == 1
+    assert _rows(t.read()) == [(0, "v0"), (1, "v1"), (2, "v2")]
+    assert _rows(t.read(version=2)) == [(0, "v0"), (1, "v1")]
+    assert t.history()[-1]["op"] == "optimize"
+
+
+def test_txstore_optimize_zorder_clusters(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: values survive the Morton re-layout."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [(i, (i * 37) % 100) for i in range(200)]
+    t.overwrite(spark.createDataFrame(rows, "x long, y long"))
+    t.optimize(zorder_by=["x", "y"], target_partitions=2)
+    assert _rows(t.read()) == sorted(rows)
+
+
+def test_txstore_schema_evolution_merge_schema(spark, tmp_path):
+    """An append may add a column; merge_schema=True surfaces it (null
+    on old dirs) instead of silently dropping it."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double"))
+    evolved = t.read(merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "score"}
+    by_k = {r.k: r.score for r in evolved.collect()}
+    assert by_k == {1: None, 2: 9.5}
