@@ -441,3 +441,66 @@ def udf_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS span_s
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Spark 4 UDTF with a TABLE argument (PARTITION BY ... ORDER BY "
+    "...): the stateful table-function form — eval() accumulates over "
+    "one partition's rows in order, terminate() emits the partition "
+    "summary. Each user's rows are co-located and sorted by the engine "
+    "before the UDTF sees them (one shuffle, exactly like a groupBy); "
+    "this is the SQL-surfaced twin of applyInPandas. Epochs are "
+    "floored per-endpoint in BOTH engines (floor-then-diff != "
+    "diff-then-floor on fractional seconds).",
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from pyspark.sql.functions import udtf
+
+    load_tables(spark, sf_dir, ("events",))
+    epoch0 = dt.datetime(1970, 1, 1)
+
+    @udtf(returnType="user_id bigint, n_events bigint, span_s bigint")
+    class PerUserStats:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["ts"]  # ORDER BY ts: first row is min
+            self.last = row["ts"]
+
+        def terminate(self):
+            if self.uid is None:
+                return
+            # naive session-UTC datetimes: diff vs epoch0 avoids the
+            # system-local-timezone trap of datetime.timestamp()
+            lo = int((self.first - epoch0).total_seconds() // 1)
+            hi = int((self.last - epoch0).total_seconds() // 1)
+            yield self.uid, self.n, hi - lo
+
+    spark.udtf.register("per_user_stats", PerUserStats)
+    return spark.sql(
+        """
+        SELECT * FROM per_user_stats(
+            TABLE(SELECT user_id, ts FROM events)
+            PARTITION BY user_id ORDER BY ts
+        )
+        ORDER BY user_id
+        """
+    )

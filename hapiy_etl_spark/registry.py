@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "editsim_source_labels",
     "udf_grouped_agg_mad",
     "text_unicode_nfc",
+    "udtf_table_argument",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
