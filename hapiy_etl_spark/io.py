@@ -101,14 +101,16 @@ def overwrite_partitions_dynamic(
     pattern — re-running a day's job replaces that day's partitions
     atomically-per-partition instead of truncating the whole table or
     appending duplicates. Static mode (the default) would delete ALL
-    partitions first; the conf is set per-write and restored."""
-    spark = df.sparkSession
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    partitions first. Set as a PER-WRITER option, not the session
+    conf: a save/restore of the global conf races with concurrent
+    writers on the same session (one writer's restore flips another's
+    in-flight overwrite back to static = full-table truncate)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

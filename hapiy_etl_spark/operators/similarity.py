@@ -83,6 +83,41 @@ def cosine_topk(
     )
 
 
+def _collect_bounded_queries(queries: DataFrame, query_id: str, vec: str, op: str):
+    """Bounded driver collect of the query set (it is broadcast to every
+    task — unbounded would OOM the driver/executors at corpus scale)."""
+    rows = queries.select(query_id, vec).limit(100_001).collect()
+    if len(rows) > 100_000:
+        raise ValueError(
+            f"{op} broadcasts the query set; >100k query vectors won't fit "
+            "a task broadcast — chunk the queries or use lsh_topk/ivf_topk"
+        )
+    return rows
+
+
+def _refine_topk(
+    local: DataFrame,
+    query_id: str,
+    k: int,
+    score_alias: str,
+    descending: bool,
+) -> DataFrame:
+    """Global window refine of per-partition candidates → final top-k
+    (shared tail of the numpy brute-force and PQ paths)."""
+    score = F.col("__score").desc() if descending else F.col("__score").asc()
+    w = W.partitionBy("__qid").orderBy(score, F.col("__cid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            "rank",
+            F.round("__score", 6).alias(score_alias),
+        )
+    )
+
+
 def cosine_topk_numpy(
     queries: DataFrame,
     corpus: DataFrame,
@@ -101,14 +136,7 @@ def cosine_topk_numpy(
     import numpy as np
     from pyspark.sql import functions as F2
 
-    q_rows = queries.select(query_id, vec).limit(100_001).collect()
-    if len(q_rows) > 100_000:
-        # the query matrix is broadcast to every task — an unbounded
-        # collect here would OOM the driver/executors at corpus scale
-        raise ValueError(
-            "cosine_topk_numpy broadcasts the query set; >100k query vectors "
-            "won't fit a task broadcast — chunk the queries or use lsh_topk/ivf_topk"
-        )
+    q_rows = _collect_bounded_queries(queries, query_id, vec, "cosine_topk_numpy")
     if not q_rows:
         return cosine_topk(queries, corpus, query_id, corpus_id, k, vec, vec)
     q_ids = np.array([r[0] for r in q_rows])
@@ -136,22 +164,12 @@ def cosine_topk_numpy(
                         out_q.append(ids[qi])
                         out_c.append(c_ids[ci])
                         out_s.append(col[ci])
-            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__sim": out_s})
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__score": out_s})
 
     local = corpus.select(corpus_id, vec).mapInPandas(
-        topk_partition, f"__qid long, __cid long, __sim double"
+        topk_partition, "__qid long, __cid long, __score double"
     )
-    w = W.partitionBy("__qid").orderBy(F2.col("__sim").desc(), F2.col("__cid"))
-    return (
-        local.withColumn("rank", F2.row_number().over(w))
-        .where(F2.col("rank") <= k)
-        .select(
-            F2.col("__qid").alias(query_id),
-            F2.col("__cid").alias("neighbor_id"),
-            "rank",
-            F2.round("__sim", 6).alias("cosine_sim"),
-        )
-    )
+    return _refine_topk(local, query_id, k, "cosine_sim", descending=True)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -378,6 +396,7 @@ def pq_topk(
     vec: str = "embedding",
     seed: int = 42,
     train_limit: int = 10_000,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC) — the
     memory-bound scale path of the ANN quartet (brute / LSH / IVF / PQ):
@@ -392,21 +411,34 @@ def pq_topk(
     driver check + planted-recall pytest, same as LSH/IVF.
     """
     import numpy as np
-    from pyspark.sql import functions as F2
 
-    sample_rows = corpus.select(vec).limit(train_limit).collect()
+    q_rows = _collect_bounded_queries(queries, query_id, vec, "pq_topk")
+    spark = corpus.sparkSession
+    empty = spark.createDataFrame(
+        [], f"{query_id} long, neighbor_id long, rank int, approx_l2sq double"
+    )
+    if not q_rows:
+        return empty
+    # head-of-corpus is fine locally; at scale (or on a sorted/clustered
+    # corpus layout) pass train_fraction so the bounded collect sees a
+    # uniform sample instead of the first partition's distribution
+    train = corpus.select(vec)
+    if train_fraction is not None:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    sample_rows = train.limit(train_limit).collect()
+    if not sample_rows:
+        return empty
     sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_topk: vector dim {dim} is not divisible by m={m} — trailing "
+            "dims would be silently ignored; pick m dividing the dimension"
+        )
     books = _pq_codebooks(sample, m, n_codes, seed)
 
-    q_rows = queries.select(query_id, vec).limit(100_001).collect()
-    if len(q_rows) > 100_000:
-        raise ValueError(
-            "pq_topk broadcasts per-query LUTs; >100k queries won't fit — "
-            "chunk the queries or use lsh_topk/ivf_topk"
-        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    dim = q_mat.shape[1]
     sub = dim // m
     # ADC lookup tables: for every query, squared-L2 from each of its
     # sub-vectors to every codeword — shape (|Q|, m, n_codes), tiny
@@ -416,7 +448,6 @@ def pq_topk(
         diff = qs[:, None, :] - books[j][None, :, :]  # (Q, codes, sub)
         luts[:, j, :] = (diff**2).sum(axis=2)
 
-    spark = corpus.sparkSession
     b = spark.sparkContext.broadcast((books, q_ids, luts))
 
     def adc_partition(batches):
@@ -449,19 +480,9 @@ def pq_topk(
                         out_q.append(ids_[qi])
                         out_c.append(c_ids[ci])
                         out_d.append(col[ci])
-            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__dist": out_d})
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__score": out_d})
 
     local = corpus.select(corpus_id, vec).mapInPandas(
-        adc_partition, "__qid long, __cid long, __dist double"
+        adc_partition, "__qid long, __cid long, __score double"
     )
-    w = W.partitionBy("__qid").orderBy(F2.col("__dist").asc(), F2.col("__cid"))
-    return (
-        local.withColumn("rank", F2.row_number().over(w))
-        .where(F2.col("rank") <= k)
-        .select(
-            F2.col("__qid").alias(query_id),
-            F2.col("__cid").alias("neighbor_id"),
-            "rank",
-            F2.round("__dist", 6).alias("approx_l2sq"),
-        )
-    )
+    return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)

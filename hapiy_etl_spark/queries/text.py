@@ -1922,7 +1922,9 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nfc(s: pd.Series) -> pd.Series:
         import unicodedata
 
-        return s.map(lambda v: unicodedata.normalize("NFC", v))
+        # na_action: NULL text must propagate as NULL (DuckDB's
+        # nfc_normalize(NULL) is NULL), not TypeError the executor
+        return s.map(lambda v: unicodedata.normalize("NFC", v), na_action="ignore")
 
     t = load_tables(spark, sf_dir, ("documents",))
     # decomposed on purpose; escape-spelled so no formatter can precompose it

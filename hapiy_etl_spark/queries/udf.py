@@ -460,15 +460,16 @@ def udf_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before the UDTF sees them (one shuffle, exactly like a groupBy); "
     "this is the SQL-surfaced twin of applyInPandas. Epochs are "
     "floored per-endpoint in BOTH engines (floor-then-diff != "
-    "diff-then-floor on fractional seconds).",
+    "diff-then-floor on fractional seconds), and the timestamp is cast "
+    "to epoch seconds INSIDE the table argument: PySpark materializes "
+    "TimestampType as naive datetimes via the SYSTEM timezone "
+    "(datetime.fromtimestamp), so datetime math inside a UDTF is off "
+    "by the DST delta on non-UTC hosts — integers can't drift.",
 )
 def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-
     from pyspark.sql.functions import udtf
 
     load_tables(spark, sf_dir, ("events",))
-    epoch0 = dt.datetime(1970, 1, 1)
 
     @udtf(returnType="user_id bigint, n_events bigint, span_s bigint")
     class PerUserStats:
@@ -482,24 +483,22 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.uid = row["user_id"]
             self.n += 1
             if self.first is None:
-                self.first = row["ts"]  # ORDER BY ts: first row is min
-            self.last = row["ts"]
+                self.first = row["ts_s"]  # ORDER BY: first row is min
+            self.last = row["ts_s"]
 
         def terminate(self):
             if self.uid is None:
                 return
-            # naive session-UTC datetimes: diff vs epoch0 avoids the
-            # system-local-timezone trap of datetime.timestamp()
-            lo = int((self.first - epoch0).total_seconds() // 1)
-            hi = int((self.last - epoch0).total_seconds() // 1)
-            yield self.uid, self.n, hi - lo
+            yield self.uid, self.n, self.last - self.first
 
     spark.udtf.register("per_user_stats", PerUserStats)
+    # CAST(ts AS LONG) = floor(epoch seconds), matching the oracle's
+    # floor(epoch(...)) per endpoint
     return spark.sql(
         """
         SELECT * FROM per_user_stats(
-            TABLE(SELECT user_id, ts FROM events)
-            PARTITION BY user_id ORDER BY ts
+            TABLE(SELECT user_id, CAST(ts AS LONG) AS ts_s FROM events)
+            PARTITION BY user_id ORDER BY ts_s
         )
         ORDER BY user_id
         """

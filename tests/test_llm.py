@@ -282,3 +282,23 @@ def test_pq_topk_deterministic(spark, planted_vectors):
     a = sorted(map(tuple, S.pq_topk(queries, planted_vectors, "vec_id", "vec_id", k=3, m=4, n_codes=8).collect()))
     b = sorted(map(tuple, S.pq_topk(queries, planted_vectors, "vec_id", "vec_id", k=3, m=4, n_codes=8).collect()))
     assert a == b
+
+
+def test_pq_topk_guards(spark, planted_vectors):
+    """Empty query set returns an empty (correctly-typed) result, and a
+    non-dividing m raises loudly instead of silently dropping dims."""
+    import pytest as _pytest
+
+    empty_q = planted_vectors.where(F.col("vec_id") < 0)
+    out = S.pq_topk(empty_q, planted_vectors, "vec_id", "vec_id", k=3, m=4, n_codes=8)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "neighbor_id", "rank", "approx_l2sq"}
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.pq_topk(
+            planted_vectors.where(F.col("vec_id") < 2),
+            planted_vectors,
+            "vec_id",
+            "vec_id",
+            m=5,  # 16-dim vectors: 16 % 5 != 0
+            n_codes=8,
+        )
