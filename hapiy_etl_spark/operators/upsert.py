@@ -117,3 +117,45 @@ def table_diff(
         .where(F.col("op").isNotNull())
         .select("op", *key_list, *out_cols)
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema-drift report between two snapshots — the companion to the
+    row-level ``table_diff``: one record per drifted column, kind ∈
+    {added, removed, retyped, renullabled}. Upstream producers changing
+    a parquet schema silently (a column re-typed int→string, a NOT NULL
+    relaxed) is exactly the failure mode that breaks incremental
+    pipelines between runs, and it should be caught by comparing
+    footers — pure metadata, no data scan, no Spark job.
+    """
+    a = {f.name: f for f in old.schema.fields}
+    b = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(a) | set(b)):
+        if name not in b:
+            out.append(
+                {"column": name, "kind": "removed", "old": a[name].dataType.simpleString(), "new": None}
+            )
+        elif name not in a:
+            out.append(
+                {"column": name, "kind": "added", "old": None, "new": b[name].dataType.simpleString()}
+            )
+        elif a[name].dataType != b[name].dataType:
+            out.append(
+                {
+                    "column": name,
+                    "kind": "retyped",
+                    "old": a[name].dataType.simpleString(),
+                    "new": b[name].dataType.simpleString(),
+                }
+            )
+        elif a[name].nullable != b[name].nullable:
+            out.append(
+                {
+                    "column": name,
+                    "kind": "renullabled",
+                    "old": str(a[name].nullable),
+                    "new": str(b[name].nullable),
+                }
+            )
+    return out

@@ -394,3 +394,30 @@ def test_edit_distance_pairs_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_schema_diff_reports_drift_kinds(spark):
+    """Added / removed / retyped / nullability drift between snapshot
+    schemas, from footers only (no job)."""
+    from pyspark.sql import types as T
+
+    from hapiy_etl_spark.operators.upsert import schema_diff
+
+    old = spark.createDataFrame([], T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("gone", T.IntegerType(), True),
+    ]))
+    new = spark.createDataFrame([], T.StructType([
+        T.StructField("id", T.LongType(), True),       # relaxed nullability
+        T.StructField("v", T.IntegerType(), True),     # retyped
+        T.StructField("fresh", T.DoubleType(), True),  # added
+    ]))
+    diff = {d["column"]: d["kind"] for d in schema_diff(old, new)}
+    assert diff == {
+        "gone": "removed",
+        "fresh": "added",
+        "v": "retyped",
+        "id": "renullabled",
+    }
+    assert schema_diff(old, old) == []

@@ -48,6 +48,14 @@ SHOWCASE = [
     # r4: forward as-of rides one window shuffle like the backward form
     ("asof_forward_tolerance", ["Window", "Exchange"]),
     ("interval_union_coverage", ["Window", "Exchange"]),
+    # r5: chi-square margins are tiny broadcast crosses over ONE grouped
+    # count of the fact table — the only scan is the events aggregate
+    ("stat_chi2_independence", ["HashAggregate", "BroadcastNestedLoopJoin", "FileScan"]),
+    # r5: deletion-variant blocking must plan as a hash equi-join on the
+    # variant key — never a cartesian pair enumeration
+    ("editsim_source_labels", ["Join", "NestedLoop", "Generate"]),
+    # r5: GROUPED_AGG pandas UDAF runs as a real two-phase aggregate
+    ("udf_grouped_agg_mad", ["ArrowAggregatePython", "Exchange"]),
 ]
 
 
