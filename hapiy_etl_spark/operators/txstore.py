@@ -188,6 +188,22 @@ class TxTable:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"delete lost {max_retries} races at {self.path}")
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot AS A NEW COMMIT
+        (lakehouse RESTORE semantics): history is append-only, so the
+        bad versions stay inspectable, readers mid-query on them are
+        unaffected, and the rollback itself can race other writers like
+        any commit. No data is copied — the new manifest re-references
+        the restored version's dirs (so vacuum keeps them live)."""
+        dirs = self._manifest(version)["dirs"]
+        while True:
+            try:
+                return self._commit(
+                    self.latest_version(), dirs, "restore", {"restored_from": version}
+                )
+            except ConcurrentCommitError:
+                continue
+
     def optimize(
         self,
         zorder_by: Sequence[str] | None = None,

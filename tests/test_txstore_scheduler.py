@@ -277,3 +277,23 @@ def test_txstore_schema_evolution_merge_schema(spark, tmp_path):
     assert set(evolved.columns) == {"k", "v", "score"}
     by_k = {r.k: r.score for r in evolved.collect()}
     assert by_k == {1: None, 2: 9.5}
+
+
+def test_txstore_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE: the table returns to an old snapshot via a NEW manifest
+    that re-references the old dirs (no data copy), history remains
+    append-only, and vacuum keeps the restored dirs live because the
+    newest manifest points at them."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "good")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(2, "bad")], "k long, v string"))
+    v = t.restore(1)
+    assert v == 3
+    assert _rows(t.read()) == [(1, "good")]
+    assert _rows(t.read(version=2)) == [(2, "bad")]  # bad version inspectable
+    assert [m["op"] for m in t.history()] == ["overwrite", "overwrite", "restore"]
+    assert t.history()[-1]["meta"] == {"restored_from": 1}
+    # no data copy: v3 references exactly v1's dirs
+    assert t._manifest(3)["dirs"] == t._manifest(1)["dirs"]
+    t.vacuum(keep_last=1, min_age_s=0)
+    assert _rows(t.read()) == [(1, "good")]  # restored dirs survived vacuum
