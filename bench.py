@@ -125,6 +125,12 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # Release designed caches created DURING the timed pass (the
+    # between-pass clearCache only covers the warm pass).
+    from hapiy_etl_spark.operators.graph import triangle_cache_release
+
+    triangle_cache_release()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     headline = {n: timings[n] for n in HEADLINE if n in timings}

@@ -157,7 +157,21 @@ def triangle_stats(
     # r5) releases the e/o caches but replaces the whole plan with a
     # LocalTableScan — destroying the hash-join/no-cartesian plan
     # evidence PLANS.md extracts and making fn() construction run the
-    # job. The caches are two small derived artifacts; callers that own
-    # the session reclaim them with spark.catalog.clearCache() (bench.py
-    # does so between its warm and timed passes).
+    # job. The caches are tracked in _TRIANGLE_CACHES; callers release
+    # them with triangle_cache_release() once the summary is consumed
+    # (bench.py does, after its timed pass) — no clearCache() needed,
+    # so unrelated cached state survives.
+    _TRIANGLE_CACHES.extend([e, o])
     return summary
+
+
+_TRIANGLE_CACHES: list[DataFrame] = []
+
+
+def triangle_cache_release() -> None:
+    """Unpersist the e/o edge caches created by prior triangle_stats
+    calls. The frames are tiny (deduped edges), but caches outlive the
+    query in a long session — call this when the summary has been
+    consumed."""
+    while _TRIANGLE_CACHES:
+        _TRIANGLE_CACHES.pop().unpersist()

@@ -70,16 +70,29 @@ class TxTable:
         return [self._manifest(v) for v in vs]
 
     def last_stream_epoch(self) -> int | None:
-        """Most recent committed streaming epoch id (manifest meta),
-        scanning newest-first and stopping at the first hit — O(1) for
-        a stream appending every batch, and replay detection stays
-        correct after vacuum because epochs are monotone per checkpoint
-        (a replayed epoch is never newer than the last committed)."""
-        for m in reversed(self.history()):
-            meta = m.get("meta") or {}
+        """Most recent committed streaming epoch id. See
+        ``last_stream_state`` for the full (epoch, run) pair."""
+        return self.last_stream_state()[0]
+
+    def last_stream_state(self) -> tuple[int | None, str | None]:
+        """(epoch, run) of the newest committed streaming batch.
+
+        Every commit carries the stream state forward in its meta
+        (``_commit``), so for any table written by this version the
+        FIRST manifest checked — the latest — answers: one file read
+        per micro-batch, and optimize/restore/vacuum cannot erase
+        replay-detection state. Older tables (pre-carry-forward) fall
+        back to walking versions newest-first, parsing one manifest at
+        a time rather than materializing the whole history."""
+        vs = sorted(
+            (int(p.stem[1:]) for p in (self.path / "_tx").glob("v*.json")),
+            reverse=True,
+        )
+        for v in vs:
+            meta = self._manifest(v).get("meta") or {}
             if "epoch" in meta:
-                return meta["epoch"]
-        return None
+                return meta["epoch"], meta.get("run")
+        return None, None
 
     def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """Resolve a snapshot. ``merge_schema=True`` unions the schemas
@@ -104,8 +117,20 @@ class TxTable:
     def _commit(
         self, parent: int, dirs: list[str], op: str, meta: dict | None = None
     ) -> int:
-        """Atomically create manifest parent+1; raise on a lost race."""
+        """Atomically create manifest parent+1; raise on a lost race.
+
+        Streaming replay state (``epoch``/``run`` meta keys) is carried
+        forward from the parent into every commit that does not set its
+        own — so optimize/merge/restore/delete cannot strand the
+        exactly-once detection behind manifests that vacuum may drop."""
         version = parent + 1
+        meta = dict(meta) if meta else {}
+        if "epoch" not in meta and parent:
+            pm = self._manifest(parent).get("meta") or {}
+            if "epoch" in pm:
+                meta["epoch"] = pm["epoch"]
+                if "run" in pm:
+                    meta["run"] = pm["run"]
         manifest = {
             "version": version,
             "parent": parent,
@@ -246,22 +271,41 @@ class TxTable:
         manifest commit, so an unreferenced dir younger than the window
         may be an in-flight write, not garbage — only dirs (and temp
         manifests) older than the window are removed. Keep it above the
-        longest plausible write duration."""
+        longest plausible write duration.
+
+        The return value lists EVERYTHING removed — data dirs and
+        manifest files — so a caller can audit exactly which versions
+        lost time-travel. Manifests below the keep window honor the
+        same ``min_age_s`` gate as data dirs: destroying time-travel
+        metadata is irreversible, so a default-retention vacuum never
+        touches anything younger than the window."""
         import time as _time
 
         latest = self.latest_version()
         keep_from = max(1, latest - keep_last + 1)
-        live: set[str] = set()
-        for v in range(keep_from, latest + 1):
-            live.update(self._manifest(v)["dirs"])
         cutoff = _time.time() - min_age_s
         removed = []
+        # Age-gated manifest drop first: only manifests BOTH below the
+        # keep window AND older than the retention window go. Survivors
+        # (young, below-window) keep their dirs live so time travel to
+        # them stays valid until a later vacuum ages them out.
+        surviving = []
+        for v in range(1, latest + 1):
+            p = self.path / "_tx" / f"v{v:08d}.json"
+            if not p.exists():
+                continue
+            if v < keep_from and p.stat().st_mtime < cutoff:
+                p.unlink(missing_ok=True)
+                removed.append(p.name)
+            else:
+                surviving.append(v)
+        live: set[str] = set()
+        for v in surviving:
+            live.update(self._manifest(v)["dirs"])
         for d in (self.path / "data").iterdir():
             if d.name not in live and d.stat().st_mtime < cutoff:
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(d.name)
-        for v in range(1, keep_from):
-            (self.path / "_tx" / f"v{v:08d}.json").unlink(missing_ok=True)
         for tmp in (self.path / "_tx").glob(".tmp-*"):
             if tmp.stat().st_mtime < cutoff:
                 tmp.unlink(missing_ok=True)

@@ -53,66 +53,63 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r5 window v2 (tools/rotate_priority.py over CORRECTNESS_r01..r04,
-# regenerated after the round-5 additions): zero failures; the 7
-# never-driver-checked round-5 queries first (stats family, editsim,
-# GROUPED_AGG UDAF), then the two r2-era no_oracle rows whose oracles
-# have never been driver-executed, then the stalest r1-era greens whose
-# evidence predates the r4 testdata regeneration (VERDICT r4 top_next —
-# the remaining stale greens cycle through in r6).
+# r6 window (tools/rotate_priority.py over CORRECTNESS_r01..r05): zero
+# failures; ann_pq_topk first (the only query with no driver row in any
+# round — VERDICT r5 top_next), then the stalest greens whose evidence
+# predates the r4 testdata regeneration (r1/r2-era rows: q7/q9/q14/q19,
+# the window_* family, agg_* family, fn_map*, interval_overlap_sessions,
+# the approximate-ANN trio), oldest round first.
 PRIORITY: tuple[str, ...] = (
-    "stat_chi2_independence",
-    "stat_ab_proportion_ztest",
-    "corpus_lang_drift_jsd",
-    "sample_stratified_rates",
-    "doc_source_entropy",
-    "editsim_source_labels",
-    "udf_grouped_agg_mad",
-    "text_unicode_nfc",
-    "udtf_table_argument",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_semi_anti",
-    "join_outer_coalesce",
-    "join_full_outer",
-    "q2_min_cost_per_group",
-    "topk_per_group",
-    "set_operations",
-    "theta_range_join",
-    "cross_join_dims",
-    "fn_string",
-    "fn_datetime",
-    "fn_explode_wordcount",
-    "fn_json",
-    "fn_json_schema",
-    "fn_datetime_arith",
-    "fn_try_safe",
-    "fn_struct",
-    "fn_conditional",
-    "fn_hash",
-    "ann_cosine_topk_numpy",
-    "dedup_pipeline_end_to_end",
-    "agg_collect",
-    "events_funnel_conversion",
-    "filter_predicate_algebra",
-    "fn_math",
-    "fn_array",
-    "fn_regexp_extract_all",
-    "subq_exists_priority",
-    "subq_correlated_avg_qty",
-    "subq_in_large_orders",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_native",
-    "dedup_simhash",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "vocab_encode_documents",
+    "ann_pq_topk",
     "data_quality_report",
     "text_pii_redaction",
+    "corpus_split_sample",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_ratio",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "q19_disjunctive_predicates",
+    "udf_pandas_vectorized",
+    "udf_grouped_map_zscore",
+    "udf_map_in_pandas",
+    "udtf_explode_ranges",
+    "fn_map",
+    "fn_map_explode",
+    "unpivot_stack",
+    "sample_deterministic",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_neardup",
+    "embedding_stats",
+    "window_ranking",
+    "window_analytic",
+    "window_frames_running",
+    "window_sessionize",
+    "agg_basic_stats",
+    "agg_corr_covar",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_first_last_ordered",
+    "agg_bitwise_boolean",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "agg_regression",
+    "agg_filter_clause",
+    "agg_kmv_distinct_sketch",
+    "interval_overlap_sessions",
+    "events_cohort_retention",
+    "events_value_histogram",
+    "table_diff_snapshots",
+    "events_equidepth_histogram",
+    "events_funnel_multistep",
+    "graph_pagerank_trade",
+    "join_skew_salted",
+    "maintenance_zorder_key",
 )
 
 

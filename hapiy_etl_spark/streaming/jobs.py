@@ -278,7 +278,7 @@ def foreach_batch_tx_append(stream: DataFrame, path: str, checkpoint: str):
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        tx_append_once(batch, path, epoch_id)
+        tx_append_once(batch, path, epoch_id, run_id=_checkpoint_run_id(checkpoint))
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -288,22 +288,60 @@ def foreach_batch_tx_append(stream: DataFrame, path: str, checkpoint: str):
     )
 
 
-def tx_append_once(batch: DataFrame, path: str, epoch_id: int) -> bool:
-    """Commit one micro-batch to a TxTable iff this epoch hasn't already
-    been committed. Returns True when it appended, False when the epoch
-    was a replay. Factored out of the foreachBatch closure so the
-    replay branch is directly testable.
+def _checkpoint_run_id(checkpoint: str) -> str | None:
+    """The streaming query id Spark persists in ``<checkpoint>/metadata``
+    at stream start (before the first batch runs). It is stable across
+    restarts from the same checkpoint and FRESH when the checkpoint is
+    reset — exactly the run identity replay detection needs: a new
+    checkpoint restarts epoch ids at 0, which must read as a new run,
+    not as a replay of epochs 0..N."""
+    import json as _json
+    from pathlib import Path as _Path
 
-    Replay detection compares against the LAST committed epoch, not a
-    set of all epochs: epoch ids are monotone per checkpoint, so a
-    re-delivered batch is never newer than the newest commit — an O(1)
-    newest-first scan instead of re-parsing every manifest per batch,
-    and it stays correct after vacuum() drops old manifests."""
+    try:
+        return _json.loads((_Path(checkpoint) / "metadata").read_text()).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def tx_append_once(
+    batch: DataFrame, path: str, epoch_id: int, run_id: str | None = None
+) -> bool:
+    """Commit one micro-batch to a TxTable iff this (run, epoch) hasn't
+    already been committed. Returns True when it appended, False when
+    the epoch was a replay. Factored out of the foreachBatch closure so
+    the replay branch is directly testable.
+
+    Replay detection compares against the LAST committed (epoch, run):
+    epoch ids are monotone per checkpoint, so within one run a
+    re-delivered batch is never newer than the newest commit — one
+    manifest read per batch (TxTable carries the state forward through
+    every commit, so optimize/vacuum cannot erase it). ``run_id``
+    (the checkpoint's query id) scopes the comparison: epochs from a
+    DIFFERENT run (a reset checkpoint restarting at 0) are appended,
+    not silently skipped. Without a run identity, an epoch regression
+    is ambiguous — replay or reset — so it raises instead of guessing;
+    only the classic same-epoch re-delivery is skipped."""
     from hapiy_etl_spark.operators.txstore import TxTable
 
     table = TxTable(batch.sparkSession, path)
-    last = table.last_stream_epoch()
-    if last is not None and epoch_id <= last:
-        return False
-    table.append(batch, meta={"epoch": epoch_id})
+    last_epoch, last_run = table.last_stream_state()
+    if last_epoch is not None:
+        if run_id is not None and last_run is not None:
+            if run_id == last_run and epoch_id <= last_epoch:
+                return False  # same run, already committed: replay
+        elif epoch_id == last_epoch:
+            return False  # re-delivery of the newest batch
+        elif epoch_id < last_epoch:
+            raise RuntimeError(
+                f"epoch {epoch_id} regressed below committed {last_epoch} at "
+                f"{path} with no run identity — a reset checkpoint and a "
+                "replay are indistinguishable here; pass run_id (the "
+                "checkpoint query id) to disambiguate instead of silently "
+                "dropping the batch"
+            )
+    table.append(
+        batch,
+        meta={"epoch": epoch_id, **({"run": run_id} if run_id is not None else {})},
+    )
     return True

@@ -297,3 +297,71 @@ def test_txstore_restore_rolls_back_as_new_commit(spark, tmp_path):
     assert t._manifest(3)["dirs"] == t._manifest(1)["dirs"]
     t.vacuum(keep_last=1, min_age_s=0)
     assert _rows(t.read()) == [(1, "good")]  # restored dirs survived vacuum
+
+
+def test_tx_epoch_state_survives_optimize_and_vacuum(spark, tmp_path):
+    """ADVICE r5: non-stream commits must carry the max committed epoch
+    forward, so stream + OPTIMIZE + vacuum cannot erase replay
+    detection and duplicate a re-delivered batch."""
+    from hapiy_etl_spark.streaming.jobs import tx_append_once
+
+    store = str(tmp_path / "store")
+    b = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    assert tx_append_once(b([(1, "a")]), store, 0, run_id="runA") is True
+    assert tx_append_once(b([(2, "b")]), store, 1, run_id="runA") is True
+
+    t = TxTable(spark, store)
+    t.optimize()  # compaction commit carries no epoch of its own
+    removed = t.vacuum(keep_last=1, min_age_s=0)  # drops the append manifests
+    assert any(r.endswith(".json") for r in removed)  # manifests reported
+    assert t.last_stream_state() == (1, "runA")  # carried through optimize
+
+    # the re-delivered epoch is still detected after the manifests died
+    assert tx_append_once(b([(2, "b")]), store, 1, run_id="runA") is False
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+
+
+def test_tx_append_new_run_restarts_epochs(spark, tmp_path):
+    """A reset checkpoint (new query id) restarts epoch ids at 0 — that
+    is a NEW run, not a replay; skipping it would be silent data loss."""
+    from hapiy_etl_spark.streaming.jobs import tx_append_once
+
+    store = str(tmp_path / "store")
+    b = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    assert tx_append_once(b([(1, "a")]), store, 0, run_id="runA") is True
+    assert tx_append_once(b([(2, "b")]), store, 1, run_id="runA") is True
+    assert tx_append_once(b([(3, "c")]), store, 0, run_id="runB") is True
+    t = TxTable(spark, store)
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.last_stream_state() == (0, "runB")
+    # and within the new run, replay detection works at the new epochs
+    assert tx_append_once(b([(3, "c")]), store, 0, run_id="runB") is False
+
+
+def test_tx_append_epoch_regression_without_run_id_raises(spark, tmp_path):
+    """Without a run identity an epoch regression is ambiguous (replay
+    vs reset checkpoint) — raise loudly rather than silently dropping."""
+    from hapiy_etl_spark.streaming.jobs import tx_append_once
+
+    store = str(tmp_path / "store")
+    b = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    assert tx_append_once(b([(1, "a")]), store, 0) is True
+    assert tx_append_once(b([(2, "b")]), store, 1) is True
+    assert tx_append_once(b([(2, "b")]), store, 1) is False  # same-epoch replay ok
+    with pytest.raises(RuntimeError, match="regressed"):
+        tx_append_once(b([(9, "x")]), store, 0)
+
+
+def test_txstore_vacuum_age_gates_manifests(spark, tmp_path):
+    """Manifests below the keep window survive a default-retention
+    vacuum (they are younger than min_age_s) and their snapshots stay
+    time-travelable until they age out."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert t.vacuum(keep_last=1) == []  # young manifest + dirs retained
+    assert _rows(t.read(version=1)) == [(1, "a")]  # still travelable
+    removed = t.vacuum(keep_last=1, min_age_s=0)
+    assert "v00000001.json" in removed
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
