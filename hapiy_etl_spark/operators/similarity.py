@@ -385,6 +385,38 @@ def _pq_codebooks(sample, m: int, n_codes: int, seed: int, iters: int = 8):
     return books
 
 
+def _pq_training_sample(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec: str,
+    train_limit: int,
+    train_fraction: float | None,
+    seed: int,
+) -> list:
+    """Bounded codebook-training collect for pq_topk.
+
+    Without ``train_fraction``: ``limit(train_limit)`` — the HEAD of
+    the corpus, fine locally but biased on a sorted/clustered layout
+    (r5 finding). With it: membership comes from the shared md5-uniform
+    kernel on the seed-mixed row id — the hash decides per VALUE, so
+    the training set is identical under any partitioning — and the cap
+    takes the BOTTOM-train_limit rows BY HASH (ordered take), so even
+    a binding cap is a uniform, layout-invariant draw rather than
+    whichever partitions answered first. Pick
+    train_fraction ≈ train_limit / |corpus| so the sort stays tiny.
+    """
+    train = corpus.select(vec, corpus_id)
+    if train_fraction is not None:
+        from hapiy_etl_spark.functions import md5_uniform
+
+        u = md5_uniform(F.concat_ws("#", F.col(corpus_id), F.lit(seed)))
+        train = (
+            train.where(u < F.lit(float(train_fraction)))
+            .orderBy(u.asc(), F.col(corpus_id).asc())
+        )
+    return [r[0] for r in train.select(vec).limit(train_limit).collect()]
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -419,16 +451,12 @@ def pq_topk(
     )
     if not q_rows:
         return empty
-    # head-of-corpus is fine locally; at scale (or on a sorted/clustered
-    # corpus layout) pass train_fraction so the bounded collect sees a
-    # uniform sample instead of the first partition's distribution
-    train = corpus.select(vec)
-    if train_fraction is not None:
-        train = train.sample(fraction=train_fraction, seed=seed)
-    sample_rows = train.limit(train_limit).collect()
+    sample_rows = _pq_training_sample(
+        corpus, corpus_id, vec, train_limit, train_fraction, seed
+    )
     if not sample_rows:
         return empty
-    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    sample = np.array(sample_rows, dtype=np.float64)
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(
@@ -474,7 +502,12 @@ def pq_topk(
             for qi in range(len(ids_)):
                 col = dist[:, qi]
                 top = min(kk, len(col))
-                idx = np.argpartition(col, top - 1)[:top] if top < len(col) else np.arange(len(col))
+                # top-kk under the TOTAL order (distance, cid) — the
+                # same order the global refine uses, so the final top-k
+                # is exact under it and invariant to partition layout
+                # (argpartition cuts distance TIES by row order, which
+                # made equal-code candidates flap across layouts)
+                idx = np.lexsort((c_ids, col))[:top]
                 for ci in idx:
                     if c_ids[ci] != ids_[qi]:
                         out_q.append(ids_[qi])

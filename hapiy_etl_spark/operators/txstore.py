@@ -184,16 +184,26 @@ class TxTable:
         keys: Sequence[str],
         order_col: str | None = None,
         max_retries: int = 5,
+        allow_missing_columns: bool = False,
     ) -> int:
         """MERGE (upsert): new rows win by key, survivors carry over —
         copy-on-write snapshot, optimistic retry on writer races. Each
         retry re-reads the NEW latest snapshot, so a concurrent commit's
         rows are merged, not lost (write skew is resolved by key: last
-        committer's batch wins on overlapping keys)."""
+        committer's batch wins on overlapping keys).
+        ``allow_missing_columns=True`` is the schema-evolution MERGE:
+        columns on only one side survive as nulls (see
+        operators/upsert.upsert_by_key)."""
         for _ in range(max_retries):
             parent = self.latest_version()
-            existing = self.read(parent) if parent else None
-            merged = upsert_by_key(existing, batch, keys, order_col)
+            existing = (
+                self.read(parent, merge_schema=allow_missing_columns)
+                if parent
+                else None
+            )
+            merged = upsert_by_key(
+                existing, batch, keys, order_col, allow_missing_columns
+            )
             d = self._write_data_dir(merged)
             try:
                 return self._commit(parent, [d], "merge")

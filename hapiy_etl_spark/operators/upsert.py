@@ -39,13 +39,19 @@ def upsert_by_key(
     new: DataFrame,
     keys: Sequence[str],
     order_col: str | None = None,
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
-    """Return existing MERGE new on keys (new wins). Pure-DataFrame form."""
+    """Return existing MERGE new on keys (new wins). Pure-DataFrame form.
+
+    ``allow_missing_columns=True`` is the schema-evolution merge: the
+    union null-pads columns present on only one side (added or removed
+    columns survive as nulls) — the additive half of drift handling;
+    retyped columns are never silently evolved (the caller gates)."""
     batch = dedup_by_key(new, keys, order_col)
     if existing is None:
         return batch
     survivors = existing.join(batch.select(*keys), on=list(keys), how="left_anti")
-    return survivors.unionByName(batch)
+    return survivors.unionByName(batch, allowMissingColumns=allow_missing_columns)
 
 
 def upsert_parquet(
@@ -55,15 +61,22 @@ def upsert_parquet(
     keys: Sequence[str],
     order_col: str | None = None,
     partition_by: Sequence[str] | None = None,
+    allow_missing_columns: bool = False,
 ) -> None:
     """Upsert into a parquet state table (write-temp-then-swap).
 
     The swap keeps the operation atomic-enough for a single writer; real
     concurrency needs a transactional table format (Delta MERGE).
+    ``allow_missing_columns`` enables the schema-evolution merge (and a
+    mergeSchema read, since a previously-evolved table's files may
+    disagree on columns).
     """
     target = Path(path)
-    existing = spark.read.parquet(path) if target.exists() else None
-    merged = upsert_by_key(existing, new, keys, order_col)
+    reader = spark.read
+    if allow_missing_columns:
+        reader = reader.option("mergeSchema", "true")
+    existing = reader.parquet(path) if target.exists() else None
+    merged = upsert_by_key(existing, new, keys, order_col, allow_missing_columns)
 
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=str(target.parent if target.parent.exists() else "/tmp"))
     writer = merged.write.mode("overwrite")

@@ -40,10 +40,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from hapiy_etl_spark.operators.upsert import upsert_parquet
+from hapiy_etl_spark.operators.upsert import schema_diff, upsert_parquet
 from hapiy_etl_spark.operators.watermark import WatermarkStore
 
 log = logging.getLogger(__name__)
+
+
+class SchemaDriftError(RuntimeError):
+    """Batch schema drifted from the state table and the pipeline is
+    configured to reject drift (or the drift is not safely evolvable)."""
+
+
+def check_schema_drift(state: DataFrame, batch: DataFrame, mode: str, label: str) -> bool:
+    """Shared drift gate (pre-flight) — compare a state snapshot's
+    schema against an incoming batch BEFORE any write. Footer-only
+    metadata comparison (operators/upsert.schema_diff); no data scan.
+
+    Returns True when the write must run in schema-evolution mode
+    (additive drift under ``mode='evolve'``). Raises SchemaDriftError
+    on any drift under 'fail', and on retyped columns always — a type
+    change is never silently evolvable. Nullability flips are
+    tolerated: parquet round-trips and ``lit()`` projections mangle
+    nullable flags without changing any value."""
+    drift = [d for d in schema_diff(state, batch) if d["kind"] != "renullabled"]
+    if not drift:
+        return False
+    retyped = [d for d in drift if d["kind"] == "retyped"]
+    if mode == "fail" or retyped:
+        raise SchemaDriftError(
+            f"batch schema drifted from state table {label}: {drift}"
+            + (" (retyped columns are never auto-evolved)" if retyped else "")
+        )
+    log.warning("schema drift evolved for %s: %s", label, drift)  # R15
+    return True
 
 # Upstream wire shape: GitHub GET /repos/{owner}/{repo}/commits items
 # (reference git_etl.ts:90-105); schema per FIXTURES.md table 11.
@@ -221,11 +250,16 @@ class PipelineConfig:
     cron_schedule: str = "*/5 * * * *"
     use_github_token: bool = False
     token_env: str = "GITHUB_PAT"
+    on_schema_drift: str = "fail"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         import re as _re
 
+        if self.on_schema_drift not in ("fail", "evolve"):
+            raise ValueError(
+                f"on_schema_drift must be 'fail' or 'evolve', got {self.on_schema_drift!r}"
+            )
         for name in ("repo", "owner", "state_dir", "token_env"):
             v = getattr(self, name)
             if not isinstance(v, str) or not v.strip():
@@ -274,7 +308,8 @@ class CommitsPipeline:
         return spark.read.parquet(self._table).where(F.col("repo") == self.config.repo)
 
     def run_once(self, spark: SparkSession) -> int:
-        """One tick: watermark → fetch(since) → project → upsert."""
+        """One tick: watermark → fetch(since) → project → schema
+        pre-flight → upsert."""
         repo = self.config.repo
         since = self._wm.get(repo)
         wire = self.source.fetch(spark, since)
@@ -283,6 +318,29 @@ class CommitsPipeline:
         log.info("fetched %d commits for %s since %s", n, repo, since)  # R15
         if n == 0:
             return 0
-        upsert_parquet(spark, parsed, self._table, keys=["repo", "commit_hash"], partition_by=["repo"])
+        evolve = self._schema_preflight(spark, parsed)
+        upsert_parquet(
+            spark,
+            parsed,
+            self._table,
+            keys=["repo", "commit_hash"],
+            partition_by=["repo"],
+            allow_missing_columns=evolve,
+        )
         self._wm.advance_from(repo, parsed, "commit_ts")
         return n
+
+    def _schema_preflight(self, spark: SparkSession, batch: DataFrame) -> bool:
+        """Drift gate before any write — the reference's fixed
+        compile-time schema (git_etl.ts:17-22) means drift there is
+        impossible by construction; an incremental Spark pipeline must
+        CHECK instead, because upstream producers change parquet/wire
+        schemas between runs silently. Footer-only comparison
+        (operators/upsert.schema_diff) — no data scan.
+
+        Delegates to ``check_schema_drift`` (shared with the TxTable
+        flow in pipeline/reference_flow.py)."""
+        if not Path(self._table).exists():
+            return False
+        state = spark.read.option("mergeSchema", "true").parquet(self._table)
+        return check_schema_drift(state, batch, self.config.on_schema_drift, self._table)

@@ -302,3 +302,73 @@ def test_pq_topk_guards(spark, planted_vectors):
             m=5,  # 16-dim vectors: 16 % 5 != 0
             n_codes=8,
         )
+
+
+def _clustered_corpus(spark):
+    """Adversarially LAID-OUT corpus: the first 300 rows (ids 0-299,
+    partition head) sit in a tight ball at the origin; rows 1000+ are
+    spread unit-scale vectors with planted near-duplicate pairs
+    (1000+q ~ 2000+q). A head-taken training sample sees only the ball."""
+    import random as _random
+
+    rng = _random.Random(13)
+    rows = []
+    for i in range(300):  # cluster A: degenerate head
+        rows.append((i, [rng.uniform(-0.01, 0.01) for _ in range(16)]))
+    spread = []
+    for i in range(300):  # cluster B: the real distribution
+        spread.append([rng.uniform(-1, 1) for _ in range(16)])
+        rows.append((1000 + i, spread[-1]))
+    for q in range(10):  # planted near-dups of the first 10 B vectors
+        rows.append((2000 + q, [x + rng.uniform(-0.005, 0.005) for x in spread[q]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+
+
+def test_pq_uniform_sample_fixes_head_bias(spark):
+    """r5 finding: limit(train_limit) trains codebooks on the HEAD of
+    the corpus — on a clustered layout the training set is 100% the
+    first cluster and the codebooks never see the real distribution.
+    train_fraction routes the bounded collect through the md5-uniform
+    kernel (value-hash membership, layout-independent): the draw mixes
+    clusters in corpus proportion, and end-to-end recall stays high."""
+    from hapiy_etl_spark.operators.similarity import _pq_training_sample
+    import numpy as np
+
+    corpus = _clustered_corpus(spark)
+
+    def ball_share(rows):
+        # cluster-A (head ball) vectors have norm ≤ 0.04; cluster B ≥ 1
+        return float(np.mean([np.linalg.norm(v) < 0.5 for v in rows]))
+
+    head = _pq_training_sample(corpus, "vec_id", "embedding", 300, None, 42)
+    sampled = _pq_training_sample(corpus, "vec_id", "embedding", 300, 0.6, 42)
+    assert ball_share(head) == 1.0  # head-taken: ONLY the degenerate ball
+    # md5-uniform: both clusters in roughly corpus proportion (~49% ball)
+    assert 0.3 < ball_share(sampled) < 0.7
+    assert len(sampled) == 300  # binding cap still fills the budget
+
+    # and end-to-end: uniform-trained codebooks keep planted-pair recall
+    queries = corpus.where((F.col("vec_id") >= 1000) & (F.col("vec_id") < 1010))
+    got = {
+        r.vec_id: r.neighbor_id
+        for r in S.pq_topk(
+            queries, corpus, "vec_id", "vec_id", k=1, m=4, n_codes=16,
+            train_limit=300, train_fraction=0.6,
+        ).collect()
+    }
+    recall = sum(got.get(1000 + q) == 2000 + q for q in range(10))
+    assert recall >= 8, f"uniform-sampled PQ recall too low: {recall}/10"
+
+
+def test_pq_train_sample_is_layout_invariant(spark):
+    """The md5-uniform training sample is decided per VALUE, so the
+    same corpus under a different partitioning/sort yields the SAME
+    codebooks and the SAME ANN output — df.sample() cannot promise
+    this (its draw depends on partition layout)."""
+    corpus = _clustered_corpus(spark)
+    queries = corpus.where(F.col("vec_id") < 3)
+    relaid = corpus.repartition(7).sortWithinPartitions(F.col("vec_id").desc())
+    kw = dict(k=3, m=4, n_codes=8, train_fraction=0.4, train_limit=200)
+    a = sorted(map(tuple, S.pq_topk(queries, corpus, "vec_id", "vec_id", **kw).collect()))
+    b = sorted(map(tuple, S.pq_topk(queries, relaid, "vec_id", "vec_id", **kw).collect()))
+    assert a == b

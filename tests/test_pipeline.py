@@ -201,3 +201,176 @@ def test_rest_source_token_passthrough(spark):
         spark, None
     )
     assert calls == [1]
+
+
+def _drift_state(spark, pipe, transform):
+    """Rewrite the pipeline's state table through ``transform`` —
+    simulates a state table written by a different pipeline version."""
+    df = transform(spark.read.parquet(pipe._table))
+    tmp = pipe._table + ".drift"
+    df.write.mode("overwrite").partitionBy("repo").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(pipe._table)
+    shutil.move(tmp, pipe._table)
+
+
+def test_pipeline_schema_preflight_rejects_drift(spark, tmp_path):
+    """on_schema_drift='fail' (default): a drifted state table stops the
+    tick before any write — the Spark analogue of the reference's fixed
+    compile-time schema (git_etl.ts:17-22)."""
+    from hapiy_etl_spark.pipeline.ingest import SchemaDriftError
+
+    cfg = PipelineConfig(repo="r", owner="o", state_dir=str(tmp_path / "state"))
+    pipe = CommitsPipeline(cfg, JsonCommitsSource(write_fixture(tmp_path, BATCH1, "b1.jsonl")))
+    assert pipe.run_once(spark) == 5
+
+    # older-version state carries an extra column the batch lacks
+    _drift_state(spark, pipe, lambda df: df.withColumn("stars", F.lit(7)))
+    pipe.source = JsonCommitsSource(write_fixture(tmp_path, BATCH1 + BATCH2, "b12.jsonl"))
+    before = sorted(r.commit_hash for r in pipe.state(spark).collect())
+    with pytest.raises(SchemaDriftError, match="stars"):
+        pipe.run_once(spark)
+    # nothing was written and the watermark did not advance
+    assert sorted(r.commit_hash for r in pipe.state(spark).collect()) == before
+
+
+def test_pipeline_schema_preflight_evolves_additive_drift(spark, tmp_path):
+    """on_schema_drift='evolve': added/removed columns merge as nulls;
+    the new batch still upserts and the watermark advances."""
+    cfg = PipelineConfig(
+        repo="r", owner="o", state_dir=str(tmp_path / "state"), on_schema_drift="evolve"
+    )
+    pipe = CommitsPipeline(cfg, JsonCommitsSource(write_fixture(tmp_path, BATCH1, "b1.jsonl")))
+    assert pipe.run_once(spark) == 5
+
+    # drift BOTH ways: state gains 'stars' (batch lacks it) and loses
+    # 'commit_email' (batch adds it back)
+    _drift_state(
+        spark, pipe, lambda df: df.withColumn("stars", F.lit(7)).drop("commit_email")
+    )
+    pipe.source = JsonCommitsSource(write_fixture(tmp_path, BATCH1 + BATCH2, "b12.jsonl"))
+    # only strictly-past-watermark rows are fetched (dd2 sits AT the
+    # watermark and is not re-delivered)
+    assert pipe.run_once(spark) == 1
+    out = spark.read.option("mergeSchema", "true").parquet(pipe._table)
+    assert {"stars", "commit_email"} <= set(out.columns)
+    rows = {r.commit_hash: r for r in out.collect()}
+    assert set(rows) == {"aaa", "bbb", "ccc", "dd1", "dd2", "eee"}
+    assert rows["eee"].stars is None  # new batch null-padded
+    assert rows["eee"].commit_email == "e@x.com"
+    assert rows["aaa"].stars == 7  # survivor kept its evolved column
+    assert rows["aaa"].commit_email is None  # dropped column reads null
+
+
+def test_pipeline_schema_preflight_never_evolves_retyped(spark, tmp_path):
+    from hapiy_etl_spark.pipeline.ingest import SchemaDriftError
+
+    cfg = PipelineConfig(
+        repo="r", owner="o", state_dir=str(tmp_path / "state"), on_schema_drift="evolve"
+    )
+    pipe = CommitsPipeline(cfg, JsonCommitsSource(write_fixture(tmp_path, BATCH1, "b1.jsonl")))
+    assert pipe.run_once(spark) == 5
+    _drift_state(
+        spark, pipe, lambda df: df.withColumn("commit_ts", F.col("commit_ts").cast("string"))
+    )
+    pipe.source = JsonCommitsSource(write_fixture(tmp_path, BATCH1 + BATCH2, "b12.jsonl"))
+    with pytest.raises(SchemaDriftError, match="retyped"):
+        pipe.run_once(spark)
+
+
+def test_reference_flow_three_ticks_with_drift_in_the_middle(spark, tmp_path):
+    """The full git_etl.ts:318-355 daemon composed from production
+    components (pipeline/reference_flow): CronLoop ticks on the cron
+    grid in virtual time, each tick does watermark → incremental fetch
+    → projection → schema pre-flight → atomic TxTable MERGE. Tick 2
+    hits a schema-drifted state table (evolved by "another pipeline
+    version" between ticks) and merge-evolves; tick 3 runs clean on the
+    evolved table. Overlapping deliveries never duplicate (keyed MERGE
+    ≡ the KV's idempotent set) and every tick stays time-travelable."""
+    from hapiy_etl_spark.pipeline.reference_flow import TxCommitsPipeline
+
+    b1 = write_fixture(tmp_path, BATCH1, "b1.jsonl")
+    b12 = write_fixture(tmp_path, BATCH1 + BATCH2, "b12.jsonl")
+    b3 = write_fixture(
+        tmp_path,
+        BATCH1 + BATCH2 + [wire_row("fff", "f@x.com", "2024-01-05T08:00:00Z", None, None)],
+        "b3.jsonl",
+    )
+    cfg = PipelineConfig(
+        repo="r",
+        owner="o",
+        state_dir=str(tmp_path / "state"),
+        cron_schedule="*/5 * * * *",
+        on_schema_drift="evolve",
+    )
+    pipe = TxCommitsPipeline(cfg, JsonCommitsSource(b1), spark)
+
+    # virtual-time cron; each tick also swaps the source to the next
+    # delivery and tick 2 additionally drifts the state table first
+    now = {"t": 0.0}
+    feeds = iter(
+        [
+            (b1, False),
+            (b12, True),  # drift lands before tick 2
+            (b3, False),
+        ]
+    )
+    base_run = pipe.run_once
+
+    def run_with_feed(spark_arg):
+        path, drift = next(feeds)
+        pipe.source = JsonCommitsSource(path)
+        if drift:
+            from pyspark.sql import functions as F
+
+            evolved = pipe.table.read().withColumn("stars", F.lit(7))
+            pipe.table.overwrite(evolved)
+        return base_run(spark)
+
+    pipe.run_once = run_with_feed  # feed rotation is test plumbing only
+    res = pipe.run_scheduled(
+        spark,
+        max_ticks=3,
+        clock=lambda: now["t"],
+        sleep=lambda s: now.__setitem__("t", now["t"] + s),
+    )
+    assert [r.ok for r in res] == [True, True, True]
+    assert [r.scheduled_at for r in res] == [0.0, 300.0, 600.0]  # */5 grid
+
+    out = {r.commit_hash: r for r in pipe.state(spark).collect()}
+    assert set(out) == {"aaa", "bbb", "ccc", "dd1", "dd2", "eee", "fff"}
+    assert out["aaa"].stars == 7  # evolved column survived the merges
+    assert out["fff"].stars is None  # post-drift rows null-padded
+    # time travel: the tick-1 snapshot is still readable and 5 rows
+    assert pipe.table.read(version=1).count() == 5
+    # watermark advanced monotonically to the newest effective ts
+    assert pipe._wm.get("r").isoformat().startswith("2024-01-05T08:00:00")
+
+
+def test_reference_flow_fail_mode_isolates_drifted_tick(spark, tmp_path):
+    """Under on_schema_drift='fail' a drifted tick errors, the daemon
+    keeps running (fire-and-log, git_etl.ts cron semantics), and no
+    partial write lands — the snapshot version did not advance."""
+    from hapiy_etl_spark.pipeline.reference_flow import TxCommitsPipeline
+
+    b1 = write_fixture(tmp_path, BATCH1, "b1.jsonl")
+    b12 = write_fixture(tmp_path, BATCH1 + BATCH2, "b12.jsonl")
+    cfg = PipelineConfig(repo="r", owner="o", state_dir=str(tmp_path / "state"))
+    pipe = TxCommitsPipeline(cfg, JsonCommitsSource(b1), spark)
+    assert pipe.run_once(spark) == 5
+    from pyspark.sql import functions as F
+
+    pipe.table.overwrite(pipe.table.read().withColumn("stars", F.lit(7)))
+    v_before = pipe.table.latest_version()
+    pipe.source = JsonCommitsSource(b12)
+
+    now = {"t": 0.0}
+    res = pipe.run_scheduled(
+        spark,
+        max_ticks=1,
+        clock=lambda: now["t"],
+        sleep=lambda s: now.__setitem__("t", now["t"] + s),
+    )
+    assert res[0].ok is False and "drift" in res[0].error
+    assert pipe.table.latest_version() == v_before  # no partial write

@@ -116,6 +116,132 @@ def skew_main(ks: list[int]) -> None:
     spark.stop()
 
 
+def pq_main(ks: list[int]) -> None:
+    """PQ codebook head-bias at replicated scale (r5 VERDICT task 4).
+
+    Corpus: sf0.1 embeddings replicated k-fold (ids shifted) and SORTED
+    BY LABEL — the adversarial clustered layout where limit(train_limit)
+    trains codebooks on the first label(s) only. Measures recall@10 of
+    pq_topk against exact L2 ground truth (same-base replicas excluded
+    on both sides) for head-taken vs md5-uniform-sampled training rows.
+    Records the BASELINE.md "PQ training-sample" row.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.similarity import pq_topk
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_pq")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base_n = emb.count()
+    # The sf0.1 embeddings are iid (labels carry no geometry — verified:
+    # label centroids all ≈ 0), so label-sorting alone is not clustered.
+    # Plant REAL cluster structure: shift every vector by a per-label
+    # centroid (unit direction × 4, comparable to the ~1.4 within-label
+    # spread) — the corpus shape where a head-taken training sample sees
+    # one cluster and its codebooks never cover the rest.
+    rng = np.random.default_rng(42)
+    offs = [(int(l), (4.0 * (lambda v: v / np.linalg.norm(v))(rng.standard_normal(64))).tolist()) for l in range(10)]
+    off_df = spark.createDataFrame(offs, "label int, __off array<double>")
+    emb = (
+        emb.join(F.broadcast(off_df), "label")
+        .select(
+            "vec_id",
+            F.zip_with("embedding", "__off", lambda a, b: a + b).alias("embedding"),
+            "label",
+        )
+    )
+    queries = emb.where(F.col("vec_id") % 40 == 0).cache()  # 50 across labels
+    results: dict[str, dict[str, float]] = {}
+    K = 10
+    for k in ks:
+        reps = [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * base_n)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(k)
+        ]
+        corpus = reps[0]
+        for x in reps[1:]:
+            corpus = corpus.unionAll(x)
+        # clustered layout: global sort by label so the corpus head is
+        # one label's distribution
+        corpus = corpus.orderBy("label", "vec_id").cache()
+        corpus.count()
+
+        # exact L2 ground truth on the driver (experiment harness only;
+        # the engine path is ann_cosine_topk / lsh / ivf)
+        rows = corpus.select("vec_id", "embedding", "label").collect()
+        ids = np.array([r[0] for r in rows])
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        lab = {int(r[0]) % base_n: int(r[2]) for r in rows}
+        q_rows = queries.select("vec_id", "embedding").collect()
+        truth: dict[int, set] = {}
+        for qid, qv in q_rows:
+            d = ((mat - np.array(qv, dtype=np.float64)) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d))
+            picked, seen_base = [], {qid % base_n}
+            for ci in order:
+                b = int(ids[ci]) % base_n
+                if b in seen_base:
+                    continue
+                seen_base.add(b)
+                picked.append(b)
+                if len(picked) == K:
+                    break
+            truth[qid] = set(picked)
+
+        for mode, frac in (
+            ("head", None),
+            ("uniform", min(1.0, 2500.0 / (base_n * k))),
+        ):
+            t0 = time.time()
+            out = pq_topk(
+                queries, corpus, "vec_id", "vec_id",
+                # exact replicas tie by code: budget (K+3) distinct
+                # bases' worth of candidates per replica factor
+                k=(K + 3) * k, m=8, n_codes=16,
+                train_limit=2000, train_fraction=frac,
+            ).collect()
+            dt = round(time.time() - t0, 2)
+            got: dict[int, list] = {}
+            for r in sorted(out, key=lambda r: (r.vec_id, r.rank)):
+                lst = got.setdefault(r.vec_id, [])
+                b = r.neighbor_id % base_n
+                if b != r.vec_id % base_n and b not in lst and len(lst) < K:
+                    lst.append(b)
+            recalls = [
+                len(set(got.get(qid, [])) & truth[qid]) / K for qid, _ in q_rows
+            ]
+            rec = round(float(np.mean(recalls)), 3)
+            # cluster (label) precision: within-cluster RANKING on this
+            # corpus is iid noise (codebook-insensitive), but returning
+            # neighbors from the query's CLUSTER is exactly what biased
+            # codebooks break — the head-bias signal
+            precs = [
+                (
+                    np.mean([lab[b] == lab[qid % base_n] for b in got[qid]])
+                    if got.get(qid)
+                    else 0.0
+                )
+                for qid, _ in q_rows
+            ]
+            prec = round(float(np.mean(precs)), 3)
+            results[f"x{k}_{mode}"] = {
+                "sec": dt, "recall_at_10": rec, "label_precision_at_10": prec
+            }
+            print(
+                f"x{k} {mode}: recall@10={rec} label_prec@10={prec} {dt}s",
+                flush=True,
+            )
+        corpus.unpersist()
+    print(json.dumps(results))
+    spark.stop()
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -126,6 +252,9 @@ def main() -> None:
         return
     if args and args[0] == "--skew":
         skew_main([int(a) for a in args[1:]] or [1, 8])
+        return
+    if args and args[0] == "--pq":
+        pq_main([int(a) for a in args[1:]] or [1, 8])
         return
     ks = [int(a) for a in args] or [1, 2, 4, 8]
     spark = get_spark("scale_growth")
