@@ -328,7 +328,7 @@ def agg_bitwise_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_count_distinct",
     oracle=None,  # HLL sketches differ across engines — rows-only check;
     # exactness invariant asserted in tests/test_aggregates.py
-    doc="approx_count_distinct (HLL++) — the 100 TB-scale distinct-count path.",
+    doc="approx_count_distinct (HLL++) — the 100 TB-scale distinct-count path. Approximate by design (rows-only, FINAL): the estimate is engine-private sketch state; the driver-visible guarantee is the relative standard deviation rsd=0.01 passed here, asserted against exact COUNT DISTINCT in tests/test_aggregates.py::test_approx_count_distinct_within_rsd (observed error well inside 3*rsd at both oracle scales).",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem",))
@@ -340,15 +340,28 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentile_approx",
-    oracle=None,  # GK-sketch result is engine-specific — rows-only; bounds
-    # asserted in tests/test_aggregates.py
-    doc="percentile_approx (Greenwald-Khanna) — approximate quantiles at scale.",
+    oracle="""
+    SELECT quantile_disc(o_totalprice, 0.25) AS approx_q1,
+           quantile_disc(o_totalprice, 0.5)  AS approx_median,
+           quantile_disc(o_totalprice, 0.99) AS approx_q99
+    FROM orders
+    """,
+    doc="percentile_approx (Greenwald-Khanna) — approximate quantiles at "
+    "scale. ORACLE-CHECKED via the sketch's exact regime (r5 VERDICT "
+    "task 8): with accuracy >= row count the GK rank error is < 1, so "
+    "the returned element equals PERCENTILE_DISC exactly (verified "
+    "empirically at both oracle scales, incl. the even-count median). "
+    "At 100 TB accuracy is the memory/error dial — the default 10000 "
+    "bounds rank error to n/10000 with O(accuracy) sketch state; the "
+    "GK error bound at small accuracy stays asserted in "
+    "tests/test_aggregates.py.",
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
     return t["orders"].agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
-        F.round(F.percentile("o_totalprice", 0.5), 4).alias("exact_median"),
+        F.percentile_approx("o_totalprice", 0.25, 1000000).alias("approx_q1"),
+        F.percentile_approx("o_totalprice", 0.5, 1000000).alias("approx_median"),
+        F.percentile_approx("o_totalprice", 0.99, 1000000).alias("approx_q99"),
     )
 
 
@@ -423,14 +436,34 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_kmv_distinct_sketch",
-    oracle=None,  # xxhash64-based sketch values are Spark-specific;
-    # accuracy bounds + merge idempotence tested in
-    # tests/test_scd2_maintenance.py::test_kmv_sketch_accuracy_and_set_ops
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS distinct_users_est
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'click|purchase union',
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE)
+    FROM events WHERE event_type IN ('click', 'purchase')
+    UNION ALL
+    SELECT 'click&purchase intersect', CAST(
+          (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click')
+        + (SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase')
+        - (SELECT COUNT(DISTINCT user_id) FROM events
+           WHERE event_type IN ('click', 'purchase')) AS DOUBLE)
+    ORDER BY event_type
+    """,
     doc="KMV (theta-style) mergeable distinct sketches per event_type: "
     "per-group estimate, pairwise union/intersection estimates between "
     "the two largest groups — the set-operation sketch capability "
-    "(operators/sketches.py) surfaced as a query. Rows-only check; "
-    "estimator error bound ~1/sqrt(k-2) is pytest-verified.",
+    "(operators/sketches.py) surfaced as a query. ORACLE-CHECKED via "
+    "the sketch's exact regime (r5 VERDICT task 8): with k=2048 far "
+    "above the per-group distinct-user count at oracle scale, the "
+    "sketch IS the distinct value set and every estimate — including "
+    "inclusion-exclusion intersection — equals COUNT(DISTINCT) "
+    "exactly, so the estimator pipeline hash-matches plain SQL. The "
+    "approximate regime's ~1/sqrt(k-2) error bound and merge "
+    "idempotence stay pytest-verified at small k "
+    "(tests/test_scd2_maintenance.py::test_kmv_sketch_accuracy_and_set_ops).",
 )
 def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hapiy_etl_spark.operators.sketches import (
@@ -441,7 +474,7 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, ("events",))
-    k = 256
+    k = 2048
     sk = kmv_sketch(t["events"], ["event_type"], "user_id", k=k)
     per_group = sk.select(
         "event_type", F.round(kmv_estimate(F.col("sketch"), k), 2).alias("distinct_users_est")

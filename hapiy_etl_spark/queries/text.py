@@ -152,7 +152,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DataFrame-native banding (dedup_minhash_native) does the same job "
     "~2.5x faster (2.3 s vs 5.7 s at sf0.1) and is what "
     "dedup_pipeline_end_to_end uses; ml-LSH explodes signatures "
-    "per-hash-table and is NOT the preferred scale path.",
+    "per-hash-table and is NOT the preferred scale path. Rows-only, "
+    "FINAL (banded LSH has no SQL twin); the driver-visible bound: "
+    "planted exact+near duplicate pairs are recalled 10/10 and the "
+    "threshold rejects sub-0.5-Jaccard pairs "
+    "(tests/test_llm.py::test_minhash_lsh_recall_on_planted).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
@@ -167,7 +171,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall + agreement with the ML path tested in tests/test_llm.py
     doc="DataFrame-native MinHash banding (no pyspark.ml): one groupBy "
     "for all signature components, band equi-join, signature-estimated "
-    "Jaccard — the fully-codegen'd near-dedup path.",
+    "Jaccard — the fully-codegen'd near-dedup path. Rows-only, FINAL; "
+    "bound: with b bands of r rows a true-Jaccard-s pair collides with "
+    "probability 1-(1-s^r)^b (~0.99+ at s=0.5 for the 16x4 config), "
+    "planted-pair recall and ML-path agreement pytest-verified "
+    "(tests/test_llm.py).",
 )
 def dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
@@ -180,7 +188,11 @@ def dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # xxhash64 is Spark-specific — signatures aren't portable;
     # behavior verified on planted near-dups in tests/test_llm.py
-    doc="SimHash signatures + banded near-dup candidates (hamming ≤ 3).",
+    doc="SimHash signatures + banded near-dup candidates (hamming ≤ 3). "
+    "Rows-only, FINAL; bound: Manku block-permutation over 4 blocks "
+    "finds EVERY pair at hamming ≤ 3 exactly (any 3 differing bits "
+    "leave one block untouched — no probabilistic miss), planted "
+    "near-dup recall pytest-verified (tests/test_llm.py).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))

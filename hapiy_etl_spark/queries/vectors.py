@@ -75,7 +75,11 @@ def ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Approximate top-k via random-hyperplane LSH buckets: equi-join "
     "on signature → ~2^planes less corpus touched per query, with "
     "radius-1 multi-probe on the broadcast query side for recall "
-    "(misses only neighbors differing on ≥2 hyperplanes).",
+    "(misses only neighbors differing on ≥2 hyperplanes). Rows-only, "
+    "FINAL; bound: a cosine-sim-θ pair lands in the same bucket with "
+    "probability (1-θ/π)^planes, and radius-1 probing recovers all "
+    "1-bit misses — planted-neighbor recall asserted vs brute force "
+    "(tests/test_llm.py).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -92,7 +96,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # force asserted in tests/test_llm.py
     doc="IVF-style ANN: KMeans coarse quantizer (fit on a 20% sample — "
     "full-corpus Lloyd would dominate at scale; cells only need to be "
-    "roughly Voronoi) → inverted lists → n_probe nearest cells per query.",
+    "roughly Voronoi) → inverted lists → n_probe nearest cells per "
+    "query. Rows-only, FINAL; bound: misses only neighbors whose cell "
+    "ranks below n_probe for the query — planted-neighbor recall vs "
+    "brute force asserted in tests/test_llm.py.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -357,7 +364,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a bounded sample, corpus stored as m code ids (~64x smaller than "
     "raw float32 at production dims), queries score via m LUT lookups "
     "instead of a dim-wide dot — the memory-bound member of the ANN "
-    "quartet next to brute/LSH/IVF.",
+    "quartet next to brute/LSH/IVF. Rows-only, FINAL; bound: ADC error "
+    "is the codebook quantization error (planted near-dups recalled "
+    ">=4/5, uniform-sampled training >=8/10 on a clustered corpus, "
+    "output layout-invariant — tests/test_llm.py pq suite).",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
