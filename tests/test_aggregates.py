@@ -31,3 +31,39 @@ def test_percentile_approx_near_exact(spark, sf_dir):
     assert abs(row.approx_median - exact) / exact < 0.01  # exact regime
     assert abs(approx_small - exact) / exact < 0.05  # GK bound regime
     assert row.approx_q1 < row.approx_median < row.approx_q99
+
+
+def test_approx_top_k_small_sketch_keeps_true_heavy_hitter(spark, sf_dir):
+    """The registered agg_approx_top_k_freq runs the sketch in its exact
+    regime (maxItemsTracked >> NDV, oracle-checked). This pins the
+    APPROXIMATE regime the oracle can't see: a sketch tracking only 10
+    items over a stream of 1 dominant key (500 hits) + 200 singletons
+    must still surface the dominant key as top-1 with a count within
+    the frequent-items error bound (<= n/maxItemsTracked over-/under-
+    estimate), and combine() of two half-stream sketches must agree."""
+    from pyspark.sql import functions as F
+
+    rows = [(7,)] * 500 + [(1000 + i,) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint").repartition(8)
+    est = (
+        df.agg(F.expr("approx_top_k_accumulate(k, 10)").alias("sk"))
+        .select(F.explode(F.expr("approx_top_k_estimate(sk, 1)")).alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .first()
+    )
+    n = 700
+    assert est.item == 7
+    assert abs(est["cnt"] - 500) <= n / 10
+
+    # merge path: two disjoint half-streams, combined sketch sees the union
+    halves = df.withColumn("h", F.col("k") % 2)
+    combined = (
+        halves.groupBy("h")
+        .agg(F.expr("approx_top_k_accumulate(k, 10)").alias("sk"))
+        .agg(F.expr("approx_top_k_combine(sk, 10)").alias("sk"))
+        .select(F.explode(F.expr("approx_top_k_estimate(sk, 1)")).alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .first()
+    )
+    assert combined.item == 7
+    assert abs(combined["cnt"] - 500) <= n / 10
