@@ -1948,3 +1948,61 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("n").cast("bigint").alias("len_nfc"),
         F.md5(F.col("n").cast("binary")).alias("digest"),
     ).orderBy("doc_id")
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle="""
+    WITH h AS (
+        SELECT lang, doc_id, n_chars,
+               md5('rsv42:' || CAST(doc_id AS VARCHAR)) AS hh
+        FROM documents
+    ),
+    r AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+        FROM h
+    )
+    SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+    doc="Exact-k uniform reservoir sample per group (5 docs per lang), "
+    "deterministic: bottom-k by seeded md5 hash of the key is a "
+    "without-replacement uniform draw that is identical across "
+    "engines, partitionings, and reruns — the balanced per-language "
+    "subsample a training-data pipeline needs. Scale shape: a plain "
+    "row_number window over PARTITION BY lang sends every row of a "
+    "language to ONE task (a 40 TB 'en' partition at corpus scale), so "
+    "this runs the two-level tree form instead — level 1 takes "
+    "bottom-k within (lang, hash-salt-of-64) buckets (bounded per-task "
+    "sorts, skew-proof), level 2 re-ranks only the <= 64k surviving "
+    "candidates per group. Exactness is invariant to the salting: "
+    "every global bottom-k member is also bottom-k within its bucket. "
+    "The DuckDB oracle is the single-window form — proving the "
+    "two-level plan computes the same set.",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    k = 5
+    docs = t["documents"].select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("rsv42:"), F.col("doc_id").cast("string"))).alias("hh"),
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(64)).alias("salt"),
+    )
+    w_local = W.partitionBy("lang", "salt").orderBy("hh", "doc_id")
+    candidates = (
+        docs.withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w_global = W.partitionBy("lang").orderBy("hh", "doc_id")
+    return (
+        candidates.withColumn("rn", F.row_number().over(w_global))
+        .where(F.col("rn") <= k)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )

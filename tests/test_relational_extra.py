@@ -277,3 +277,56 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_pa
     for k in before:
         if k != "click":
             assert after[k] == before[k]  # untouched partitions intact
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Catalyst's runtime bloom-filter join pruning: a selective filter
+    on the build side (URGENT orders) injects a bloom_filter_agg
+    subquery whose might_contain() pre-filters the probe-side lineitem
+    scan BEFORE the join shuffle — at 100 TB the probe side ships only
+    rows that can possibly match, not the whole fact table. The
+    defaults gate injection on a >= 10 GB probe-side scan (satisfied
+    automatically at production scale, never at test scale), so the
+    threshold is lowered here to expose the plan; results must equal
+    the unfiltered join exactly (bloom false positives are re-checked
+    by the join itself)."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old_thr = spark.conf.get(key, None)
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set(key, "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def agg(df_orders):
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            return (
+                li.join(df_orders, li.l_orderkey == df_orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+            )
+
+        urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = agg(urgent)
+        rows = {r.o_orderpriority: (r.n, r.qty) for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # partial_bloom_filter_agg proves the filter itself builds
+        # distributed (map-side partials), not on the driver
+        assert "partial_bloom_filter_agg" in plan
+
+        # exactness: bloom pruning must not change the join result
+        spark.conf.set(key, "10GB")  # injection off at test scale
+        j_plain = agg(urgent)
+        assert "might_contain" not in j_plain._jdf.queryExecution().executedPlan().toString()
+        assert {r.o_orderpriority: (r.n, r.qty) for r in j_plain.collect()} == rows
+    finally:
+        for k, v in ((key, old_thr), ("spark.sql.autoBroadcastJoinThreshold", old_bcast)):
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
