@@ -529,21 +529,65 @@ def shared_span_pairs(
         df.select(F.col(id_col).alias("doc"), F.explode(win).alias("w"))
         .select("doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
-    if df_cap is not None:
-        grams = (
-            grams.withColumn("__df", F.count("*").over(W.partitionBy("h")))
-            .where(F.col("__df") <= df_cap)
-            .drop("__df")
-        )
-    a, b = grams.alias("a"), grams.alias("b")
-    matches = a.join(
-        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc"))
-    ).select(
-        F.col("a.doc").alias("id_a"),
-        F.col("b.doc").alias("id_b"),
-        F.col("a.pos").alias("pos_a"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    # Match-ability pre-filter: a hash occurring ONCE in the whole
+    # corpus cannot produce a join match, and on real text the vast
+    # majority of k-gram hashes are singletons — dropping them before
+    # the self-join shrinks both join inputs by ~10-20x for identical
+    # output (a.doc < b.doc needs two rows with equal h; same-doc
+    # repeats with __df >= 2 are kept, exactly as before). Rides the
+    # same count-window shuffle the df_cap guard already pays.
+    lo = F.col("__df") >= 2
+    keep = lo if df_cap is None else lo & (F.col("__df") <= df_cap)
+    grams = (
+        grams.withColumn("__df", F.count("*").over(W.partitionBy("h")))
+        .where(keep)
+        .drop("__df")
     )
+    if df_cap is not None:
+        # Posting-list pair expansion instead of a self-join: the
+        # windowed+filtered grams are ALREADY hash-partitioned by h, so
+        # collect_list per h adds no shuffle, list sizes are bounded by
+        # df_cap, and the ordered pair combinations expand inline with
+        # higher-order functions. The self-join form re-derived the
+        # whole scan→tokenize→window pipeline for each side (Catalyst
+        # does not reuse the exchange across the branches — verified in
+        # the executed plan); this form runs ONE scan and ONE shuffle
+        # for identical output.
+        lst = F.col("lst")
+        matches = (
+            grams.groupBy("h")
+            .agg(F.collect_list(F.struct("doc", "pos")).alias("lst"))
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            lst,
+                            lambda x: F.transform(
+                                F.filter(lst, lambda y: x["doc"] < y["doc"]),
+                                lambda y: F.struct(
+                                    x["doc"].alias("id_a"),
+                                    y["doc"].alias("id_b"),
+                                    x["pos"].alias("pos_a"),
+                                    (x["pos"] - y["pos"]).alias("diag"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("m")
+            )
+            .select("m.id_a", "m.id_b", "m.pos_a", "m.diag")
+        )
+    else:
+        # Uncapped regime: posting lists are unbounded, keep the join.
+        a, b = grams.alias("a"), grams.alias("b")
+        matches = a.join(
+            b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc"))
+        ).select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.pos").alias("pos_a"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
     run_w = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     islands = matches.withColumn(
         "grp", F.col("pos_a") - F.row_number().over(run_w)
@@ -559,3 +603,4 @@ def shared_span_pairs(
         )
         .where(F.col("longest_span_tokens") >= min_span_tokens)
     )
+

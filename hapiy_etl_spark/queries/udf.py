@@ -503,3 +503,61 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+@register(
+    "udtf_polymorphic_split",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS tok1,
+           split_part(text, ' ', 2) AS tok2,
+           split_part(text, ' ', 3) AS tok3
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Spark 4 polymorphic UDTF: analyze() computes the output schema "
+    "AT PLAN TIME from the constant column-count argument (k=3 → "
+    "columns tok1..tok3), so one table function serves any width "
+    "without per-width registrations — the dynamic-schema capability "
+    "classic engines get from macros/codegen. The TABLE argument has "
+    "no PARTITION BY, so rows stream through eval() wherever they "
+    "already live: a map-side operator, zero shuffle, same plan shape "
+    "at 100 TB. Missing positions emit '' to match SQL split_part "
+    "semantics in both engines.",
+)
+def udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    load_tables(spark, sf_dir, ("documents",))
+
+    @udtf
+    class SplitToCols:
+        @staticmethod
+        def analyze(
+            row: AnalyzeArgument, delim: AnalyzeArgument, k: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not isinstance(k.value, int) or k.value <= 0:
+                raise ValueError("k must be a positive integer literal")
+            schema = StructType().add("doc_id", LongType())
+            for i in range(k.value):
+                schema = schema.add(f"tok{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row, delim: str, k: int):
+            parts = (row["text"] or "").split(delim)
+            yield (
+                row["doc_id"],
+                *[parts[i] if i < len(parts) else "" for i in range(k)],
+            )
+
+    spark.udtf.register("split_to_cols", SplitToCols)
+    return spark.sql(
+        """
+        SELECT * FROM split_to_cols(
+            TABLE(SELECT doc_id, text FROM documents), ' ', 3
+        )
+        ORDER BY doc_id
+        """
+    )

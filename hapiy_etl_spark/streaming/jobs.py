@@ -108,15 +108,9 @@ def sliding_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_stream_click_purchase(
-    events: DataFrame, how: str = "inner"
-) -> DataFrame:
-    """Stream-stream join: purchases within 1 hour after a click by
-    the same user. Both sides are watermarked and the join condition
-    time-bounds the match, so each side's state store evicts rows once
-    the watermark passes the bound — bounded state, the requirement for
-    stream-stream joins at scale. ``how`` extends to ``leftOuter``
-    (see stream_stream_click_purchase_outer for the semantics)."""
+def _click_purchase_sides(events: DataFrame):
+    """Watermarked click/purchase sides + the time-bounded join
+    condition shared by every stream-stream join variant."""
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
@@ -129,13 +123,25 @@ def stream_stream_click_purchase(
                 F.col("event_id").alias("purchase_id"), F.col("value").alias("p_value"))
         .withWatermark("p_ts", "30 minutes")
     )
-    return clicks.join(
-        purchases,
+    cond = (
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        how,
-    ).select(
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks, purchases, cond
+
+
+def stream_stream_click_purchase(
+    events: DataFrame, how: str = "inner"
+) -> DataFrame:
+    """Stream-stream join: purchases within 1 hour after a click by
+    the same user. Both sides are watermarked and the join condition
+    time-bounds the match, so each side's state store evicts rows once
+    the watermark passes the bound — bounded state, the requirement for
+    stream-stream joins at scale. ``how`` extends to ``leftOuter``
+    (see stream_stream_click_purchase_outer for the semantics)."""
+    clicks, purchases, cond = _click_purchase_sides(events)
+    return clicks.join(purchases, cond, how).select(
         "click_id",
         "purchase_id",
         # coalesce keeps the column non-null on BOTH outer sides: for a
@@ -158,6 +164,20 @@ def stream_stream_click_purchase_outer(events: DataFrame) -> DataFrame:
     condition is mandatory for outer stream-stream joins (Spark
     rejects the unbounded form)."""
     return stream_stream_click_purchase(events, how="leftOuter")
+
+
+def stream_stream_click_converted_semi(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT SEMI join: clicks that ARE followed by a
+    within-1h purchase, emitted exactly once no matter how many
+    purchases match (no fan-out, no purchase columns in the output —
+    the streaming existence filter). State semantics mirror the outer
+    form: a click is held until either a match arrives or the watermark
+    passes the join bound and it is dropped. Completes the
+    inner/leftOuter/fullOuter/leftSemi join-mode matrix."""
+    clicks, purchases, cond = _click_purchase_sides(events)
+    return clicks.join(purchases, cond, "leftSemi").select(
+        "click_id", "c_user", "c_ts"
+    )
 
 
 def stream_stream_click_purchase_full_outer(events: DataFrame) -> DataFrame:

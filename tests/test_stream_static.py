@@ -208,3 +208,38 @@ def test_stream_stream_full_outer_emits_both_unmatched_sides(spark, sf_dir):
     assert len(batch_unmatched_p_final) > 0  # the purchase-side path fired
     # orphan purchases keep user attribution (coalesced from p_user)
     assert all(r.c_user is not None for r in out if r.click_id is None)
+
+
+def test_stream_stream_left_semi_matches_batch_exists(spark, sf_dir):
+    """LEFT SEMI stream-stream join ≡ batch EXISTS: every click with at
+    least one within-1h purchase appears EXACTLY once (no fan-out on
+    multiple matching purchases), and no purchase columns leak into
+    the output schema."""
+    from hapiy_etl_spark.streaming.jobs import stream_stream_click_converted_semi
+
+    events = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_stream_click_converted_semi(events), "ss_semi_out")
+    out = spark.sql("SELECT * FROM ss_semi_out").collect()
+    assert set(out[0].asDict().keys()) == {"click_id", "c_user", "c_ts"}
+    stream_clicks = [r.click_id for r in out]
+    assert len(stream_clicks) == len(set(stream_clicks))  # exactly-once per click
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch_clicks = {
+        r.click_id
+        for r in clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftSemi",
+        ).collect()
+    }
+    assert set(stream_clicks) == batch_clicks and len(batch_clicks) > 0

@@ -274,34 +274,6 @@ def test_tws_running_totals_matches_batch(spark, sf_dir):
         assert abs(stream[u][1] - batch[u][1]) < 1e-6, u
 
 
-def test_runtime_bloom_filter_injection(spark, sf_dir):
-    """The 100 TB semi-join pushdown: with a selective dim on a shuffle
-    join, Spark injects bloom_filter_agg on the dim side and
-    might_contain on the fact scan, pre-filtering before the shuffle.
-    Local data is far below the production thresholds, so the test
-    lowers them to prove the machinery fires; at real scale the
-    defaults (10 GB application side) trigger on their own."""
-    from hapiy_etl_spark.io import load_tables
-
-    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-        )
-        t = load_tables(spark, sf_dir, ("lineitem", "part"))
-        sel = t["part"].where(F.col("p_size") == 1)
-        j = t["lineitem"].join(sel, F.col("l_partkey") == F.col("p_partkey")).agg(F.count("*"))
-        plan = j._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter_agg" in plan.lower()
-        assert "might_contain" in plan.lower()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
-        )
-
-
 def test_watermark_drop_counter_surfaces(spark, tmp_path):
     """The dropped-late-row count is observable engine-side
     (numRowsDroppedByWatermark) through ProgressCapture — the
