@@ -161,9 +161,9 @@ class TxTable:
         return version
 
     # -- write operations ---------------------------------------------------
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data_dir(df)
-        return self._commit(self.latest_version(), [d], "overwrite")
+        return self._commit(self.latest_version(), [d], "overwrite", meta)
 
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         """New version = parent's dirs + one new dir — no data rewrite.

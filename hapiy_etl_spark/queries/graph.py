@@ -143,13 +143,41 @@ def copurchase_edges_from(op_df: DataFrame) -> DataFrame:
     )
 
 
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase affinity edges, computed ONCE per (session, corpus)
+    and cached — the graph-family twin of text.neardup_clusters: at
+    100 TB the edge list is a materialized-once artifact every graph
+    consumer (triangles, BFS reachability, scale tooling) reads, not a
+    per-query re-derivation of the basket self-join. ~3.6k rows at
+    sf0.1 (the support threshold keeps it sparse as the corpus grows).
+    Released by edge_cache_clear() (bench does, between passes)."""
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
     t = load_tables(spark, sf_dir, ("lineitem",))
-    return copurchase_edges_from(
+    edges = copurchase_edges_from(
         t["lineitem"].select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         )
-    )
+    ).cache()
+    edges.count()
+    _EDGE_CACHE[key] = edges
+    return edges
+
+
+def edge_cache_clear() -> None:
+    """Drop the cached co-purchase edge artifacts (bench pass isolation
+    / long-lived sessions that need to re-derive after data changes)."""
+    for df in _EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _EDGE_CACHE.clear()
 
 
 # Shared edge-derivation CTE: the SINGLE source of truth for the oracle
@@ -251,12 +279,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "route.",
 )
 def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the edge list BEFORE the recursion: the recursive
-    # plan references the view once per unrolled depth (and twice more
-    # through `und`), so an uncached view re-derives the edges ~8x
-    # (measured 17.8 s -> ~4 s at sf0.1 with the cache).
-    edges = copurchase_edges(spark, sf_dir).cache()
-    edges.count()
+    # The recursion references the edge view once per unrolled depth
+    # (and twice more through `und`) — an uncached view re-derives the
+    # edges ~8x (measured 17.8 s -> ~4 s at sf0.1). copurchase_edges
+    # returns the shared session-cached artifact, already materialized.
+    edges = copurchase_edges(spark, sf_dir)
     edges.createOrReplaceTempView("copurchase_edges_v")
     return spark.sql(
         """

@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_top_k_freq",  # new in r6 — zero driver evidence yet
     "sample_reservoir_per_group",  # new in r6 — zero driver evidence yet
     "udtf_polymorphic_split",  # new in r6 — zero driver evidence yet
+    "incremental_mv_refresh",  # new in r6 — zero driver evidence yet
     "data_quality_report",
     "text_pii_redaction",
     "corpus_split_sample",

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from hapiy_etl_spark.operators.txstore import ConcurrentCommitError, TxTable
 from hapiy_etl_spark.pipeline.scheduler import CronLoop
@@ -365,3 +366,78 @@ def test_txstore_vacuum_age_gates_manifests(spark, tmp_path):
     assert "v00000001.json" in removed
     with pytest.raises(FileNotFoundError):
         t.read(version=1)
+
+
+def test_incremental_mv_refresh_modes_and_equivalence(spark, tmp_path):
+    """IncrementalAggView over an appended TxTable: the first refresh is
+    a full build, subsequent append-only refreshes scan ONLY the new
+    dirs, and after every refresh the finalized view equals a from-
+    scratch aggregate of the source snapshot."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), ["k"], "v"
+    )
+
+    def recompute():
+        return {
+            (r.k,): (r.n, r.sum_value, r.avg_value, r.min_value, r.max_value)
+            for r in src.read()
+            .groupBy("k")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("v").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,4)")).cast("double") / F.count("*"), 6
+                ).alias("avg_value"),
+                F.min("v").alias("min_value"),
+                F.max("v").alias("max_value"),
+            )
+            .collect()
+        }
+
+    def view():
+        return {
+            (r.k,): (r.n, r.sum_value, r.avg_value, r.min_value, r.max_value)
+            for r in mv.result().collect()
+        }
+
+    src.append(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"))
+    rep = mv.refresh()
+    assert rep["mode"] == "full"
+    assert view() == recompute()
+
+    src.append(spark.createDataFrame([("a", 5.0), ("c", -1.0)], "k string, v double"))
+    src.append(spark.createDataFrame([("b", 0.5)], "k string, v double"))
+    rep = mv.refresh()
+    assert rep == {"mode": "incremental", "source_version": 3, "new_dirs": 2}
+    assert view() == recompute()
+
+    assert mv.refresh()["mode"] == "noop"
+
+
+def test_incremental_mv_restart_and_rewrite_fallback(spark, tmp_path):
+    """The refresh cursor lives in the view's own commit meta: a fresh
+    object over the same paths resumes with a noop, and a non-append
+    source commit (delete) invalidates consumed dirs, forcing the
+    full-rebuild fallback with correct results."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"))
+    mv = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["k"], "v")
+    mv.refresh()
+
+    # restart: cursor persisted in the view manifest, not driver memory
+    mv2 = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["k"], "v")
+    assert mv2.refresh()["mode"] == "noop"
+
+    # delete rewrites the snapshot copy-on-write -> seen dirs vanish
+    src.delete_where("k = 'a'")
+    rep = mv2.refresh()
+    assert rep["mode"] == "full"
+    got = {r.k: r.n for r in mv2.result().collect()}
+    assert got == {"b": 1}
