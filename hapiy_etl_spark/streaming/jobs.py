@@ -365,3 +365,45 @@ def tx_append_once(
         meta={"epoch": epoch_id, **({"run": run_id} if run_id is not None else {})},
     )
     return True
+
+
+def foreach_batch_tx_append_with_mv(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    view_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+):
+    """Streaming dynamic table: exactly-once micro-batch append to a
+    TxTable (tx_append_once replay detection) followed by an
+    INCREMENTAL refresh of a materialized aggregate view over it —
+    per batch, the view scans only that batch's data dir and merges
+    algebraic partials (operators/incremental_mv.py). A replayed epoch
+    skips the append, the dir-diff then sees nothing new, and the view
+    refresh is a noop — so the view inherits exactly-once too. This is
+    the composed form of the reference loop's sink plus the aggregate
+    a consumer would otherwise recompute per tick at full-table cost."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    run_id = None
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal run_id
+        if batch.isEmpty():
+            return
+        if run_id is None:
+            run_id = _checkpoint_run_id(checkpoint)
+        spark = batch.sparkSession
+        tx_append_once(batch, path, epoch_id, run_id=run_id)
+        IncrementalAggView(
+            spark, TxTable(spark, path), view_path, group_cols, value_col
+        ).refresh()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -330,3 +330,50 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_same_result(spark, sf_dir):
+    """The engine control surface for join physical strategy: BROADCAST,
+    MERGE (sort-merge), SHUFFLE_HASH, and SHUFFLE_REPLICATE_NL hints
+    each force their operator into the executed plan, and all four
+    produce identical results — the planner knob a 100 TB operator
+    reaches for when statistics mislead AQE (e.g. forcing shuffle-hash
+    on a join whose build side fits executor memory but exceeds the
+    broadcast threshold)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def run(hint, marker):
+        j = (
+            li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        rows = {r.o_orderpriority: r.n for r in j.collect()}
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert marker in plan, f"{hint}: {marker} not in plan\n{plan[:1500]}"
+        return rows
+
+    expected = run("broadcast", "BroadcastHashJoin")
+    assert run("merge", "SortMergeJoin") == expected
+    assert run("shuffle_hash", "ShuffledHashJoin") == expected
+    # replicate-NL is the cartesian fallback — equi-condition still
+    # applied as a filter; tiny inputs keep it tractable
+    small_li = li.limit(200)
+    a = {
+        (r.l_orderkey, r.o_orderpriority)
+        for r in small_li.join(
+            o.hint("shuffle_replicate_nl"), small_li.l_orderkey == o.o_orderkey
+        ).collect()
+    }
+    b = {
+        (r.l_orderkey, r.o_orderpriority)
+        for r in small_li.join(o, small_li.l_orderkey == o.o_orderkey).collect()
+    }
+    assert a == b and len(b) > 0

@@ -441,3 +441,51 @@ def test_incremental_mv_restart_and_rewrite_fallback(spark, tmp_path):
     assert rep["mode"] == "full"
     got = {r.k: r.n for r in mv2.result().collect()}
     assert got == {"b": 1}
+
+
+def test_streaming_mv_refresh_per_batch(spark, tmp_path):
+    """The streaming dynamic table: each micro-batch appends
+    exactly-once to the TxTable and incrementally refreshes the
+    materialized aggregate — after two separate runs the view equals
+    the batch aggregate over everything ingested, a replayed epoch
+    leaves both table and view untouched, and a same-checkpoint
+    restart with no new data is a full noop."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append_with_mv
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    view = str(tmp_path / "view")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k string, v double").parquet(src)
+        foreach_batch_tx_append_with_mv(
+            stream, store, ckpt, view, ["k"], "v"
+        ).awaitTermination()
+
+    def view_rows():
+        mv = IncrementalAggView(
+            spark, TxTable(spark, store), view, ["k"], "v"
+        )
+        return {(r.k): (r.n, r.sum_value) for r in mv.result().collect()}
+
+    write([("a", 1.0), ("b", 2.0)])
+    run()
+    assert view_rows() == {"a": (1, 1.0), "b": (1, 2.0)}
+
+    write([("a", 3.0)])
+    run()
+    assert view_rows() == {"a": (2, 4.0), "b": (1, 2.0)}
+
+    # no new data: restart is a noop for table and view alike
+    tv = TxTable(spark, store).latest_version()
+    vv = TxTable(spark, view).latest_version()
+    run()
+    assert TxTable(spark, store).latest_version() == tv
+    assert TxTable(spark, view).latest_version() == vv
