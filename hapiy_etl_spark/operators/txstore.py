@@ -108,6 +108,38 @@ class TxTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*dirs)
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change-data-feed read: the rows ADDED between two versions,
+        resolved as a manifest dir-set difference — no row-level diff
+        job, no change-log infra; reading the delta of a 100 TB table
+        touches only the appended files. Valid only over an append-only
+        span: if any dir of ``from_version`` is gone in ``to_version``
+        (an overwrite/merge/delete/restore/optimize rewrote the
+        snapshot), row-level changes are not representable as a file
+        delta and this raises — callers diff snapshots instead
+        (operators/upsert.py:table_diff). ``from_version=0`` returns
+        the whole ``to_version`` snapshot (everything is new)."""
+        to_v = self.latest_version() if to_version is None else to_version
+        to_dirs = self._manifest(to_v)["dirs"]
+        if from_version == 0:
+            return self.read(to_v)
+        from_dirs = set(self._manifest(from_version)["dirs"])
+        gone = from_dirs - set(to_dirs)
+        if gone:
+            raise ValueError(
+                f"non-append history between v{from_version} and v{to_v} "
+                f"(dirs rewritten: {sorted(gone)}); row-level CDF is only "
+                "defined over append-only spans — use table_diff on the "
+                "two snapshots instead"
+            )
+        new = [d for d in to_dirs if d not in from_dirs]
+        if not new:
+            df = self.read(to_v)
+            return df.limit(0)
+        return self.spark.read.parquet(
+            *[str(self.path / "data" / d) for d in new]
+        )
+
     # -- commit protocol ----------------------------------------------------
     def _write_data_dir(self, df: DataFrame) -> str:
         d = f"s-{uuid.uuid4().hex[:12]}"

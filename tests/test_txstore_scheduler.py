@@ -489,3 +489,26 @@ def test_streaming_mv_refresh_per_batch(spark, tmp_path):
     run()
     assert TxTable(spark, store).latest_version() == tv
     assert TxTable(spark, view).latest_version() == vv
+
+
+def test_txstore_changes_cdf(spark, tmp_path):
+    """changes(v1, v2) reads exactly the rows appended between two
+    versions as a manifest dir-diff (no row-level comparison job);
+    a rewrite inside the span makes a file-delta unrepresentable and
+    raises; from_version=0 means 'everything'."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    assert _rows(t.changes(1)) == [(2, "b"), (3, "c")]
+    assert _rows(t.changes(1, 2)) == [(2, "b")]
+    assert _rows(t.changes(0, 2)) == [(1, "a"), (2, "b")]
+    assert t.changes(3, 3).count() == 0
+
+    t.delete_where("k = 1")  # copy-on-write rewrite
+    with pytest.raises(ValueError, match="non-append"):
+        t.changes(2)
+    # spans entirely after the rewrite are append-only again
+    t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert _rows(t.changes(4)) == [(9, "z")]

@@ -242,11 +242,66 @@ def pq_main(ks: list[int]) -> None:
     spark.stop()
 
 
+def mv_main(n_batches: int) -> None:
+    """Incremental-MV growth: append the sf0.1 events table n times to a
+    TxTable, and after each append time (a) the incremental view
+    refresh and (b) a from-scratch recompute of the same aggregate over
+    the full snapshot. The scale claim under test: refresh cost tracks
+    the NEW batch (flat as the table grows) while recompute tracks the
+    table (linear in batches)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_mv")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("k"), F.col("l_extendedprice").alias("v")
+    )
+    batch_rows = li.count()
+    base = tempfile.mkdtemp(prefix="mv_growth_")
+    src = TxTable(spark, f"{base}/src")
+    mv = IncrementalAggView(spark, src, f"{base}/mv", ["k"], "v")
+    rows = []
+    for i in range(1, n_batches + 1):
+        src.append(li)
+        t0 = time.perf_counter()
+        rep = mv.refresh()
+        t_refresh = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        src.read().groupBy("k").agg(
+            F.count("*"), F.sum(F.col("v").cast("decimal(28,4)")),
+            F.min("v"), F.max("v"),
+        ).collect()
+        t_recompute = time.perf_counter() - t0
+        rows.append(
+            {
+                "batches": i,
+                "mode": rep["mode"],
+                "refresh_s": round(t_refresh, 2),
+                "recompute_s": round(t_recompute, 2),
+                # load-immune evidence: rows each path must scan
+                "refresh_scans_rows": batch_rows,
+                "recompute_scans_rows": batch_rows * i,
+            }
+        )
+        print(json.dumps(rows[-1]))
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"mv_growth": rows}))
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
 
     args = sys.argv[1:]
+    if args and args[0] == "--mv":
+        mv_main(int(args[1]) if args[1:] else 8)
+        return
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
         return
