@@ -1072,3 +1072,69 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         if report["mode"] != expected:  # pragma: no cover - invariant guard
             raise AssertionError(f"refresh {i}: {report}")
     return mv.result().orderBy("event_type")
+
+
+@register(
+    "constraints_quarantine",
+    oracle="""
+    WITH dirty AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN -o_totalprice ELSE o_totalprice END AS price,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS cust,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS status
+        FROM orders
+    )
+    SELECT o_orderkey,
+           concat_ws(',',
+               CASE WHEN cust IS NULL THEN 'custkey_not_null' END,
+               CASE WHEN NOT (price >= 0) THEN 'nonneg_price' END,
+               CASE WHEN NOT (status IN ('O', 'F', 'P')) THEN 'valid_status' END
+           ) AS violations
+    FROM dirty
+    WHERE cust IS NULL OR NOT (price >= 0) OR NOT (status IN ('O', 'F', 'P'))
+    ORDER BY o_orderkey
+    """,
+    doc="Write-path constraint enforcement with quarantine "
+    "(operators/constraints.py): orders deterministically corrupted "
+    "three ways (negated price on keys %5, nulled FK on %7, invalid "
+    "status on %11 — overlapping keys collect MULTIPLE reasons), then "
+    "validate_split flags each row against declared CHECK rules in one "
+    "map-only pass and returns the quarantined rows with their sorted "
+    "machine-readable reason list. NULL follows ANSI CHECK semantics "
+    "(unknown passes; null-rejection is its own declared rule), which "
+    "the nulled-FK mutation exercises: it trips ONLY custkey_not_null, "
+    "never the range rule. The landing path (clean rows into a "
+    "TxTable, violations into a versioned quarantine table) is "
+    "pytest-verified: tests/test_operators.py::"
+    "test_checked_append_quarantine_and_fail_modes.",
+)
+def constraints_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.constraints import (
+        VIOLATIONS_COL,
+        Check,
+        validate_split,
+    )
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    k = F.col("o_orderkey")
+    dirty = t["orders"].select(
+        "o_orderkey",
+        F.when(k % 5 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(k % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    checks = [
+        Check("custkey_not_null", "o_custkey IS NOT NULL"),
+        Check("nonneg_price", "o_totalprice >= 0"),
+        Check("valid_status", "o_orderstatus IN ('O', 'F', 'P')"),
+    ]
+    _clean, quarantined = validate_split(dirty, checks)
+    return quarantined.select(
+        "o_orderkey", F.array_join(VIOLATIONS_COL, ",").alias("violations")
+    ).orderBy("o_orderkey")

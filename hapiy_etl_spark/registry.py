@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "sample_reservoir_per_group",  # new in r6 — zero driver evidence yet
     "udtf_polymorphic_split",  # new in r6 — zero driver evidence yet
     "incremental_mv_refresh",  # new in r6 — zero driver evidence yet
+    "constraints_quarantine",  # new in r6 — zero driver evidence yet
     "data_quality_report",
     "text_pii_redaction",
     "corpus_split_sample",

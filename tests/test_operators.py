@@ -421,3 +421,52 @@ def test_schema_diff_reports_drift_kinds(spark):
         "id": "renullabled",
     }
     assert schema_diff(old, old) == []
+
+
+def test_checked_append_quarantine_and_fail_modes(spark, tmp_path):
+    """Constraint-gated TxTable append: quarantine mode lands clean rows
+    in the table and violating rows (with sorted reasons) in a
+    versioned quarantine table; fail mode aborts before ANY write when
+    a violation exists and appends atomically when none do."""
+    import pytest as _pytest
+
+    from hapiy_etl_spark.operators.constraints import (
+        VIOLATIONS_COL,
+        Check,
+        checked_append,
+        validate_split,
+    )
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    checks = [
+        Check("v_not_null", "v IS NOT NULL"),
+        Check("k_positive", "k > 0"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (-3, None), (4, "d")], "k long, v string"
+    )
+
+    clean, bad = validate_split(df, checks)
+    assert {r.k for r in clean.collect()} == {1, 4}
+    reasons = {r.k: list(r[VIOLATIONS_COL]) for r in bad.collect()}
+    assert reasons == {2: ["v_not_null"], -3: ["k_positive", "v_not_null"]}
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    q = TxTable(spark, str(tmp_path / "q"))
+    rep = checked_append(t, df, checks, quarantine_table=q)
+    assert rep == {"appended": 2, "quarantined": 2}
+    assert {r.k for r in t.read().collect()} == {1, 4}
+    assert {r.k for r in q.read().collect()} == {2, -3}
+
+    # fail mode: nothing written on violation...
+    v_before = t.latest_version()
+    with _pytest.raises(ValueError, match="violate constraints"):
+        checked_append(t, df, checks, mode="fail")
+    assert t.latest_version() == v_before
+    # ...and a clean batch appends
+    ok = spark.createDataFrame([(9, "z")], "k long, v string")
+    assert checked_append(t, ok, checks, mode="fail") == {
+        "appended": 1,
+        "quarantined": 0,
+    }
+    assert {r.k for r in t.read().collect()} == {1, 4, 9}
