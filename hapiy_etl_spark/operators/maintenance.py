@@ -117,3 +117,47 @@ def zorder_sort(df, cols: list[str], bits: int = 16, num_partitions: int | None 
     return parted.sortWithinPartitions("__zkey").drop(
         "__zkey", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
     )
+
+
+def assign_contiguous_ids(df, id_col: str = "row_id", order_within: str | None = None):
+    """Assign contiguous ids 0..n-1 at scale (the zipWithIndex shape,
+    DataFrame-native): per-partition counts roll up to offsets on the
+    driver (one row per partition — a bounded collect), each row's id
+    is its partition offset plus its local row_number. No global sort,
+    no single-reducer window (``row_number() OVER ()`` funnels the
+    whole table through ONE task — the anti-pattern this replaces);
+    the only full-data operation is the per-partition window, which
+    sorts each partition locally without any exchange.
+
+    Ids are dense and unique for THIS materialization; they are not
+    reproducible across different partitionings (partition assignment
+    is layout-dependent). For ids that must be stable across reruns and
+    engines, key on content instead (md5/xxhash64 of a natural key —
+    the sample_deterministic pattern). ``order_within`` pins the
+    within-partition order to a column (deterministic given a layout);
+    default is the partition's physical row order.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["n"]
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "__pid int, __off long"
+    )
+    order = F.col(order_within) if order_within else F.monotonically_increasing_id()
+    w = W.partitionBy("__pid").orderBy(order)
+    return (
+        with_pid.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(id_col, F.col("__off") + F.col("__local") - 1)
+        .drop("__pid", "__local", "__off")
+    )

@@ -94,19 +94,56 @@ class TxTable:
                 return meta["epoch"], meta.get("run")
         return None, None
 
-    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        merge_schema: bool = False,
+        where: dict | None = None,
+    ) -> DataFrame:
         """Resolve a snapshot. ``merge_schema=True`` unions the schemas
         of a multi-dir snapshot (appends may evolve the schema — added
         columns read as null on old dirs); without it Spark picks one
-        file's schema and silently drops columns the others added."""
+        file's schema and silently drops columns the others added.
+
+        ``where={"col": value, ...}`` is MANIFEST-LEVEL partition
+        pruning: data dirs appended with a partition spec
+        (``append(..., partition=...)``) are skipped entirely when a
+        recorded value contradicts the filter — at 100 TB the planner
+        never even lists the pruned files, the Iceberg-style
+        metadata-prune. Dirs without a spec (or without the filtered
+        key) are always read, and the equality filter is re-applied
+        row-level afterwards, so the result is exact regardless of how
+        much was prunable."""
+        from pyspark.sql import functions as F
+
         v = self.latest_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"empty table at {self.path}")
-        dirs = [str(self.path / "data" / d) for d in self._manifest(v)["dirs"]]
+        m = self._manifest(v)
+        dirs = m["dirs"]
+        if where:
+            specs = m.get("partitions", {})
+            dirs = [
+                d
+                for d in dirs
+                if not any(
+                    k in specs.get(d, {}) and specs[d][k] != val
+                    for k, val in where.items()
+                )
+            ]
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*dirs)
+        if not dirs:
+            # every dir pruned: empty frame with the snapshot's schema
+            full = self.read(v, merge_schema=merge_schema)
+            df = full.limit(0)
+        else:
+            df = reader.parquet(*[str(self.path / "data" / d) for d in dirs])
+        if where:
+            for k, val in where.items():
+                df = df.where(F.col(k) == F.lit(val))
+        return df
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change-data-feed read: the rows ADDED between two versions,
@@ -147,7 +184,12 @@ class TxTable:
         return d
 
     def _commit(
-        self, parent: int, dirs: list[str], op: str, meta: dict | None = None
+        self,
+        parent: int,
+        dirs: list[str],
+        op: str,
+        meta: dict | None = None,
+        partitions: dict | None = None,
     ) -> int:
         """Atomically create manifest parent+1; raise on a lost race.
 
@@ -170,6 +212,7 @@ class TxTable:
             "dirs": dirs,
             "ts": time.time(),
             **({"meta": meta} if meta else {}),
+            **({"partitions": partitions} if partitions else {}),
         }
         p = self.path / "_tx" / f"v{version:08d}.json"
         # write the FULL content to a temp name first, then hard-link to
@@ -197,16 +240,32 @@ class TxTable:
         d = self._write_data_dir(df)
         return self._commit(self.latest_version(), [d], "overwrite", meta)
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+    def append(
+        self, df: DataFrame, meta: dict | None = None, partition: dict | None = None
+    ) -> int:
         """New version = parent's dirs + one new dir — no data rewrite.
         ``meta`` lands in the manifest (e.g. a streaming epoch id for
-        exactly-once replay detection)."""
+        exactly-once replay detection). ``partition`` declares constant
+        column values for every row of this batch (e.g.
+        ``{"lang": "en"}``); recorded in the manifest so
+        ``read(where=...)`` can prune the dir without listing it. The
+        declaration is trusted, like a Hive partition directory — write
+        through validate_split/checked_append when the upstream isn't."""
         d = self._write_data_dir(df)
         while True:
             parent = self.latest_version()
-            dirs = (self._manifest(parent)["dirs"] if parent else []) + [d]
+            if parent:
+                pm = self._manifest(parent)
+                dirs = pm["dirs"] + [d]
+                parts = dict(pm.get("partitions", {}))
+            else:
+                dirs, parts = [d], {}
+            if partition:
+                parts[d] = dict(partition)
             try:
-                return self._commit(parent, dirs, "append", meta)
+                return self._commit(
+                    parent, dirs, "append", meta, partitions=parts or None
+                )
             except ConcurrentCommitError:
                 continue  # re-resolve parent; the spooled dir is reusable
 

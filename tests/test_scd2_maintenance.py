@@ -257,3 +257,23 @@ def test_frequent_items_exact_under_tiny_capacity(spark):
     n = len(rows)
     assert got == {1: 600, 2: 300, 3: 150}
     assert all(c > 0.05 * n for c in got.values())
+
+
+def test_assign_contiguous_ids_dense_unique(spark, sf_dir):
+    """Contiguous id assignment without a single-reducer window: over a
+    multi-partition frame the ids are exactly 0..n-1 (dense, unique),
+    and the plan contains no partition-less Window (the whole-table
+    one-task funnel this operator exists to avoid)."""
+    from hapiy_etl_spark.operators.maintenance import assign_contiguous_ids
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(8)
+    n = df.count()
+    out = assign_contiguous_ids(df, "row_id")
+    ids = [r.row_id for r in out.select("row_id").collect()]
+    assert sorted(ids) == list(range(n))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window must be partitioned (windowspecdefinition carries
+    # __pid); a global row_number would show an empty partition spec
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "__pid" in ln, ln

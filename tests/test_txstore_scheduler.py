@@ -512,3 +512,39 @@ def test_txstore_changes_cdf(spark, tmp_path):
     # spans entirely after the rewrite are append-only again
     t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
     assert _rows(t.changes(4)) == [(9, "z")]
+
+
+def test_txstore_partition_pruned_read(spark, tmp_path):
+    """Manifest-level partition pruning: dirs appended with a partition
+    spec are skipped without listing when the filter contradicts them
+    (inputFiles proves the pruned dir is never touched); undeclared
+    dirs are read and row-filtered, so results stay exact; a rewrite
+    (delete) drops the specs and reads degrade to row filtering only."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([("en", 1), ("en", 2)], "lang string, v long"),
+        partition={"lang": "en"},
+    )
+    t.append(
+        spark.createDataFrame([("fr", 3)], "lang string, v long"),
+        partition={"lang": "fr"},
+    )
+    t.append(  # undeclared mixed batch — must always be scanned
+        spark.createDataFrame([("en", 4), ("de", 5)], "lang string, v long")
+    )
+
+    df = t.read(where={"lang": "en"})
+    assert _rows(df) == [("en", 1), ("en", 2), ("en", 4)]
+    manifest = t._manifest(t.latest_version())
+    fr_dir = next(d for d, p in manifest["partitions"].items() if p == {"lang": "fr"})
+    assert not any(fr_dir in f for f in df.inputFiles())  # pruned, never listed
+    assert any(fr_dir in f for f in t.read().inputFiles())
+
+    # no declared dir matches 'zz'; the undeclared dir is still scanned
+    # and row-filtered to nothing — exactness over maximal pruning
+    none = t.read(where={"lang": "zz"})
+    assert none.count() == 0 and none.columns == ["lang", "v"]
+    assert _rows(t.read(where={"lang": "de"})) == [("de", 5)]
+
+    t.delete_where("v = 1")  # copy-on-write: specs do not survive
+    assert _rows(t.read(where={"lang": "en"})) == [("en", 2), ("en", 4)]
