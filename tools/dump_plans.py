@@ -56,6 +56,19 @@ SHOWCASE = [
     ("editsim_source_labels", ["Join", "NestedLoop", "Generate"]),
     # r5: GROUPED_AGG pandas UDAF runs as a real two-phase aggregate
     ("udf_grouped_agg_mad", ["ArrowAggregatePython", "Exchange"]),
+    # r6: frequent-items sketches partial-aggregate map-side (the
+    # shuffle carries sketch states, not user_id rows)
+    ("agg_approx_top_k_freq", ["ObjectHashAggregate", "Exchange"]),
+    # r6: two-level salted bottom-k — both windows partitioned, the
+    # second over candidates only
+    ("sample_reservoir_per_group", ["Window", "Exchange"]),
+    # r6: single-pass exact-substring — ONE FileScan (the r5 self-join
+    # form re-derived the scan→tokenize→window pipeline per side)
+    ("dedup_exact_substring", ["FileScan", "Generate", "HashAggregate"]),
+    # r6: polymorphic UDTF streams map-side (analyze()-time schema)
+    ("udtf_polymorphic_split", ["UDTF"]),
+    # r6: constraint flagging is pure column algebra over one scan
+    ("constraints_quarantine", ["Filter", "FileScan"]),
 ]
 
 
@@ -98,6 +111,49 @@ def _skew_section(spark, sf_dir: str) -> list[str]:
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
 
 
+def _bloom_section(spark, sf_dir: str) -> list[str]:
+    """Runtime bloom-filter join pruning — needs the application-side
+    scan threshold lowered at local scale (the 10 GB default fires
+    unaided in production); exactness vs the injection-off join is
+    pinned by tests/test_relational_extra.py::
+    test_runtime_bloom_filter_prunes_probe_side."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    spark.conf.set(key, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        lines = [
+            "## runtime_bloom_filter_join_pruning (thresholds lowered to expose)",
+            "",
+            "Selective build-side filter (URGENT orders) ⟶ Catalyst injects a",
+            "bloom subquery that prunes the probe-side lineitem scan BEFORE the",
+            "join shuffle; partial_bloom_filter_agg shows the filter builds",
+            "distributed (map-side partials). Default gating needs a >= 10 GB",
+            "probe scan — auto-satisfied at production scale.",
+            "",
+        ]
+        for ln in plan.splitlines():
+            if "might_contain" in ln or "bloom_filter_agg" in ln:
+                clean = re.sub(r"#\d+L?", "", ln.strip())
+                lines.append(f"- `{clean[:160]}`")
+        lines.append("")
+        return lines
+    finally:
+        spark.conf.unset(key)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def main() -> None:
     from hapiy_etl_spark.registry import all_queries
     from hapiy_etl_spark.session import get_spark
@@ -126,6 +182,7 @@ def main() -> None:
                 out.append(f"- (no `{marker}` in plan)")
         out.append("")
     out.extend(_skew_section(spark, sf_dir))
+    out.extend(_bloom_section(spark, sf_dir))
     Path("PLANS.md").write_text("\n".join(out))
     print(f"wrote PLANS.md ({len(out)} lines)")
     spark.stop()
