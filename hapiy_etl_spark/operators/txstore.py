@@ -178,9 +178,20 @@ class TxTable:
         )
 
     # -- commit protocol ----------------------------------------------------
-    def _write_data_dir(self, df: DataFrame) -> str:
+    def _write_data_dir(
+        self, df: DataFrame, partition_by: Sequence[str] | None = None
+    ) -> str:
         d = f"s-{uuid.uuid4().hex[:12]}"
-        df.write.parquet(str(self.path / "data" / d))
+        w = df.write
+        if partition_by:
+            # Hive-style layout INSIDE the snapshot dir: reads of this
+            # snapshot get Spark's native PartitionFilters pruning on
+            # these columns — the complement of the manifest-level
+            # dir pruning appends get via ``append(partition=...)``
+            # (that one skips whole dirs without listing; this one
+            # prunes subdirectories of a rewritten snapshot).
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(self.path / "data" / d))
         return d
 
     def _commit(
@@ -276,6 +287,7 @@ class TxTable:
         order_col: str | None = None,
         max_retries: int = 5,
         allow_missing_columns: bool = False,
+        partition_by: Sequence[str] | None = None,
     ) -> int:
         """MERGE (upsert): new rows win by key, survivors carry over —
         copy-on-write snapshot, optimistic retry on writer races. Each
@@ -295,7 +307,7 @@ class TxTable:
             merged = upsert_by_key(
                 existing, batch, keys, order_col, allow_missing_columns
             )
-            d = self._write_data_dir(merged)
+            d = self._write_data_dir(merged, partition_by)
             try:
                 return self._commit(parent, [d], "merge")
             except ConcurrentCommitError:

@@ -97,8 +97,15 @@ class TxCommitsPipeline:
                 self.config.on_schema_drift,
                 str(self.table.path),
             )
+        # partition_by("repo"): the snapshot lays out one Hive-style
+        # subdir per repo, so state() reads prune to this pipeline's
+        # repo at the file index (R7, the KV prefix scan) instead of
+        # filtering rows after a full-table scan.
         self.table.merge(
-            parsed, keys=["repo", "commit_hash"], allow_missing_columns=evolve
+            parsed,
+            keys=["repo", "commit_hash"],
+            allow_missing_columns=evolve,
+            partition_by=["repo"],
         )
         self._wm.advance_from(repo, parsed, "commit_ts")
         return n

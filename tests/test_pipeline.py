@@ -374,3 +374,43 @@ def test_reference_flow_fail_mode_isolates_drifted_tick(spark, tmp_path):
     )
     assert res[0].ok is False and "drift" in res[0].error
     assert pipe.table.latest_version() == v_before  # no partial write
+
+
+def test_reference_flow_state_read_prunes_repo_partition(spark, tmp_path):
+    """The KV prefix scan (R7) at the file index: the TxTable snapshot
+    is laid out one Hive subdir per repo, so state() pushes the repo
+    equality into PartitionFilters — file-level pruning, not a row
+    filter after a full scan."""
+    from hapiy_etl_spark.pipeline.reference_flow import TxCommitsPipeline
+
+    b1 = write_fixture(tmp_path, BATCH1, "b1.jsonl")
+    b2 = write_fixture(tmp_path, BATCH2, "b2.jsonl")
+    state_dir = str(tmp_path / "state")
+    pipe_a = TxCommitsPipeline(
+        PipelineConfig(repo="repo-a", owner="o", state_dir=state_dir),
+        JsonCommitsSource(b1),
+        spark,
+    )
+    pipe_a.run_once(spark)
+    # clear_on_startup=False: the second pipeline SHARES the store
+    # (namespaced by repo, the reference's KV prefix) and must not
+    # truncate the first one's data
+    pipe_b = TxCommitsPipeline(
+        PipelineConfig(
+            repo="repo-b", owner="o", state_dir=state_dir, clear_on_startup=False
+        ),
+        JsonCommitsSource(b2),
+        spark,
+    )
+    pipe_b.run_once(spark)
+
+    st = pipe_a.state(spark)
+    hashes = {r.commit_hash for r in st.collect()}
+    assert hashes == {r["sha"] for r in BATCH1}
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "repo-a" in plan, plan[:1500]
+    # cross-check: repo-b's rows exist in the shared table but not in
+    # the pruned read
+    assert {r.commit_hash for r in pipe_b.state(spark).collect()} == {
+        r["sha"] for r in BATCH2
+    }
