@@ -128,7 +128,16 @@ class IncrementalAggView:
 
     # -- finalized read -----------------------------------------------------
     def result(self) -> DataFrame:
-        """Finalized aggregates from the stored partials."""
+        """Finalized aggregates from the stored partials. Raises until
+        the first refresh materializes the view — before any source
+        data exists there is no schema to synthesize an empty frame
+        from, so "not materialized yet" is an explicit state, not an
+        empty result."""
+        if self.view.latest_version() == 0:
+            raise FileNotFoundError(
+                f"view at {self.view.path} not materialized yet — call "
+                "refresh() after the source table has at least one commit"
+            )
         p = self.view.read()
         return p.select(
             *self.group_cols,

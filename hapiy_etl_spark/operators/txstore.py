@@ -315,9 +315,15 @@ class TxTable:
         raise ConcurrentCommitError(f"merge lost {max_retries} races at {self.path}")
 
     def delete_where(self, condition: str, max_retries: int = 5) -> int:
-        """Transactional DELETE — copy-on-write of the surviving rows."""
+        """Transactional DELETE — copy-on-write of the surviving rows.
+        A no-op (returns the current version, commits nothing) on a
+        never-written table: SQL DELETE from an empty relation deletes
+        zero rows, it does not error (edge surfaced by the
+        IncrementalAggView property test's delete-first sequences)."""
         for _ in range(max_retries):
             parent = self.latest_version()
+            if parent == 0:
+                return 0
             survivors = self.read(parent).where(f"NOT ({condition})")
             d = self._write_data_dir(survivors)
             try:

@@ -175,3 +175,62 @@ def test_interval_overlap_bucketed_matches_bruteforce(spark, left, right):
         if lk == rk and ls < re and rs < le
     )
     assert got == expected
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(st.tuples(key_st, st.integers(-50, 50)), min_size=1, max_size=4),
+            ),
+            st.tuples(st.just("delete"), key_st),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_incremental_mv_matches_bruteforce_under_op_sequences(spark, tmp_path_factory, ops):
+    """IncrementalAggView under randomized append/delete sequences with
+    a refresh after every op: the finalized view must always equal a
+    brute-force Python aggregate of the live rows — covering the
+    incremental path (appends), the rewrite-fallback path (deletes),
+    and their interleavings."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    tmp = tmp_path_factory.mktemp("mvprop")
+    src = TxTable(spark, str(tmp / "src"))
+    mv = IncrementalAggView(spark, src, str(tmp / "mv"), ["k"], "v")
+    live: list[tuple[str, int]] = []
+
+    for op in ops:
+        if op[0] == "append":
+            rows = op[1]
+            src.append(spark.createDataFrame(rows, "k string, v long"))
+            live.extend(rows)
+        else:
+            key = op[1]
+            src.delete_where(f"k = '{key}'")
+            live = [(k, v) for k, v in live if k != key]
+        mv.refresh()
+        if src.latest_version() == 0:
+            # nothing ever written: the view is explicitly
+            # not-materialized (no schema to synthesize), not empty
+            import pytest as _pytest
+
+            with _pytest.raises(FileNotFoundError, match="not materialized"):
+                mv.result()
+            continue
+        got = {
+            r.k: (r.n, r.sum_value, r.min_value, r.max_value)
+            for r in mv.result().collect()
+        }
+        expect = {}
+        for k in {k for k, _ in live}:
+            vs = [v for kk, v in live if kk == k]
+            expect[k] = (len(vs), float(sum(vs)), min(vs), max(vs))
+        assert got == expect, (ops, got, expect)
