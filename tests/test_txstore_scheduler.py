@@ -548,3 +548,49 @@ def test_txstore_partition_pruned_read(spark, tmp_path):
 
     t.delete_where("v = 1")  # copy-on-write: specs do not survive
     assert _rows(t.read(where={"lang": "en"})) == [("en", 2), ("en", 4)]
+
+
+def test_r6_gold_pipeline_composition(spark, tmp_path):
+    """All r6 storage pieces engaged in one flow: constraint-gated
+    appends land clean rows (with a partition spec) and quarantine the
+    rest; the incremental view refreshes per batch on the clean table;
+    changes() audits exactly the clean rows each batch added; and a
+    partition-filtered read prunes the other batch's dir."""
+    from hapiy_etl_spark.operators.constraints import Check, validate_split
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+
+    gold = TxTable(spark, str(tmp_path / "gold"))
+    quarantine = TxTable(spark, str(tmp_path / "qtine"))
+    mv = IncrementalAggView(spark, gold, str(tmp_path / "mv"), ["src"], "v")
+    checks = [Check("v_nonneg", "v >= 0")]
+
+    audits = []
+    for src_name, rows in (
+        ("alpha", [("alpha", 1.0), ("alpha", -9.0), ("alpha", 2.0)]),
+        ("beta", [("beta", 5.0), ("beta", -1.0)]),
+    ):
+        batch = spark.createDataFrame(rows, "src string, v double")
+        before = gold.latest_version()
+        # partitioned landing: quarantine mode splits, clean dir carries
+        # the src partition spec for manifest-level pruning
+        clean, bad = validate_split(batch, checks)
+        gold.append(clean, partition={"src": src_name})
+        quarantine.append(bad)
+        mv.refresh()
+        audits.append(
+            {tuple(r) for r in gold.changes(before).select("src", "v").collect()}
+        )
+
+    assert audits[0] == {("alpha", 1.0), ("alpha", 2.0)}
+    assert audits[1] == {("beta", 5.0)}
+    got = {r.src: (r.n, r.sum_value) for r in mv.result().collect()}
+    assert got == {"alpha": (2, 3.0), "beta": (1, 5.0)}
+    assert quarantine.read().count() == 2
+    # manifest-level pruning: the beta filter never lists alpha's dir
+    pruned = gold.read(where={"src": "beta"})
+    manifest = gold._manifest(gold.latest_version())
+    alpha_dir = next(
+        d for d, p in manifest["partitions"].items() if p == {"src": "alpha"}
+    )
+    assert not any(alpha_dir in f for f in pruned.inputFiles())
+    assert {tuple(r) for r in pruned.collect()} == {("beta", 5.0)}
