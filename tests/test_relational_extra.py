@@ -377,3 +377,34 @@ def test_join_strategy_hints_same_result(spark, sf_dir):
         for r in small_li.join(o, small_li.l_orderkey == o.o_orderkey).collect()
     }
     assert a == b and len(b) > 0
+
+
+def test_analyze_table_statistics_drive_cbo_estimates(spark, sf_dir, tmp_path):
+    """The statistics surface: ANALYZE TABLE records exact row counts
+    and per-column stats in the catalog, and with CBO enabled the
+    optimizer's cardinality estimate for a 1-of-5 predicate lands on
+    n/5 from the column NDV — the input join reordering and build-side
+    choice need at 100 TB, where size-only guesses mis-pick the build
+    side (stats collection is cheap relative to one wrong shuffle)."""
+    spark.sql("DROP TABLE IF EXISTS cbo_orders_t")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        n = df.count()
+        df.write.mode("overwrite").option(
+            "path", str(tmp_path / "cbo_orders")
+        ).saveAsTable("cbo_orders_t")
+        spark.sql("ANALYZE TABLE cbo_orders_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        desc = "\n".join(map(str, spark.sql("DESCRIBE EXTENDED cbo_orders_t").collect()))
+        assert f"{n} rows" in desc  # exact count in the catalog
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        filtered = spark.table("cbo_orders_t").where("o_orderpriority = '1-URGENT'")
+        est = filtered._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert est.isDefined()
+        est_rows = int(str(est.get()))
+        # 5 priorities, near-uniform: NDV-based selectivity ≈ n/5
+        assert abs(est_rows - n / 5) <= 0.2 * (n / 5), (est_rows, n)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.sql("DROP TABLE IF EXISTS cbo_orders_t")
