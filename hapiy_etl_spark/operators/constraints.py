@@ -79,24 +79,38 @@ def checked_append(
     """
     if mode not in ("fail", "quarantine"):
         raise ValueError(f"unknown mode: {mode}")
-    clean, bad = validate_split(df, checks)
-    n_bad = bad.count()
-    if mode == "fail":
+    # Persist the flagged frame: counts and both appends otherwise each
+    # re-execute the full scan + check expressions (3-4 passes over the
+    # write path this module exists for). One materialization serves
+    # everything.
+    flagged = flag_violations(df, checks).persist()
+    try:
+        from pyspark.sql import functions as F
+
+        n_total = flagged.count()
+        bad = flagged.where(F.size(VIOLATIONS_COL) > 0).withColumn(
+            VIOLATIONS_COL, F.sort_array(VIOLATIONS_COL)
+        )
+        clean = flagged.where(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
+        n_bad = bad.count()
+        n_clean = n_total - n_bad
+        if mode == "fail":
+            if n_bad:
+                sample = [
+                    (r[VIOLATIONS_COL]) for r in bad.select(VIOLATIONS_COL).head(3)
+                ]
+                raise ValueError(
+                    f"checked_append: {n_bad} row(s) violate constraints "
+                    f"(e.g. {sample}); nothing was written"
+                )
+            table.append(clean)
+            return {"appended": n_clean, "quarantined": 0}
+        if n_bad and quarantine_table is None:
+            raise ValueError("mode='quarantine' requires quarantine_table")
+        if n_clean:
+            table.append(clean)
         if n_bad:
-            sample = [
-                (r[VIOLATIONS_COL]) for r in bad.select(VIOLATIONS_COL).head(3)
-            ]
-            raise ValueError(
-                f"checked_append: {n_bad} row(s) violate constraints "
-                f"(e.g. {sample}); nothing was written"
-            )
-        table.append(df)
-        return {"appended": df.count(), "quarantined": 0}
-    if n_bad and quarantine_table is None:
-        raise ValueError("mode='quarantine' requires quarantine_table")
-    n_clean = clean.count()
-    if n_clean:
-        table.append(clean)
-    if n_bad:
-        quarantine_table.append(bad)
-    return {"appended": n_clean, "quarantined": n_bad}
+            quarantine_table.append(bad)
+        return {"appended": n_clean, "quarantined": n_bad}
+    finally:
+        flagged.unpersist()

@@ -103,6 +103,13 @@ class IncrementalAggView:
             return {"mode": "noop", "source_version": sv, "new_dirs": 0}
         cur_dirs = set(self.source._manifest(sv)["dirs"])
 
+        if seen and seen == cur_dirs:
+            # Version advanced but the dir set is unchanged (e.g. a
+            # RESTORE back to the exact snapshot the view consumed):
+            # the content the view reflects is identical — nothing to
+            # scan, nothing to commit. The cursor intentionally stays
+            # behind; the next refresh re-diffs from the same set.
+            return {"mode": "noop", "source_version": sv, "new_dirs": 0}
         if seen and seen <= cur_dirs:
             # Pure appends since the cursor: aggregate ONLY the new dirs
             # and merge with the stored partials.

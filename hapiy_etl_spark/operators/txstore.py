@@ -123,11 +123,22 @@ class TxTable:
         dirs = m["dirs"]
         if where:
             specs = m.get("partitions", {})
+
+            def _prunable(spec_val, val) -> bool:
+                # Prune only when the mismatch is type-consistent:
+                # Python `2024 != "2024"` is True but Spark's row filter
+                # COERCES and matches, so a cross-type comparison must
+                # conservatively keep the dir (the row filter below
+                # stays exact either way). Cross-numeric (int/float)
+                # compares fine in both engines.
+                str_mismatch = isinstance(spec_val, str) != isinstance(val, str)
+                return not str_mismatch and spec_val != val
+
             dirs = [
                 d
                 for d in dirs
                 if not any(
-                    k in specs.get(d, {}) and specs[d][k] != val
+                    k in specs.get(d, {}) and _prunable(specs[d][k], val)
                     for k, val in where.items()
                 )
             ]

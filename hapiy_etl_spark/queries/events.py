@@ -1053,7 +1053,9 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tracks new data, not table size.",
 )
 def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
     from hapiy_etl_spark.operators.txstore import TxTable
@@ -1062,7 +1064,14 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select(
         "event_type", "value", F.pmod(F.xxhash64("event_id"), F.lit(3)).alias("b")
     )
-    base = tempfile.mkdtemp(prefix="spark_graft_mv_")
+    # Fixed per-sf workspace, cleared on entry: the returned DataFrame
+    # reads these files lazily (the caller collects after we return),
+    # so we cannot delete on exit — instead each run removes the
+    # PREVIOUS run's files, bounding the /tmp footprint to one copy.
+    base = str(
+        Path(tempfile.gettempdir()) / f"spark_graft_mv_demo_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
     src = TxTable(spark, f"{base}/src")
     mv = IncrementalAggView(spark, src, f"{base}/mv", ["event_type"], "value")
     for i in range(3):

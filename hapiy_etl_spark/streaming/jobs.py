@@ -350,6 +350,21 @@ def tx_append_once(
         if run_id is not None and last_run is not None:
             if run_id == last_run and epoch_id <= last_epoch:
                 return False  # same run, already committed: replay
+        elif run_id is not None and epoch_id <= last_epoch:
+            # This writer has a run identity but the table's last commit
+            # predates run tracking: a non-advancing epoch is ambiguous
+            # (replay of the old run vs a reset checkpoint's fresh
+            # batch). Silently skipping here is exactly the data loss
+            # the run id exists to prevent — fail loudly; one commit
+            # from this run migrates the table and clears the ambiguity.
+            raise RuntimeError(
+                f"epoch {epoch_id} does not advance past committed "
+                f"{last_epoch} at {path}, and the table's last commit "
+                "carries no run identity (written before run tracking) — "
+                "cannot distinguish a replay from a reset checkpoint. "
+                "Re-deliver a NEWER epoch or migrate with a one-off "
+                "append carrying meta={'epoch': ..., 'run': ...}"
+            )
         elif epoch_id == last_epoch:
             return False  # re-delivery of the newest batch
         elif epoch_id < last_epoch:

@@ -594,3 +594,20 @@ def test_r6_gold_pipeline_composition(spark, tmp_path):
     )
     assert not any(alpha_dir in f for f in pruned.inputFiles())
     assert {tuple(r) for r in pruned.collect()} == {("beta", 5.0)}
+
+
+def test_incremental_mv_restore_to_consumed_snapshot_is_noop(spark, tmp_path):
+    """RESTORE back to the exact snapshot the view consumed advances the
+    source version without changing the dir set — refresh must be a
+    noop (review finding: it previously tried to read zero parquet
+    paths and crashed)."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(spark.createDataFrame([("a", 1.0)], "k string, v double"))
+    mv = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["k"], "v")
+    mv.refresh()
+    src.restore(src.latest_version())  # no-op rollback: same dirs, new version
+    rep = mv.refresh()
+    assert rep["mode"] == "noop"
+    assert {r.k: r.n for r in mv.result().collect()} == {"a": 1}
