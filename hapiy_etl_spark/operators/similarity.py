@@ -506,8 +506,19 @@ def pq_topk(
                 # same order the global refine uses, so the final top-k
                 # is exact under it and invariant to partition layout
                 # (argpartition cuts distance TIES by row order, which
-                # made equal-code candidates flap across layouts)
-                idx = np.lexsort((c_ids, col))[:top]
+                # made equal-code candidates flap across layouts).
+                # O(n) argpartition narrows to a candidate slice that
+                # keeps EVERY row tying the kth distance, then the
+                # total-order lexsort runs on that slice only — same
+                # result as sorting the whole column (review finding:
+                # the full per-query lexsort was O(Q·n log n)).
+                if top < len(col):
+                    cut = np.partition(col, top - 1)[top - 1]
+                    cand = np.flatnonzero(col <= cut)
+                else:
+                    cand = np.arange(len(col))
+                order = np.lexsort((c_ids[cand], col[cand]))[:top]
+                idx = cand[order]
                 for ci in idx:
                     if c_ids[ci] != ids_[qi]:
                         out_q.append(ids_[qi])
