@@ -140,15 +140,19 @@ def assign_contiguous_ids(df, id_col: str = "row_id", order_within: str | None =
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    # persist BEFORE the count job: the offsets map and the returned
-    # plan must see the SAME partitioning — over a non-deterministic
-    # source (sample, unordered limit, task retry) two uncoordinated
-    # evaluations can disagree, producing wrong offsets and dropping
-    # rows whose re-evaluated pid had no offset row. The caller owns
-    # the cache lifecycle (df.unpersist() via the returned frame's
-    # lineage is not possible; call spark.catalog.clearCache() or keep
-    # the frame short-lived).
-    with_pid = df.withColumn("__pid", F.spark_partition_id()).persist()
+    # localCheckpoint BEFORE the count job: the offsets map and the
+    # returned plan must see the SAME partitioning — over a
+    # non-deterministic source (sample, unordered limit, task retry)
+    # two uncoordinated evaluations can disagree, producing wrong
+    # offsets and dropping rows whose re-evaluated pid had no offset
+    # row. An eager localCheckpoint SEVERS the lineage (persist() only
+    # caches it: an evicted block recomputes and can land on different
+    # pids), so a recompute physically cannot disagree with the
+    # collected counts; the checkpoint blocks are freed with the frame,
+    # no caller-side unpersist obligation (ADVICE r6).
+    with_pid = df.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = {
         r["__pid"]: r["n"]
         for r in with_pid.groupBy("__pid").agg(F.count("*").alias("n")).collect()

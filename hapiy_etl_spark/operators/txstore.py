@@ -142,18 +142,60 @@ class TxTable:
                     for k, val in where.items()
                 )
             ]
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
         if not dirs:
             # every dir pruned: empty frame with the snapshot's schema
             full = self.read(v, merge_schema=merge_schema)
             df = full.limit(0)
         else:
-            df = reader.parquet(*[str(self.path / "data" / d) for d in dirs])
+            df = self._read_dirs(m, dirs, merge_schema)
         if where:
             for k, val in where.items():
                 df = df.where(F.col(k) == F.lit(val))
+        return df
+
+    def _read_dirs(self, m: dict, dirs: list[str], merge_schema: bool) -> DataFrame:
+        """Load a snapshot's data dirs honoring each dir's LAYOUT.
+
+        A dir written by ``merge(partition_by=...)`` is Hive-partitioned
+        inside; a dir from append/overwrite is flat. Spark's multi-path
+        parquet read refuses to mix the two (CONFLICTING_DIRECTORY_
+        STRUCTURES), so partitioned dirs are read one-by-one with their
+        own ``basePath`` and unioned by name with the flat group.
+        Partitioned dirs are read with the EXPLICIT schema recorded at
+        write time: Hive partition values round-trip through directory
+        names and Spark would otherwise re-infer their type (a string
+        repo '012' silently becomes integer 12) — the stored schema pins
+        the written types, and the trailing select pins column order so
+        the snapshot schema is stable across layouts."""
+        from pyspark.sql.types import StructType
+
+        layouts = m.get("layouts") or {}
+        schemas = m.get("schemas") or {}
+        flat = [d for d in dirs if not layouts.get(d)]
+        parted = [d for d in dirs if layouts.get(d)]
+        frames = []
+        if flat:
+            reader = self.spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            frames.append(
+                reader.parquet(*[str(self.path / "data" / d) for d in flat])
+            )
+        for d in parted:
+            p = str(self.path / "data" / d)
+            r = self.spark.read.option("basePath", p)
+            sch = schemas.get(d)
+            if sch is not None:
+                r = r.schema(StructType.fromJson(sch))
+            if merge_schema:
+                r = r.option("mergeSchema", "true")
+            f = r.parquet(p)
+            if sch is not None:
+                f = f.select(*[fld["name"] for fld in sch["fields"]])
+            frames.append(f)
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f, allowMissingColumns=merge_schema)
         return df
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -184,9 +226,7 @@ class TxTable:
         if not new:
             df = self.read(to_v)
             return df.limit(0)
-        return self.spark.read.parquet(
-            *[str(self.path / "data" / d) for d in new]
-        )
+        return self._read_dirs(self._manifest(to_v), new, merge_schema=False)
 
     # -- commit protocol ----------------------------------------------------
     def _write_data_dir(
@@ -212,6 +252,8 @@ class TxTable:
         op: str,
         meta: dict | None = None,
         partitions: dict | None = None,
+        layouts: dict | None = None,
+        schemas: dict | None = None,
     ) -> int:
         """Atomically create manifest parent+1; raise on a lost race.
 
@@ -235,6 +277,12 @@ class TxTable:
             "ts": time.time(),
             **({"meta": meta} if meta else {}),
             **({"partitions": partitions} if partitions else {}),
+            # per-dir physical layout (Hive partition columns) and the
+            # written schema: read() needs both to load mixed-layout
+            # snapshots and to pin partition-column types (Delta keeps
+            # the same facts in its transaction log for the same reason)
+            **({"layouts": layouts} if layouts else {}),
+            **({"schemas": schemas} if schemas else {}),
         }
         p = self.path / "_tx" / f"v{version:08d}.json"
         # write the FULL content to a temp name first, then hard-link to
@@ -258,9 +306,29 @@ class TxTable:
         return version
 
     # -- write operations ---------------------------------------------------
+    @staticmethod
+    def _dir_maps(m: dict, dirs: list[str]) -> tuple[dict, dict, dict]:
+        """(partitions, layouts, schemas) from manifest ``m`` restricted
+        to ``dirs`` — the carry-forward for commits that re-reference a
+        parent's data dirs (append, restore)."""
+        return tuple(
+            {d: v[d] for d in dirs if d in v}
+            for v in (
+                m.get("partitions") or {},
+                m.get("layouts") or {},
+                m.get("schemas") or {},
+            )
+        )
+
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data_dir(df)
-        return self._commit(self.latest_version(), [d], "overwrite", meta)
+        return self._commit(
+            self.latest_version(),
+            [d],
+            "overwrite",
+            meta,
+            schemas={d: df.schema.jsonValue()},
+        )
 
     def append(
         self, df: DataFrame, meta: dict | None = None, partition: dict | None = None
@@ -279,14 +347,21 @@ class TxTable:
             if parent:
                 pm = self._manifest(parent)
                 dirs = pm["dirs"] + [d]
-                parts = dict(pm.get("partitions", {}))
+                parts, layouts, schemas = self._dir_maps(pm, pm["dirs"])
             else:
-                dirs, parts = [d], {}
+                dirs, parts, layouts, schemas = [d], {}, {}, {}
             if partition:
                 parts[d] = dict(partition)
+            schemas[d] = df.schema.jsonValue()
             try:
                 return self._commit(
-                    parent, dirs, "append", meta, partitions=parts or None
+                    parent,
+                    dirs,
+                    "append",
+                    meta,
+                    partitions=parts or None,
+                    layouts=layouts or None,
+                    schemas=schemas,
                 )
             except ConcurrentCommitError:
                 continue  # re-resolve parent; the spooled dir is reusable
@@ -320,7 +395,13 @@ class TxTable:
             )
             d = self._write_data_dir(merged, partition_by)
             try:
-                return self._commit(parent, [d], "merge")
+                return self._commit(
+                    parent,
+                    [d],
+                    "merge",
+                    layouts={d: list(partition_by)} if partition_by else None,
+                    schemas={d: merged.schema.jsonValue()},
+                )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"merge lost {max_retries} races at {self.path}")
@@ -338,7 +419,12 @@ class TxTable:
             survivors = self.read(parent).where(f"NOT ({condition})")
             d = self._write_data_dir(survivors)
             try:
-                return self._commit(parent, [d], "delete")
+                return self._commit(
+                    parent,
+                    [d],
+                    "delete",
+                    schemas={d: survivors.schema.jsonValue()},
+                )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"delete lost {max_retries} races at {self.path}")
@@ -350,11 +436,19 @@ class TxTable:
         unaffected, and the rollback itself can race other writers like
         any commit. No data is copied — the new manifest re-references
         the restored version's dirs (so vacuum keeps them live)."""
-        dirs = self._manifest(version)["dirs"]
+        rm = self._manifest(version)
+        dirs = rm["dirs"]
+        parts, layouts, schemas = self._dir_maps(rm, dirs)
         while True:
             try:
                 return self._commit(
-                    self.latest_version(), dirs, "restore", {"restored_from": version}
+                    self.latest_version(),
+                    dirs,
+                    "restore",
+                    {"restored_from": version},
+                    partitions=parts or None,
+                    layouts=layouts or None,
+                    schemas=schemas or None,
                 )
             except ConcurrentCommitError:
                 continue
@@ -385,7 +479,12 @@ class TxTable:
                 snap = snap.coalesce(target_partitions)
             d = self._write_data_dir(snap)
             try:
-                return self._commit(parent, [d], "optimize")
+                return self._commit(
+                    parent,
+                    [d],
+                    "optimize",
+                    schemas={d: snap.schema.jsonValue()},
+                )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"optimize lost {max_retries} races at {self.path}")

@@ -60,9 +60,18 @@ class TxCommitsPipeline:
     key — re-merged rows overwrite themselves).
     """
 
-    def __init__(self, config: PipelineConfig, source, spark: SparkSession) -> None:
+    def __init__(
+        self,
+        config: PipelineConfig,
+        source,
+        spark: SparkSession,
+        sink_mode: str = "merge",
+    ) -> None:
+        if sink_mode not in ("merge", "append"):
+            raise ValueError(f"sink_mode must be 'merge' or 'append': {sink_mode!r}")
         self.config = config
         self.source = source
+        self.sink_mode = sink_mode
         if config.clear_on_startup:  # R10
             import shutil
 
@@ -72,12 +81,14 @@ class TxCommitsPipeline:
         self._wm = WatermarkStore(f"{config.state_dir}/watermarks.json")
 
     def state(self, spark: SparkSession) -> DataFrame:
-        """Current snapshot, pruned to this pipeline's repo (R7)."""
-        from pyspark.sql import functions as F
+        """Current snapshot, pruned to this pipeline's repo (R7).
 
-        return self.table.read(merge_schema=True).where(
-            F.col("repo") == self.config.repo
-        )
+        ``read(where=...)`` engages BOTH pruning tiers: dirs appended
+        with a ``partition={"repo": ...}`` spec are skipped at the
+        MANIFEST (never listed), and Hive-partitioned merge dirs get
+        Spark's native PartitionFilters on the residual equality — the
+        KV prefix scan at the file index either way."""
+        return self.table.read(merge_schema=True, where={"repo": self.config.repo})
 
     def run_once(self, spark: SparkSession) -> int:
         """One tick ≡ git_etl.ts:318-331, ending in an atomic commit."""
@@ -97,17 +108,43 @@ class TxCommitsPipeline:
                 self.config.on_schema_drift,
                 str(self.table.path),
             )
-        # partition_by("repo"): the snapshot lays out one Hive-style
-        # subdir per repo, so state() reads prune to this pipeline's
-        # repo at the file index (R7, the KV prefix scan) instead of
-        # filtering rows after a full-table scan.
-        self.table.merge(
-            parsed,
-            keys=["repo", "commit_hash"],
-            allow_missing_columns=evolve,
-            partition_by=["repo"],
-        )
+        if self.sink_mode == "append":
+            n = self._append_tick(parsed)
+        else:
+            # partition_by("repo"): the snapshot lays out one Hive-style
+            # subdir per repo, so state() reads prune to this pipeline's
+            # repo at the file index (R7, the KV prefix scan) instead of
+            # filtering rows after a full-table scan.
+            self.table.merge(
+                parsed,
+                keys=["repo", "commit_hash"],
+                allow_missing_columns=evolve,
+                partition_by=["repo"],
+            )
         self._wm.advance_from(repo, parsed, "commit_ts")
+        return n
+
+    def _append_tick(self, parsed: DataFrame) -> int:
+        """Insert-only sink: anti-join the batch against THIS repo's
+        already-landed keys (a manifest-pruned read — only this repo's
+        dirs are listed), append the survivors as one new dir carrying
+        a ``partition={"repo": ...}`` spec. Commits are immutable, so
+        for this source insert-only ≡ keyed MERGE — minus merge's
+        copy-on-write of the whole table every tick: at 100 TB the
+        append path writes O(batch) while merge rewrites O(table).
+        Idempotent like the KV set: a re-delivered tick (crash between
+        commit and watermark advance) anti-joins to zero rows and lands
+        nothing. Returns the number of NEW rows appended."""
+        repo = self.config.repo
+        fresh = parsed
+        if self.table.latest_version() > 0:
+            existing = self.table.read(
+                merge_schema=True, where={"repo": repo}
+            ).select("repo", "commit_hash")
+            fresh = parsed.join(existing, ["repo", "commit_hash"], "left_anti")
+        n = fresh.count()
+        if n:
+            self.table.append(fresh, partition={"repo": repo})
         return n
 
     def run_scheduled(

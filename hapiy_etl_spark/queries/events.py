@@ -1064,12 +1064,17 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select(
         "event_type", "value", F.pmod(F.xxhash64("event_id"), F.lit(3)).alias("b")
     )
-    # Fixed per-sf workspace, cleared on entry: the returned DataFrame
-    # reads these files lazily (the caller collects after we return),
-    # so we cannot delete on exit — instead each run removes the
-    # PREVIOUS run's files, bounding the /tmp footprint to one copy.
+    # Per-(application, sf) workspace, cleared on entry: the returned
+    # DataFrame reads these files lazily (the caller collects after we
+    # return), so we cannot delete on exit — instead each run removes
+    # THIS session's previous files, bounding the footprint to one copy
+    # per live application. Keyed by applicationId (like the graph edge
+    # cache) so concurrent processes on the same sf — pytest alongside
+    # bench — never rmtree each other's live TxTable mid-query
+    # (ADVICE r6).
     base = str(
-        Path(tempfile.gettempdir()) / f"spark_graft_mv_demo_{Path(sf_dir).name}"
+        Path(tempfile.gettempdir())
+        / f"spark_graft_mv_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
     src = TxTable(spark, f"{base}/src")

@@ -53,68 +53,65 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r6 window (tools/rotate_priority.py over CORRECTNESS_r01..r05): zero
-# failures; ann_pq_topk first (the only query with no driver row in any
-# round — VERDICT r5 top_next), then the stalest greens whose evidence
-# predates the r4 testdata regeneration (r1/r2-era rows: q7/q9/q14/q19,
-# the window_* family, agg_* family, fn_map*, interval_overlap_sessions,
-# the approximate-ANN trio), oldest round first.
+# r7 window (tools/rotate_priority.py over CORRECTNESS_r01..r06): zero
+# failures, zero unchecked; the entire window is the last 30 r3-era
+# stale greens (TPC-H analogue family, text_bm25/decontamination/
+# fingerprint/sequence_pack, dedup cluster/substring/incremental,
+# graph_pagerank_trade, join_skew_salted, subq_lateral_topn,
+# fn_variant, window_time_range_frame, maintenance_zorder_key,
+# events_equidepth/funnel) front-loaded, then the freshest-needed
+# backfill — this closes the post-regeneration evidence rotation.
 PRIORITY: tuple[str, ...] = (
-    "ann_pq_topk",
-    "agg_approx_top_k_freq",  # new in r6 — zero driver evidence yet
-    "sample_reservoir_per_group",  # new in r6 — zero driver evidence yet
-    "udtf_polymorphic_split",  # new in r6 — zero driver evidence yet
-    "incremental_mv_refresh",  # new in r6 — zero driver evidence yet
-    "constraints_quarantine",  # new in r6 — zero driver evidence yet
-    "data_quality_report",
-    "text_pii_redaction",
-    "corpus_split_sample",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_ratio",
-    "q7_nation_pair_volume",
-    "q9_profit_by_nation_year",
-    "q19_disjunctive_predicates",
-    "udf_pandas_vectorized",
-    "udf_grouped_map_zscore",
-    "udf_map_in_pandas",
-    "udtf_explode_ranges",
-    "fn_map",
-    "fn_map_explode",
-    "unpivot_stack",
-    "sample_deterministic",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_neardup",
-    "embedding_stats",
-    "window_ranking",
-    "window_analytic",
-    "window_frames_running",
-    "window_sessionize",
-    "agg_basic_stats",
-    "agg_corr_covar",
-    "agg_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_first_last_ordered",
-    "agg_bitwise_boolean",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "agg_regression",
-    "agg_filter_clause",
-    "agg_kmv_distinct_sketch",
-    "interval_overlap_sessions",
-    "events_cohort_retention",
-    "events_value_histogram",
-    "table_diff_snapshots",
     "events_equidepth_histogram",
     "events_funnel_multistep",
     "graph_pagerank_trade",
     "join_skew_salted",
     "maintenance_zorder_key",
+    "subq_lateral_topn",
+    "text_fingerprint",
+    "text_sequence_pack",
+    "dedup_cluster_assign",
+    "text_bigram_logprob",
+    "text_bm25_search",
+    "text_bm25_query_table",
+    "dedup_incremental_batch",
+    "text_decontamination",
+    "dedup_exact_substring",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "q4_order_priority_checking",
+    "q10_returned_item_reporting",
+    "q2_min_cost_supplier",
+    "q8_national_market_share",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion_suppliers",
+    "fn_variant",
+    "window_time_range_frame",
+    "agg_bitmap_distinct",
+    "agg_listagg_disc",
+    "agg_winsorized_stats",
+    "incremental_agg_merge",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_join_events",
+    "watermark_read",
+    "incremental_since",
+    "resample_ffill",
+    "sort_null_ordering",
+    "upsert_merge",
+    "events_frequent_users",
+    "events_redact_props",
+    "events_rolling_distinct_users",
+    "asof_forward_tolerance",
+    "interval_union_coverage",
+    "events_daily_anomaly",
+    "events_dau_mau_stickiness",
 )
 
 

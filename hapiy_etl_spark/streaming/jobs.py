@@ -350,20 +350,31 @@ def tx_append_once(
         if run_id is not None and last_run is not None:
             if run_id == last_run and epoch_id <= last_epoch:
                 return False  # same run, already committed: replay
-        elif run_id is not None and epoch_id <= last_epoch:
-            # This writer has a run identity but the table's last commit
-            # predates run tracking: a non-advancing epoch is ambiguous
-            # (replay of the old run vs a reset checkpoint's fresh
-            # batch). Silently skipping here is exactly the data loss
-            # the run id exists to prevent — fail loudly; one commit
+        elif run_id is not None and epoch_id == last_epoch:
+            # Run-identified writer, table's last commit predates run
+            # tracking, epoch matches the newest commit: this is the
+            # classic crash-recovery re-delivery (unclean stop between
+            # sink success and offset commit re-runs the NEWEST batch).
+            # Skip it — raising here wedges every upgraded stream on its
+            # first restart. The residual ambiguity (a reset checkpoint
+            # whose fresh run's FIRST batch lands on exactly last_epoch)
+            # requires last_epoch to equal the new run's starting epoch
+            # AND the old table to carry no run ids — and any non-first
+            # batch from this run would have committed WITH a run id,
+            # leaving this branch. Accepted trade (ADVICE r6).
+            return False
+        elif run_id is not None and epoch_id < last_epoch:
+            # A regression below the newest pre-run-tracking commit is
+            # genuinely ambiguous (replay of an old epoch vs a reset
+            # checkpoint several batches in): fail loudly; one commit
             # from this run migrates the table and clears the ambiguity.
             raise RuntimeError(
-                f"epoch {epoch_id} does not advance past committed "
-                f"{last_epoch} at {path}, and the table's last commit "
-                "carries no run identity (written before run tracking) — "
-                "cannot distinguish a replay from a reset checkpoint. "
-                "Re-deliver a NEWER epoch or migrate with a one-off "
-                "append carrying meta={'epoch': ..., 'run': ...}"
+                f"epoch {epoch_id} regressed below committed {last_epoch} "
+                f"at {path}, and the table's last commit carries no run "
+                "identity (written before run tracking) — cannot "
+                "distinguish a replay from a reset checkpoint. Re-deliver "
+                "a NEWER epoch or migrate with a one-off append carrying "
+                "meta={'epoch': ..., 'run': ...}"
             )
         elif epoch_id == last_epoch:
             return False  # re-delivery of the newest batch

@@ -414,3 +414,65 @@ def test_reference_flow_state_read_prunes_repo_partition(spark, tmp_path):
     assert {r.commit_hash for r in pipe_b.state(spark).collect()} == {
         r["sha"] for r in BATCH2
     }
+
+
+def test_reference_flow_append_mode_prunes_and_dedups_across_ticks(spark, tmp_path):
+    """The daemon's insert-only sink (sink_mode='append'): each tick
+    anti-joins against the repo-pruned state and appends ONLY fresh
+    rows with a partition spec, so (a) re-delivered commits never
+    duplicate even without MERGE's copy-on-write, (b) state() reads
+    prune the OTHER repo's dirs at the manifest — inputFiles proves
+    repo-b's appended dirs are never even listed for repo-a's read —
+    across two pipelines sharing one store and two ticks each."""
+    from hapiy_etl_spark.pipeline.reference_flow import TxCommitsPipeline
+
+    b1 = write_fixture(tmp_path, BATCH1, "b1.jsonl")
+    b12 = write_fixture(tmp_path, BATCH1 + BATCH2, "b12.jsonl")
+    b2 = write_fixture(tmp_path, BATCH2, "b2.jsonl")
+    state_dir = str(tmp_path / "state")
+    pipe_a = TxCommitsPipeline(
+        PipelineConfig(repo="repo-a", owner="o", state_dir=state_dir),
+        JsonCommitsSource(b1),
+        spark,
+        sink_mode="append",
+    )
+    pipe_b = TxCommitsPipeline(
+        PipelineConfig(
+            repo="repo-b", owner="o", state_dir=state_dir, clear_on_startup=False
+        ),
+        JsonCommitsSource(b2),
+        spark,
+        sink_mode="append",
+    )
+    # tick 1 for both repos: dd2 exists under repo-a too, but the key
+    # is (repo, commit_hash) — repo-b's copy is its own fresh row
+    assert pipe_a.run_once(spark) == 5
+    assert pipe_b.run_once(spark) == 2
+    # tick 2: repo-a's delivery overlaps tick 1 (dd2 re-sent) — only
+    # the genuinely new commit lands
+    pipe_a.source = JsonCommitsSource(b12)
+    assert pipe_a.run_once(spark) == 1  # just "eee"
+    # replay of the landed batch (crash between append and watermark
+    # advance): the anti-join removes everything, nothing commits
+    v = pipe_a.table.latest_version()
+    from hapiy_etl_spark.pipeline.ingest import parse_commits as _pc
+
+    replay = _pc(spark.read.json(b12), "repo-a")
+    assert pipe_a._append_tick(replay) == 0
+    assert pipe_a.table.latest_version() == v
+
+    # content per repo is exact and disjoint
+    a_hashes = {r.commit_hash for r in pipe_a.state(spark).collect()}
+    assert a_hashes == {r["sha"] for r in BATCH1} | {r["sha"] for r in BATCH2}
+    assert {r.commit_hash for r in pipe_b.state(spark).collect()} == {
+        r["sha"] for r in BATCH2
+    }
+
+    # manifest-level pruning: repo-a's read never lists repo-b's dir
+    manifest = pipe_a.table._manifest(pipe_a.table.latest_version())
+    b_dirs = [
+        d for d, p in manifest.get("partitions", {}).items() if p == {"repo": "repo-b"}
+    ]
+    assert b_dirs, "repo-b's append must carry a partition spec"
+    files_a = pipe_a.state(spark).inputFiles()
+    assert files_a and not any(bd in f for bd in b_dirs for f in files_a)

@@ -56,13 +56,13 @@ def test_txstore_concurrent_commit_conflict_and_retry(spark, tmp_path):
     class RaceOnce(TxTable):
         raced = False
 
-        def _commit(self, parent, dirs, op):
+        def _commit(self, parent, dirs, op, *args, **kwargs):
             if not RaceOnce.raced and op == "merge":
                 RaceOnce.raced = True
                 interloper.merge(
                     spark.createDataFrame([(5, "e")], "k long, v string"), keys=["k"]
                 )
-            return super()._commit(parent, dirs, op)
+            return super()._commit(parent, dirs, op, *args, **kwargs)
 
     racer = RaceOnce(spark, str(tmp_path / "t"))
     racer.merge(spark.createDataFrame([(2, "b")], "k long, v string"), keys=["k"])
@@ -353,6 +353,32 @@ def test_tx_append_epoch_regression_without_run_id_raises(spark, tmp_path):
         tx_append_once(b([(9, "x")]), store, 0)
 
 
+def test_tx_append_run_writer_on_pre_run_tracking_table(spark, tmp_path):
+    """ADVICE r6 (low): a run-identified writer restarting over a table
+    whose commits predate run tracking must SKIP the common crash-
+    recovery re-delivery (epoch == newest commit) instead of wedging
+    the stream; only a genuine regression (epoch < newest) raises.
+    The first advancing commit migrates the table to run-tracked."""
+    from hapiy_etl_spark.streaming.jobs import tx_append_once
+
+    store = str(tmp_path / "store")
+    b = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    # legacy commits: no run identity
+    assert tx_append_once(b([(1, "a")]), store, 0) is True
+    assert tx_append_once(b([(2, "b")]), store, 1) is True
+    # upgraded writer restarts from the same checkpoint: re-delivery of
+    # the newest batch is skipped, not a hard failure
+    assert tx_append_once(b([(2, "b")]), store, 1, run_id="runA") is False
+    with pytest.raises(RuntimeError, match="no run\\s+identity"):
+        tx_append_once(b([(1, "a")]), store, 0, run_id="runA")
+    # the advancing epoch commits WITH the run id — table migrated
+    assert tx_append_once(b([(3, "c")]), store, 2, run_id="runA") is True
+    assert tx_append_once(b([(3, "c")]), store, 2, run_id="runA") is False
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    assert TxTable(spark, store).last_stream_state() == (2, "runA")
+
+
 def test_txstore_vacuum_age_gates_manifests(spark, tmp_path):
     """Manifests below the keep window survive a default-retention
     vacuum (they are younger than min_age_s) and their snapshots stay
@@ -611,3 +637,48 @@ def test_incremental_mv_restore_to_consumed_snapshot_is_noop(spark, tmp_path):
     rep = mv.refresh()
     assert rep["mode"] == "noop"
     assert {r.k: r.n for r in mv.result().collect()} == {"a": 1}
+
+
+def test_txstore_mixed_layout_append_after_partitioned_merge(spark, tmp_path):
+    """ADVICE r6 (high): append() after merge(partition_by=...) used to
+    mix a Hive-partitioned dir and a flat dir in one multi-path read,
+    which Spark rejects (CONFLICTING_DIRECTORY_STRUCTURES) — one legal
+    append wedged the table. The manifest now records each dir's layout
+    and read() unions per-layout reader calls, so every read()-based op
+    (merge/delete/changes/restore) keeps working across the mix."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([("a", 1), ("b", 2)], "repo string, n long"),
+        keys=["repo"],
+        partition_by=["repo"],
+    )
+    v_append = t.append(spark.createDataFrame([("c", 3)], "repo string, n long"))
+    assert _rows(t.read()) == [("a", 1), ("b", 2), ("c", 3)]
+    assert t.read().schema.simpleString() == "struct<repo:string,n:bigint>"
+    # CDF over the mixed span sees exactly the appended rows
+    assert _rows(t.changes(v_append - 1, v_append)) == [("c", 3)]
+    # merge goes through read() of the mixed snapshot
+    t.merge(spark.createDataFrame([("a", 10)], "repo string, n long"), keys=["repo"])
+    assert _rows(t.read()) == [("a", 10), ("b", 2), ("c", 3)]
+    # restore back to the partitioned snapshot carries its layout map
+    t.restore(1)
+    assert _rows(t.read()) == [("a", 1), ("b", 2)]
+    assert t.read().schema.simpleString() == "struct<repo:string,n:bigint>"
+
+
+def test_txstore_partition_column_types_pinned(spark, tmp_path):
+    """ADVICE r6 (medium): Hive partition values round-trip through
+    directory names and Spark re-infers their type on read — a string
+    repo '012' silently became integer 12 (collision + retype). The
+    written schema recorded in the manifest now pins the types."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame([("123", 1), ("012", 2)], "repo string, n long"),
+        keys=["repo"],
+        partition_by=["repo"],
+    )
+    assert t.read().schema.simpleString() == "struct<repo:string,n:bigint>"
+    assert _rows(t.read()) == [("012", 2), ("123", 1)]
+    # the merge key survives retyping: merging on '012' updates, not duplicates
+    t.merge(spark.createDataFrame([("012", 20)], "repo string, n long"), keys=["repo"])
+    assert _rows(t.read()) == [("012", 20), ("123", 1)]
