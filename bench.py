@@ -136,21 +136,64 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, q in queries.items():
-        t0 = time.perf_counter()
-        try:
-            df = q.fn(spark, sf_dir)
-            n = df.count()
-        except Exception as ex:  # one broken query must not kill the bench
-            print(f"# {name}: FAILED {ex}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    # n-rep medians (VERDICT r6 task 6): identical code measured
+    # 90.9-111.7 s on this shared box purely from ambient load, so the
+    # gate-critical number is the PER-QUERY MEDIAN over
+    # SPARK_GRAFT_BENCH_REPS timed passes (default 3), with each pass's
+    # finishing load average recorded alongside. Set REPS=1 for quick
+    # local iterations.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Wall-clock budget across the timed passes: under heavy ambient
+    # load 3 passes can run long; finishing with fewer completed reps
+    # (medians over what completed) beats losing the artifact to a
+    # driver timeout. The pass in flight always completes.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    bench_t0 = time.perf_counter()
+    per_rep: list[dict[str, float]] = []
+    rep_loads: list[float] = []
+    rep_totals: list[float] = []
+    for rep in range(reps):
+        if rep and time.perf_counter() - bench_t0 > budget_s:
+            print(
+                f"# budget {budget_s:.0f}s exhausted after {rep} reps",
+                file=sys.stderr,
+            )
+            break
+        timings_r: dict[str, float] = {}
+        rep_total = 0.0
+        for name, q in queries.items():
+            t0 = time.perf_counter()
+            try:
+                df = q.fn(spark, sf_dir)
+                n = df.count()
+            except Exception as ex:  # one broken query must not kill the bench
+                print(f"# {name}: FAILED {ex}", file=sys.stderr)
+                timings_r[name] = -1.0
+                continue
+            dt = time.perf_counter() - t0
+            timings_r[name] = round(dt, 3)
+            rep_total += dt
+            if rep == 0:
+                print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        per_rep.append(timings_r)
+        rep_loads.append(round(os.getloadavg()[0], 2))
+        rep_totals.append(round(rep_total, 3))
+        print(
+            f"# rep {rep + 1}/{reps}: {rep_total:.1f}s load_avg={rep_loads[-1]}",
+            file=sys.stderr,
+        )
+
+    def _median(vals: list[float]) -> float:
+        ok = sorted(v for v in vals if v >= 0)
+        if not ok:
+            return -1.0
+        return ok[len(ok) // 2] if len(ok) % 2 else (ok[len(ok) // 2 - 1] + ok[len(ok) // 2]) / 2
+
+    timings = {
+        name: round(_median([r.get(name, -1.0) for r in per_rep]), 3)
+        for name in queries
+    }
+    total = sum(v for v in timings.values() if v >= 0)
 
     # Release designed caches created DURING the timed pass (the
     # between-pass clearCache only covers the warm pass).
@@ -169,9 +212,13 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
-        # 1-min load average at finish: this box is shared, and ambient
-        # load has been observed to inflate identical runs 1.3-4x —
-        # readers comparing rounds should normalize by this.
+        # value/queries are PER-QUERY MEDIANS over `reps` timed passes;
+        # run_totals + per-pass load averages expose the ambient-load
+        # swing (identical code measured 1.3-4x apart on this shared
+        # box) so readers judge regressions on medians, not one run.
+        "reps": len(per_rep),
+        "run_totals": rep_totals,
+        "load_avg_runs": rep_loads,
         "load_avg": round(os.getloadavg()[0], 2),
     }
     full = dict(payload)

@@ -12,12 +12,16 @@ Mechanics:
   parent dirs + one new dir (`txstore.py:append`), so "what's new since
   version v" is a dir-set difference — no file-level diffing, no change
   feed infra.
-- The view stores per-group ALGEBRAIC PARTIALS (count / decimal sum /
-  min / max), not finalized values: merging a batch is
+- The view stores per-group ALGEBRAIC PARTIALS (count / decimal sums /
+  mins / maxes over any number of value columns, plus an optional KMV
+  distinct sketch), not finalized values: merging a batch is
   `re-aggregate(old_partials ∪ partials(new_rows))`, the same
   mergeability contract `incremental_agg_merge` oracle-proves
   (queries/aggregates.py). avg is finalized from sum/count at read
-  time, never stored (it does not merge).
+  time, never stored (it does not merge); the KMV sketch merges by
+  union-and-keep-k-smallest (operators/sketches.py), so even the
+  distinct count refreshes without rescanning history — and stays
+  EXACT while a group's distinct count is below k.
 - The view itself is a TxTable: its refresh commit atomically carries
   `{source_version, dirs_seen}` in the manifest meta, so view content
   and refresh cursor can never disagree (a crash between them is
@@ -26,7 +30,10 @@ Mechanics:
 - Non-append source commits (overwrite / merge / delete / restore /
   optimize) rewrite or drop dirs the view already consumed; the
   dir-diff detects that (a seen dir is gone) and falls back to a full
-  rebuild — incremental when possible, correct always.
+  rebuild — incremental when possible, correct always. Appends onto a
+  partitioned snapshot, and appends carrying manifest partition specs,
+  are still pure appends: the dir-diff does not care about layout, and
+  new dirs are loaded through the same layout-aware reader read() uses.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hapiy_etl_spark.operators.sketches import _unit_hash, kmv_estimate
 from hapiy_etl_spark.operators.txstore import TxTable
 
 DEC = "decimal(28,4)"
@@ -43,11 +51,23 @@ DEC = "decimal(28,4)"
 
 class IncrementalAggView:
     """Materialized ``GROUP BY group_cols`` view with count/sum/min/max
-    over ``value_col``, maintained incrementally from a source TxTable.
+    over one or more value columns — and optionally an approximate
+    distinct count over ``distinct_col`` — maintained incrementally
+    from a source TxTable.
+
+    Single-column form (result columns ``n, sum_value, avg_value,
+    min_value, max_value``):
 
     >>> mv = IncrementalAggView(spark, source, "/path/view", ["event_type"], "value")
+
+    Multi-aggregate form (per-column ``sum_<c>, avg_<c>, min_<c>,
+    max_<c>`` plus ``approx_distinct_<distinct_col>``):
+
+    >>> mv = IncrementalAggView(spark, source, "/path/view", ["event_type"],
+    ...                         value_cols=["value", "latency"],
+    ...                         distinct_col="day", kmv_k=512)
     >>> mv.refresh()   # scans only dirs appended since the last refresh
-    >>> mv.result()    # finalized: n, sum_value, avg_value, min_value, max_value
+    >>> mv.result()    # finalized aggregates
     """
 
     def __init__(
@@ -56,32 +76,94 @@ class IncrementalAggView:
         source: TxTable,
         view_path: str,
         group_cols: Sequence[str],
-        value_col: str,
+        value_col: str | None = None,
+        *,
+        value_cols: Sequence[str] | None = None,
+        distinct_col: str | None = None,
+        kmv_k: int = 512,
     ):
+        if (value_col is None) == (value_cols is None):
+            raise ValueError("pass exactly one of value_col / value_cols")
         self.spark = spark
         self.source = source
         self.view = TxTable(spark, view_path)
         self.group_cols = list(group_cols)
-        self.value_col = value_col
+        # legacy single-column mode keeps the original partial/result
+        # column names so existing views and oracles are untouched
+        self.legacy = value_cols is None
+        self.value_cols = [value_col] if self.legacy else list(value_cols)
+        self.distinct_col = distinct_col
+        self.kmv_k = kmv_k
+
+    def _names(self, c: str) -> tuple[str, str, str]:
+        if self.legacy:
+            return "sum_dec", "min_v", "max_v"
+        return f"sum__{c}", f"min__{c}", f"max__{c}"
 
     # -- partial aggregation (algebraic, mergeable) -------------------------
     def _partials(self, df: DataFrame) -> DataFrame:
-        v = F.col(self.value_col)
-        return df.groupBy(*self.group_cols).agg(
-            F.count("*").alias("n"),
-            F.sum(v.cast(DEC)).alias("sum_dec"),
-            F.min(v).alias("min_v"),
-            F.max(v).alias("max_v"),
-        )
+        aggs = [F.count("*").alias("n")]
+        for c in self.value_cols:
+            s, mn, mx = self._names(c)
+            v = F.col(c)
+            aggs += [
+                F.sum(v.cast(DEC)).alias(s),
+                F.min(v).alias(mn),
+                F.max(v).alias(mx),
+            ]
+        parts = df.groupBy(*self.group_cols).agg(*aggs)
+        if self.distinct_col:
+            # KMV partial per group: k smallest unit hashes of the
+            # distinct values. The heavy reduction is over 8-byte
+            # hashes; the per-group window bounds each sketch to k.
+            from pyspark.sql import Window as W
 
-    @staticmethod
-    def _merge_partials(parts: DataFrame, group_cols: Sequence[str]) -> DataFrame:
-        return parts.groupBy(*group_cols).agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_dec").alias("sum_dec"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-        )
+            hashed = df.select(
+                *self.group_cols,
+                _unit_hash(F.col(self.distinct_col)).alias("__h"),
+            ).distinct()
+            w = W.partitionBy(*self.group_cols).orderBy("__h")
+            sk = (
+                hashed.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= self.kmv_k)
+                .groupBy(*self.group_cols)
+                .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+            )
+            parts = parts.join(sk, self.group_cols, "left")
+        return parts
+
+    def _merge_partials(self, parts: DataFrame) -> DataFrame:
+        aggs = [F.sum("n").alias("n")]
+        for c in self.value_cols:
+            s, mn, mx = self._names(c)
+            aggs += [
+                F.sum(s).alias(s),
+                F.min(mn).alias(mn),
+                F.max(mx).alias(mx),
+            ]
+        if self.distinct_col:
+            # union-and-keep-k-smallest across all of a group's
+            # sketches — associative/commutative/idempotent, so the
+            # merged sketch equals the sketch of the union
+            aggs.append(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.flatten(
+                                F.collect_list(
+                                    F.coalesce(
+                                        F.col("kmv"),
+                                        F.array().cast("array<double>"),
+                                    )
+                                )
+                            )
+                        )
+                    ),
+                    1,
+                    self.kmv_k,
+                ).alias("kmv")
+            )
+        return parts.groupBy(*self.group_cols).agg(*aggs)
 
     # -- refresh cursor -----------------------------------------------------
     def _cursor(self) -> tuple[int, set[str]]:
@@ -101,7 +183,8 @@ class IncrementalAggView:
         last_sv, seen = self._cursor()
         if sv == last_sv:
             return {"mode": "noop", "source_version": sv, "new_dirs": 0}
-        cur_dirs = set(self.source._manifest(sv)["dirs"])
+        m = self.source._manifest(sv)
+        cur_dirs = set(m["dirs"])
 
         if seen and seen == cur_dirs:
             # Version advanced but the dir set is unchanged (e.g. a
@@ -112,13 +195,14 @@ class IncrementalAggView:
             return {"mode": "noop", "source_version": sv, "new_dirs": 0}
         if seen and seen <= cur_dirs:
             # Pure appends since the cursor: aggregate ONLY the new dirs
-            # and merge with the stored partials.
+            # and merge with the stored partials. Loaded through the
+            # layout-aware reader so partitioned dirs (and their pinned
+            # schemas) round-trip exactly as read() sees them.
             new_dirs = sorted(cur_dirs - seen)
-            paths = [str(self.source.path / "data" / d) for d in new_dirs]
-            new_parts = self._partials(self.spark.read.parquet(*paths))
-            merged = self._merge_partials(
-                self.view.read().unionByName(new_parts), self.group_cols
+            new_parts = self._partials(
+                self.source._read_dirs(m, new_dirs, merge_schema=False)
             )
+            merged = self._merge_partials(self.view.read().unionByName(new_parts))
             mode = "incremental"
         else:
             # First refresh, or a seen dir was rewritten/dropped
@@ -146,11 +230,31 @@ class IncrementalAggView:
                 "refresh() after the source table has at least one commit"
             )
         p = self.view.read()
-        return p.select(
-            *self.group_cols,
-            F.col("n"),
-            F.col("sum_dec").cast("double").alias("sum_value"),
-            F.round(F.col("sum_dec").cast("double") / F.col("n"), 6).alias("avg_value"),
-            F.col("min_v").alias("min_value"),
-            F.col("max_v").alias("max_value"),
-        )
+        if self.legacy:
+            cols = [
+                *self.group_cols,
+                F.col("n"),
+                F.col("sum_dec").cast("double").alias("sum_value"),
+                F.round(
+                    F.col("sum_dec").cast("double") / F.col("n"), 6
+                ).alias("avg_value"),
+                F.col("min_v").alias("min_value"),
+                F.col("max_v").alias("max_value"),
+            ]
+        else:
+            cols = [*self.group_cols, F.col("n")]
+            for c in self.value_cols:
+                s, mn, mx = self._names(c)
+                cols += [
+                    F.col(s).cast("double").alias(f"sum_{c}"),
+                    F.round(F.col(s).cast("double") / F.col("n"), 6).alias(f"avg_{c}"),
+                    F.col(mn).alias(f"min_{c}"),
+                    F.col(mx).alias(f"max_{c}"),
+                ]
+        if self.distinct_col:
+            cols.append(
+                kmv_estimate(F.col("kmv"), self.kmv_k).alias(
+                    f"approx_distinct_{self.distinct_col}"
+                )
+            )
+        return p.select(*cols)

@@ -99,6 +99,7 @@ class TxTable:
         version: int | None = None,
         merge_schema: bool = False,
         where: dict | None = None,
+        where_range: dict | None = None,
     ) -> DataFrame:
         """Resolve a snapshot. ``merge_schema=True`` unions the schemas
         of a multi-dir snapshot (appends may evolve the schema — added
@@ -113,7 +114,16 @@ class TxTable:
         metadata-prune. Dirs without a spec (or without the filtered
         key) are always read, and the equality filter is re-applied
         row-level afterwards, so the result is exact regardless of how
-        much was prunable."""
+        much was prunable. Equality filters also consult per-dir
+        min/max STATS (``append(..., stats_cols=...)``): a dir whose
+        recorded [min, max] cannot contain the value is skipped.
+
+        ``where_range={"col": (lo, hi)}`` prunes on the same recorded
+        stats with interval-intersection (inclusive bounds; pass None
+        for an open end), then re-applies the range row-level — the
+        metadata half of time-travel-free time-slicing: an
+        append-mostly event table whose batches arrive roughly in time
+        order prunes to the handful of dirs overlapping the window."""
         from pyspark.sql import functions as F
 
         v = self.latest_version() if version is None else version
@@ -121,27 +131,54 @@ class TxTable:
             raise FileNotFoundError(f"empty table at {self.path}")
         m = self._manifest(v)
         dirs = m["dirs"]
-        if where:
+        if where or where_range:
             specs = m.get("partitions", {})
+            stats = m.get("stats", {})
 
-            def _prunable(spec_val, val) -> bool:
-                # Prune only when the mismatch is type-consistent:
-                # Python `2024 != "2024"` is True but Spark's row filter
-                # COERCES and matches, so a cross-type comparison must
+            import datetime as _dt
+
+            def _norm(v):
+                # stats store dates/timestamps as ISO strings (ordering-
+                # preserving); normalize caller bounds the same way so
+                # metadata comparisons line up
+                if isinstance(v, (_dt.datetime, _dt.date)):
+                    return v.isoformat()
+                return v
+
+            def _type_ok(a, b) -> bool:
+                # Compare only type-consistent values: Python
+                # `2024 != "2024"` is True but Spark's row filter
+                # COERCES and matches, so cross-type metadata must
                 # conservatively keep the dir (the row filter below
-                # stays exact either way). Cross-numeric (int/float)
-                # compares fine in both engines.
-                str_mismatch = isinstance(spec_val, str) != isinstance(val, str)
-                return not str_mismatch and spec_val != val
+                # stays exact either way). Cross-numeric is fine.
+                return isinstance(a, str) == isinstance(b, str)
 
-            dirs = [
-                d
-                for d in dirs
-                if not any(
-                    k in specs.get(d, {}) and _prunable(specs[d][k], val)
-                    for k, val in where.items()
-                )
-            ]
+            def _keep(d: str) -> bool:
+                for k, val in (where or {}).items():
+                    val = _norm(val)
+                    spec_val = specs.get(d, {}).get(k)
+                    if spec_val is not None and _type_ok(spec_val, val) and spec_val != val:
+                        return False
+                    rng = stats.get(d, {}).get(k)
+                    if (
+                        rng is not None
+                        and rng[0] is not None
+                        and _type_ok(rng[0], val)
+                        and not (rng[0] <= val <= rng[1])
+                    ):
+                        return False
+                for k, (lo, hi) in (where_range or {}).items():
+                    lo, hi = _norm(lo), _norm(hi)
+                    rng = stats.get(d, {}).get(k)
+                    if rng is None or rng[0] is None:
+                        continue
+                    if hi is not None and _type_ok(rng[0], hi) and rng[0] > hi:
+                        return False
+                    if lo is not None and _type_ok(rng[1], lo) and rng[1] < lo:
+                        return False
+                return True
+
+            dirs = [d for d in dirs if _keep(d)]
         if not dirs:
             # every dir pruned: empty frame with the snapshot's schema
             full = self.read(v, merge_schema=merge_schema)
@@ -151,6 +188,12 @@ class TxTable:
         if where:
             for k, val in where.items():
                 df = df.where(F.col(k) == F.lit(val))
+        if where_range:
+            for k, (lo, hi) in where_range.items():
+                if lo is not None:
+                    df = df.where(F.col(k) >= F.lit(lo))
+                if hi is not None:
+                    df = df.where(F.col(k) <= F.lit(hi))
         return df
 
     def _read_dirs(self, m: dict, dirs: list[str], merge_schema: bool) -> DataFrame:
@@ -198,29 +241,60 @@ class TxTable:
             df = df.unionByName(f, allowMissingColumns=merge_schema)
         return df
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: Sequence[str] | None = None,
+    ) -> DataFrame:
         """Change-data-feed read: the rows ADDED between two versions,
         resolved as a manifest dir-set difference — no row-level diff
         job, no change-log infra; reading the delta of a 100 TB table
-        touches only the appended files. Valid only over an append-only
-        span: if any dir of ``from_version`` is gone in ``to_version``
-        (an overwrite/merge/delete/restore/optimize rewrote the
-        snapshot), row-level changes are not representable as a file
-        delta and this raises — callers diff snapshots instead
-        (operators/upsert.py:table_diff). ``from_version=0`` returns
-        the whole ``to_version`` snapshot (everything is new)."""
+        touches only the appended files. ``from_version=0`` returns
+        the whole ``to_version`` snapshot (everything is new).
+
+        When a dir of ``from_version`` is gone in ``to_version`` (an
+        overwrite/merge/delete/restore/optimize rewrote the snapshot),
+        the file delta is not row-meaningful. With ``keys`` the read
+        FALLS BACK to a row-level diff of the two snapshots
+        (operators/upsert.py:table_diff — one full-outer join on the
+        key): if the span only ADDED rows — the common
+        append→OPTIMIZE→append case, where the rewrite was pure
+        compaction — the inserted rows come back exactly as the fast
+        path would have returned them, so CDC consumers survive an
+        OPTIMIZE mid-span. A span that UPDATED or DELETED rows is not
+        representable as rows-added and still raises (use table_diff
+        directly for the op-tagged I/U/D feed). Without ``keys`` a
+        rewritten span raises immediately."""
         to_v = self.latest_version() if to_version is None else to_version
         to_dirs = self._manifest(to_v)["dirs"]
         if from_version == 0:
             return self.read(to_v)
         from_dirs = set(self._manifest(from_version)["dirs"])
         gone = from_dirs - set(to_dirs)
+        if gone and keys is not None:
+            from pyspark.sql import functions as F
+
+            from hapiy_etl_spark.operators.upsert import table_diff
+
+            new_snap = self.read(to_v)
+            diff = table_diff(self.read(from_version), new_snap, keys)
+            mutated = diff.where(F.col("op") != "I")
+            if mutated.limit(1).count():
+                raise ValueError(
+                    f"history between v{from_version} and v{to_v} updated or "
+                    "deleted rows — a rows-added CDF cannot represent it; "
+                    "use table_diff on the two snapshots for the op-tagged "
+                    "I/U/D feed"
+                )
+            return diff.drop("op").select(*new_snap.columns)
         if gone:
             raise ValueError(
                 f"non-append history between v{from_version} and v{to_v} "
                 f"(dirs rewritten: {sorted(gone)}); row-level CDF is only "
-                "defined over append-only spans — use table_diff on the "
-                "two snapshots instead"
+                "defined over append-only spans — pass keys= to fall back "
+                "to a row-level diff, or use table_diff on the two "
+                "snapshots instead"
             )
         new = [d for d in to_dirs if d not in from_dirs]
         if not new:
@@ -254,6 +328,7 @@ class TxTable:
         partitions: dict | None = None,
         layouts: dict | None = None,
         schemas: dict | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Atomically create manifest parent+1; raise on a lost race.
 
@@ -283,6 +358,10 @@ class TxTable:
             # the same facts in its transaction log for the same reason)
             **({"layouts": layouts} if layouts else {}),
             **({"schemas": schemas} if schemas else {}),
+            # per-dir column min/max (Iceberg-style file statistics):
+            # read(where/where_range) skips dirs whose recorded range
+            # cannot match, without listing a single file
+            **({"stats": stats} if stats else {}),
         }
         p = self.path / "_tx" / f"v{version:08d}.json"
         # write the FULL content to a temp name first, then hard-link to
@@ -307,18 +386,44 @@ class TxTable:
 
     # -- write operations ---------------------------------------------------
     @staticmethod
-    def _dir_maps(m: dict, dirs: list[str]) -> tuple[dict, dict, dict]:
-        """(partitions, layouts, schemas) from manifest ``m`` restricted
-        to ``dirs`` — the carry-forward for commits that re-reference a
-        parent's data dirs (append, restore)."""
+    def _dir_maps(m: dict, dirs: list[str]) -> tuple[dict, dict, dict, dict]:
+        """(partitions, layouts, schemas, stats) from manifest ``m``
+        restricted to ``dirs`` — the carry-forward for commits that
+        re-reference a parent's data dirs (append, restore)."""
         return tuple(
             {d: v[d] for d in dirs if d in v}
             for v in (
                 m.get("partitions") or {},
                 m.get("layouts") or {},
                 m.get("schemas") or {},
+                m.get("stats") or {},
             )
         )
+
+    @staticmethod
+    def _column_stats(df: DataFrame, cols: Sequence[str]) -> dict:
+        """One tiny agg job → {col: [min, max]} for the manifest. Values
+        must survive JSON: numbers and strings pass through, dates and
+        timestamps are recorded as ISO strings (ordered the same way),
+        anything else is skipped (recorded as [None, None] so readers
+        know stats were requested but unusable)."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
+
+        def _j(v):
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, (int, float, str)) or v is None:
+                return v
+            return None
+
+        return {c: [_j(row[f"__mn_{c}"]), _j(row[f"__mx_{c}"])] for c in cols}
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data_dir(df)
@@ -331,7 +436,11 @@ class TxTable:
         )
 
     def append(
-        self, df: DataFrame, meta: dict | None = None, partition: dict | None = None
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition: dict | None = None,
+        stats_cols: Sequence[str] | None = None,
     ) -> int:
         """New version = parent's dirs + one new dir — no data rewrite.
         ``meta`` lands in the manifest (e.g. a streaming epoch id for
@@ -340,18 +449,26 @@ class TxTable:
         ``{"lang": "en"}``); recorded in the manifest so
         ``read(where=...)`` can prune the dir without listing it. The
         declaration is trusted, like a Hive partition directory — write
-        through validate_split/checked_append when the upstream isn't."""
+        through validate_split/checked_append when the upstream isn't.
+        ``stats_cols`` records this batch's per-column [min, max] in the
+        manifest (one tiny agg job, computed from the WRITTEN data so it
+        is never a trusted declaration): ``read(where=...,
+        where_range=...)`` then skips dirs whose range cannot match —
+        Iceberg-style file statistics at dir granularity."""
+        stats_entry = self._column_stats(df, stats_cols) if stats_cols else None
         d = self._write_data_dir(df)
         while True:
             parent = self.latest_version()
             if parent:
                 pm = self._manifest(parent)
                 dirs = pm["dirs"] + [d]
-                parts, layouts, schemas = self._dir_maps(pm, pm["dirs"])
+                parts, layouts, schemas, stats = self._dir_maps(pm, pm["dirs"])
             else:
-                dirs, parts, layouts, schemas = [d], {}, {}, {}
+                dirs, parts, layouts, schemas, stats = [d], {}, {}, {}, {}
             if partition:
                 parts[d] = dict(partition)
+            if stats_entry:
+                stats[d] = stats_entry
             schemas[d] = df.schema.jsonValue()
             try:
                 return self._commit(
@@ -362,6 +479,7 @@ class TxTable:
                     partitions=parts or None,
                     layouts=layouts or None,
                     schemas=schemas,
+                    stats=stats or None,
                 )
             except ConcurrentCommitError:
                 continue  # re-resolve parent; the spooled dir is reusable
@@ -438,7 +556,7 @@ class TxTable:
         the restored version's dirs (so vacuum keeps them live)."""
         rm = self._manifest(version)
         dirs = rm["dirs"]
-        parts, layouts, schemas = self._dir_maps(rm, dirs)
+        parts, layouts, schemas, stats = self._dir_maps(rm, dirs)
         while True:
             try:
                 return self._commit(
@@ -449,6 +567,7 @@ class TxTable:
                     partitions=parts or None,
                     layouts=layouts or None,
                     schemas=schemas or None,
+                    stats=stats or None,
                 )
             except ConcurrentCommitError:
                 continue

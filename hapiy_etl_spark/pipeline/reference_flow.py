@@ -144,7 +144,14 @@ class TxCommitsPipeline:
             fresh = parsed.join(existing, ["repo", "commit_hash"], "left_anti")
         n = fresh.count()
         if n:
-            self.table.append(fresh, partition={"repo": repo})
+            # stats_cols: each appended dir records its commit_ts
+            # [min, max], so time-windowed reads over the commit log
+            # (read(where_range={"commit_ts": ...})) prune to the ticks
+            # overlapping the window — batches arrive in time order, so
+            # the ranges barely overlap
+            self.table.append(
+                fresh, partition={"repo": repo}, stats_cols=["commit_ts"]
+            )
         return n
 
     def run_scheduled(

@@ -1089,6 +1089,81 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_mv_multi",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(LENGTH(props) AS DECIMAL(28,4))) AS DOUBLE) AS sum_props_len,
+           ROUND(CAST(SUM(CAST(LENGTH(props) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6) AS avg_props_len,
+           CAST(MIN(LENGTH(props)) AS BIGINT) AS min_props_len,
+           CAST(MAX(LENGTH(props)) AS BIGINT) AS max_props_len,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS approx_distinct_day
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Multi-aggregate incremental materialized view over a "
+    "PARTITIONED source (operators/incremental_mv.py): events land in "
+    "a TxTable as three appends each carrying a manifest partition "
+    "spec, and the view maintains count + sum/avg/min/max over TWO "
+    "value columns PLUS a KMV distinct-day sketch per group — all "
+    "algebraic partials merged per refresh from only the newly-"
+    "appended dirs (loaded through the layout-aware reader). The KMV "
+    "sketch (k=512) is in its exact regime here (≤ tens of distinct "
+    "days per group), so the approximate distinct matches the oracle's "
+    "exact COUNT(DISTINCT) bit-for-bit; above k it degrades to the "
+    "bounded-error estimator the sketch pytest covers. At 100 TB this "
+    "is the dynamic-table pattern with a full metric panel: refresh "
+    "cost tracks new data, and even the distinct count never rescans "
+    "history (sketches merge; exact COUNT(DISTINCT) does not).",
+)
+def incremental_mv_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "event_type",
+        "value",
+        F.length("props").cast("long").alias("props_len"),
+        F.to_date("ts").alias("day"),
+        F.pmod(F.xxhash64("event_id"), F.lit(3)).alias("b"),
+    )
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_mvm_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    mv = IncrementalAggView(
+        spark,
+        src,
+        f"{base}/mv",
+        ["event_type"],
+        value_cols=["value", "props_len"],
+        distinct_col="day",
+        kmv_k=512,
+    )
+    for i in range(3):
+        src.append(
+            ev.where(F.col("b") == i).drop("b"), partition={"bucket": i}
+        )
+        report = mv.refresh()
+        expected = "full" if i == 0 else "incremental"
+        if report["mode"] != expected:  # pragma: no cover - invariant guard
+            raise AssertionError(f"refresh {i}: {report}")
+    return mv.result().orderBy("event_type")
+
+
+@register(
     "constraints_quarantine",
     oracle="""
     WITH dirty AS (

@@ -62,6 +62,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # events_equidepth/funnel) front-loaded, then the freshest-needed
 # backfill — this closes the post-regeneration evidence rotation.
 PRIORITY: tuple[str, ...] = (
+    "incremental_mv_multi",
     "events_equidepth_histogram",
     "events_funnel_multistep",
     "graph_pagerank_trade",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "asof_forward_tolerance",
     "interval_union_coverage",
     "events_daily_anomaly",
-    "events_dau_mau_stickiness",
 )
 
 

@@ -399,7 +399,11 @@ def foreach_batch_tx_append_with_mv(
     checkpoint: str,
     view_path: str,
     group_cols: Sequence[str],
-    value_col: str,
+    value_col: str | None = None,
+    *,
+    value_cols: Sequence[str] | None = None,
+    distinct_col: str | None = None,
+    kmv_k: int = 512,
 ):
     """Streaming dynamic table: exactly-once micro-batch append to a
     TxTable (tx_append_once replay detection) followed by an
@@ -409,7 +413,10 @@ def foreach_batch_tx_append_with_mv(
     skips the append, the dir-diff then sees nothing new, and the view
     refresh is a noop — so the view inherits exactly-once too. This is
     the composed form of the reference loop's sink plus the aggregate
-    a consumer would otherwise recompute per tick at full-table cost."""
+    a consumer would otherwise recompute per tick at full-table cost.
+    The multi-aggregate form (``value_cols`` + optional
+    ``distinct_col`` KMV sketch) streams a full metric panel — even the
+    distinct count maintains incrementally, because sketches merge."""
     from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
     from hapiy_etl_spark.operators.txstore import TxTable
 
@@ -424,7 +431,14 @@ def foreach_batch_tx_append_with_mv(
         spark = batch.sparkSession
         tx_append_once(batch, path, epoch_id, run_id=run_id)
         IncrementalAggView(
-            spark, TxTable(spark, path), view_path, group_cols, value_col
+            spark,
+            TxTable(spark, path),
+            view_path,
+            group_cols,
+            value_col,
+            value_cols=value_cols,
+            distinct_col=distinct_col,
+            kmv_k=kmv_k,
         ).refresh()
 
     return (

@@ -234,3 +234,95 @@ def test_incremental_mv_matches_bruteforce_under_op_sequences(spark, tmp_path_fa
             vs = [v for kk, v in live if kk == k]
             expect[k] = (len(vs), float(sum(vs)), min(vs), max(vs))
         assert got == expect, (ops, got, expect)
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(key_st, st.integers(-50, 50), st.integers(0, 5)),
+                    min_size=1,
+                    max_size=4,
+                ),
+            ),
+            st.tuples(st.just("delete"), key_st),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_incremental_mv_multi_partitioned_matches_bruteforce(
+    spark, tmp_path_factory, ops
+):
+    """The multi-aggregate view (two value columns + KMV distinct
+    sketch) over a source whose appends carry manifest partition specs:
+    under randomized append/delete interleavings the finalized view —
+    including the distinct count, which stays in the sketch's exact
+    regime (≤6 distinct d values < k=64) — must equal a brute-force
+    aggregate of the live rows, through both the incremental path and
+    the rewrite fallback."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    tmp = tmp_path_factory.mktemp("mvprop2")
+    src = TxTable(spark, str(tmp / "src"))
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp / "mv"),
+        ["k"],
+        value_cols=["v", "w"],
+        distinct_col="d",
+        kmv_k=64,
+    )
+    live: list[tuple[str, int, int]] = []
+
+    for i, op in enumerate(ops):
+        if op[0] == "append":
+            rows = [(k, v, v * 2, d) for k, v, d in op[1]]
+            src.append(
+                spark.createDataFrame(rows, "k string, v long, w long, d int"),
+                partition={"batch": i},
+            )
+            live.extend(op[1])
+        else:
+            key = op[1]
+            src.delete_where(f"k = '{key}'")
+            live = [(k, v, d) for k, v, d in live if k != key]
+        mv.refresh()
+        if src.latest_version() == 0:
+            continue
+        got = {
+            r.k: (
+                r.n,
+                r.sum_v,
+                r.min_v,
+                r.max_v,
+                r.sum_w,
+                r.min_w,
+                r.max_w,
+                r.approx_distinct_d,
+            )
+            for r in mv.result().collect()
+        }
+        expect = {}
+        for k in {k for k, _, _ in live}:
+            vs = [(v, d) for kk, v, d in live if kk == k]
+            v_only = [v for v, _ in vs]
+            w_only = [v * 2 for v in v_only]
+            expect[k] = (
+                len(vs),
+                float(sum(v_only)),
+                min(v_only),
+                max(v_only),
+                float(sum(w_only)),
+                min(w_only),
+                max(w_only),
+                float(len({d for _, d in vs})),
+            )
+        assert got == expect, (ops, got, expect)

@@ -682,3 +682,153 @@ def test_txstore_partition_column_types_pinned(spark, tmp_path):
     # the merge key survives retyping: merging on '012' updates, not duplicates
     t.merge(spark.createDataFrame([("012", 20)], "repo string, n long"), keys=["repo"])
     assert _rows(t.read()) == [("012", 20), ("123", 1)]
+
+
+def test_txstore_changes_survives_optimize_with_keys(spark, tmp_path):
+    """VERDICT r6 item 5: changes(keys=...) over an
+    append→OPTIMIZE→append span falls back to a keyed row-level diff
+    and returns exactly the appended rows (the compaction rewrote
+    files but changed no rows); a span that genuinely updated or
+    deleted rows still raises — rows-added CDF cannot represent it."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    v1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    t.optimize()  # pure compaction: rewrites every dir, changes no rows
+    v4 = t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+
+    # without keys the rewritten span still refuses
+    with pytest.raises(ValueError, match="non-append"):
+        t.changes(v1)
+    # with keys: exactly the rows appended after v1, fast-path schema
+    got = t.changes(v1, v4, keys=["k"])
+    assert got.columns == ["k", "v"]
+    assert _rows(got) == [(3, "c"), (4, "d")]
+
+    # a deletion inside the span is not representable as rows-added
+    t.delete_where("k = 2")
+    with pytest.raises(ValueError, match="updated or\\s+deleted"):
+        t.changes(v1, keys=["k"])
+    # ... and an update (merge) isn't either
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    w1 = t2.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t2.merge(spark.createDataFrame([(1, "A"), (9, "z")], "k long, v string"), keys=["k"])
+    with pytest.raises(ValueError, match="updated or\\s+deleted"):
+        t2.changes(w1, keys=["k"])
+
+
+def test_txstore_dir_stats_range_pruned_read(spark, tmp_path):
+    """Per-dir column min/max stats (Iceberg-style file statistics at
+    dir granularity): append(stats_cols=...) records each batch's
+    [min, max] from the WRITTEN data; read(where_range=...) skips dirs
+    whose range cannot intersect the window — inputFiles proves the
+    pruned dir is never listed — and re-applies the range row-level so
+    overlapping dirs stay exact. Equality reads consult the same stats;
+    datetime bounds normalize to the stored ISO form; restore carries
+    the stats map."""
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = lambda lo: [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)) for i in range(lo, lo + 5)
+    ]
+    t.append(
+        spark.createDataFrame(rows(0), "v long, ts timestamp"), stats_cols=["v", "ts"]
+    )
+    t.append(
+        spark.createDataFrame(rows(10), "v long, ts timestamp"), stats_cols=["v", "ts"]
+    )
+    t.append(
+        spark.createDataFrame(rows(20), "v long, ts timestamp"), stats_cols=["v", "ts"]
+    )
+    m = t._manifest(t.latest_version())
+    assert len(m["stats"]) == 3
+    low_dir = next(d for d, s in m["stats"].items() if s["v"] == [0, 4])
+    high_dir = next(d for d, s in m["stats"].items() if s["v"] == [20, 24])
+
+    # numeric range: [10, 24] excludes the first dir entirely
+    df = t.read(where_range={"v": (10, None)})
+    assert sorted(r.v for r in df.collect()) == list(range(10, 15)) + list(range(20, 25))
+    assert not any(low_dir in f for f in df.inputFiles())
+    # boundary rows inside a kept dir are filtered row-level
+    df2 = t.read(where_range={"v": (12, 21)})
+    assert sorted(r.v for r in df2.collect()) == [12, 13, 14, 20, 21]
+
+    # equality consults stats: v=2 can only live in the first dir
+    df3 = t.read(where={"v": 2})
+    assert [r.v for r in df3.collect()] == [2]
+    assert not any(high_dir in f for f in df3.inputFiles())
+
+    # datetime bounds: only the last dir overlaps [2024-01-01T20h, ∞)
+    df4 = t.read(where_range={"ts": (dt.datetime(2024, 1, 1, 20), None)})
+    assert sorted(r.v for r in df4.collect()) == list(range(20, 25))
+    assert not any(low_dir in f for f in df4.inputFiles())
+
+    # restore re-references dirs AND their stats
+    t.delete_where("v >= 20")
+    t.restore(3)
+    assert t._manifest(t.latest_version())["stats"][high_dir]["v"] == [20, 24]
+    df5 = t.read(where_range={"v": (None, 4)})
+    assert sorted(r.v for r in df5.collect()) == [0, 1, 2, 3, 4]
+    assert not any(high_dir in f for f in df5.inputFiles())
+
+
+def test_streaming_mv_multi_refresh_per_batch(spark, tmp_path):
+    """The streaming dynamic table in its multi-aggregate form: two
+    micro-batch runs maintain sum/min/max over two value columns plus
+    a KMV distinct sketch, each refresh incremental over just that
+    batch's dir; a restart with no new data is a noop for table and
+    view alike."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append_with_mv
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    view = str(tmp_path / "view")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v double, w long, d int").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k string, v double, w long, d int").parquet(src)
+        foreach_batch_tx_append_with_mv(
+            stream,
+            store,
+            ckpt,
+            view,
+            ["k"],
+            value_cols=["v", "w"],
+            distinct_col="d",
+            kmv_k=64,
+        ).awaitTermination()
+
+    def view_rows():
+        mv = IncrementalAggView(
+            spark,
+            TxTable(spark, store),
+            view,
+            ["k"],
+            value_cols=["v", "w"],
+            distinct_col="d",
+            kmv_k=64,
+        )
+        return {
+            r.k: (r.n, r.sum_v, r.sum_w, r.approx_distinct_d)
+            for r in mv.result().collect()
+        }
+
+    write([("a", 1.0, 10, 1), ("b", 2.0, 20, 2)])
+    run()
+    assert view_rows() == {"a": (1, 1.0, 10.0, 1.0), "b": (1, 2.0, 20.0, 1.0)}
+
+    write([("a", 3.0, 30, 2)])
+    run()
+    assert view_rows() == {"a": (2, 4.0, 40.0, 2.0), "b": (1, 2.0, 20.0, 1.0)}
+
+    tv = TxTable(spark, store).latest_version()
+    vv = TxTable(spark, view).latest_version()
+    run()
+    assert TxTable(spark, store).latest_version() == tv
+    assert TxTable(spark, view).latest_version() == vv
