@@ -577,14 +577,19 @@ class TxTable:
         zorder_by: Sequence[str] | None = None,
         target_partitions: int | None = None,
         max_retries: int = 5,
+        partition_by: Sequence[str] | None = None,
     ) -> int:
         """Snapshot compaction (the OPTIMIZE half of the lakehouse
         lifecycle): rewrite the current snapshot — K append dirs and
         their small files — into one fresh dir, optionally Z-order
         clustered (operators/maintenance.zorder_sort) so min-max file
-        skipping works on the listed columns. Copy-on-write like merge:
-        readers of old versions are untouched, a racing writer costs a
-        retry, and the superseded dirs age out via vacuum()."""
+        skipping works on the listed columns. ``partition_by`` keeps
+        (or introduces) a Hive layout in the compacted dir — without it
+        a compaction would silently FLATTEN a partitioned table and
+        every subsequent pruned read degrades to a full scan. Copy-on-
+        write like merge: readers of old versions are untouched, a
+        racing writer costs a retry, and the superseded dirs age out
+        via vacuum()."""
         from hapiy_etl_spark.operators.maintenance import zorder_sort
 
         for _ in range(max_retries):
@@ -596,13 +601,14 @@ class TxTable:
                 )
             elif target_partitions:
                 snap = snap.coalesce(target_partitions)
-            d = self._write_data_dir(snap)
+            d = self._write_data_dir(snap, partition_by)
             try:
                 return self._commit(
                     parent,
                     [d],
                     "optimize",
                     schemas={d: snap.schema.jsonValue()},
+                    layouts={d: list(partition_by)} if partition_by else None,
                 )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)

@@ -1164,6 +1164,82 @@ def incremental_mv_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_pruned_time_slice",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(ts) + INTERVAL 10 DAY AS lo,
+               MIN(ts) + INTERVAL 17 DAY AS hi
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events, bounds
+    WHERE ts >= lo AND ts <= hi
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Manifest-statistics time slicing (operators/txstore.py): the "
+    "events table lands in a TxTable as weekly appends, each recording "
+    "its ts [min, max] in the manifest (append(stats_cols=...) — "
+    "Iceberg-style file statistics at dir granularity, computed from "
+    "the written data, never a trusted declaration). A 7-day windowed "
+    "read (read(where_range=...)) then skips every dir whose recorded "
+    "range cannot intersect the window — the query asserts at least "
+    "one dir was pruned via inputFiles — and re-applies the bounds "
+    "row-level so overlapping dirs stay exact. The oracle filters the "
+    "raw table with the same BETWEEN. At 100 TB this is how a commit "
+    "log answers 'last week' without listing a year of files: batches "
+    "arrive roughly in time order, so ranges barely overlap and the "
+    "planner touches only the handful of dirs under the window.",
+)
+def stats_pruned_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_type", "value", "ts")
+    mn = ev.agg(F.min("ts")).collect()[0][0]
+    lo, hi = mn + dt.timedelta(days=10), mn + dt.timedelta(days=17)
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_stats_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    wk = ev.withColumn(
+        "wk", F.floor(F.datediff(F.col("ts"), F.lit(mn)) / F.lit(7))
+    )
+    n_dirs = 0
+    for w in range(6):
+        batch = wk.where(F.col("wk") == w).drop("wk")
+        if batch.limit(1).count():
+            src.append(batch, stats_cols=["ts"])
+            n_dirs += 1
+    sliced = src.read(where_range={"ts": (lo, hi)})
+    touched = {f.split("/data/")[1].split("/")[0] for f in sliced.inputFiles()}
+    if not (len(touched) < n_dirs):  # pragma: no cover - invariant guard
+        raise AssertionError(
+            f"expected manifest-stats pruning: {len(touched)} of {n_dirs} dirs read"
+        )
+    return (
+        sliced.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "constraints_quarantine",
     oracle="""
     WITH dirty AS (

@@ -63,6 +63,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # backfill — this closes the post-regeneration evidence rotation.
 PRIORITY: tuple[str, ...] = (
     "incremental_mv_multi",
+    "stats_pruned_time_slice",
     "events_equidepth_histogram",
     "events_funnel_multistep",
     "graph_pagerank_trade",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
-    "events_daily_anomaly",
 )
 
 

@@ -832,3 +832,30 @@ def test_streaming_mv_multi_refresh_per_batch(spark, tmp_path):
     run()
     assert TxTable(spark, store).latest_version() == tv
     assert TxTable(spark, view).latest_version() == vv
+
+
+def test_txstore_optimize_preserves_partition_layout(spark, tmp_path):
+    """optimize(partition_by=...) keeps the Hive layout through
+    compaction: without it a compaction silently flattens a partitioned
+    table and every later pruned read degrades to a full scan. After
+    compacting a merge(partition_by)-laid table plus a flat append into
+    one partitioned dir, a filtered read still plans PartitionFilters
+    and the pinned schema survives."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "repo string, n long"
+        ),
+        keys=["repo", "n"],
+        partition_by=["repo"],
+    )
+    t.append(spark.createDataFrame([("c", 4)], "repo string, n long"))
+    t.optimize(partition_by=["repo"])
+    m = t._manifest(t.latest_version())
+    assert len(m["dirs"]) == 1 and m["layouts"][m["dirs"][0]] == ["repo"]
+    assert _rows(t.read()) == [("a", 1), ("a", 2), ("b", 3), ("c", 4)]
+    assert t.read().schema.simpleString() == "struct<repo:string,n:bigint>"
+    df = t.read(where={"repo": "a"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "repo" in plan, plan[:1200]
+    assert _rows(df) == [("a", 1), ("a", 2)]

@@ -69,6 +69,13 @@ SHOWCASE = [
     ("udtf_polymorphic_split", ["UDTF"]),
     # r6: constraint flagging is pure column algebra over one scan
     ("constraints_quarantine", ["Filter", "FileScan"]),
+    # r7: multi-aggregate MV result is a single scan of the stored
+    # partials (refresh cost lives at refresh time, reads are cheap)
+    ("incremental_mv_multi", ["FileScan", "Project"]),
+    # r7: manifest-stats time slice — the FileScan lists ONLY the dirs
+    # overlapping the window (pruning happened before the planner), and
+    # the residual range filter still pushes into the scan
+    ("stats_pruned_time_slice", ["FileScan", "PushedFilters", "HashAggregate"]),
 ]
 
 
