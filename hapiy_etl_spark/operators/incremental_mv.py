@@ -43,7 +43,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hapiy_etl_spark.operators.sketches import _unit_hash, kmv_estimate
+from hapiy_etl_spark.operators.sketches import (
+    _unit_hash,
+    kmv_estimate,
+    loghist_merge_agg,
+    loghist_quantile,
+    loghist_sketch,
+)
 from hapiy_etl_spark.operators.txstore import TxTable
 
 DEC = "decimal(28,4)"
@@ -81,6 +87,8 @@ class IncrementalAggView:
         value_cols: Sequence[str] | None = None,
         distinct_col: str | None = None,
         kmv_k: int = 512,
+        histogram_col: str | None = None,
+        quantiles: Sequence[float] = (0.5, 0.95, 0.99),
     ):
         if (value_col is None) == (value_cols is None):
             raise ValueError("pass exactly one of value_col / value_cols")
@@ -94,6 +102,8 @@ class IncrementalAggView:
         self.value_cols = [value_col] if self.legacy else list(value_cols)
         self.distinct_col = distinct_col
         self.kmv_k = kmv_k
+        self.histogram_col = histogram_col
+        self.quantiles = list(quantiles)
 
     def _names(self, c: str) -> tuple[str, str, str]:
         if self.legacy:
@@ -130,6 +140,15 @@ class IncrementalAggView:
                 .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
             )
             parts = parts.join(sk, self.group_cols, "left")
+        if self.histogram_col:
+            # DDSketch-style log-histogram partial: merges EXACTLY
+            # (element-wise integer sums), so quantile panels roll up
+            # incrementally like the other partials
+            parts = parts.join(
+                loghist_sketch(df, self.group_cols, self.histogram_col),
+                self.group_cols,
+                "left",
+            )
         return parts
 
     def _merge_partials(self, parts: DataFrame) -> DataFrame:
@@ -163,6 +182,8 @@ class IncrementalAggView:
                     self.kmv_k,
                 ).alias("kmv")
             )
+        if self.histogram_col:
+            aggs.append(loghist_merge_agg("loghist").alias("loghist"))
         return parts.groupBy(*self.group_cols).agg(*aggs)
 
     # -- refresh cursor -----------------------------------------------------
@@ -257,4 +278,12 @@ class IncrementalAggView:
                     f"approx_distinct_{self.distinct_col}"
                 )
             )
+        if self.histogram_col:
+            for q in self.quantiles:
+                label = f"p{int(q * 100)}" if (q * 100).is_integer() else f"p{q}"
+                cols.append(
+                    loghist_quantile(F.col("loghist"), q).alias(
+                        f"approx_{label}_{self.histogram_col}"
+                    )
+                )
         return p.select(*cols)

@@ -75,3 +75,131 @@ def kmv_intersect_estimate(a: Column, b: Column, k: int = 256) -> Column:
         kmv_estimate(a, k) + kmv_estimate(b, k) - kmv_union_estimate(a, b, k),
         F.lit(0.0),
     )
+
+
+# -- mergeable log-scale histogram (DDSketch-style) ------------------------
+#
+# Relative-error quantile sketch as a FIXED array of bucket counts over
+# log10(|v|): the bucketing function is deterministic and value-local,
+# so two sketches merge by element-wise addition — exactly (integer
+# counts), not approximately — which makes it a valid algebraic partial
+# for incremental rollups (operators/incremental_mv.py). Quantile
+# estimates carry bounded RELATIVE error (one bucket width,
+# 10^(1/LOGHIST_BPD) ≈ 1.33x at 8 buckets/decade), the DDSketch
+# guarantee (Masson et al., VLDB 2019), unlike percentile_approx whose
+# internal state Spark does not expose for external merging.
+# Layout: [0] = zeros; [1 .. NB] = positive values, bucket b covers
+# log10(v) ∈ [LO + b/BPD, LO + (b+1)/BPD); [NB+1 .. 2NB] = negatives,
+# mirrored. |v| below 10^LO clamps to the first bucket, above 10^HI to
+# the last (counts are never lost, extreme tails lose resolution).
+
+LOGHIST_BPD = 8
+LOGHIST_LO = -6
+LOGHIST_HI = 12
+LOGHIST_NB = (LOGHIST_HI - LOGHIST_LO) * LOGHIST_BPD
+LOGHIST_SIZE = 1 + 2 * LOGHIST_NB
+
+
+def _loghist_zero() -> Column:
+    return F.array_repeat(F.lit(0).cast("long"), LOGHIST_SIZE)
+
+
+def loghist_bin(col: Column) -> Column:
+    """Bucket index for one value (null → null, excluded from sketches)."""
+    a = F.abs(col)
+    b = F.least(
+        F.greatest(
+            F.floor((F.log10(a) - F.lit(float(LOGHIST_LO))) * LOGHIST_BPD).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(LOGHIST_NB - 1),
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("int"))
+        .when(col == 0, F.lit(0))
+        .when(col > 0, b + 1)
+        .otherwise(b + 1 + LOGHIST_NB)
+    )
+
+
+def loghist_sketch(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """One log-histogram per group as ``loghist`` array<long>.
+
+    Shuffle shape: the heavy reduction is groupBy(group, bucket) over
+    ints — partial aggregation combines map-side, and the final
+    array materialization folds at most LOGHIST_SIZE tiny structs per
+    group."""
+    idx = loghist_bin(F.col(value_col)).alias("__b")
+    counts = (
+        df.select(*group_cols, idx)
+        .where(F.col("__b").isNotNull())
+        .groupBy(*group_cols, "__b")
+        .agg(F.count("*").alias("__c"))
+    )
+    return counts.groupBy(*group_cols).agg(
+        F.aggregate(
+            F.collect_list(F.struct(F.col("__b"), F.col("__c"))),
+            _loghist_zero(),
+            lambda acc, x: F.transform(
+                acc,
+                lambda c, i: c
+                + F.when(x["__b"] == i, x["__c"]).otherwise(F.lit(0).cast("long")),
+            ),
+        ).alias("loghist")
+    )
+
+
+def loghist_merge_agg(col: str = "loghist") -> Column:
+    """Aggregate expression: element-wise sum of a group's sketches —
+    the EXACT merge (integer counts), so refresh-by-parts equals
+    recompute bit-for-bit."""
+    return F.aggregate(
+        F.collect_list(F.coalesce(F.col(col), _loghist_zero())),
+        _loghist_zero(),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+
+
+def _loghist_quantile_py(h, q: float):
+    """Pure-Python finalizer kernel (shared by the UDF and tests)."""
+    import math
+
+    bpd, lo, nb = LOGHIST_BPD, LOGHIST_LO, LOGHIST_NB
+    if h is None:
+        return None
+    total = int(sum(h))
+    if total == 0:
+        return None
+    target = max(1, math.ceil(total * q))
+    cum = 0
+    # negatives are the SMALLEST values: walk the negative region from
+    # most-negative (largest |v|, highest bucket) down, then zero, then
+    # positives ascending
+    order = list(range(2 * nb, nb, -1)) + [0] + list(range(1, nb + 1))
+    for i in order:
+        c = int(h[i])
+        if c == 0:
+            continue
+        cum += c
+        if cum >= target:
+            if i == 0:
+                return 0.0
+            if i <= nb:
+                return 10.0 ** (lo + (i - 1 + 0.5) / bpd)
+            return -(10.0 ** (lo + (i - nb - 1 + 0.5) / bpd))
+    return None
+
+
+def loghist_quantile(col: Column, q: float) -> Column:
+    """Quantile estimate from a sketch (bucket-midpoint in log space;
+    relative error one bucket width). Vectorized finalizer — partials
+    and merges stay JVM-side; this runs only over the final per-group
+    rows."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _q(hists):
+        return pd.Series([_loghist_quantile_py(h, q) for h in hists])
+
+    return pandas_udf(_q, DoubleType())(col)

@@ -1164,6 +1164,113 @@ def incremental_mv_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_mv_quantiles",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               CASE WHEN value = 0 THEN 0
+                    WHEN value > 0 THEN
+                        CAST(LEAST(GREATEST(FLOOR((LOG10(ABS(value)) + 6) * 8), 0), 143) AS INT) + 1
+                    ELSE
+                        CAST(LEAST(GREATEST(FLOOR((LOG10(ABS(value)) + 6) * 8), 0), 143) AS INT) + 145
+               END AS bin
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    counts AS (
+        SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+    ),
+    ordered AS (
+        SELECT event_type, bin, c,
+               CASE WHEN bin = 0 THEN 0
+                    WHEN bin <= 144 THEN bin
+                    ELSE 144 - bin END AS ord
+        FROM counts
+    ),
+    cum AS (
+        SELECT event_type, bin, c, ord,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY ord) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS total
+        FROM ordered
+    ),
+    mid AS (
+        SELECT event_type, cum, total,
+               cum - c AS prev_cum,
+               CASE WHEN bin = 0 THEN 0.0
+                    WHEN bin <= 144 THEN POWER(10.0, -6 + (bin - 1 + 0.5) / 8)
+                    ELSE -POWER(10.0, -6 + (bin - 145 + 0.5) / 8) END AS midv
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(MAX(total) AS BIGINT) AS n,
+           ROUND(MAX(CASE WHEN prev_cum < CEIL(0.5 * total) AND cum >= CEIL(0.5 * total) THEN midv END), 6) AS approx_p50_value,
+           ROUND(MAX(CASE WHEN prev_cum < CEIL(0.95 * total) AND cum >= CEIL(0.95 * total) THEN midv END), 6) AS approx_p95_value,
+           ROUND(MAX(CASE WHEN prev_cum < CEIL(0.99 * total) AND cum >= CEIL(0.99 * total) THEN midv END), 6) AS approx_p99_value
+    FROM mid
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Incremental quantile panel (operators/sketches.py log-"
+    "histogram + operators/incremental_mv.py): the view maintains a "
+    "DDSketch-style log-scale histogram per group — a FIXED array of "
+    "bucket counts whose merge is element-wise integer addition, i.e. "
+    "an EXACT algebraic partial — through three incremental refreshes, "
+    "then finalizes p50/p95/p99 as bucket midpoints (bounded RELATIVE "
+    "error of one bucket, 10^(1/8)=1.33x). The sketch is deterministic "
+    "end-to-end, so the oracle REPLAYS the same bucketing/midpoint "
+    "arithmetic in SQL over the raw table and the comparison is a "
+    "hash-match, not a tolerance check. At 100 TB this is how a "
+    "percentile dashboard refreshes from new data only: "
+    "percentile_approx partials cannot be stored-and-merged across "
+    "refreshes, histogram counts can.",
+)
+def incremental_mv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "event_type", "value", F.pmod(F.xxhash64("event_id"), F.lit(3)).alias("b")
+    )
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_mvq_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    mv = IncrementalAggView(
+        spark,
+        src,
+        f"{base}/mv",
+        ["event_type"],
+        value_cols=["value"],
+        histogram_col="value",
+        quantiles=(0.5, 0.95, 0.99),
+    )
+    for i in range(3):
+        src.append(ev.where(F.col("b") == i).drop("b"))
+        report = mv.refresh()
+        expected = "full" if i == 0 else "incremental"
+        if report["mode"] != expected:  # pragma: no cover - invariant guard
+            raise AssertionError(f"refresh {i}: {report}")
+    return (
+        mv.result()
+        .select(
+            "event_type",
+            "n",
+            F.round("approx_p50_value", 6).alias("approx_p50_value"),
+            F.round("approx_p95_value", 6).alias("approx_p95_value"),
+            F.round("approx_p99_value", 6).alias("approx_p99_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "stats_pruned_time_slice",
     oracle="""
     WITH bounds AS (

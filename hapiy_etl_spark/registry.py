@@ -64,6 +64,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 PRIORITY: tuple[str, ...] = (
     "incremental_mv_multi",
     "stats_pruned_time_slice",
+    "incremental_mv_quantiles",
     "events_equidepth_histogram",
     "events_funnel_multistep",
     "graph_pagerank_trade",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "events_redact_props",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
-    "interval_union_coverage",
 )
 
 

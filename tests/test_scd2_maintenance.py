@@ -277,3 +277,102 @@ def test_assign_contiguous_ids_dense_unique(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln:
             assert "__pid" in ln, ln
+
+
+def test_loghist_sketch_merge_exact_and_quantile_bounds(spark):
+    """The DDSketch-style log-histogram: (1) merging per-part sketches
+    equals the sketch of the union BIT-FOR-BIT (integer counts — the
+    algebraic-partial contract the incremental MV relies on);
+    (2) quantile estimates stay within one bucket of relative error
+    (10^(1/8) ≈ 1.33x at 8 buckets/decade); (3) zeros and negatives
+    land in their dedicated regions and order correctly."""
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.sketches import (
+        loghist_merge_agg,
+        loghist_quantile,
+        loghist_sketch,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 1001)]  # uniform 1..1000
+    df = spark.createDataFrame(rows, "k string, v double")
+    half1, half2 = df.where("v <= 500"), df.where("v > 500")
+
+    merged = (
+        loghist_sketch(half1, ["k"], "v")
+        .unionByName(loghist_sketch(half2, ["k"], "v"))
+        .groupBy("k")
+        .agg(loghist_merge_agg("loghist").alias("loghist"))
+    )
+    whole = loghist_sketch(df, ["k"], "v")
+    assert merged.collect()[0]["loghist"] == whole.collect()[0]["loghist"]
+
+    est = merged.select(
+        loghist_quantile(F.col("loghist"), 0.5).alias("p50"),
+        loghist_quantile(F.col("loghist"), 0.99).alias("p99"),
+    ).collect()[0]
+    rel = 10 ** (1 / 8)
+    assert 500 / rel <= est.p50 <= 500 * rel, est.p50
+    assert 990 / rel <= est.p99 <= 1000 * rel, est.p99
+
+    # signed + zero ordering: p25 in the negatives, median at zero
+    mixed = spark.createDataFrame(
+        [("m", float(v)) for v in ([-100] * 25 + [0] * 30 + [100] * 45)],
+        "k string, v double",
+    )
+    sk = loghist_sketch(mixed, ["k"], "v")
+    got = sk.select(
+        loghist_quantile(F.col("loghist"), 0.2).alias("p20"),
+        loghist_quantile(F.col("loghist"), 0.4).alias("p40"),
+        loghist_quantile(F.col("loghist"), 0.9).alias("p90"),
+    ).collect()[0]
+    assert got.p20 < 0 and -100 * rel <= got.p20 <= -100 / rel
+    assert got.p40 == 0.0
+    assert 100 / rel <= got.p90 <= 100 * rel
+
+
+def test_incremental_mv_histogram_refresh_equals_recompute(spark, tmp_path):
+    """The MV's quantile panel refreshes by exact sketch merge: after
+    three appends refreshed one-by-one, the stored histogram equals a
+    from-scratch rebuild's, and the finalized approx percentiles stay
+    within the sketch's relative-error bound of the true values."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [("g", float(v)) for v in range(lo, hi)], "k string, v double"
+    )
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "mv"),
+        ["k"],
+        value_cols=["v"],
+        histogram_col="v",
+        quantiles=(0.5, 0.95),
+    )
+    for lo, hi in ((1, 400), (400, 800), (800, 1001)):
+        src.append(mk(lo, hi))
+        mv.refresh()
+    incr_hist = mv.view.read().collect()[0]["loghist"]
+
+    mv2 = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "mv2"),
+        ["k"],
+        value_cols=["v"],
+        histogram_col="v",
+        quantiles=(0.5, 0.95),
+    )
+    mv2.refresh()  # single full build over the same data
+    assert incr_hist == mv2.view.read().collect()[0]["loghist"]
+
+    row = mv.result().collect()[0]
+    rel = 10 ** (1 / 8)
+    assert 500 / rel <= row.approx_p50_v <= 500 * rel
+    assert 950 / rel <= row.approx_p95_v <= 950 * rel
+    assert row.n == 1000 and row.min_v == 1.0 and row.max_v == 1000.0
