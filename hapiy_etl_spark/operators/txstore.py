@@ -524,24 +524,109 @@ class TxTable:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"merge lost {max_retries} races at {self.path}")
 
-    def delete_where(self, condition: str, max_retries: int = 5) -> int:
+    def delete_where(
+        self,
+        condition: str,
+        max_retries: int = 5,
+        range_hint: dict | None = None,
+    ) -> int:
         """Transactional DELETE — copy-on-write of the surviving rows.
         A no-op (returns the current version, commits nothing) on a
         never-written table: SQL DELETE from an empty relation deletes
         zero rows, it does not error (edge surfaced by the
-        IncrementalAggView property test's delete-first sequences)."""
+        IncrementalAggView property test's delete-first sequences).
+
+        ``range_hint={"col": (lo, hi)}`` is file-level delete pruning
+        (what Delta does with file stats): dirs whose recorded
+        ``stats_cols`` range cannot intersect the hint are carried
+        forward UNTOUCHED — no read, no rewrite — and only intersecting
+        dirs are rewritten. The hint is a caller CONTRACT, like a Hive
+        partition declaration: the condition must imply
+        ``col BETWEEN lo AND hi`` (a wrong hint silently skips rows the
+        condition would have deleted). Dirs without recorded stats are
+        conservatively rewritten. At 100 TB a retention delete
+        ("drop last week") rewrites the handful of dirs under the
+        window instead of the whole table."""
+        import datetime as _dt
+
+        def _norm(v):
+            return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+
         for _ in range(max_retries):
             parent = self.latest_version()
             if parent == 0:
                 return 0
-            survivors = self.read(parent).where(f"NOT ({condition})")
+            m = self._manifest(parent)
+            touched, untouched = list(m["dirs"]), []
+            if range_hint:
+                stats = m.get("stats") or {}
+
+                def _intersects(d: str) -> bool:
+                    for col, (lo, hi) in range_hint.items():
+                        rng = stats.get(d, {}).get(col)
+                        if rng is None or rng[0] is None:
+                            return True  # no stats: conservatively rewrite
+                        lo_n, hi_n = _norm(lo), _norm(hi)
+                        same = isinstance(rng[0], str) == isinstance(
+                            hi_n if hi_n is not None else lo_n, str
+                        )
+                        if not same:
+                            return True
+                        if hi_n is not None and rng[0] > hi_n:
+                            return False
+                        if lo_n is not None and rng[1] < lo_n:
+                            return False
+                    return True
+
+                touched = [d for d in m["dirs"] if _intersects(d)]
+                untouched = [d for d in m["dirs"] if d not in set(touched)]
+                if not touched:
+                    return parent  # stats prove nothing matches: no commit
+            # ANSI DELETE semantics: only rows where the condition is
+            # TRUE are deleted — a NULL condition (e.g. a range test on
+            # a null timestamp) KEEPS the row. `NOT (cond)` alone would
+            # silently drop null-condition rows.
+            survivors = self._read_dirs(m, touched, merge_schema=False).where(
+                f"NOT coalesce(({condition}), false)"
+            )
             d = self._write_data_dir(survivors)
+            parts, layouts, schemas, stats_map = self._dir_maps(m, untouched)
+            schemas[d] = survivors.schema.jsonValue()
+            # conservative stats for the rewritten dir: survivors are a
+            # subset of the touched dirs, so the union of their recorded
+            # ranges bounds the new dir (possibly wider than actual) —
+            # later range-pruned reads and hinted deletes keep working
+            # across deletes instead of degrading to always-rewrite
+            all_stats = m.get("stats") or {}
+            if touched and all(dd in all_stats for dd in touched):
+                union: dict = {}
+                for dd in touched:
+                    for col, rng in all_stats[dd].items():
+                        if rng[0] is None:
+                            union[col] = [None, None]
+                        elif col not in union:
+                            union[col] = list(rng)
+                        elif union[col][0] is not None:
+                            union[col] = [
+                                min(union[col][0], rng[0]),
+                                max(union[col][1], rng[1]),
+                            ]
+                shared = {
+                    c: r
+                    for c, r in union.items()
+                    if all(c in all_stats[dd] for dd in touched)
+                }
+                if shared:
+                    stats_map[d] = shared
             try:
                 return self._commit(
                     parent,
-                    [d],
+                    untouched + [d],
                     "delete",
-                    schemas={d: survivors.schema.jsonValue()},
+                    partitions=parts or None,
+                    layouts=layouts or None,
+                    schemas=schemas,
+                    stats=stats_map or None,
                 )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)

@@ -154,6 +154,19 @@ class TxCommitsPipeline:
             )
         return n
 
+    def expire_before(self, ts) -> int:
+        """Retention DELETE over the commit log: drop rows whose
+        commit_ts predates ``ts``. The append sink records per-dir
+        commit_ts [min, max] stats, so the delete rewrites ONLY the
+        dirs overlapping the expired window (range_hint file pruning) —
+        at 100 TB, retention touches the old tail, not the table. Rows
+        with a NULL commit_ts (both wire dates null, R4) are never
+        expired: ANSI DELETE semantics keep null-condition rows."""
+        return self.table.delete_where(
+            f"commit_ts < TIMESTAMP '{ts.isoformat()}'",
+            range_hint={"commit_ts": (None, ts)},
+        )
+
     def run_scheduled(
         self,
         spark: SparkSession,

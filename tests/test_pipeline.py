@@ -476,3 +476,36 @@ def test_reference_flow_append_mode_prunes_and_dedups_across_ticks(spark, tmp_pa
     assert b_dirs, "repo-b's append must carry a partition spec"
     files_a = pipe_a.state(spark).inputFiles()
     assert files_a and not any(bd in f for bd in b_dirs for f in files_a)
+
+
+def test_reference_flow_retention_expire_prunes_young_dirs(spark, tmp_path):
+    """expire_before on the append-mode daemon: commit_ts stats let the
+    retention delete carry young dirs forward untouched (same dir ids
+    in the manifest), null-commit_ts rows survive (ANSI semantics), and
+    the expired rows are gone."""
+    import datetime as dt
+
+    from hapiy_etl_spark.pipeline.reference_flow import TxCommitsPipeline
+
+    b1 = write_fixture(tmp_path, BATCH1, "b1.jsonl")  # ts 2024-01-01..03 + null
+    b12 = write_fixture(tmp_path, BATCH1 + BATCH2, "b12.jsonl")  # adds 2024-01-04
+    pipe = TxCommitsPipeline(
+        PipelineConfig(repo="r", owner="o", state_dir=str(tmp_path / "state")),
+        JsonCommitsSource(b1),
+        spark,
+        sink_mode="append",
+    )
+    assert pipe.run_once(spark) == 5
+    pipe.source = JsonCommitsSource(b12)
+    assert pipe.run_once(spark) == 1  # "eee" @ 2024-01-04
+    m_before = pipe.table._manifest(pipe.table.latest_version())
+    young_dir = m_before["dirs"][-1]
+
+    pipe.expire_before(dt.datetime(2024, 1, 3))
+    m = pipe.table._manifest(pipe.table.latest_version())
+    assert young_dir in m["dirs"]  # young dir carried forward untouched
+    out = {r.commit_hash: r.commit_ts for r in pipe.state(spark).collect()}
+    # aaa (01-01) and bbb (01-02) expired; ccc has NULL ts and SURVIVES;
+    # dd1/dd2 (01-03) and eee (01-04) are at/after the cutoff
+    assert set(out) == {"ccc", "dd1", "dd2", "eee"}
+    assert out["ccc"] is None

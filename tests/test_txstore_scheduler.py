@@ -859,3 +859,59 @@ def test_txstore_optimize_preserves_partition_layout(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "repo" in plan, plan[:1200]
     assert _rows(df) == [("a", 1), ("a", 2)]
+
+
+def test_txstore_delete_range_hint_skips_untouched_dirs(spark, tmp_path):
+    """File-level delete pruning: with a range_hint, dirs whose
+    recorded stats cannot intersect are carried forward UNTOUCHED —
+    the manifest keeps their original dir ids (no rewrite) and their
+    stats/spec maps — while intersecting dirs rewrite survivors.
+    A hint proving nothing matches commits nothing at all. Dirs
+    without stats are conservatively rewritten."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    mk = lambda lo: spark.createDataFrame(
+        [(v, f"r{v}") for v in range(lo, lo + 5)], "v long, s string"
+    )
+    t.append(mk(0), stats_cols=["v"])
+    t.append(mk(10), stats_cols=["v"])
+    t.append(mk(20), stats_cols=["v"])
+    m_before = t._manifest(t.latest_version())
+    low_dir = next(d for d, s in m_before["stats"].items() if s["v"] == [0, 4])
+    high_dir = next(d for d, s in m_before["stats"].items() if s["v"] == [20, 24])
+
+    # delete confined to the middle dir: low/high dirs survive AS-IS
+    t.delete_where("v >= 12 AND v <= 13", range_hint={"v": (12, 13)})
+    m = t._manifest(t.latest_version())
+    assert low_dir in m["dirs"] and high_dir in m["dirs"]
+    assert len(m["dirs"]) == 3  # two untouched + one rewritten
+    assert m["stats"][low_dir]["v"] == [0, 4]  # stats carried forward
+    assert sorted(r.v for r in t.read().collect()) == (
+        list(range(0, 5)) + [10, 11, 14] + list(range(20, 25))
+    )
+
+    # hint proving nothing matches: NO new commit
+    v = t.latest_version()
+    assert t.delete_where("v > 100 AND v < 200", range_hint={"v": (101, 199)}) == v
+    assert t.latest_version() == v
+
+    # without a hint: full rewrite (single fresh dir), same rows minus deleted
+    t.delete_where("v = 0")
+    m2 = t._manifest(t.latest_version())
+    assert len(m2["dirs"]) == 1
+    assert sorted(r.v for r in t.read().collect()) == (
+        [1, 2, 3, 4] + [10, 11, 14] + list(range(20, 25))
+    )
+
+
+def test_txstore_delete_where_ansi_null_semantics(spark, tmp_path):
+    """SQL DELETE removes rows where the condition is TRUE — a NULL
+    condition (range test on a null column) KEEPS the row. The naive
+    NOT(cond) filter silently dropped null-condition rows."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 50.0)], "k long, v double"
+        )
+    )
+    t.delete_where("v < 10")
+    assert _rows(t.read()) == [(2, None), (3, 50.0)]

@@ -294,6 +294,77 @@ def mv_main(n_batches: int) -> None:
     print(json.dumps({"mv_growth": rows}))
 
 
+def stats_main(n_batches: int) -> None:
+    """Manifest-stats growth: land n time-shifted copies of the sf0.1
+    events table as stats-carrying appends (each batch a later 32-day
+    window — the append-mostly-in-time-order shape of a commit log),
+    then as the table grows measure (a) a 7-day windowed read and
+    (b) a hinted retention delete of the oldest window. The scale claim
+    under test: both touch ~1 dir regardless of table size (flat),
+    while the unhinted/unpruned forms touch all n (linear)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_stats")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "event_type", "value"
+    )
+    t0_ts = ev.agg(F.min("ts")).first()[0]
+    base = tempfile.mkdtemp(prefix="stats_growth_")
+    src = TxTable(spark, f"{base}/src")
+    rows = []
+    for i in range(1, n_batches + 1):
+        shifted = ev.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {(i - 1) * 32} DAYS")
+        )
+        src.append(shifted, stats_cols=["ts"])
+        lo = t0_ts + dt.timedelta(days=(i - 1) * 32 + 5)
+        hi = lo + dt.timedelta(days=7)
+        t0 = time.perf_counter()
+        pruned = src.read(where_range={"ts": (lo, hi)})
+        n_pruned = pruned.count()
+        t_pruned = time.perf_counter() - t0
+        pruned_dirs = {f.split("/data/")[1].split("/")[0] for f in pruned.inputFiles()}
+        t0 = time.perf_counter()
+        full = src.read().where((F.col("ts") >= lo) & (F.col("ts") <= hi))
+        n_full = full.count()
+        t_full = time.perf_counter() - t0
+        assert n_pruned == n_full
+        rows.append(
+            {
+                "batches": i,
+                "window_read_dirs": len(pruned_dirs),
+                "total_dirs": i,
+                "pruned_read_s": round(t_pruned, 2),
+                "full_scan_read_s": round(t_full, 2),
+            }
+        )
+        print(json.dumps(rows[-1]))
+    # retention: hinted delete of the oldest 32-day window rewrites 1 dir
+    cutoff = t0_ts + dt.timedelta(days=32)
+    before = set(src._manifest(src.latest_version())["dirs"])
+    t0 = time.perf_counter()
+    src.delete_where(
+        f"ts < TIMESTAMP '{cutoff.isoformat()}'", range_hint={"ts": (None, cutoff)}
+    )
+    t_del = time.perf_counter() - t0
+    after = src._manifest(src.latest_version())["dirs"]
+    summary = {
+        "stats_growth": rows,
+        "hinted_delete_rewrote_dirs": len(before) - len(set(after) & before),
+        "hinted_delete_total_dirs": len(before),
+        "hinted_delete_s": round(t_del, 2),
+    }
+    print(json.dumps(summary))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -301,6 +372,9 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--mv":
         mv_main(int(args[1]) if args[1:] else 8)
+        return
+    if args and args[0] == "--stats":
+        stats_main(int(args[1]) if args[1:] else 8)
         return
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
