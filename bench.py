@@ -103,38 +103,43 @@ def main() -> None:
             f"# warm pass: {time.perf_counter() - t0:.1f}s", file=sys.stderr
         )
 
-    # Reset cached state between passes so every timed query pays its
-    # own full cost.
-    from hapiy_etl_spark.queries.graph import edge_cache_clear
-    from hapiy_etl_spark.queries.text import neardup_cache_clear
+    def reset_and_prewarm() -> None:
+        """Reset cached state so a timed pass pays its own full cost —
+        run before EVERY rep, not just once: caches built DURING a
+        timed pass (e.g. the triangle family's .cache()d frames) would
+        otherwise make reps 2..N warm-cache measurements and the
+        median would systematically understate cost vs prior rounds'
+        single-pass protocol.
 
-    neardup_cache_clear()
-    edge_cache_clear()
-    spark.catalog.clearCache()
+        ...EXCEPT the shared materialized-once artifacts (the near-dup
+        cluster table and the co-purchase edge list), re-warmed here in
+        the untimed window (r5 VERDICT task 6): in production each is a
+        table materialized a single time that every family consumer
+        reads, so charging its derivation to whichever member runs
+        first made recordings position-dependent. The derivations' own
+        costs stay visible in the stderr lines."""
+        from hapiy_etl_spark.operators.graph import triangle_cache_release
+        from hapiy_etl_spark.queries.graph import edge_cache_clear
+        from hapiy_etl_spark.queries.text import neardup_cache_clear
 
-    # ...EXCEPT the shared materialized-once artifacts (the near-dup
-    # cluster table and the co-purchase edge list), which are rebuilt
-    # here in the untimed window (r5 VERDICT task 6): in production
-    # each is a table materialized a single time that every family
-    # consumer reads, so charging its full derivation to whichever
-    # member happens to run first made recorded numbers
-    # position-dependent (9.3 s vs 6.2 s for dedup_pipeline_end_to_end
-    # depending on registry order). The derivations' own costs stay
-    # visible in the stderr lines below.
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
-        from hapiy_etl_spark.queries.graph import copurchase_edges
-        from hapiy_etl_spark.queries.text import neardup_clusters
+        neardup_cache_clear()
+        edge_cache_clear()
+        triangle_cache_release()
+        spark.catalog.clearCache()
+        if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+            from hapiy_etl_spark.queries.graph import copurchase_edges
+            from hapiy_etl_spark.queries.text import neardup_clusters
 
-        for label, fn in (
-            ("neardup_clusters", neardup_clusters),
-            ("copurchase_edges", copurchase_edges),
-        ):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            print(
-                f"# {label} pre-warm: {time.perf_counter() - t0:.1f}s",
-                file=sys.stderr,
-            )
+            for label, fn in (
+                ("neardup_clusters", neardup_clusters),
+                ("copurchase_edges", copurchase_edges),
+            ):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                print(
+                    f"# {label} pre-warm: {time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
 
     # n-rep medians (VERDICT r6 task 6): identical code measured
     # 90.9-111.7 s on this shared box purely from ambient load, so the
@@ -159,6 +164,7 @@ def main() -> None:
                 file=sys.stderr,
             )
             break
+        reset_and_prewarm()
         timings_r: dict[str, float] = {}
         rep_total = 0.0
         for name, q in queries.items():

@@ -44,8 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hapiy_etl_spark.operators.sketches import (
-    _unit_hash,
     kmv_estimate,
+    kmv_sketch,
     loghist_merge_agg,
     loghist_quantile,
     loghist_sketch,
@@ -123,22 +123,13 @@ class IncrementalAggView:
             ]
         parts = df.groupBy(*self.group_cols).agg(*aggs)
         if self.distinct_col:
-            # KMV partial per group: k smallest unit hashes of the
-            # distinct values. The heavy reduction is over 8-byte
-            # hashes; the per-group window bounds each sketch to k.
-            from pyspark.sql import Window as W
-
-            hashed = df.select(
-                *self.group_cols,
-                _unit_hash(F.col(self.distinct_col)).alias("__h"),
-            ).distinct()
-            w = W.partitionBy(*self.group_cols).orderBy("__h")
-            sk = (
-                hashed.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") <= self.kmv_k)
-                .groupBy(*self.group_cols)
-                .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
-            )
+            # KMV partial per group (operators/sketches.py:kmv_sketch —
+            # k smallest unit hashes of the distinct values; the heavy
+            # reduction is over 8-byte hashes, the per-group window
+            # bounds each sketch to k)
+            sk = kmv_sketch(
+                df, self.group_cols, self.distinct_col, self.kmv_k
+            ).withColumnRenamed("sketch", "kmv")
             parts = parts.join(sk, self.group_cols, "left")
         if self.histogram_col:
             # DDSketch-style log-histogram partial: merges EXACTLY

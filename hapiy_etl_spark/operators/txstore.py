@@ -40,6 +40,57 @@ from pyspark.sql import DataFrame, SparkSession
 from hapiy_etl_spark.operators.upsert import upsert_by_key
 
 
+def _epoch_us(v) -> int:
+    """Tz-naive datetime → integer epoch microseconds (ordering-
+    preserving, JSON-safe, and NUMERIC — so the pruner's string-type
+    conservatism never confuses it with user string data)."""
+    import datetime as _dt
+
+    return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def _stats_norm(v):
+    """Caller-side bound → the manifest's stats representation."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return _epoch_us(v)
+    if isinstance(v, _dt.date):
+        return _epoch_us(_dt.datetime(v.year, v.month, v.day))
+    return v
+
+
+def _meta_cmp(a, b):
+    """``a <= b`` with metadata conservatism: True/False only for
+    type-consistent, totally-ordered values; None means "unknown —
+    keep the dir" (cross-type pairs Spark's row filter would COERCE
+    and match, NaN which admits no total order, missing values,
+    or anything whose comparison raises)."""
+    a, b = _stats_norm(a), _stats_norm(b)
+    if a is None or b is None:
+        return None
+    if isinstance(a, str) != isinstance(b, str):
+        return None
+    if (isinstance(a, float) and a != a) or (isinstance(b, float) and b != b):
+        return None
+    try:
+        return bool(a <= b)
+    except TypeError:
+        return None
+
+
+def _meta_eq(a, b):
+    """``a == b`` verdict under the same conservatism, or None."""
+    a, b = _stats_norm(a), _stats_norm(b)
+    if a is None or b is None:
+        return None
+    if isinstance(a, str) != isinstance(b, str):
+        return None
+    if (isinstance(a, float) and a != a) or (isinstance(b, float) and b != b):
+        return None
+    return a == b
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
@@ -135,47 +186,25 @@ class TxTable:
             specs = m.get("partitions", {})
             stats = m.get("stats", {})
 
-            import datetime as _dt
-
-            def _norm(v):
-                # stats store dates/timestamps as ISO strings (ordering-
-                # preserving); normalize caller bounds the same way so
-                # metadata comparisons line up
-                if isinstance(v, (_dt.datetime, _dt.date)):
-                    return v.isoformat()
-                return v
-
-            def _type_ok(a, b) -> bool:
-                # Compare only type-consistent values: Python
-                # `2024 != "2024"` is True but Spark's row filter
-                # COERCES and matches, so cross-type metadata must
-                # conservatively keep the dir (the row filter below
-                # stays exact either way). Cross-numeric is fine.
-                return isinstance(a, str) == isinstance(b, str)
-
             def _keep(d: str) -> bool:
                 for k, val in (where or {}).items():
-                    val = _norm(val)
                     spec_val = specs.get(d, {}).get(k)
-                    if spec_val is not None and _type_ok(spec_val, val) and spec_val != val:
+                    if spec_val is not None and _meta_eq(spec_val, val) is False:
                         return False
                     rng = stats.get(d, {}).get(k)
-                    if (
-                        rng is not None
-                        and rng[0] is not None
-                        and _type_ok(rng[0], val)
-                        and not (rng[0] <= val <= rng[1])
-                    ):
-                        return False
+                    if rng is not None and rng[0] is not None:
+                        below = _meta_cmp(rng[0], val)  # rng[0] <= val ?
+                        above = _meta_cmp(val, rng[1])  # val <= rng[1] ?
+                        if below is False or above is False:
+                            return False
                 for k, (lo, hi) in (where_range or {}).items():
-                    lo, hi = _norm(lo), _norm(hi)
                     rng = stats.get(d, {}).get(k)
                     if rng is None or rng[0] is None:
                         continue
-                    if hi is not None and _type_ok(rng[0], hi) and rng[0] > hi:
-                        return False
-                    if lo is not None and _type_ok(rng[1], lo) and rng[1] < lo:
-                        return False
+                    if hi is not None and _meta_cmp(rng[0], hi) is False:
+                        return False  # dir min > hi
+                    if lo is not None and _meta_cmp(lo, rng[1]) is False:
+                        return False  # dir max < lo
                 return True
 
             dirs = [d for d in dirs if _keep(d)]
@@ -265,7 +294,15 @@ class TxTable:
         OPTIMIZE mid-span. A span that UPDATED or DELETED rows is not
         representable as rows-added and still raises (use table_diff
         directly for the op-tagged I/U/D feed). Without ``keys`` a
-        rewritten span raises immediately."""
+        rewritten span raises immediately.
+
+        Keyed-fallback caveat: the row diff sees KEYS, so an appended
+        row whose key already existed with IDENTICAL values is
+        invisible to it (the fast path would have returned the physical
+        duplicate). For a downstream keyed upsert that duplicate is a
+        no-op either way; consumers that must count physical appends
+        exactly should treat ``keys=`` as valid only for key-unique
+        tables (merge-fed or checked_append-fed ones)."""
         to_v = self.latest_version() if to_version is None else to_version
         to_dirs = self._manifest(to_v)["dirs"]
         if from_version == 0:
@@ -401,6 +438,35 @@ class TxTable:
         )
 
     @staticmethod
+    def _union_stats(all_stats: dict, dirs: list[str]) -> dict:
+        """Conservative [min, max] per column over several dirs' stats —
+        valid bounds for any dir holding a SUBSET of their rows (the
+        rewritten survivors of a delete, the compacted dir of an
+        optimize). Only columns recorded on EVERY input dir survive;
+        unusable or mixed-type ranges collapse to [None, None]
+        (recorded-but-unusable, so readers stay conservative)."""
+        if not dirs or not all(d in all_stats for d in dirs):
+            return {}
+        union: dict = {}
+        for d in dirs:
+            for col, rng in all_stats[d].items():
+                if rng[0] is None:
+                    union[col] = [None, None]
+                elif col not in union:
+                    union[col] = list(rng)
+                elif union[col][0] is not None:
+                    try:
+                        union[col] = [
+                            min(union[col][0], rng[0]),
+                            max(union[col][1], rng[1]),
+                        ]
+                    except TypeError:  # mixed types across dirs
+                        union[col] = [None, None]
+        return {
+            c: r for c, r in union.items() if all(c in all_stats[d] for d in dirs)
+        }
+
+    @staticmethod
     def _column_stats(df: DataFrame, cols: Sequence[str]) -> dict:
         """One tiny agg job → {col: [min, max]} for the manifest. Values
         must survive JSON: numbers and strings pass through, dates and
@@ -417,13 +483,29 @@ class TxTable:
         row = df.agg(*aggs).collect()[0]
 
         def _j(v):
-            if isinstance(v, (_dt.datetime, _dt.date)):
-                return v.isoformat()
+            # Dates/timestamps become epoch-micro NUMBERS, not ISO
+            # strings: numeric stats keep the pruner's str-vs-nonstr
+            # conservatism intact (an ISO string is indistinguishable
+            # from a user's plain-string data, so a datetime filter
+            # could strict-compare against a string column's stats and
+            # silently prune rows Spark's casting row filter would
+            # match). NaN never enters the manifest — it admits no
+            # total order, so a NaN bound is recorded as unusable.
+            if isinstance(v, _dt.datetime):
+                return _epoch_us(v)
+            if isinstance(v, _dt.date):
+                return _epoch_us(_dt.datetime(v.year, v.month, v.day))
+            if isinstance(v, float) and v != v:
+                return None
             if isinstance(v, (int, float, str)) or v is None:
                 return v
             return None
 
-        return {c: [_j(row[f"__mn_{c}"]), _j(row[f"__mx_{c}"])] for c in cols}
+        out = {}
+        for c in cols:
+            mn, mx = _j(row[f"__mn_{c}"]), _j(row[f"__mx_{c}"])
+            out[c] = [mn, mx] if mn is not None and mx is not None else [None, None]
+        return out
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data_dir(df)
@@ -547,11 +629,6 @@ class TxTable:
         conservatively rewritten. At 100 TB a retention delete
         ("drop last week") rewrites the handful of dirs under the
         window instead of the whole table."""
-        import datetime as _dt
-
-        def _norm(v):
-            return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
-
         for _ in range(max_retries):
             parent = self.latest_version()
             if parent == 0:
@@ -566,16 +643,10 @@ class TxTable:
                         rng = stats.get(d, {}).get(col)
                         if rng is None or rng[0] is None:
                             return True  # no stats: conservatively rewrite
-                        lo_n, hi_n = _norm(lo), _norm(hi)
-                        same = isinstance(rng[0], str) == isinstance(
-                            hi_n if hi_n is not None else lo_n, str
-                        )
-                        if not same:
-                            return True
-                        if hi_n is not None and rng[0] > hi_n:
-                            return False
-                        if lo_n is not None and rng[1] < lo_n:
-                            return False
+                        if hi is not None and _meta_cmp(rng[0], hi) is False:
+                            return False  # dir min > hi
+                        if lo is not None and _meta_cmp(lo, rng[1]) is False:
+                            return False  # dir max < lo
                     return True
 
                 touched = [d for d in m["dirs"] if _intersects(d)]
@@ -597,27 +668,9 @@ class TxTable:
             # ranges bounds the new dir (possibly wider than actual) —
             # later range-pruned reads and hinted deletes keep working
             # across deletes instead of degrading to always-rewrite
-            all_stats = m.get("stats") or {}
-            if touched and all(dd in all_stats for dd in touched):
-                union: dict = {}
-                for dd in touched:
-                    for col, rng in all_stats[dd].items():
-                        if rng[0] is None:
-                            union[col] = [None, None]
-                        elif col not in union:
-                            union[col] = list(rng)
-                        elif union[col][0] is not None:
-                            union[col] = [
-                                min(union[col][0], rng[0]),
-                                max(union[col][1], rng[1]),
-                            ]
-                shared = {
-                    c: r
-                    for c, r in union.items()
-                    if all(c in all_stats[dd] for dd in touched)
-                }
-                if shared:
-                    stats_map[d] = shared
+            shared = self._union_stats(m.get("stats") or {}, touched)
+            if shared:
+                stats_map[d] = shared
             try:
                 return self._commit(
                     parent,
@@ -687,6 +740,11 @@ class TxTable:
             elif target_partitions:
                 snap = snap.coalesce(target_partitions)
             d = self._write_data_dir(snap, partition_by)
+            # carry union-bounds stats into the compacted dir — without
+            # this one OPTIMIZE would silently discard every dir's
+            # min/max and all later range pruning degrades to full scans
+            m = self._manifest(parent)
+            shared = self._union_stats(m.get("stats") or {}, m["dirs"])
             try:
                 return self._commit(
                     parent,
@@ -694,6 +752,7 @@ class TxTable:
                     "optimize",
                     schemas={d: snap.schema.jsonValue()},
                     layouts={d: list(partition_by)} if partition_by else None,
+                    stats={d: shared} if shared else None,
                 )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)

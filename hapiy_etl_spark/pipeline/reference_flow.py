@@ -135,13 +135,20 @@ class TxCommitsPipeline:
         Idempotent like the KV set: a re-delivered tick (crash between
         commit and watermark advance) anti-joins to zero rows and lands
         nothing. Returns the number of NEW rows appended."""
+        from hapiy_etl_spark.operators.upsert import dedup_by_key
+
         repo = self.config.repo
-        fresh = parsed
+        # within-batch dedup first: a paginated fetch can deliver the
+        # same commit twice (page-boundary overlap) and the anti-join
+        # below only sees ALREADY-LANDED keys — without this, both
+        # copies pass and persist, diverging from merge-mode (which
+        # dedups via upsert_by_key)
+        fresh = dedup_by_key(parsed, ["repo", "commit_hash"], order_col="commit_ts")
         if self.table.latest_version() > 0:
             existing = self.table.read(
                 merge_schema=True, where={"repo": repo}
             ).select("repo", "commit_hash")
-            fresh = parsed.join(existing, ["repo", "commit_hash"], "left_anti")
+            fresh = fresh.join(existing, ["repo", "commit_hash"], "left_anti")
         n = fresh.count()
         if n:
             # stats_cols: each appended dir records its commit_ts

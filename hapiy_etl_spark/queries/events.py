@@ -1200,15 +1200,20 @@ def incremental_mv_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN bin <= 144 THEN POWER(10.0, -6 + (bin - 1 + 0.5) / 8)
                     ELSE -POWER(10.0, -6 + (bin - 145 + 0.5) / 8) END AS midv
         FROM cum
+    ),
+    totals AS (
+        -- the MV's n is COUNT(*) over ALL rows; the histogram total
+        -- excludes NULL values, so it must not stand in for n
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(MAX(total) AS BIGINT) AS n,
+    SELECT mid.event_type,
+           MAX(totals.n) AS n,
            ROUND(MAX(CASE WHEN prev_cum < CEIL(0.5 * total) AND cum >= CEIL(0.5 * total) THEN midv END), 6) AS approx_p50_value,
            ROUND(MAX(CASE WHEN prev_cum < CEIL(0.95 * total) AND cum >= CEIL(0.95 * total) THEN midv END), 6) AS approx_p95_value,
            ROUND(MAX(CASE WHEN prev_cum < CEIL(0.99 * total) AND cum >= CEIL(0.99 * total) THEN midv END), 6) AS approx_p99_value
-    FROM mid
-    GROUP BY event_type
-    ORDER BY event_type
+    FROM mid JOIN totals ON mid.event_type = totals.event_type
+    GROUP BY mid.event_type
+    ORDER BY mid.event_type
     """,
     doc="Incremental quantile panel (operators/sketches.py log-"
     "histogram + operators/incremental_mv.py): the view maintains a "

@@ -915,3 +915,66 @@ def test_txstore_delete_where_ansi_null_semantics(spark, tmp_path):
     )
     t.delete_where("v < 10")
     assert _rows(t.read()) == [(2, None), (3, 50.0)]
+
+
+def test_txstore_pruning_conservative_on_cross_type_and_nan(spark, tmp_path):
+    """Review r7: metadata pruning must KEEP a dir whenever the
+    comparison is not provably type-consistent and totally ordered —
+    a datetime filter vs a string partition spec (Spark's row filter
+    CASTS and can match), and NaN bounds (no total order) must never
+    prune. Datetime stats round-trip as epoch-micro NUMBERS, so they
+    stay distinguishable from user string data."""
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    # string 'day' column declared as a partition spec
+    t.append(
+        spark.createDataFrame(
+            [("2024-01-05", 1)], "day string, v long"
+        ),
+        partition={"day": "2024-01-05"},
+    )
+    # datetime equality filter: the spec is a plain string — cross-type,
+    # must be read and row-filtered (Spark casts the string column)
+    df = t.read(where={"day": dt.datetime(2024, 1, 5)})
+    assert df.count() == 1  # kept: row filter matches via cast
+
+    # NaN in data: stats record the bound as unusable, never prune
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame(
+            [(1.0,), (2.0,), (float("nan"),)], "v double"
+        ),
+        stats_cols=["v"],
+    )
+    m = t2._manifest(t2.latest_version())
+    (rng,) = [s["v"] for s in m["stats"].values()]
+    assert rng == [None, None]  # NaN max → recorded unusable
+    assert t2.read(where={"v": 2.0}).count() == 1  # dir kept, row-filtered
+
+    # datetime stats are numeric in the manifest and still prune
+    t3 = TxTable(spark, str(tmp_path / "t3"))
+    t3.append(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1),)], "ts timestamp"
+        ),
+        stats_cols=["ts"],
+    )
+    t3.append(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 6, 1),)], "ts timestamp"
+        ),
+        stats_cols=["ts"],
+    )
+    m3 = t3._manifest(t3.latest_version())
+    assert all(
+        isinstance(s["ts"][0], int) for s in m3["stats"].values()
+    )  # epoch micros, not ISO strings
+    df3 = t3.read(where_range={"ts": (dt.datetime(2024, 5, 1), None)})
+    assert df3.count() == 1
+    jan_dir = next(
+        d
+        for d, s in m3["stats"].items()
+        if s["ts"][0] < 1_710_000_000_000_000
+    )
+    assert not any(jan_dir in f for f in df3.inputFiles())
