@@ -574,6 +574,7 @@ class TxTable:
         max_retries: int = 5,
         allow_missing_columns: bool = False,
         partition_by: Sequence[str] | None = None,
+        prune_col: str | None = None,
     ) -> int:
         """MERGE (upsert): new rows win by key, survivors carry over —
         copy-on-write snapshot, optimistic retry on writer races. Each
@@ -582,25 +583,87 @@ class TxTable:
         committer's batch wins on overlapping keys).
         ``allow_missing_columns=True`` is the schema-evolution MERGE:
         columns on only one side survive as nulls (see
-        operators/upsert.upsert_by_key)."""
+        operators/upsert.upsert_by_key).
+
+        ``prune_col`` (must be one of ``keys``) is MERGE FILE PRUNING —
+        the Delta-style optimization that makes upserts affordable on a
+        100 TB table: the batch's [min, max] on that key is COMPUTED
+        (one tiny agg job — never a trusted declaration), and dirs
+        whose recorded ``stats_cols`` range cannot contain any batch
+        key carry forward UNTOUCHED. Only intersecting dirs join the
+        upsert; the batch's own rows land in the rewritten dir either
+        way, so new keys are never lost. With time-ordered ingest
+        (commit logs, event streams) a merge touches the recent tail,
+        not the table. Dirs without stats on the key are conservatively
+        rewritten; NULL batch keys cannot match any row by key equality
+        and need no dir. Incompatible with ``partition_by`` (the
+        rewritten dir would cover only part of the table)."""
+        if prune_col is not None and prune_col not in keys:
+            raise ValueError(f"prune_col {prune_col!r} must be one of keys {keys}")
+        if prune_col is not None and partition_by:
+            raise ValueError("prune_col and partition_by are mutually exclusive")
+        batch_rng = (
+            self._column_stats(batch, [prune_col])[prune_col]
+            if prune_col is not None
+            else None
+        )
         for _ in range(max_retries):
             parent = self.latest_version()
+            m = self._manifest(parent) if parent else {"dirs": []}
+            touched, untouched = list(m["dirs"]), []
+            if parent and prune_col is not None and batch_rng[0] is not None:
+                stats = m.get("stats") or {}
+
+                def _overlaps(d: str) -> bool:
+                    rng = stats.get(d, {}).get(prune_col)
+                    if rng is None or rng[0] is None:
+                        return True  # no stats: conservatively rewrite
+                    if _meta_cmp(rng[0], batch_rng[1]) is False:
+                        return False  # dir min > batch max
+                    if _meta_cmp(batch_rng[0], rng[1]) is False:
+                        return False  # dir max < batch min
+                    return True
+
+                touched = [d for d in m["dirs"] if _overlaps(d)]
+                untouched = [d for d in m["dirs"] if d not in set(touched)]
             existing = (
-                self.read(parent, merge_schema=allow_missing_columns)
-                if parent
+                self._read_dirs(m, touched, allow_missing_columns)
+                if parent and touched
                 else None
             )
             merged = upsert_by_key(
                 existing, batch, keys, order_col, allow_missing_columns
             )
             d = self._write_data_dir(merged, partition_by)
+            parts, layouts, schemas, stats_map = self._dir_maps(m, untouched)
+            schemas[d] = merged.schema.jsonValue()
+            if partition_by:
+                layouts[d] = list(partition_by)
+            if prune_col is not None:
+                # the rewritten dir holds touched survivors + the batch:
+                # union-bounds over both keep the key's stats usable
+                shared = self._union_stats(m.get("stats") or {}, touched)
+                rng = shared.get(prune_col)
+                if touched and rng is None:
+                    pass  # a touched dir lacked stats: leave unrecorded
+                else:
+                    lo, hi = batch_rng
+                    if rng and rng[0] is not None:
+                        try:
+                            lo, hi = min(lo, rng[0]), max(hi, rng[1])
+                        except TypeError:
+                            lo = hi = None
+                    if lo is not None:
+                        stats_map[d] = {prune_col: [lo, hi]}
             try:
                 return self._commit(
                     parent,
-                    [d],
+                    untouched + [d],
                     "merge",
-                    layouts={d: list(partition_by)} if partition_by else None,
-                    schemas={d: merged.schema.jsonValue()},
+                    partitions=parts or None,
+                    layouts=layouts or None,
+                    schemas=schemas,
+                    stats=stats_map or None,
                 )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)

@@ -404,6 +404,8 @@ def foreach_batch_tx_append_with_mv(
     value_cols: Sequence[str] | None = None,
     distinct_col: str | None = None,
     kmv_k: int = 512,
+    histogram_col: str | None = None,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
 ):
     """Streaming dynamic table: exactly-once micro-batch append to a
     TxTable (tx_append_once replay detection) followed by an
@@ -439,6 +441,8 @@ def foreach_batch_tx_append_with_mv(
             value_cols=value_cols,
             distinct_col=distinct_col,
             kmv_k=kmv_k,
+            histogram_col=histogram_col,
+            quantiles=quantiles,
         ).refresh()
 
     return (

@@ -978,3 +978,60 @@ def test_txstore_pruning_conservative_on_cross_type_and_nan(spark, tmp_path):
         if s["ts"][0] < 1_710_000_000_000_000
     )
     assert not any(jan_dir in f for f in df3.inputFiles())
+
+
+def test_txstore_merge_file_pruning(spark, tmp_path):
+    """Delta-style MERGE file pruning: with prune_col, dirs whose
+    recorded key range cannot contain any batch key carry forward
+    untouched (same dir ids — no rewrite), only the overlapping tail
+    joins the upsert, new keys land in the rewritten dir, and the
+    rewritten dir gets union-bounds stats so the NEXT merge keeps
+    pruning. Without stats or with an overlapping batch, behavior
+    degrades to the plain full merge — correct always."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(k, f"v{k}") for k in range(lo, hi)], "k long, v string"
+    )
+    t.append(mk(0, 100), stats_cols=["k"])
+    t.append(mk(100, 200), stats_cols=["k"])
+    t.append(mk(200, 300), stats_cols=["k"])
+    m_before = t._manifest(t.latest_version())
+    old_dirs = {d for d, s in m_before["stats"].items() if s["k"][1] < 200}
+    assert len(old_dirs) == 2
+
+    # batch overlaps only the newest dir (updates 290-299, inserts 300-309)
+    batch = spark.createDataFrame(
+        [(k, f"NEW{k}") for k in range(290, 310)], "k long, v string"
+    )
+    t.merge(batch, keys=["k"], prune_col="k")
+    m = t._manifest(t.latest_version())
+    assert old_dirs <= set(m["dirs"])  # both old dirs untouched
+    assert len(m["dirs"]) == 3  # 2 carried + 1 rewritten
+    rewritten = next(d for d in m["dirs"] if d not in m_before["dirs"])
+    assert m["stats"][rewritten]["k"] == [200, 309]  # union bounds
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert len(rows) == 310
+    assert rows[295] == "NEW295" and rows[305] == "NEW305" and rows[5] == "v5"
+
+    # next merge in the same range STILL prunes (stats carried through)
+    t.merge(
+        spark.createDataFrame([(305, "X")], "k long, v string"),
+        keys=["k"],
+        prune_col="k",
+    )
+    m2 = t._manifest(t.latest_version())
+    assert old_dirs <= set(m2["dirs"])
+    assert {r.v for r in t.read().where("k = 305").collect()} == {"X"}
+
+    # batch spanning everything: full rewrite, single dir, still exact
+    t.merge(
+        spark.createDataFrame([(0, "Z"), (309, "Z")], "k long, v string"),
+        keys=["k"],
+        prune_col="k",
+    )
+    assert len(t._manifest(t.latest_version())["dirs"]) == 1
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[0] == "Z" and rows[309] == "Z" and len(rows) == 310
+
+    with pytest.raises(ValueError, match="must be one of keys"):
+        t.merge(batch, keys=["k"], prune_col="v")
