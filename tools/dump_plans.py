@@ -76,6 +76,9 @@ SHOWCASE = [
     # overlapping the window (pruning happened before the planner), and
     # the residual range filter still pushes into the scan
     ("stats_pruned_time_slice", ["FileScan", "PushedFilters", "HashAggregate"]),
+    # r7: quantile panel finalizer is ONE Arrow-batched eval over the
+    # per-group partial rows; the heavy work happened at refresh time
+    ("incremental_mv_quantiles", ["ArrowEvalPython", "FileScan"]),
 ]
 
 
