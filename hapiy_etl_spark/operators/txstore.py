@@ -41,11 +41,15 @@ from hapiy_etl_spark.operators.upsert import upsert_by_key
 
 
 def _epoch_us(v) -> int:
-    """Tz-naive datetime → integer epoch microseconds (ordering-
-    preserving, JSON-safe, and NUMERIC — so the pruner's string-type
-    conservatism never confuses it with user string data)."""
+    """Datetime → integer epoch microseconds (ordering-preserving,
+    JSON-safe, and NUMERIC — so the pruner's string-type conservatism
+    never confuses it with user string data). Tz-aware values convert
+    to UTC then drop the zone: stats are collected from a UTC-session
+    Spark, so a tz-aware caller bound lands on the same scale."""
     import datetime as _dt
 
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
 
 
@@ -60,12 +64,12 @@ def _stats_norm(v):
     return v
 
 
-def _meta_cmp(a, b):
-    """``a <= b`` with metadata conservatism: True/False only for
-    type-consistent, totally-ordered values; None means "unknown —
-    keep the dir" (cross-type pairs Spark's row filter would COERCE
-    and match, NaN which admits no total order, missing values,
-    or anything whose comparison raises)."""
+def _meta_pair(a, b):
+    """Normalize a metadata pair under the pruning conservatism rules;
+    returns (a, b) when they are provably comparable, else None —
+    "unknown, keep the dir" (cross-type pairs Spark's row filter would
+    COERCE and match; NaN admits no total order; missing values).
+    Shared by _meta_cmp and _meta_eq so the rules cannot diverge."""
     a, b = _stats_norm(a), _stats_norm(b)
     if a is None or b is None:
         return None
@@ -73,22 +77,26 @@ def _meta_cmp(a, b):
         return None
     if (isinstance(a, float) and a != a) or (isinstance(b, float) and b != b):
         return None
+    return a, b
+
+
+def _meta_cmp(a, b):
+    """``a <= b`` verdict under the conservatism rules, or None."""
+    pair = _meta_pair(a, b)
+    if pair is None:
+        return None
     try:
-        return bool(a <= b)
+        return bool(pair[0] <= pair[1])
     except TypeError:
         return None
 
 
 def _meta_eq(a, b):
-    """``a == b`` verdict under the same conservatism, or None."""
-    a, b = _stats_norm(a), _stats_norm(b)
-    if a is None or b is None:
+    """``a == b`` verdict under the conservatism rules, or None."""
+    pair = _meta_pair(a, b)
+    if pair is None:
         return None
-    if isinstance(a, str) != isinstance(b, str):
-        return None
-    if (isinstance(a, float) and a != a) or (isinstance(b, float) and b != b):
-        return None
-    return a == b
+    return pair[0] == pair[1]
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -602,6 +610,15 @@ class TxTable:
             raise ValueError(f"prune_col {prune_col!r} must be one of keys {keys}")
         if prune_col is not None and partition_by:
             raise ValueError("prune_col and partition_by are mutually exclusive")
+        if prune_col is not None and allow_missing_columns:
+            # a schema-evolution merge must consolidate to ONE dir so
+            # every later read sees the evolved column; pruning would
+            # leave untouched dirs on the old schema and a default
+            # (merge_schema=False) read silently drops the new column
+            raise ValueError(
+                "prune_col and allow_missing_columns are mutually exclusive — "
+                "a schema-evolution merge must rewrite the whole snapshot"
+            )
         batch_rng = (
             self._column_stats(batch, [prune_col])[prune_col]
             if prune_col is not None
@@ -641,11 +658,17 @@ class TxTable:
                 layouts[d] = list(partition_by)
             if prune_col is not None:
                 # the rewritten dir holds touched survivors + the batch:
-                # union-bounds over both keep the key's stats usable
+                # union-bounds over both keep the key's stats usable.
+                # If any touched dir's range is missing OR recorded-
+                # unusable ([None, None] — e.g. a NaN bound), the
+                # rewritten dir's true range is UNKNOWN and nothing is
+                # recorded: stamping batch-only bounds would understate
+                # it and later pruned reads would silently drop the
+                # carried-over rows (review r7).
                 shared = self._union_stats(m.get("stats") or {}, touched)
                 rng = shared.get(prune_col)
-                if touched and rng is None:
-                    pass  # a touched dir lacked stats: leave unrecorded
+                if touched and (rng is None or rng[0] is None):
+                    pass  # unknown range: leave unrecorded
                 else:
                     lo, hi = batch_rng
                     if rng and rng[0] is not None:

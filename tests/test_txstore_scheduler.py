@@ -1035,3 +1035,48 @@ def test_txstore_merge_file_pruning(spark, tmp_path):
 
     with pytest.raises(ValueError, match="must be one of keys"):
         t.merge(batch, keys=["k"], prune_col="v")
+
+
+def test_txstore_merge_pruning_review_edges(spark, tmp_path):
+    """Review r7 follow-ups pinned: (1) a touched dir with recorded-but-
+    unusable stats ([None,None] from a NaN bound) must leave the
+    rewritten dir's range UNRECORDED — stamping batch-only bounds made
+    a later equality read silently drop the carried rows; (2) tz-aware
+    datetime bounds normalize instead of crashing; (3) the
+    schema-evolution merge refuses prune_col (untouched dirs would
+    stay on the old schema)."""
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1.0, "a"), (2.0, "b"), (float("nan"), "n")],
+                              "k double, v string"),
+        stats_cols=["k"],
+    )
+    t.merge(
+        spark.createDataFrame([(100.0, "X")], "k double, v string"),
+        keys=["k"],
+        prune_col="k",
+    )
+    m = t._manifest(t.latest_version())
+    (d,) = m["dirs"]
+    assert "stats" not in m or m.get("stats", {}).get(d, {}).get("k") is None
+    assert t.read(where={"k": 2.0}).count() == 1  # no silent loss
+
+    # tz-aware bound: same result as the naive UTC equivalent, no crash
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame([(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 1, 10),)],
+                              "ts timestamp"),
+        stats_cols=["ts"],
+    )
+    aware = dt.datetime(2024, 1, 5, tzinfo=dt.timezone.utc)
+    assert t2.read(where_range={"ts": (aware, None)}).count() == 1
+
+    with pytest.raises(ValueError, match="allow_missing_columns"):
+        t2.merge(
+            spark.createDataFrame([(dt.datetime(2024, 2, 1),)], "ts timestamp"),
+            keys=["ts"],
+            prune_col="ts",
+            allow_missing_columns=True,
+        )
