@@ -1276,6 +1276,90 @@ def incremental_mv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_pruned_upsert",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events
+    ),
+    corrected AS (
+        SELECT event_type,
+               CASE WHEN event_id >= mn + (mx - mn) * 7 // 8
+                    THEN value * 2 ELSE value END AS value
+        FROM events, bounds
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM corrected
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="MERGE file pruning end-to-end (operators/txstore.py:merge "
+    "prune_col): events land as four key-range appends carrying "
+    "event_id [min,max] stats, then a correction batch (top eighth of "
+    "the key range, values doubled) MERGEs with prune_col='event_id' — "
+    "the batch's computed key range proves three of the four dirs "
+    "cannot contain a matching key, so they carry forward untouched "
+    "(the query asserts the manifest kept their dir ids) and only the "
+    "top dir joins the upsert. The oracle applies the same correction "
+    "arithmetically over the raw table. At 100 TB this is the Delta-"
+    "style upsert posture: time-ordered ingest means a merge touches "
+    "the recent tail, never the table.",
+)
+def merge_pruned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("event_id", "event_type", "value")
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    cuts = [mn + (mx - mn) * i // 4 for i in (1, 2, 3)]
+    thr = mn + (mx - mn) * 7 // 8
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_mergeprune_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    lo = None
+    for hi in [*cuts, None]:
+        batch = ev
+        if lo is not None:
+            batch = batch.where(F.col("event_id") >= lo)
+        if hi is not None:
+            batch = batch.where(F.col("event_id") < hi)
+        src.append(batch, stats_cols=["event_id"])
+        lo = hi
+    dirs_before = list(src._manifest(src.latest_version())["dirs"])
+
+    correction = ev.where(F.col("event_id") >= thr).withColumn(
+        "value", F.col("value") * 2
+    )
+    src.merge(correction, keys=["event_id"], prune_col="event_id")
+    m = src._manifest(src.latest_version())
+    carried = [d for d in dirs_before if d in m["dirs"]]
+    if len(carried) != 3:  # pragma: no cover - invariant guard
+        raise AssertionError(
+            f"merge pruning must carry 3 of 4 dirs, kept {len(carried)}: {m['dirs']}"
+        )
+    return (
+        src.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "stats_pruned_time_slice",
     oracle="""
     WITH bounds AS (

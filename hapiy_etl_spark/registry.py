@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "incremental_mv_multi",
     "stats_pruned_time_slice",
     "incremental_mv_quantiles",
+    "merge_pruned_upsert",
     "events_equidepth_histogram",
     "events_funnel_multistep",
     "graph_pagerank_trade",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "events_frequent_users",
     "events_redact_props",
     "events_rolling_distinct_users",
-    "asof_forward_tolerance",
 )
 
 
