@@ -1080,3 +1080,70 @@ def test_txstore_merge_pruning_review_edges(spark, tmp_path):
             prune_col="ts",
             allow_missing_columns=True,
         )
+
+
+def test_txstore_vacuum_after_pruned_ops(spark, tmp_path):
+    """Pruned deletes/merges re-reference untouched dirs across
+    versions: vacuum must keep every dir the retained manifests still
+    name (even ones first written many versions ago) and drop only the
+    superseded rewrites."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    mk = lambda lo: spark.createDataFrame(
+        [(k, f"v{k}") for k in range(lo, lo + 10)], "k long, v string"
+    )
+    t.append(mk(0), stats_cols=["k"])
+    t.append(mk(100), stats_cols=["k"])
+    t.append(mk(200), stats_cols=["k"])
+    old_dirs = set(t._manifest(3)["dirs"])
+    # two pruned rewrites of the tail; the low dirs ride along untouched
+    t.merge(
+        spark.createDataFrame([(205, "X")], "k long, v string"),
+        keys=["k"], prune_col="k",
+    )
+    t.delete_where("k = 206", range_hint={"k": (206, 206)})
+    live = set(t._manifest(t.latest_version())["dirs"])
+    assert len(live & old_dirs) == 2  # the two low dirs still live
+    removed = t.vacuum(keep_last=1, min_age_s=0)
+    # dropped: v3's tail dir + the merge's rewrite (superseded by the
+    # delete's rewrite); never a still-referenced dir
+    assert not (set(removed) & live)
+    assert {r.k for r in t.read().collect()} == (
+        set(range(0, 10)) | set(range(100, 110)) | {200,201,202,203,204,205,207,208,209}
+    )
+
+
+def test_streaming_mv_histogram_panel(spark, tmp_path):
+    """The streaming dynamic table maintains the quantile panel: the
+    histogram partial merges per batch and the finalized approx p50
+    lands within the sketch's relative-error bound."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append_with_mv
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    view = str(tmp_path / "view")
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k string, v double").parquet(src)
+        foreach_batch_tx_append_with_mv(
+            stream, store, ckpt, view, ["k"],
+            value_cols=["v"], histogram_col="v", quantiles=(0.5,),
+        ).awaitTermination()
+
+    write([("a", float(v)) for v in range(1, 501)])
+    run()
+    write([("a", float(v)) for v in range(501, 1001)])
+    run()
+    mv = IncrementalAggView(
+        spark, TxTable(spark, store), view, ["k"],
+        value_cols=["v"], histogram_col="v", quantiles=(0.5,),
+    )
+    row = mv.result().collect()[0]
+    rel = 10 ** (1 / 8)
+    assert row.n == 1000 and 500 / rel <= row.approx_p50_v <= 500 * rel

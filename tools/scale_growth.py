@@ -365,6 +365,61 @@ def stats_main(n_batches: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def mergeprune_main(n_batches: int) -> None:
+    """MERGE file-pruning growth: land n disjoint-key-range copies of
+    the sf0.1 events table as stats-carrying appends, and after each,
+    time an upsert confined to the newest key range — once WITH
+    prune_col (rewrites only the tail dir) and once WITHOUT (classic
+    copy-on-write of the whole table). The scale claim: pruned-merge
+    cost tracks the tail (flat), full-merge cost tracks the table
+    (linear) — with dirs-rewritten as the load-immune metric."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_mergeprune")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    span = ev.agg(F.max("event_id")).first()[0] + 1
+    base = tempfile.mkdtemp(prefix="mergeprune_growth_")
+    pruned = TxTable(spark, f"{base}/pruned")
+    full = TxTable(spark, f"{base}/full")
+    rows = []
+    for i in range(1, n_batches + 1):
+        batch = ev.withColumn("event_id", F.col("event_id") + F.lit((i - 1) * span))
+        pruned.append(batch, stats_cols=["event_id"])
+        full.append(batch, stats_cols=["event_id"])
+        correction = batch.where(F.col("event_id") % 97 == 0).withColumn(
+            "value", F.col("value") * 2
+        )
+        before = set(pruned._manifest(pruned.latest_version())["dirs"])
+        t0 = time.perf_counter()
+        pruned.merge(correction, keys=["event_id"], prune_col="event_id")
+        t_pruned = time.perf_counter() - t0
+        after = pruned._manifest(pruned.latest_version())["dirs"]
+        rewrote = len(before) - len(set(after) & before)
+        t0 = time.perf_counter()
+        full.merge(correction, keys=["event_id"])
+        t_full = time.perf_counter() - t0
+        rows.append(
+            {
+                "batches": i,
+                "pruned_merge_s": round(t_pruned, 2),
+                "full_merge_s": round(t_full, 2),
+                "pruned_rewrote_dirs": rewrote,
+                "pruned_total_dirs": len(before),
+            }
+        )
+        print(json.dumps(rows[-1]))
+    print(json.dumps({"mergeprune_growth": rows}))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -375,6 +430,9 @@ def main() -> None:
         return
     if args and args[0] == "--stats":
         stats_main(int(args[1]) if args[1:] else 8)
+        return
+    if args and args[0] == "--mergeprune":
+        mergeprune_main(int(args[1]) if args[1:] else 8)
         return
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
