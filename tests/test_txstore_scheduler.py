@@ -1147,3 +1147,46 @@ def test_streaming_mv_histogram_panel(spark, tmp_path):
     row = mv.result().collect()[0]
     rel = 10 ** (1 / 8)
     assert row.n == 1000 and 500 / rel <= row.approx_p50_v <= 500 * rel
+
+
+def test_txstore_pruned_merge_race_no_lost_update(spark, tmp_path):
+    """Two pruned merges racing on DISJOINT key ranges: the loser's
+    optimistic retry re-reads the interloper's snapshot (touched dirs
+    are recomputed per attempt), so BOTH updates survive and the
+    untouched low dir rides through both commits."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    mk = lambda lo: spark.createDataFrame(
+        [(k, f"v{k}") for k in range(lo, lo + 10)], "k long, v string"
+    )
+    t.append(mk(0), stats_cols=["k"])
+    t.append(mk(100), stats_cols=["k"])
+    t.append(mk(200), stats_cols=["k"])
+    low_dir = next(
+        d for d, s in t._manifest(3)["stats"].items() if s["k"] == [0, 9]
+    )
+
+    interloper = TxTable(spark, str(tmp_path / "t"))
+
+    class RaceOnce(TxTable):
+        raced = False
+
+        def _commit(self, parent, dirs, op, *args, **kwargs):
+            if not RaceOnce.raced and op == "merge":
+                RaceOnce.raced = True
+                interloper.merge(
+                    spark.createDataFrame([(105, "MID")], "k long, v string"),
+                    keys=["k"],
+                    prune_col="k",
+                )
+            return super()._commit(parent, dirs, op, *args, **kwargs)
+
+    racer = RaceOnce(spark, str(tmp_path / "t"))
+    racer.merge(
+        spark.createDataFrame([(205, "TOP")], "k long, v string"),
+        keys=["k"],
+        prune_col="k",
+    )
+    rows = {r.k: r.v for r in racer.read().collect()}
+    assert rows[105] == "MID" and rows[205] == "TOP"  # no lost update
+    assert len(rows) == 30
+    assert low_dir in racer._manifest(racer.latest_version())["dirs"]
