@@ -326,3 +326,93 @@ def test_incremental_mv_multi_partitioned_matches_bruteforce(
                 float(len({d for _, d in vs})),
             )
         assert got == expect, (ops, got, expect)
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(st.integers(-20, 120), st.floats(-50, 50).filter(lambda x: x == x)),
+                    min_size=1,
+                    max_size=5,
+                ),
+                st.booleans(),  # record stats for this dir?
+            ),
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(st.integers(-20, 120), st.floats(-50, 50).filter(lambda x: x == x)),
+                    min_size=1,
+                    max_size=3,
+                ),
+            ),
+            st.tuples(st.just("delete"), st.integers(-20, 120), st.integers(0, 40)),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(-30, 130), st.integers(0, 50)), min_size=1, max_size=2
+    ),
+)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_txstore_stats_pruning_always_exact(spark, tmp_path_factory, ops, probes):
+    """Catch-all pruning invariant: under randomized stats-carrying and
+    stats-less appends, pruned merges, and hinted range deletes, every
+    range-pruned read must equal the brute-force filter of the live
+    rows — pruning is an optimization, NEVER a semantics change."""
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    tmp = tmp_path_factory.mktemp("statprop")
+    t = TxTable(spark, str(tmp / "t"))
+    live: dict[int, float] = {}
+
+    for op in ops:
+        if op[0] == "append":
+            rows = [(k, v) for k, v in op[1]]
+            # appends model insert-only feeds here: drop keys that
+            # already exist so `live` stays a dict (merge handles the
+            # update path)
+            rows = [(k, v) for k, v in rows if k not in live]
+            seen = set()
+            uniq = [(k, v) for k, v in rows if not (k in seen or seen.add(k))]
+            if not uniq:
+                continue
+            t.append(
+                spark.createDataFrame(uniq, "k long, v double"),
+                stats_cols=["k"] if op[2] else None,
+            )
+            live.update(dict(uniq))
+        elif op[0] == "merge":
+            seen = set()
+            uniq = [(k, v) for k, v in op[1] if not (k in seen or seen.add(k))]
+            t.merge(
+                spark.createDataFrame(uniq, "k long, v double"),
+                keys=["k"],
+                prune_col="k",
+            )
+            live.update(dict(uniq))
+        else:
+            lo, width = op[1], op[2]
+            hi = lo + width
+            if t.latest_version() == 0:
+                continue
+            t.delete_where(
+                f"k >= {lo} AND k <= {hi}", range_hint={"k": (lo, hi)}
+            )
+            live = {k: v for k, v in live.items() if not (lo <= k <= hi)}
+
+        if t.latest_version() == 0:
+            continue
+        for plo, pwidth in probes:
+            phi = plo + pwidth
+            got = {
+                (r.k, r.v)
+                for r in t.read(where_range={"k": (plo, phi)}).collect()
+            }
+            want = {(k, v) for k, v in live.items() if plo <= k <= phi}
+            assert got == want, (ops, plo, phi, got, want)
