@@ -1,0 +1,109 @@
+"""The TxTable change-stream source (sources/txtable_source.py):
+version offsets, per-file partitions, exactly-once restarts, loud
+failure on rewritten spans."""
+
+from __future__ import annotations
+
+import pytest
+
+from hapiy_etl_spark.operators.txstore import TxTable
+from hapiy_etl_spark.sources.txtable_source import register
+
+
+def _drain(spark, path, ckpt):
+    got = []
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, eid: got.extend(sorted(map(tuple, df.collect())))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_txtable_change_stream_exactly_once(spark, tmp_path):
+    """First run delivers the whole table, later runs deliver exactly
+    the appended rows, and a restart with no new commits re-delivers
+    nothing — offsets are engine-checkpointed snapshot versions."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    assert _drain(spark, path, ckpt) == [(1, "a"), (2, "b"), (3, "c")]
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    assert _drain(spark, path, ckpt) == [(4, "d")]
+    assert _drain(spark, path, ckpt) == []
+
+
+def test_txtable_change_stream_schema_evolution_null_fill(spark, tmp_path):
+    """An appended dir with an added column: older files null-fill the
+    new column (the stream uses the NEWEST recorded schema)."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 7)], "k long, v string, stars long")
+    )
+    got = _drain(spark, path, ckpt)
+    assert got == [(1, "a", None), (2, "b", 7)]
+
+
+def test_txtable_change_stream_rejects_rewritten_span(spark, tmp_path):
+    """A rewrite between micro-batches (here an OPTIMIZE) is not
+    representable as appended rows: the stream fails loudly instead of
+    silently skipping or double-delivering."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert _drain(spark, path, ckpt) == [(1, "a")]
+    t.optimize()
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="non-append history"):
+        _drain(spark, path, ckpt)
+
+
+def test_txtable_change_stream_into_dynamic_view(spark, tmp_path):
+    """The full loop closed: a TxTable commit log streamed through the
+    exactly-once MV sink — commit-log source and dynamic-table sink
+    composed, both ends incremental."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append_with_mv
+
+    register(spark)
+    src_path = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    view = str(tmp_path / "view")
+    src = TxTable(spark, src_path)
+
+    def run():
+        stream = (
+            spark.readStream.format("txtable_changes")
+            .option("path", src_path)
+            .load()
+        )
+        foreach_batch_tx_append_with_mv(
+            stream, sink, ckpt, view, ["k"], "v"
+        ).awaitTermination()
+
+    src.append(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"))
+    run()
+    src.append(spark.createDataFrame([("a", 3.0)], "k string, v double"))
+    run()
+    mv = IncrementalAggView(spark, TxTable(spark, sink), view, ["k"], "v")
+    assert {(r.k, r.n, r.sum_value) for r in mv.result().collect()} == {
+        ("a", 2, 4.0),
+        ("b", 1, 2.0),
+    }
