@@ -82,9 +82,14 @@ class TxChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema_ = schema
         self.table_path = options["path"]
+        self.starting_version = int(options.get("startingversion", 0))
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        # startingVersion > 0 is the snapshot-then-stream handoff: a
+        # consumer batch-reads TxTable.read(version=v) for its initial
+        # state, then streams appends AFTER v — the documented recovery
+        # path when a rewritten span invalidated a previous checkpoint.
+        return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         return {"version": _Manifests(self.table_path).latest_version()}

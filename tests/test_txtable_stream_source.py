@@ -107,3 +107,35 @@ def test_txtable_change_stream_into_dynamic_view(spark, tmp_path):
         ("a", 2, 4.0),
         ("b", 1, 2.0),
     }
+
+
+def test_txtable_change_stream_snapshot_then_stream_handoff(spark, tmp_path):
+    """startingVersion: batch-read the snapshot at v, stream appends
+    after v — the recovery path after a rewrite invalidates a
+    checkpoint. The union of snapshot + streamed rows equals the
+    table, with no overlap."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.optimize()  # a rewrite: version-0 streams would refuse this span
+    v = t.latest_version()
+    snapshot = sorted(map(tuple, t.read(version=v).collect()))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+
+    got = []
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", path)
+        .option("startingVersion", str(v))
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, eid: got.extend(sorted(map(tuple, df.collect())))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert snapshot == [(1, "a")]
+    assert got == [(2, "b")]  # only post-snapshot appends, no overlap
