@@ -114,6 +114,20 @@ class TxChangesStreamReader(DataSourceStreamReader):
                     "stream from a fresh checkpoint"
                 )
             new = [d for d in to_dirs if d not in from_dirs]
+        layouts = man.manifest(ev).get("layouts") or {}
+        bad = [d for d in new if layouts.get(d)]
+        if bad:
+            # a Hive-partitioned dir keeps its partition columns in
+            # SUBDIRECTORY NAMES, not in the files — a flat file read
+            # would silently drop those columns (and a flat glob finds
+            # no files at all). Only flat append dirs are streamable.
+            raise ValueError(
+                f"dirs {sorted(bad)} in the span v{sv}..v{ev} at "
+                f"{self.table_path} are Hive-partitioned (written by "
+                "merge/optimize partition_by) — the change stream carries "
+                "flat append dirs only; read the snapshot with "
+                "TxTable.read and restart from startingVersion"
+            )
         cols = [f.name for f in self.schema_.fields]
         parts = []
         for d in new:

@@ -139,3 +139,21 @@ def test_txtable_change_stream_snapshot_then_stream_handoff(spark, tmp_path):
     q.awaitTermination()
     assert snapshot == [(1, "a")]
     assert got == [(2, "b")]  # only post-snapshot appends, no overlap
+
+
+def test_txtable_change_stream_rejects_partitioned_dirs(spark, tmp_path):
+    """A Hive-partitioned dir keeps its partition columns in directory
+    names — a flat file read would silently drop them (and find no
+    files). The stream refuses instead of emitting nothing."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.merge(
+        spark.createDataFrame([("a", 1)], "repo string, n long"),
+        keys=["repo"],
+        partition_by=["repo"],
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="Hive-partitioned"):
+        _drain(spark, path, ckpt)
