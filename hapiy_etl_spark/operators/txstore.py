@@ -193,6 +193,17 @@ class TxTable:
         if where or where_range:
             specs = m.get("partitions", {})
             stats = m.get("stats", {})
+            blooms = m.get("blooms", {})
+            # probe positions once per (col, recorded type) — not per
+            # dir: computing them is a 1-row local job
+            bloom_pos: dict[tuple[str, str], list[int] | None] = {}
+            for k, val in (where or {}).items():
+                for d in dirs:
+                    bl = blooms.get(d, {}).get(k)
+                    if bl is not None:
+                        key = (k, bl["type"])
+                        if key not in bloom_pos:
+                            bloom_pos[key] = self._bloom_positions(bl["type"], val)
 
             def _keep(d: str) -> bool:
                 for k, val in (where or {}).items():
@@ -205,6 +216,11 @@ class TxTable:
                         above = _meta_cmp(val, rng[1])  # val <= rng[1] ?
                         if below is False or above is False:
                             return False
+                    bl = blooms.get(d, {}).get(k)
+                    if bl is not None:
+                        pos = bloom_pos.get((k, bl["type"]))
+                        if pos is not None and not self._bloom_test(bl["b64"], pos):
+                            return False  # bloom proves the key absent
                 for k, (lo, hi) in (where_range or {}).items():
                     rng = stats.get(d, {}).get(k)
                     if rng is None or rng[0] is None:
@@ -374,6 +390,7 @@ class TxTable:
         layouts: dict | None = None,
         schemas: dict | None = None,
         stats: dict | None = None,
+        blooms: dict | None = None,
     ) -> int:
         """Atomically create manifest parent+1; raise on a lost race.
 
@@ -407,6 +424,9 @@ class TxTable:
             # read(where/where_range) skips dirs whose recorded range
             # cannot match, without listing a single file
             **({"stats": stats} if stats else {}),
+            # per-dir per-column Bloom filters (point-lookup pruning on
+            # unordered keys); 4 KB base64 each
+            **({"blooms": blooms} if blooms else {}),
         }
         p = self.path / "_tx" / f"v{version:08d}.json"
         # write the FULL content to a temp name first, then hard-link to
@@ -431,10 +451,10 @@ class TxTable:
 
     # -- write operations ---------------------------------------------------
     @staticmethod
-    def _dir_maps(m: dict, dirs: list[str]) -> tuple[dict, dict, dict, dict]:
-        """(partitions, layouts, schemas, stats) from manifest ``m``
-        restricted to ``dirs`` — the carry-forward for commits that
-        re-reference a parent's data dirs (append, restore)."""
+    def _dir_maps(m: dict, dirs: list[str]) -> tuple[dict, dict, dict, dict, dict]:
+        """(partitions, layouts, schemas, stats, blooms) from manifest
+        ``m`` restricted to ``dirs`` — the carry-forward for commits
+        that re-reference a parent's data dirs (append, restore)."""
         return tuple(
             {d: v[d] for d in dirs if d in v}
             for v in (
@@ -442,6 +462,7 @@ class TxTable:
                 m.get("layouts") or {},
                 m.get("schemas") or {},
                 m.get("stats") or {},
+                m.get("blooms") or {},
             )
         )
 
@@ -473,6 +494,88 @@ class TxTable:
         return {
             c: r for c, r in union.items() if all(c in all_stats[d] for d in dirs)
         }
+
+    # Bloom geometry: 32768 bits (4 KB per column per dir in the
+    # manifest, base64) x 5 hashes ≈ 1% false positives at ~3400
+    # distinct keys per dir, degrading gracefully above. A false
+    # positive only costs an unnecessary dir read — never correctness.
+    BLOOM_BITS = 32768
+    BLOOM_K = 5
+
+    def _bloom_build(self, df: DataFrame, cols: Sequence[str]) -> dict:
+        """{col: {"b64": ..., "type": spark_type}} — one tiny distinct
+        job per column; bit positions come from Spark's own xxhash64
+        over the column's NATIVE type (the probe replays the same hash
+        with a cast literal, so build and probe can never disagree on
+        representation)."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        out = {}
+        for c in cols:
+            typ = df.schema[c].dataType.simpleString()
+            seeds = F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(self.BLOOM_BITS))
+                    for i in range(self.BLOOM_K)
+                ]
+            )
+            rows = (
+                df.where(F.col(c).isNotNull())
+                .select(F.explode(seeds).alias("p"))
+                .distinct()
+                .collect()
+            )
+            buf = bytearray(self.BLOOM_BITS // 8)
+            for r in rows:
+                p = int(r["p"])
+                buf[p // 8] |= 1 << (p % 8)
+            out[c] = {
+                "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+                "type": typ,
+            }
+        return out
+
+    def _bloom_positions(self, typ: str, val) -> list[int] | None:
+        """The k probe positions for a literal against blooms of column
+        type ``typ`` — or None when the probe is not provably
+        type-consistent (then the bloom is skipped, never pruned on).
+        Computed by a 1-row LOCAL Spark job casting the literal to the
+        recorded type — replaying exactly the build-side hash (Spark's
+        xxhash64 is type-sensitive; a Python re-implementation would
+        silently diverge)."""
+        from pyspark.sql import functions as F
+
+        ok = (isinstance(val, str) and typ == "string") or (
+            isinstance(val, int)
+            and not isinstance(val, bool)
+            and typ in ("bigint", "int", "smallint", "tinyint")
+        )
+        if not ok:
+            return None
+        lit = F.lit(val).cast(typ)
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(self.BLOOM_BITS)).alias(
+                        f"p{i}"
+                    )
+                    for i in range(self.BLOOM_K)
+                ]
+            )
+            .collect()[0]
+        )
+        return [int(row[f"p{i}"]) for i in range(self.BLOOM_K)]
+
+    @staticmethod
+    def _bloom_test(b64: str, positions: list[int]) -> bool:
+        """True = might contain."""
+        import base64
+
+        buf = base64.b64decode(b64)
+        return all((buf[p // 8] >> (p % 8)) & 1 for p in positions)
 
     @staticmethod
     def _column_stats(df: DataFrame, cols: Sequence[str]) -> dict:
@@ -531,6 +634,7 @@ class TxTable:
         meta: dict | None = None,
         partition: dict | None = None,
         stats_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
     ) -> int:
         """New version = parent's dirs + one new dir — no data rewrite.
         ``meta`` lands in the manifest (e.g. a streaming epoch id for
@@ -544,21 +648,40 @@ class TxTable:
         manifest (one tiny agg job, computed from the WRITTEN data so it
         is never a trusted declaration): ``read(where=...,
         where_range=...)`` then skips dirs whose range cannot match —
-        Iceberg-style file statistics at dir granularity."""
+        Iceberg-style file statistics at dir granularity. ``bloom_cols``
+        additionally records a 4 KB Bloom filter per column — the
+        POINT-LOOKUP complement of min/max for unordered keys (uuids,
+        content hashes): ``read(where={key: v})`` skips every dir whose
+        bloom proves the key absent, so finding one document in a
+        100 TB corpus touches ~one dir instead of all of them. A false
+        positive costs an extra dir read, never a wrong answer; like
+        stats, blooms are computed from the written data."""
         stats_entry = self._column_stats(df, stats_cols) if stats_cols else None
+        bloom_entry = self._bloom_build(df, bloom_cols) if bloom_cols else None
         d = self._write_data_dir(df)
         while True:
             parent = self.latest_version()
             if parent:
                 pm = self._manifest(parent)
                 dirs = pm["dirs"] + [d]
-                parts, layouts, schemas, stats = self._dir_maps(pm, pm["dirs"])
+                parts, layouts, schemas, stats, blooms = self._dir_maps(
+                    pm, pm["dirs"]
+                )
             else:
-                dirs, parts, layouts, schemas, stats = [d], {}, {}, {}, {}
+                dirs, parts, layouts, schemas, stats, blooms = (
+                    [d],
+                    {},
+                    {},
+                    {},
+                    {},
+                    {},
+                )
             if partition:
                 parts[d] = dict(partition)
             if stats_entry:
                 stats[d] = stats_entry
+            if bloom_entry:
+                blooms[d] = bloom_entry
             schemas[d] = df.schema.jsonValue()
             try:
                 return self._commit(
@@ -570,6 +693,7 @@ class TxTable:
                     layouts=layouts or None,
                     schemas=schemas,
                     stats=stats or None,
+                    blooms=blooms or None,
                 )
             except ConcurrentCommitError:
                 continue  # re-resolve parent; the spooled dir is reusable
@@ -652,7 +776,9 @@ class TxTable:
                 existing, batch, keys, order_col, allow_missing_columns
             )
             d = self._write_data_dir(merged, partition_by)
-            parts, layouts, schemas, stats_map = self._dir_maps(m, untouched)
+            parts, layouts, schemas, stats_map, blooms = self._dir_maps(
+                m, untouched
+            )
             schemas[d] = merged.schema.jsonValue()
             if partition_by:
                 layouts[d] = list(partition_by)
@@ -687,6 +813,7 @@ class TxTable:
                     layouts=layouts or None,
                     schemas=schemas,
                     stats=stats_map or None,
+                    blooms=blooms or None,
                 )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
@@ -747,7 +874,9 @@ class TxTable:
                 f"NOT coalesce(({condition}), false)"
             )
             d = self._write_data_dir(survivors)
-            parts, layouts, schemas, stats_map = self._dir_maps(m, untouched)
+            parts, layouts, schemas, stats_map, blooms = self._dir_maps(
+                m, untouched
+            )
             schemas[d] = survivors.schema.jsonValue()
             # conservative stats for the rewritten dir: survivors are a
             # subset of the touched dirs, so the union of their recorded
@@ -766,6 +895,7 @@ class TxTable:
                     layouts=layouts or None,
                     schemas=schemas,
                     stats=stats_map or None,
+                    blooms=blooms or None,
                 )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
@@ -780,7 +910,7 @@ class TxTable:
         the restored version's dirs (so vacuum keeps them live)."""
         rm = self._manifest(version)
         dirs = rm["dirs"]
-        parts, layouts, schemas, stats = self._dir_maps(rm, dirs)
+        parts, layouts, schemas, stats, blooms = self._dir_maps(rm, dirs)
         while True:
             try:
                 return self._commit(
@@ -792,6 +922,7 @@ class TxTable:
                     layouts=layouts or None,
                     schemas=schemas or None,
                     stats=stats or None,
+                    blooms=blooms or None,
                 )
             except ConcurrentCommitError:
                 continue

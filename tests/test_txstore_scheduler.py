@@ -1190,3 +1190,49 @@ def test_txstore_pruned_merge_race_no_lost_update(spark, tmp_path):
     assert rows[105] == "MID" and rows[205] == "TOP"  # no lost update
     assert len(rows) == 30
     assert low_dir in racer._manifest(racer.latest_version())["dirs"]
+
+
+def test_txstore_bloom_point_lookup_pruning(spark, tmp_path):
+    """Per-dir Bloom filters: point lookups on an UNORDERED key (where
+    min/max cannot help — every dir spans the same hash range) skip
+    dirs whose bloom proves the key absent; a present key always reads
+    its dir (no false negatives, ever); blooms ride through restore;
+    cross-type probes are skipped, never pruned on."""
+    import hashlib
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    mk = lambda lo: spark.createDataFrame(
+        [(hashlib.md5(str(k).encode()).hexdigest(), k) for k in range(lo, lo + 50)],
+        "doc_id string, n long",
+    )
+    t.append(mk(0), bloom_cols=["doc_id"])
+    t.append(mk(1000), bloom_cols=["doc_id"])
+    t.append(mk(2000), bloom_cols=["doc_id"])
+
+    target = hashlib.md5(b"1007").hexdigest()  # lives in dir 2 only
+    df = t.read(where={"doc_id": target})
+    assert [r.n for r in df.collect()] == [1007]
+    touched = {f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}
+    assert len(touched) < 3, "bloom must prune at least one dir"
+
+    # absent key: typically every dir pruned (false positives allowed,
+    # wrong answers not) — result is exact either way
+    absent = t.read(where={"doc_id": "not-a-real-hash"})
+    assert absent.count() == 0
+
+    # restore carries the blooms
+    t.delete_where("n = 0")
+    t.restore(3)
+    df2 = t.read(where={"doc_id": target})
+    assert [r.n for r in df2.collect()] == [1007]
+    assert len({f.split("/data/")[1].split("/")[0] for f in df2.inputFiles()}) < 3
+
+    # integer-key bloom too
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(i,) for i in range(100)], "k long"),
+              bloom_cols=["k"])
+    t2.append(spark.createDataFrame([(i,) for i in range(5000, 5100)], "k long"),
+              bloom_cols=["k"])
+    df3 = t2.read(where={"k": 5050})
+    assert df3.count() == 1
+    assert len({f.split("/data/")[1].split("/")[0] for f in df3.inputFiles()}) == 1
