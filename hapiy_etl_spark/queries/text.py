@@ -2006,3 +2006,63 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "bloom_point_lookup",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (
+        (SELECT MIN(doc_id) FROM documents),
+        (SELECT MAX(doc_id) FROM documents)
+    )
+    ORDER BY doc_id
+    """,
+    doc="Bloom-filter point lookup (operators/txstore.py append "
+    "bloom_cols): documents land in a TxTable as four hash-disjoint "
+    "appends, each recording a 4 KB doc_id Bloom filter in the "
+    "manifest — the pruning complement of min/max for keys with no "
+    "useful ordering. Two point lookups (the corpus's min and max "
+    "doc_id) each consult the blooms and read only the dirs that "
+    "might contain the key (the query asserts at least one dir was "
+    "pruned per lookup; a false positive would cost an extra dir "
+    "read, never a wrong row). The oracle filters the raw table. At "
+    "100 TB this is 'fetch one document by id' without an index "
+    "service: ~one dir touched instead of every file in the corpus.",
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "lang", "source", "n_chars")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_bloom_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    bucketed = docs.withColumn("b", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
+    n_dirs = 0
+    for i in range(4):
+        batch = bucketed.where(F.col("b") == i).drop("b")
+        if batch.limit(1).count():
+            src.append(batch, bloom_cols=["doc_id"])
+            n_dirs += 1
+
+    frames = []
+    for key in (int(lo), int(hi)):
+        df = src.read(where={"doc_id": key})
+        touched = {f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}
+        if not (len(touched) < n_dirs):  # pragma: no cover - invariant guard
+            raise AssertionError(
+                f"bloom lookup read {len(touched)} of {n_dirs} dirs for {key}"
+            )
+        frames.append(df)
+    return frames[0].unionByName(frames[1]).orderBy("doc_id")

@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "stats_pruned_time_slice",
     "incremental_mv_quantiles",
     "merge_pruned_upsert",
+    "bloom_point_lookup",
     "events_equidepth_histogram",
     "events_funnel_multistep",
     "graph_pagerank_trade",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "upsert_merge",
     "events_frequent_users",
     "events_redact_props",
-    "events_rolling_distinct_users",
 )
 
 
