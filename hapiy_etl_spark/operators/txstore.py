@@ -196,14 +196,14 @@ class TxTable:
             blooms = m.get("blooms", {})
             # probe positions once per (col, recorded type) — not per
             # dir: computing them is a 1-row local job
-            bloom_pos: dict[tuple[str, str], list[int] | None] = {}
+            bloom_pos: dict[tuple, list[int] | None] = {}
             for k, val in (where or {}).items():
                 for d in dirs:
                     bl = blooms.get(d, {}).get(k)
                     if bl is not None:
-                        key = (k, bl["type"])
+                        key = (k, bl["type"], bl.get("bits"), bl.get("k"))
                         if key not in bloom_pos:
-                            bloom_pos[key] = self._bloom_positions(bl["type"], val)
+                            bloom_pos[key] = self._bloom_positions(bl, val)
 
             def _keep(d: str) -> bool:
                 for k, val in (where or {}).items():
@@ -218,7 +218,9 @@ class TxTable:
                             return False
                     bl = blooms.get(d, {}).get(k)
                     if bl is not None:
-                        pos = bloom_pos.get((k, bl["type"]))
+                        pos = bloom_pos.get(
+                            (k, bl["type"], bl.get("bits"), bl.get("k"))
+                        )
                         if pos is not None and not self._bloom_test(bl["b64"], pos):
                             return False  # bloom proves the key absent
                 for k, (lo, hi) in (where_range or {}).items():
@@ -495,30 +497,42 @@ class TxTable:
             c: r for c, r in union.items() if all(c in all_stats[d] for d in dirs)
         }
 
-    # Bloom geometry: 32768 bits (4 KB per column per dir in the
-    # manifest, base64) x 5 hashes ≈ 1% false positives at ~3400
-    # distinct keys per dir, degrading gracefully above. A false
-    # positive only costs an unnecessary dir read — never correctness.
+    # Default Bloom geometry: 32768 bits (4 KB per column per dir in
+    # the manifest, base64) x 5 hashes ~= 1% false positives at ~3400
+    # distinct keys per dir, degrading gracefully above — size bits to
+    # ~10x the expected distinct keys per dir (append(bloom_bits=...)).
+    # Geometry is RECORDED in each bloom entry and the probe replays
+    # the recorded values, so tables written with any geometry stay
+    # readable. A false positive only costs an unnecessary dir read —
+    # never correctness.
     BLOOM_BITS = 32768
     BLOOM_K = 5
 
-    def _bloom_build(self, df: DataFrame, cols: Sequence[str]) -> dict:
-        """{col: {"b64": ..., "type": spark_type}} — one tiny distinct
-        job per column; bit positions come from Spark's own xxhash64
-        over the column's NATIVE type (the probe replays the same hash
-        with a cast literal, so build and probe can never disagree on
+    def _bloom_build(
+        self,
+        df: DataFrame,
+        cols: Sequence[str],
+        bits: int | None = None,
+        k: int | None = None,
+    ) -> dict:
+        """{col: {"b64", "type", "bits", "k"}} — one tiny distinct job
+        per column; bit positions come from Spark's own xxhash64 over
+        the column's NATIVE type (the probe replays the same hash with
+        a cast literal, so build and probe can never disagree on
         representation)."""
         import base64
 
         from pyspark.sql import functions as F
 
+        bits = int(bits or self.BLOOM_BITS)
+        k = int(k or self.BLOOM_K)
         out = {}
         for c in cols:
             typ = df.schema[c].dataType.simpleString()
             seeds = F.array(
                 *[
-                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(self.BLOOM_BITS))
-                    for i in range(self.BLOOM_K)
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(bits))
+                    for i in range(k)
                 ]
             )
             rows = (
@@ -527,26 +541,31 @@ class TxTable:
                 .distinct()
                 .collect()
             )
-            buf = bytearray(self.BLOOM_BITS // 8)
+            buf = bytearray(bits // 8)
             for r in rows:
-                p = int(r["p"])
-                buf[p // 8] |= 1 << (p % 8)
+                pos = int(r["p"])
+                buf[pos // 8] |= 1 << (pos % 8)
             out[c] = {
                 "b64": base64.b64encode(bytes(buf)).decode("ascii"),
                 "type": typ,
+                "bits": bits,
+                "k": k,
             }
         return out
 
-    def _bloom_positions(self, typ: str, val) -> list[int] | None:
-        """The k probe positions for a literal against blooms of column
-        type ``typ`` — or None when the probe is not provably
-        type-consistent (then the bloom is skipped, never pruned on).
-        Computed by a 1-row LOCAL Spark job casting the literal to the
-        recorded type — replaying exactly the build-side hash (Spark's
-        xxhash64 is type-sensitive; a Python re-implementation would
-        silently diverge)."""
+    def _bloom_positions(self, bloom: dict, val) -> list[int] | None:
+        """The probe positions for a literal against one bloom entry's
+        RECORDED geometry and column type — or None when the probe is
+        not provably type-consistent (then the bloom is skipped, never
+        pruned on). Computed by a 1-row LOCAL Spark job casting the
+        literal to the recorded type — replaying exactly the build-side
+        hash (Spark's xxhash64 is type-sensitive; a Python
+        re-implementation would silently diverge)."""
         from pyspark.sql import functions as F
 
+        typ = bloom.get("type", "")
+        bits = int(bloom.get("bits", self.BLOOM_BITS))
+        k = int(bloom.get("k", self.BLOOM_K))
         ok = (isinstance(val, str) and typ == "string") or (
             isinstance(val, int)
             and not isinstance(val, bool)
@@ -559,15 +578,13 @@ class TxTable:
             self.spark.range(1)
             .select(
                 *[
-                    F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(self.BLOOM_BITS)).alias(
-                        f"p{i}"
-                    )
-                    for i in range(self.BLOOM_K)
+                    F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits)).alias(f"p{i}")
+                    for i in range(k)
                 ]
             )
             .collect()[0]
         )
-        return [int(row[f"p{i}"]) for i in range(self.BLOOM_K)]
+        return [int(row[f"p{i}"]) for i in range(k)]
 
     @staticmethod
     def _bloom_test(b64: str, positions: list[int]) -> bool:
@@ -635,6 +652,8 @@ class TxTable:
         partition: dict | None = None,
         stats_cols: Sequence[str] | None = None,
         bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int | None = None,
+        bloom_k: int | None = None,
     ) -> int:
         """New version = parent's dirs + one new dir — no data rewrite.
         ``meta`` lands in the manifest (e.g. a streaming epoch id for
@@ -657,7 +676,11 @@ class TxTable:
         positive costs an extra dir read, never a wrong answer; like
         stats, blooms are computed from the written data."""
         stats_entry = self._column_stats(df, stats_cols) if stats_cols else None
-        bloom_entry = self._bloom_build(df, bloom_cols) if bloom_cols else None
+        bloom_entry = (
+            self._bloom_build(df, bloom_cols, bloom_bits, bloom_k)
+            if bloom_cols
+            else None
+        )
         d = self._write_data_dir(df)
         while True:
             parent = self.latest_version()

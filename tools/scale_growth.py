@@ -420,6 +420,58 @@ def mergeprune_main(n_batches: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def bloom_main(n_batches: int) -> None:
+    """Bloom point-lookup growth: land n disjoint copies of the sf0.1
+    documents table (doc_id shifted per batch) as bloom-carrying
+    appends; after each, look up one key known to live in the FIRST
+    batch. The scale claim: dirs read stays ~1 (bloom false-positive
+    rate per extra dir ≈1%) while an unpruned lookup reads all n."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_bloom")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    span = docs.agg(F.max("doc_id")).first()[0] + 1
+    target = int(docs.agg(F.min("doc_id")).first()[0])
+    base = tempfile.mkdtemp(prefix="bloom_growth_")
+    t = TxTable(spark, f"{base}/t")
+    rows = []
+    for i in range(1, n_batches + 1):
+        t.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i - 1) * span)),
+            bloom_cols=["doc_id"],
+            # size to ~20x the ~5k distinct keys per batch (16 KB):
+            # the default 4 KB geometry saturates at this density and
+            # false-positives grow with table size (measured 1->3 dirs
+            # of 8) — sizing is the caller's lever, recorded per entry
+            bloom_bits=131072,
+        )
+        t0 = time.perf_counter()
+        df = t.read(where={"doc_id": target})
+        n = df.count()
+        dt_pruned = time.perf_counter() - t0
+        dirs_read = len({f.split("/data/")[1].split("/")[0] for f in df.inputFiles()})
+        assert n == 1
+        rows.append(
+            {
+                "batches": i,
+                "lookup_dirs_read": dirs_read,
+                "total_dirs": i,
+                "lookup_s": round(dt_pruned, 2),
+            }
+        )
+        print(json.dumps(rows[-1]))
+    print(json.dumps({"bloom_growth": rows}))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -433,6 +485,9 @@ def main() -> None:
         return
     if args and args[0] == "--mergeprune":
         mergeprune_main(int(args[1]) if args[1:] else 8)
+        return
+    if args and args[0] == "--bloom":
+        bloom_main(int(args[1]) if args[1:] else 8)
         return
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
