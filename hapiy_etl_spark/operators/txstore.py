@@ -99,6 +99,22 @@ def _meta_eq(a, b):
     return pair[0] == pair[1]
 
 
+_INT_RANGES = {
+    "tinyint": (-(2**7), 2**7 - 1),
+    "smallint": (-(2**15), 2**15 - 1),
+    "int": (-(2**31), 2**31 - 1),
+    "bigint": (-(2**63), 2**63 - 1),
+}
+_BLOOM_TYPES = frozenset({"string", *_INT_RANGES})
+
+
+def dirs_read(df: DataFrame) -> set[str]:
+    """The TxTable data-dir names a DataFrame's planned scan touches —
+    the shared idiom for pruning assertions (queries, growth tools,
+    tests). Forces file listing; use at demo/test scale."""
+    return {f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
@@ -497,6 +513,39 @@ class TxTable:
             c: r for c, r in union.items() if all(c in all_stats[d] for d in dirs)
         }
 
+    @staticmethod
+    def _union_blooms(all_blooms: dict, dirs: list[str]) -> dict:
+        """OR-union of several dirs' blooms — a valid (superset) bloom
+        for any dir holding a subset of their rows (delete survivors,
+        an optimize compaction). Only columns recorded on EVERY input
+        dir with IDENTICAL geometry and type survive (bitmaps of
+        different geometry cannot be merged)."""
+        import base64
+
+        if not dirs or not all(d in all_blooms for d in dirs):
+            return {}
+        out: dict = {}
+        first = all_blooms[dirs[0]]
+        for col, entry in first.items():
+            sig = (entry.get("type"), entry.get("bits"), entry.get("k"))
+            buf = bytearray(base64.b64decode(entry["b64"]))
+            ok = True
+            for d in dirs[1:]:
+                other = all_blooms[d].get(col)
+                if other is None or (
+                    other.get("type"),
+                    other.get("bits"),
+                    other.get("k"),
+                ) != sig:
+                    ok = False
+                    break
+                ob = base64.b64decode(other["b64"])
+                for i in range(len(buf)):
+                    buf[i] |= ob[i]
+            if ok:
+                out[col] = {**entry, "b64": base64.b64encode(bytes(buf)).decode("ascii")}
+        return out
+
     # Default Bloom geometry: 32768 bits (4 KB per column per dir in
     # the manifest, base64) x 5 hashes ~= 1% false positives at ~3400
     # distinct keys per dir, degrading gracefully above — size bits to
@@ -526,9 +575,21 @@ class TxTable:
 
         bits = int(bits or self.BLOOM_BITS)
         k = int(k or self.BLOOM_K)
+        if bits <= 0 or bits % 8:
+            raise ValueError(f"bloom_bits must be a positive multiple of 8: {bits}")
+        if k <= 0:
+            raise ValueError(f"bloom_k must be positive: {k}")
         out = {}
         for c in cols:
             typ = df.schema[c].dataType.simpleString()
+            if typ not in _BLOOM_TYPES:
+                # a bloom the probe can never consult would be 4 KB of
+                # dead manifest weight carried forward forever
+                raise ValueError(
+                    f"bloom_cols[{c!r}] has type {typ}; blooms support "
+                    f"{sorted(_BLOOM_TYPES)} (point lookups on other types "
+                    "use stats_cols range pruning instead)"
+                )
             seeds = F.array(
                 *[
                     F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(bits))
@@ -570,6 +631,11 @@ class TxTable:
             isinstance(val, int)
             and not isinstance(val, bool)
             and typ in ("bigint", "int", "smallint", "tinyint")
+            # range gate: under ANSI (Spark 4 default) an overflowing
+            # cast RAISES — an out-of-range probe can simply skip the
+            # bloom (the value cannot be in the column anyway, and
+            # stats/row filtering stay exact)
+            and _INT_RANGES[typ][0] <= val <= _INT_RANGES[typ][1]
         )
         if not ok:
             return None
@@ -905,10 +971,14 @@ class TxTable:
             # subset of the touched dirs, so the union of their recorded
             # ranges bounds the new dir (possibly wider than actual) —
             # later range-pruned reads and hinted deletes keep working
-            # across deletes instead of degrading to always-rewrite
+            # across deletes instead of degrading to always-rewrite.
+            # Same argument for blooms (OR-union is a superset bloom).
             shared = self._union_stats(m.get("stats") or {}, touched)
             if shared:
                 stats_map[d] = shared
+            bloom_u = self._union_blooms(m.get("blooms") or {}, touched)
+            if bloom_u:
+                blooms[d] = bloom_u
             try:
                 return self._commit(
                     parent,
@@ -980,11 +1050,14 @@ class TxTable:
             elif target_partitions:
                 snap = snap.coalesce(target_partitions)
             d = self._write_data_dir(snap, partition_by)
-            # carry union-bounds stats into the compacted dir — without
-            # this one OPTIMIZE would silently discard every dir's
-            # min/max and all later range pruning degrades to full scans
+            # carry union-bounds stats AND OR-union blooms into the
+            # compacted dir — without this one OPTIMIZE would silently
+            # discard every dir's pruning metadata and later range
+            # reads / point lookups degrade to full scans of exactly
+            # the large dir they most need to skip
             m = self._manifest(parent)
             shared = self._union_stats(m.get("stats") or {}, m["dirs"])
+            bloom_u = self._union_blooms(m.get("blooms") or {}, m["dirs"])
             try:
                 return self._commit(
                     parent,
@@ -993,6 +1066,7 @@ class TxTable:
                     schemas={d: snap.schema.jsonValue()},
                     layouts={d: list(partition_by)} if partition_by else None,
                     stats={d: shared} if shared else None,
+                    blooms={d: bloom_u} if bloom_u else None,
                 )
             except ConcurrentCommitError:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)

@@ -1418,7 +1418,9 @@ def stats_pruned_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             src.append(batch, stats_cols=["ts"])
             n_dirs += 1
     sliced = src.read(where_range={"ts": (lo, hi)})
-    touched = {f.split("/data/")[1].split("/")[0] for f in sliced.inputFiles()}
+    from hapiy_etl_spark.operators.txstore import dirs_read
+
+    touched = dirs_read(sliced)
     if not (len(touched) < n_dirs):  # pragma: no cover - invariant guard
         raise AssertionError(
             f"expected manifest-stats pruning: {len(touched)} of {n_dirs} dirs read"

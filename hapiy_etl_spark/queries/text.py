@@ -2036,7 +2036,7 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"].select("doc_id", "lang", "source", "n_chars")
@@ -2049,18 +2049,24 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     src = TxTable(spark, f"{base}/src")
     bucketed = docs.withColumn("b", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
+    # size the geometry to the corpus: ~20 bits per expected key per
+    # dir, rounded to a power of two — the default 4 KB bloom saturates
+    # above ~3k keys/dir and its false-positive rate would erode the
+    # pruning invariant as sf grows (review r7)
+    n_docs = docs.count()
+    bits = 1 << max(15, (n_docs * 20 // 4).bit_length())
     n_dirs = 0
     for i in range(4):
         batch = bucketed.where(F.col("b") == i).drop("b")
         if batch.limit(1).count():
-            src.append(batch, bloom_cols=["doc_id"])
+            src.append(batch, bloom_cols=["doc_id"], bloom_bits=bits)
             n_dirs += 1
 
     frames = []
     for key in (int(lo), int(hi)):
         df = src.read(where={"doc_id": key})
-        touched = {f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}
-        if not (len(touched) < n_dirs):  # pragma: no cover - invariant guard
+        touched = dirs_read(df)
+        if n_dirs > 1 and not (len(touched) < n_dirs):  # pragma: no cover
             raise AssertionError(
                 f"bloom lookup read {len(touched)} of {n_dirs} dirs for {key}"
             )

@@ -8,7 +8,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from hapiy_etl_spark.operators.txstore import ConcurrentCommitError, TxTable
+from hapiy_etl_spark.operators.txstore import ConcurrentCommitError, TxTable, dirs_read
 from hapiy_etl_spark.pipeline.scheduler import CronLoop
 
 
@@ -1212,7 +1212,7 @@ def test_txstore_bloom_point_lookup_pruning(spark, tmp_path):
     target = hashlib.md5(b"1007").hexdigest()  # lives in dir 2 only
     df = t.read(where={"doc_id": target})
     assert [r.n for r in df.collect()] == [1007]
-    touched = {f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}
+    touched = dirs_read(df)
     assert len(touched) < 3, "bloom must prune at least one dir"
 
     # absent key: typically every dir pruned (false positives allowed,
@@ -1225,7 +1225,7 @@ def test_txstore_bloom_point_lookup_pruning(spark, tmp_path):
     t.restore(3)
     df2 = t.read(where={"doc_id": target})
     assert [r.n for r in df2.collect()] == [1007]
-    assert len({f.split("/data/")[1].split("/")[0] for f in df2.inputFiles()}) < 3
+    assert len(dirs_read(df2)) < 3
 
     # integer-key bloom too
     t2 = TxTable(spark, str(tmp_path / "t2"))
@@ -1235,4 +1235,44 @@ def test_txstore_bloom_point_lookup_pruning(spark, tmp_path):
               bloom_cols=["k"])
     df3 = t2.read(where={"k": 5050})
     assert df3.count() == 1
-    assert len({f.split("/data/")[1].split("/")[0] for f in df3.inputFiles()}) == 1
+    assert len(dirs_read(df3)) == 1
+
+
+def test_txstore_bloom_review_edges(spark, tmp_path):
+    """Review r7 (bloom wave) pinned: (1) an out-of-range int probe on
+    a narrow column skips the bloom instead of crashing on the ANSI
+    cast; (2) OPTIMIZE carries an OR-union bloom so point lookups keep
+    pruning after compaction; (3) unsupported bloom column types and
+    bad geometry are rejected at build time."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(100)], "k long").withColumn(
+            "k", F.col("k").cast("int")
+        ),
+        bloom_cols=["k"],
+    )
+    # out-of-range probe for int: no crash, exact empty result
+    assert t.read(where={"k": 2**35}).count() == 0
+
+    # optimize carries the unioned bloom
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(i,) for i in range(50)], "k long"),
+              bloom_cols=["k"])
+    t2.append(spark.createDataFrame([(i,) for i in range(5000, 5050)], "k long"),
+              bloom_cols=["k"])
+    t2.optimize()
+    m = t2._manifest(t2.latest_version())
+    (d,) = m["dirs"]
+    assert "k" in m.get("blooms", {}).get(d, {})
+    t2.append(spark.createDataFrame([(i,) for i in range(9000, 9050)], "k long"),
+              bloom_cols=["k"])
+    df = t2.read(where={"k": 9001})
+    assert df.count() == 1
+    assert len(dirs_read(df)) == 1  # compacted dir bloom-pruned
+
+    with pytest.raises(ValueError, match="bloom_bits"):
+        t2.append(spark.createDataFrame([(1,)], "k long"),
+                  bloom_cols=["k"], bloom_bits=100)
+    with pytest.raises(ValueError, match="blooms support"):
+        t2.append(spark.createDataFrame([(1.5,)], "v double"),
+                  bloom_cols=["v"])

@@ -330,7 +330,9 @@ def stats_main(n_batches: int) -> None:
         pruned = src.read(where_range={"ts": (lo, hi)})
         n_pruned = pruned.count()
         t_pruned = time.perf_counter() - t0
-        pruned_dirs = {f.split("/data/")[1].split("/")[0] for f in pruned.inputFiles()}
+        from hapiy_etl_spark.operators.txstore import dirs_read
+
+        pruned_dirs = dirs_read(pruned)
         t0 = time.perf_counter()
         full = src.read().where((F.col("ts") >= lo) & (F.col("ts") <= hi))
         n_full = full.count()
@@ -457,12 +459,14 @@ def bloom_main(n_batches: int) -> None:
         df = t.read(where={"doc_id": target})
         n = df.count()
         dt_pruned = time.perf_counter() - t0
-        dirs_read = len({f.split("/data/")[1].split("/")[0] for f in df.inputFiles()})
+        from hapiy_etl_spark.operators.txstore import dirs_read as _dirs_read
+
+        n_dirs_read = len(_dirs_read(df))
         assert n == 1
         rows.append(
             {
                 "batches": i,
-                "lookup_dirs_read": dirs_read,
+                "lookup_dirs_read": n_dirs_read,
                 "total_dirs": i,
                 "lookup_s": round(dt_pruned, 2),
             }
