@@ -99,7 +99,8 @@ class TxChangesStreamReader(DataSourceStreamReader):
         if ev <= sv:
             return []
         man = _Manifests(self.table_path)
-        to_dirs = man.manifest(ev)["dirs"]
+        m_ev = man.manifest(ev)
+        to_dirs = m_ev["dirs"]
         if sv == 0:
             new = list(to_dirs)
         else:
@@ -114,7 +115,7 @@ class TxChangesStreamReader(DataSourceStreamReader):
                     "stream from a fresh checkpoint"
                 )
             new = [d for d in to_dirs if d not in from_dirs]
-        layouts = man.manifest(ev).get("layouts") or {}
+        layouts = m_ev.get("layouts") or {}
         bad = [d for d in new if layouts.get(d)]
         if bad:
             # a Hive-partitioned dir keeps its partition columns in
