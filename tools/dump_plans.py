@@ -79,6 +79,12 @@ SHOWCASE = [
     # r7: quantile panel finalizer is ONE Arrow-batched eval over the
     # per-group partial rows; the heavy work happened at refresh time
     ("incremental_mv_quantiles", ["ArrowEvalPython", "FileScan"]),
+    # r7: pruned upsert — the final state scan reads the carried dirs
+    # plus one rewritten dir; the aggregate is an ordinary two-phase
+    ("merge_pruned_upsert", ["FileScan", "HashAggregate"]),
+    # r7: bloom point lookup — the scan lists only bloom-positive dirs
+    # and the key equality pushes into it
+    ("bloom_point_lookup", ["FileScan", "PushedFilters"]),
 ]
 
 
