@@ -416,3 +416,40 @@ def test_txstore_stats_pruning_always_exact(spark, tmp_path_factory, ops, probes
             }
             want = {(k, v) for k, v in live.items() if plo <= k <= phi}
             assert got == want, (ops, plo, phi, got, want)
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 60), min_size=1, max_size=6, unique=True),
+            st.booleans(),  # bloom this dir?
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    probes=st.lists(st.integers(-5, 70), min_size=1, max_size=3),
+)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_txstore_bloom_pruning_always_exact(spark, tmp_path_factory, ops, probes):
+    """Catch-all bloom invariant: under randomized bloom-carrying and
+    bloom-less appends (overlapping keys included — appends model a
+    multiset), every point-lookup read equals the brute-force filter
+    of all appended rows. A bloom may only ever cost an extra dir
+    read, never hide or invent a row."""
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    tmp = tmp_path_factory.mktemp("bloomprop")
+    t = TxTable(spark, str(tmp / "t"))
+    live: list[int] = []
+    for keys, use_bloom in ops:
+        t.append(
+            spark.createDataFrame([(k,) for k in keys], "k long"),
+            bloom_cols=["k"] if use_bloom else None,
+        )
+        live.extend(keys)
+        for p in probes:
+            got = sorted(r.k for r in t.read(where={"k": p}).collect())
+            want = sorted(k for k in live if k == p)
+            assert got == want, (ops, p, got, want)
