@@ -105,21 +105,26 @@ class IncrementalAggView:
         self.histogram_col = histogram_col
         self.quantiles = list(quantiles)
 
-    def _names(self, c: str) -> tuple[str, str, str]:
+    def _names(self, c: str) -> tuple[str, str, str, str]:
         if self.legacy:
-            return "sum_dec", "min_v", "max_v"
-        return f"sum__{c}", f"min__{c}", f"max__{c}"
+            return "sum_dec", "min_v", "max_v", "cnt_v"
+        return f"sum__{c}", f"min__{c}", f"max__{c}", f"cnt__{c}"
 
     # -- partial aggregation (algebraic, mergeable) -------------------------
     def _partials(self, df: DataFrame) -> DataFrame:
         aggs = [F.count("*").alias("n")]
         for c in self.value_cols:
-            s, mn, mx = self._names(c)
+            s, mn, mx, cnt = self._names(c)
             v = F.col(c)
             aggs += [
                 F.sum(v.cast(DEC)).alias(s),
                 F.min(v).alias(mn),
                 F.max(v).alias(mx),
+                # per-column NON-NULL count: avg finalizes as sum/cnt,
+                # matching SQL AVG on columns with NULLs — dividing by
+                # the row count n would silently count NULLs in the
+                # denominator while min/max/sum skip them (ADVICE r7)
+                F.count(v).alias(cnt),
             ]
         parts = df.groupBy(*self.group_cols).agg(*aggs)
         if self.distinct_col:
@@ -145,11 +150,12 @@ class IncrementalAggView:
     def _merge_partials(self, parts: DataFrame) -> DataFrame:
         aggs = [F.sum("n").alias("n")]
         for c in self.value_cols:
-            s, mn, mx = self._names(c)
+            s, mn, mx, cnt = self._names(c)
             aggs += [
                 F.sum(s).alias(s),
                 F.min(mn).alias(mn),
                 F.max(mx).alias(mx),
+                F.sum(cnt).alias(cnt),
             ]
         if self.distinct_col:
             # union-and-keep-k-smallest across all of a group's
@@ -176,6 +182,21 @@ class IncrementalAggView:
         if self.histogram_col:
             aggs.append(loghist_merge_agg("loghist").alias("loghist"))
         return parts.groupBy(*self.group_cols).agg(*aggs)
+
+    def _partial_cols(self) -> set[str]:
+        """The column set the CURRENT engine's partials carry — compared
+        against a stored view before an incremental merge, so a view
+        materialized by an older engine (e.g. one without the per-column
+        non-null counts) triggers a full rebuild instead of a broken or
+        silently-wrong union."""
+        cols = {*self.group_cols, "n"}
+        for c in self.value_cols:
+            cols.update(self._names(c))
+        if self.distinct_col:
+            cols.add("kmv")
+        if self.histogram_col:
+            cols.add("loghist")
+        return cols
 
     # -- refresh cursor -----------------------------------------------------
     def _cursor(self) -> tuple[int, set[str]]:
@@ -205,7 +226,10 @@ class IncrementalAggView:
             # scan, nothing to commit. The cursor intentionally stays
             # behind; the next refresh re-diffs from the same set.
             return {"mode": "noop", "source_version": sv, "new_dirs": 0}
-        if seen and seen <= cur_dirs:
+        stored = (
+            self.view.read() if seen and seen <= cur_dirs else None
+        )
+        if stored is not None and set(stored.columns) == self._partial_cols():
             # Pure appends since the cursor: aggregate ONLY the new dirs
             # and merge with the stored partials. Loaded through the
             # layout-aware reader so partitioned dirs (and their pinned
@@ -214,11 +238,12 @@ class IncrementalAggView:
             new_parts = self._partials(
                 self.source._read_dirs(m, new_dirs, merge_schema=False)
             )
-            merged = self._merge_partials(self.view.read().unionByName(new_parts))
+            merged = self._merge_partials(stored.unionByName(new_parts))
             mode = "incremental"
         else:
-            # First refresh, or a seen dir was rewritten/dropped
-            # (overwrite/merge/delete/restore/optimize): recompute.
+            # First refresh, a seen dir rewritten/dropped (overwrite/
+            # merge/delete/restore/optimize), or the stored partial
+            # schema predates this engine: recompute.
             new_dirs = sorted(cur_dirs)
             merged = self._partials(self.source.read(sv))
             mode = "full"
@@ -242,24 +267,30 @@ class IncrementalAggView:
                 "refresh() after the source table has at least one commit"
             )
         p = self.view.read()
+        def _avg(s: str, cnt: str):
+            # sum / NON-NULL count = SQL AVG; the when-guard keeps an
+            # all-NULL group at NULL instead of an ANSI divide-by-zero
+            return F.when(
+                F.col(cnt) > 0,
+                F.round(F.col(s).cast("double") / F.col(cnt), 6),
+            )
+
         if self.legacy:
             cols = [
                 *self.group_cols,
                 F.col("n"),
                 F.col("sum_dec").cast("double").alias("sum_value"),
-                F.round(
-                    F.col("sum_dec").cast("double") / F.col("n"), 6
-                ).alias("avg_value"),
+                _avg("sum_dec", "cnt_v").alias("avg_value"),
                 F.col("min_v").alias("min_value"),
                 F.col("max_v").alias("max_value"),
             ]
         else:
             cols = [*self.group_cols, F.col("n")]
             for c in self.value_cols:
-                s, mn, mx = self._names(c)
+                s, mn, mx, cnt = self._names(c)
                 cols += [
                     F.col(s).cast("double").alias(f"sum_{c}"),
-                    F.round(F.col(s).cast("double") / F.col("n"), 6).alias(f"avg_{c}"),
+                    _avg(s, cnt).alias(f"avg_{c}"),
                     F.col(mn).alias(f"min_{c}"),
                     F.col(mx).alias(f"max_{c}"),
                 ]

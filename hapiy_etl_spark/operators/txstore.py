@@ -77,6 +77,15 @@ def _meta_pair(a, b):
         return None
     if (isinstance(a, float) and a != a) or (isinstance(b, float) and b != b):
         return None
+    # int-vs-float pair beyond 2^53: Python compares exactly, but
+    # Spark's row filter COERCES bigint to double first — e.g. probe
+    # 2**53+1 vs recorded max float(2**53) is "no overlap" exactly yet
+    # the coerced filter would match rows. Not provably comparable →
+    # keep the dir (ADVICE r7).
+    if isinstance(a, int) != isinstance(b, int):
+        iv = a if isinstance(a, int) else b
+        if abs(iv) > 2**53:
+            return None
     return a, b
 
 
@@ -338,13 +347,14 @@ class TxTable:
         directly for the op-tagged I/U/D feed). Without ``keys`` a
         rewritten span raises immediately.
 
-        Keyed-fallback caveat: the row diff sees KEYS, so an appended
-        row whose key already existed with IDENTICAL values is
-        invisible to it (the fast path would have returned the physical
-        duplicate). For a downstream keyed upsert that duplicate is a
-        no-op either way; consumers that must count physical appends
-        exactly should treat ``keys=`` as valid only for key-unique
-        tables (merge-fed or checked_append-fed ones)."""
+        Keyed-fallback precondition (ENFORCED): the row diff sees KEYS,
+        so it is only defined when both snapshots are key-unique — an
+        appended physical duplicate would be invisible to it, and a
+        same-key-different-values duplicate makes the join ambiguous.
+        The fallback counts rows vs distinct keys on both snapshots and
+        raises on violation (merge-fed and checked_append-fed tables
+        always pass; plain-append tables with duplicate keys must use
+        table_diff or a snapshot resync)."""
         to_v = self.latest_version() if to_version is None else to_version
         to_dirs = self._manifest(to_v)["dirs"]
         if from_version == 0:
@@ -357,7 +367,27 @@ class TxTable:
             from hapiy_etl_spark.operators.upsert import table_diff
 
             new_snap = self.read(to_v)
-            diff = table_diff(self.read(from_version), new_snap, keys)
+            old_snap = self.read(from_version)
+            # the row diff resolves BY KEY, so it is only meaningful on
+            # key-unique snapshots: a physical duplicate (same key,
+            # identical values, appended by a plain append) is invisible
+            # to it, and a duplicate with DIFFERENT values makes the
+            # join ambiguous. Enforce the precondition instead of
+            # documenting it (ADVICE r7) — two tiny count jobs on this
+            # rare recovery path, never on the fast path.
+            for side, snap in (("old", old_snap), ("new", new_snap)):
+                tot = snap.count()
+                uniq = snap.select(*keys).distinct().count()
+                if tot != uniq:
+                    raise ValueError(
+                        f"keys={list(keys)} are not unique in the {side} "
+                        f"snapshot ({tot} rows, {uniq} distinct keys) — "
+                        "the keyed CDF fallback is only defined for "
+                        "key-unique tables (merge-fed or "
+                        "checked_append-fed); use table_diff directly or "
+                        "resync from a snapshot read"
+                    )
+            diff = table_diff(old_snap, new_snap, keys)
             mutated = diff.where(F.col("op") != "I")
             if mutated.limit(1).count():
                 raise ValueError(
@@ -544,6 +574,55 @@ class TxTable:
                     buf[i] |= ob[i]
             if ok:
                 out[col] = {**entry, "b64": base64.b64encode(bytes(buf)).decode("ascii")}
+        return out
+
+    def _merge_blooms(self, m: dict, touched: list[str], batch: DataFrame) -> dict:
+        """Blooms for a MERGE's rewritten dir. Every row of the merged
+        dir is either a touched-dir survivor (verbatim, key unmatched)
+        or a batch row (verbatim, upsert winner) — so
+        ``OR(touched blooms) | bloom(batch)`` is a valid superset bloom
+        for EVERY column, updates included. Without this a merge
+        silently dropped point-lookup pruning on exactly the tables
+        that merge most (VERDICT r7). Per column:
+
+        - touched dirs must ALL bloom it with identical geometry
+          (``_union_blooms``); when the merge pruned every dir away
+          (``touched == []``) the batch is the whole dir and geometry
+          is inherited from the newest parent dir blooming the column;
+        - a column absent from the batch (schema-evolution merge)
+          contributes only NULLs — the touched union alone covers it;
+        - a batch column whose type differs from the recorded bloom
+          type is not provably hash-consistent → no bloom (conservative,
+          never wrong)."""
+        import base64
+
+        all_blooms = m.get("blooms") or {}
+        if touched:
+            base = self._union_blooms(all_blooms, touched)
+        else:
+            base = {}
+            for d in m.get("dirs", []):  # later dirs overwrite: newest wins
+                for col, entry in (all_blooms.get(d) or {}).items():
+                    zero = base64.b64encode(
+                        bytes(int(entry["bits"]) // 8)
+                    ).decode("ascii")
+                    base[col] = {**entry, "b64": zero}
+        out: dict = {}
+        batch_cols = {f.name: f.dataType.simpleString() for f in batch.schema.fields}
+        for col, entry in base.items():
+            if col not in batch_cols:
+                out[col] = entry
+                continue
+            if batch_cols[col] != entry["type"]:
+                continue
+            bb = self._bloom_build(
+                batch, [col], int(entry["bits"]), int(entry["k"])
+            )[col]
+            a = bytearray(base64.b64decode(entry["b64"]))
+            b = base64.b64decode(bb["b64"])
+            for i in range(len(a)):
+                a[i] |= b[i]
+            out[col] = {**entry, "b64": base64.b64encode(bytes(a)).decode("ascii")}
         return out
 
     # Default Bloom geometry: 32768 bits (4 KB per column per dir in
@@ -740,14 +819,34 @@ class TxTable:
         bloom proves the key absent, so finding one document in a
         100 TB corpus touches ~one dir instead of all of them. A false
         positive costs an extra dir read, never a wrong answer; like
-        stats, blooms are computed from the written data."""
-        stats_entry = self._column_stats(df, stats_cols) if stats_cols else None
-        bloom_entry = (
-            self._bloom_build(df, bloom_cols, bloom_bits, bloom_k)
-            if bloom_cols
-            else None
-        )
+        stats, blooms are computed from the written data.
+
+        Stats and blooms are computed by READING BACK the committed
+        parquet files, not by re-executing ``df``: a non-deterministic
+        plan (sample, rand, unordered limit, task retry) evaluated once
+        for the write and again for the metadata could record bounds
+        that do not cover the written rows, and a later pruned read
+        would silently drop them (ADVICE r7). The read-back costs one
+        extra scan of the NEW dir only (page-cache warm), never of the
+        table — the same reason Delta derives file stats from written
+        footers."""
         d = self._write_data_dir(df)
+        stats_entry = bloom_entry = None
+        if stats_cols or bloom_cols:
+            try:
+                written = self.spark.read.parquet(str(self.path / "data" / d))
+                if stats_cols:
+                    stats_entry = self._column_stats(written, stats_cols)
+                if bloom_cols:
+                    bloom_entry = self._bloom_build(
+                        written, bloom_cols, bloom_bits, bloom_k
+                    )
+            except Exception:
+                # never-committed spool dir: remove it rather than leave
+                # an orphan for vacuum (e.g. bloom_cols on an unsupported
+                # type raises, which used to happen before the write)
+                shutil.rmtree(self.path / "data" / d, ignore_errors=True)
+                raise
         while True:
             parent = self.latest_version()
             if parent:
@@ -832,6 +931,20 @@ class TxTable:
                 "prune_col and allow_missing_columns are mutually exclusive — "
                 "a schema-evolution merge must rewrite the whole snapshot"
             )
+        v0 = self.latest_version()
+        if prune_col is not None or (
+            v0 and self._manifest(v0).get("blooms")
+        ):
+            # pin the batch before deriving metadata from it: the prune
+            # decision, the recorded bounds, and the batch-side bloom
+            # must describe the same rows the upsert writes, and a
+            # non-deterministic batch plan (sample, rand, task retry)
+            # re-evaluated by the write could contain keys outside a
+            # pre-computed range — leaving an unrewritten dir that
+            # actually held batch keys (ADVICE r7). The batch is the
+            # small side of a merge, so materializing it is cheap at
+            # any table size.
+            batch = batch.localCheckpoint(eager=True)
         batch_rng = (
             self._column_stats(batch, [prune_col])[prune_col]
             if prune_col is not None
@@ -869,6 +982,9 @@ class TxTable:
                 m, untouched
             )
             schemas[d] = merged.schema.jsonValue()
+            merged_bloom = self._merge_blooms(m, touched, batch)
+            if merged_bloom:
+                blooms[d] = merged_bloom
             if partition_by:
                 layouts[d] = list(partition_by)
             if prune_col is not None:

@@ -1033,7 +1033,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
@@ -1094,11 +1094,11 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            CAST(SUM(CAST(LENGTH(props) AS DECIMAL(28,4))) AS DOUBLE) AS sum_props_len,
-           ROUND(CAST(SUM(CAST(LENGTH(props) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 6) AS avg_props_len,
+           ROUND(CAST(SUM(CAST(LENGTH(props) AS DECIMAL(28,4))) AS DOUBLE) / COUNT(props), 6) AS avg_props_len,
            CAST(MIN(LENGTH(props)) AS BIGINT) AS min_props_len,
            CAST(MAX(LENGTH(props)) AS BIGINT) AS max_props_len,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS approx_distinct_day

@@ -361,7 +361,23 @@ def tx_append_once(
             # requires last_epoch to equal the new run's starting epoch
             # AND the old table to carry no run ids — and any non-first
             # batch from this run would have committed WITH a run id,
-            # leaving this branch. Accepted trade (ADVICE r6).
+            # leaving this branch. Accepted trade (ADVICE r6) — but an
+            # AUDITABLE one: the skip is logged loudly so an operator
+            # who reset a checkpoint against a pre-run-tracking table
+            # can spot the dropped batch instead of losing it silently
+            # (ADVICE r7).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "tx_append_once: skipping epoch %s at %s as a "
+                "crash-recovery re-delivery (table's last commit "
+                "predates run tracking). If this run is a RESET "
+                "checkpoint whose first batch legitimately landed on "
+                "the old epoch, this batch was dropped — re-deliver it "
+                "or migrate the table with one commit from this run.",
+                epoch_id,
+                path,
+            )
             return False
         elif run_id is not None and epoch_id < last_epoch:
             # A regression below the newest pre-run-tracking commit is

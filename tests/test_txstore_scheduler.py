@@ -1276,3 +1276,193 @@ def test_txstore_bloom_review_edges(spark, tmp_path):
     with pytest.raises(ValueError, match="blooms support"):
         t2.append(spark.createDataFrame([(1.5,)], "v double"),
                   bloom_cols=["v"])
+
+
+def test_txstore_append_metadata_bounds_written_rows(spark, tmp_path):
+    """ADVICE r7 (medium): stats/blooms must be computed from the
+    WRITTEN files, not a re-execution of the input plan. A
+    non-deterministic batch (unseeded rand keys) evaluated once for
+    the write and again for the metadata records bounds that miss the
+    committed rows; the read-back implementation cannot. Every written
+    key must fall inside the recorded range and probe positive against
+    the recorded bloom (no false negatives, ever)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    nondet = spark.range(500).select(
+        F.floor(F.rand() * 10_000_000).cast("long").alias("k")
+    )
+    t.append(nondet, stats_cols=["k"], bloom_cols=["k"])
+    m = t._manifest(t.latest_version())
+    (d,) = m["dirs"]
+    lo, hi = m["stats"][d]["k"]
+    written = sorted(r.k for r in t.read().collect())
+    assert lo == written[0] and hi == written[-1]
+    # bloom: every written key must be "maybe present" — a wrongly
+    # pruned read here is exactly the silent row loss the fix closes
+    for k in written[:5] + written[-5:]:
+        assert t.read(where={"k": int(k)}).count() >= 1
+
+
+def test_txstore_append_bad_bloom_col_leaves_no_orphan_dir(spark, tmp_path):
+    """Metadata is now derived after the write, so a rejected
+    bloom column must clean up its never-committed spool dir."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="blooms support"):
+        t.append(spark.createDataFrame([(1.5,)], "v double"), bloom_cols=["v"])
+    data_dirs = {p.name for p in (tmp_path / "t" / "data").iterdir()}
+    assert data_dirs == set(t._manifest(t.latest_version())["dirs"])
+
+
+def test_txstore_meta_cmp_huge_int_vs_float_conservative(spark, tmp_path):
+    """ADVICE r7 (low): Python compares int-vs-float exactly, Spark's
+    row filter coerces bigint to double — beyond 2^53 the verdicts can
+    disagree, so the pruner must declare the pair incomparable (keep
+    the dir) instead of pruning on exact arithmetic."""
+    from hapiy_etl_spark.operators.txstore import _meta_cmp, _meta_eq
+
+    assert _meta_cmp(2**53 + 1, float(2**53)) is None
+    assert _meta_cmp(float(2**53), 2**53 + 1) is None
+    assert _meta_eq(2**53 + 1, float(2**53 + 1)) is None
+    # inside the safe window exact mixed compares still prune
+    assert _meta_cmp(10, 9.5) is False
+    assert _meta_cmp(9.0, 10) is True
+
+    # integration: double stats, huge-int probe -> dir conservatively kept
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(float(2**53),)], "v double"), stats_cols=["v"]
+    )
+    df = t.read(where_range={"v": (2**53 + 1, None)})
+    assert len(dirs_read(df)) == 1  # kept, not pruned; row filter decides
+
+
+def test_txstore_changes_keyed_fallback_requires_unique_keys(spark, tmp_path):
+    """ADVICE r7 (low): the keyed CDF fallback is a row diff BY KEY —
+    on a table with duplicate keys it silently under-reports appends,
+    so the precondition is now enforced with a loud error."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (1, "a")], "k long, v string"))
+    v1 = t.latest_version()
+    t.optimize()  # rewrite: fast path off, keyed fallback engaged
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    with pytest.raises(ValueError, match="not unique"):
+        t.changes(v1, keys=["k"]).collect()
+
+
+def test_tx_append_pre_run_skip_warns(spark, tmp_path, caplog):
+    """ADVICE r7 (low): the pre-run-tracking same-epoch skip is an
+    accepted ambiguity — but it must be AUDITABLE, not silent."""
+    import logging
+
+    from hapiy_etl_spark.streaming.jobs import tx_append_once
+
+    store = str(tmp_path / "store")
+    b = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    assert tx_append_once(b([(1, "a")]), store, 0) is True  # legacy commit
+    with caplog.at_level(logging.WARNING, logger="hapiy_etl_spark.streaming.jobs"):
+        assert tx_append_once(b([(1, "a")]), store, 0, run_id="runA") is False
+    assert any("skipping epoch" in r.message for r in caplog.records)
+
+
+def test_txstore_merge_carries_bloom_partials(spark, tmp_path):
+    """VERDICT r7 task 5: blooms survive MERGE. The rewritten dir gets
+    OR(touched blooms) | bloom(batch) — every merged row is either a
+    touched survivor or a batch row, so the union is a superset bloom
+    for every column. Point lookups keep pruning after the upserts
+    that merge-heavy tables see most."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, i * 10) for i in range(100)], "k long, v long"),
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(5000, 5100)], "k long, v long"
+        ),
+        stats_cols=["k"], bloom_cols=["k"],
+    )
+    # pruned merge touching only the low dir
+    t.merge(
+        spark.createDataFrame([(5, -1), (120, -2)], "k long, v long"),
+        keys=["k"], prune_col="k",
+    )
+    m = t._manifest(t.latest_version())
+    rewritten = [d for d in m["dirs"] if d not in m.get("blooms", {})]
+    assert rewritten == []  # every dir blooms, including the merged one
+    # lookups: updated key, new key, untouched-dir key — all prune to 1 dir
+    for k, v in ((5, -1), (120, -2), (5050, 50500)):
+        df = t.read(where={"k": k})
+        assert [(r.k, r.v) for r in df.collect()] == [(k, v)]
+        assert len(dirs_read(df)) == 1
+
+    # fully-pruned merge (no overlap): batch-only dir inherits geometry
+    t.merge(
+        spark.createDataFrame([(9000, 1)], "k long, v long"),
+        keys=["k"], prune_col="k",
+    )
+    m2 = t._manifest(t.latest_version())
+    assert all(d in m2.get("blooms", {}) for d in m2["dirs"])
+    df = t.read(where={"k": 9000})
+    assert df.count() == 1 and len(dirs_read(df)) == 1
+
+
+def test_txstore_merge_bloom_schema_evolution_conservative(spark, tmp_path):
+    """A schema-evolution merge: a bloomed column missing from the
+    batch keeps the touched-union bloom (batch adds only NULLs); a
+    batch column with a DIFFERENT type than the recorded bloom records
+    no bloom at all (not provably hash-consistent)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"),
+        bloom_cols=["k", "v"],
+    )
+    t.merge(
+        spark.createDataFrame([("c",)], "k string"),
+        keys=["k"], allow_missing_columns=True,
+    )
+    m = t._manifest(t.latest_version())
+    (d,) = m["dirs"]
+    bl = m.get("blooms", {}).get(d, {})
+    assert set(bl) == {"k", "v"}  # v carried from touched union alone
+    for key in ("a", "b", "c"):
+        assert t.read(where={"k": key}).count() == 1
+
+
+def test_incremental_mv_avg_null_semantics(spark, tmp_path):
+    """ADVICE r7 (low): avg finalizes as sum / NON-NULL count (SQL AVG),
+    not sum / row count — and an all-NULL group yields NULL, consistent
+    with its min/max. Verified across an incremental refresh so the
+    per-column count partial provably merges."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"), ["g"], value_cols=["v"]
+    )
+    schema = "g string, v double"
+    src.append(spark.createDataFrame([("a", 10.0), ("a", None), ("n", None)], schema))
+    assert mv.refresh()["mode"] == "full"
+    src.append(spark.createDataFrame([("a", 20.0), ("n", None)], schema))
+    assert mv.refresh()["mode"] == "incremental"
+    got = {r.g: (r.n, r.avg_v, r.sum_v) for r in mv.result().collect()}
+    assert got["a"] == (3, 15.0, 30.0)  # avg over the 2 non-null values
+    assert got["n"] == (2, None, None)  # all-NULL group: NULL, no div-by-0
+
+
+def test_incremental_mv_legacy_partial_schema_full_rebuild(spark, tmp_path):
+    """A view materialized by an engine WITHOUT the per-column non-null
+    count partials triggers a full rebuild on its next refresh instead
+    of a broken (or silently wrong) partial union."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(spark, src, str(tmp_path / "mv"), ["g"], "v")
+    src.append(spark.createDataFrame([("a", 1.0)], "g string, v double"))
+    mv.refresh()
+    # simulate the pre-cnt engine: strip the count partial, keep meta
+    meta = mv.view._manifest(mv.view.latest_version())["meta"]
+    mv.view.overwrite(mv.view.read().drop("cnt_v"), meta=meta)
+    src.append(spark.createDataFrame([("a", 3.0)], "g string, v double"))
+    assert mv.refresh()["mode"] == "full"
+    (row,) = mv.result().collect()
+    assert (row.g, row.n, row.avg_value) == ("a", 2, 2.0)
