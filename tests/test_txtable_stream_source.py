@@ -141,19 +141,75 @@ def test_txtable_change_stream_snapshot_then_stream_handoff(spark, tmp_path):
     assert got == [(2, "b")]  # only post-snapshot appends, no overlap
 
 
-def test_txtable_change_stream_rejects_partitioned_dirs(spark, tmp_path):
-    """A Hive-partitioned dir keeps its partition columns in directory
-    names — a flat file read would silently drop them (and find no
-    files). The stream refuses instead of emitting nothing."""
+def test_txtable_change_stream_partitioned_dirs(spark, tmp_path):
+    """VERDICT r7 task 4: Hive-partitioned dirs stream. Partition
+    values are parsed from subdirectory names and injected typed per
+    the dir's PINNED written schema — a string repo '012' stays a
+    string (no re-inference), a numeric partition column comes back
+    numeric. This is the daemon's merge(partition_by=...) state table
+    composed with the change stream: the bootstrap batch (span from
+    v0) delivers the partitioned snapshot, later flat appends stream
+    incrementally."""
     register(spark)
     path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
     t = TxTable(spark, path)
     t.merge(
-        spark.createDataFrame([("a", 1)], "repo string, n long"),
+        spark.createDataFrame(
+            [("012", 7, 1), ("beta", 9, 2)], "repo string, bucket long, n long"
+        ),
         keys=["repo"],
-        partition_by=["repo"],
+        partition_by=["repo", "bucket"],
     )
-    from pyspark.errors.exceptions.captured import StreamingQueryException
+    got = _drain(spark, path, ckpt)
+    assert got == [("012", 7, 1), ("beta", 9, 2)]  # types + values pinned
+    # flat append after the partitioned snapshot streams incrementally
+    t.append(
+        spark.createDataFrame([("c", 1, 3)], "repo string, bucket long, n long")
+    )
+    assert _drain(spark, path, ckpt) == [("c", 1, 3)]
 
-    with pytest.raises(StreamingQueryException, match="Hive-partitioned"):
-        _drain(spark, path, ckpt)
+
+def test_txtable_change_stream_max_versions_per_trigger(spark, tmp_path):
+    """VERDICT r7 task 3: admission control. A consumer restarting
+    behind a 6-version backlog with maxVersionsPerTrigger=2 drains in
+    3 bounded micro-batches — each delivering exactly its 2-version
+    slice, exactly-once, restart-safe — instead of one giant catch-up
+    batch."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(0, "seed")], "k long, v string"))
+
+    def drain_paced():
+        batches = []
+        q = (
+            spark.readStream.format("txtable_changes")
+            .option("path", path)
+            .option("maxVersionsPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, eid: batches.append(sorted(map(tuple, df.collect())))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [b for b in batches if b]
+
+    assert drain_paced() == [[(0, "seed")]]
+    for i in range(1, 7):  # 6-version backlog while the consumer is down
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k long, v string"))
+
+    slices = []
+    while True:
+        got = drain_paced()
+        if not got:
+            break
+        slices.extend(got)
+    # 3 non-empty drains, each a 2-version slice, nothing re-delivered
+    assert slices == [
+        [(1, "v1"), (2, "v2")],
+        [(3, "v3"), (4, "v4")],
+        [(5, "v5"), (6, "v6")],
+    ]
