@@ -62,56 +62,56 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # events_equidepth/funnel) front-loaded, then the freshest-needed
 # backfill — this closes the post-regeneration evidence rotation.
 PRIORITY: tuple[str, ...] = (
-    "incremental_mv_multi",
-    "stats_pruned_time_slice",
-    "incremental_mv_quantiles",
-    "merge_pruned_upsert",
-    "bloom_point_lookup",
-    "events_equidepth_histogram",
-    "events_funnel_multistep",
-    "graph_pagerank_trade",
-    "join_skew_salted",
-    "maintenance_zorder_key",
-    "subq_lateral_topn",
-    "text_fingerprint",
-    "text_sequence_pack",
-    "dedup_cluster_assign",
-    "text_bigram_logprob",
-    "text_bm25_search",
-    "text_bm25_query_table",
-    "dedup_incremental_batch",
-    "text_decontamination",
-    "dedup_exact_substring",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q18_large_volume_customers",
-    "q21_sole_returning_supplier",
-    "q4_order_priority_checking",
-    "q10_returned_item_reporting",
-    "q2_min_cost_supplier",
-    "q8_national_market_share",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion_suppliers",
-    "fn_variant",
-    "window_time_range_frame",
-    "agg_bitmap_distinct",
-    "agg_listagg_disc",
-    "agg_winsorized_stats",
-    "incremental_agg_merge",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_join_events",
-    "watermark_read",
-    "incremental_since",
-    "resample_ffill",
-    "sort_null_ordering",
-    "upsert_merge",
-    "events_frequent_users",
-    "events_redact_props",
+    "events_rolling_distinct_users",
+    "asof_forward_tolerance",
+    "interval_union_coverage",
+    "events_daily_anomaly",
+    "events_dau_mau_stickiness",
+    "graph_triangle_count",
+    "graph_reachability_bfs",
+    "basket_pair_lift",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "join_null_safe",
+    "scd2_point_in_time",
+    "subq_scalar_above_avg",
+    "subq_not_in_anti",
+    "text_repetition_filter",
+    "corpus_mix_sample",
+    "text_chunk_overlap",
+    "corpus_lang_quota",
+    "doc_tfidf_topterms",
+    "corpus_weighted_sample",
+    "text_cdc_chunking",
+    "corpus_split_leakfree",
+    "text_segment_dedup",
+    "corpus_mix_temperature",
+    "doc_novelty_score",
+    "q22_dormant_rich_customers",
+    "sales_yoy_growth",
+    "customer_rfm_segmentation",
+    "revenue_pareto_curve",
+    "supplier_lead_time",
+    "customer_order_cadence",
+    "timeseries_ewma",
+    "semdedup_assign",
+    "embedding_quantize_int8",
+    "agg_collect",
+    "events_funnel_conversion",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_predicate_algebra",
+    "join_semi_anti",
+    "join_outer_coalesce",
+    "join_full_outer",
+    "q2_min_cost_per_group",
+    "topk_per_group",
+    "set_operations",
+    "theta_range_join",
+    "cross_join_dims",
+    "fn_string",
 )
 
 
