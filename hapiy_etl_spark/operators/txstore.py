@@ -576,6 +576,59 @@ class TxTable:
                 out[col] = {**entry, "b64": base64.b64encode(bytes(buf)).decode("ascii")}
         return out
 
+    def _merge_stats(self, m: dict, touched: list[str], batch: DataFrame) -> dict:
+        """[min, max] stats for a MERGE's rewritten dir, every recorded
+        column — same containment argument as :meth:`_merge_blooms`:
+        merged rows ⊆ touched rows ∪ batch rows, so
+        ``union(touched ranges) ∪ batch range`` bounds the dir (possibly
+        wider than actual — conservative, never wrong). Previously only
+        ``prune_col`` survived a merge and every other column's range
+        pruning silently degraded on exactly the tables that merge
+        most. Rules per column:
+
+        - touched dirs must ALL record it (``_union_stats``; a missing
+          dir makes the true range unknowable → nothing recorded);
+        - an unusable carried or batch range ([None, None] — NaN bound,
+          non-JSON type, all-NULL batch column) records [None, None]
+          (readers keep the dir);
+        - a column absent from the batch contributes only NULLs — the
+          touched union alone bounds it;
+        - cross-type min/max (str vs number) collapses to
+          [None, None]."""
+        all_stats = m.get("stats") or {}
+        if touched:
+            base: dict = self._union_stats(all_stats, touched)
+            if not base:
+                return {}
+        else:
+            # fully-pruned merge: the batch is the whole dir; bound the
+            # columns the parent snapshot records anywhere
+            cols: set = set()
+            for d in m.get("dirs", []):
+                cols |= set(all_stats.get(d) or {})
+            base = {c: None for c in cols}
+        batch_cols = set(batch.columns)
+        want = [c for c in base if c in batch_cols]
+        bstats = self._column_stats(batch, want) if want else {}
+        out: dict = {}
+        for c, rng in base.items():
+            if c not in batch_cols:
+                if rng is not None:
+                    out[c] = rng
+                continue
+            brng = bstats.get(c, [None, None])
+            if rng is None:
+                out[c] = brng
+                continue
+            if rng[0] is None or brng[0] is None:
+                out[c] = [None, None]
+                continue
+            try:
+                out[c] = [min(rng[0], brng[0]), max(rng[1], brng[1])]
+            except TypeError:
+                out[c] = [None, None]
+        return out
+
     def _merge_blooms(self, m: dict, touched: list[str], batch: DataFrame) -> dict:
         """Blooms for a MERGE's rewritten dir. Every row of the merged
         dir is either a touched-dir survivor (verbatim, key unmatched)
@@ -933,7 +986,11 @@ class TxTable:
             )
         v0 = self.latest_version()
         if prune_col is not None or (
-            v0 and self._manifest(v0).get("blooms")
+            v0
+            and (
+                self._manifest(v0).get("blooms")
+                or self._manifest(v0).get("stats")
+            )
         ):
             # pin the batch before deriving metadata from it: the prune
             # decision, the recorded bounds, and the batch-side bloom
@@ -987,28 +1044,15 @@ class TxTable:
                 blooms[d] = merged_bloom
             if partition_by:
                 layouts[d] = list(partition_by)
-            if prune_col is not None:
-                # the rewritten dir holds touched survivors + the batch:
-                # union-bounds over both keep the key's stats usable.
-                # If any touched dir's range is missing OR recorded-
-                # unusable ([None, None] — e.g. a NaN bound), the
-                # rewritten dir's true range is UNKNOWN and nothing is
-                # recorded: stamping batch-only bounds would understate
-                # it and later pruned reads would silently drop the
-                # carried-over rows (review r7).
-                shared = self._union_stats(m.get("stats") or {}, touched)
-                rng = shared.get(prune_col)
-                if touched and (rng is None or rng[0] is None):
-                    pass  # unknown range: leave unrecorded
-                else:
-                    lo, hi = batch_rng
-                    if rng and rng[0] is not None:
-                        try:
-                            lo, hi = min(lo, rng[0]), max(hi, rng[1])
-                        except TypeError:
-                            lo = hi = None
-                    if lo is not None:
-                        stats_map[d] = {prune_col: [lo, hi]}
+            # the rewritten dir holds touched survivors + the batch:
+            # union-bounds over both keep EVERY recorded column's stats
+            # usable (not just prune_col — r8; see _merge_stats for the
+            # conservatism rules, which preserve the r7 review semantics
+            # of never stamping batch-only bounds over an unknown
+            # carried range).
+            merged_stats = self._merge_stats(m, touched, batch)
+            if merged_stats:
+                stats_map[d] = merged_stats
             try:
                 return self._commit(
                     parent,

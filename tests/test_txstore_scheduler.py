@@ -1060,7 +1060,9 @@ def test_txstore_merge_pruning_review_edges(spark, tmp_path):
     )
     m = t._manifest(t.latest_version())
     (d,) = m["dirs"]
-    assert "stats" not in m or m.get("stats", {}).get(d, {}).get("k") is None
+    # unknown true range: either unrecorded or recorded-unusable
+    # ([None, None]) — both keep the dir; batch-only bounds would not
+    assert m.get("stats", {}).get(d, {}).get("k") in (None, [None, None])
     assert t.read(where={"k": 2.0}).count() == 1  # no silent loss
 
     # tz-aware bound: same result as the naive UTC equivalent, no crash
@@ -1466,3 +1468,40 @@ def test_incremental_mv_legacy_partial_schema_full_rebuild(spark, tmp_path):
     assert mv.refresh()["mode"] == "full"
     (row,) = mv.result().collect()
     assert (row.g, row.n, row.avg_value) == ("a", 2, 2.0)
+
+
+def test_txstore_merge_carries_all_column_stats(spark, tmp_path):
+    """r8: a merge's rewritten dir keeps [min, max] for EVERY recorded
+    column (union of touched ranges ∪ batch range), not just prune_col
+    — so range-pruned reads on secondary columns (time slices over a
+    key-merged table) survive upserts. Bounds may be wider than actual
+    (conservative) but never miss a row."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, 1000 + i) for i in range(50)], "k long, ts long"
+        ),
+        stats_cols=["k", "ts"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(5000 + i, 9000 + i) for i in range(50)], "k long, ts long"
+        ),
+        stats_cols=["k", "ts"],
+    )
+    t.merge(
+        spark.createDataFrame([(5, 1205), (60, 1260)], "k long, ts long"),
+        keys=["k"],
+        prune_col="k",
+    )
+    m = t._manifest(t.latest_version())
+    stats = m.get("stats", {})
+    assert all(set(stats.get(d, {})) == {"k", "ts"} for d in m["dirs"])
+    # rewritten (low) dir: union bounds cover survivors AND batch
+    rw = [d for d in m["dirs"] if stats[d]["ts"][0] <= 1000][0]
+    assert stats[rw]["k"] == [0, 60] and stats[rw]["ts"] == [1000, 1260]
+    # a ts-slice read prunes the untouched high dir after the merge
+    df = t.read(where_range={"ts": (1200, 1300)})
+    assert df.count() == 2 and len(dirs_read(df)) == 1
+    # and every row is still reachable (bounds never under-cover)
+    assert t.read(where_range={"ts": (9000, 9049)}).count() == 50
