@@ -2072,3 +2072,101 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         frames.append(df)
     return frames[0].unionByName(frames[1]).orderBy("doc_id")
+
+
+@register(
+    "bloom_merge_lookup",
+    oracle="""
+    WITH lo1 AS (SELECT MIN(doc_id) AS v FROM documents),
+         lo2 AS (SELECT MIN(doc_id) AS v FROM documents
+                 WHERE doc_id > (SELECT v FROM lo1)),
+         hi1 AS (SELECT MAX(doc_id) AS v FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN doc_id IN ((SELECT v FROM lo1), (SELECT v FROM lo2))
+                THEN 'merged' ELSE source END AS source,
+           n_chars
+    FROM documents
+    WHERE doc_id IN ((SELECT v FROM lo1), (SELECT v FROM lo2),
+                     (SELECT v FROM hi1))
+    ORDER BY doc_id
+    """,
+    doc="Bloom pruning SURVIVES MERGE (operators/txstore.py "
+    "_merge_blooms, r8): documents land as three RANGE-disjoint "
+    "appends each recording doc_id stats + a corpus-sized Bloom "
+    "filter; an upsert then rewrites only the low dir (prune_col key "
+    "range), updating the two smallest doc_ids — and the rewritten "
+    "dir gets OR(touched bloom) | bloom(batch), so point lookups "
+    "still consult a valid bloom on every dir. The query asserts the "
+    "merge carried the two high dirs untouched, that every post-merge "
+    "dir records a bloom, and that each of three lookups (both "
+    "updated keys and an untouched far key) reads fewer dirs than "
+    "exist. Before r8 a merge dropped the rewritten dir's bloom and "
+    "point lookups degraded to scanning it forever — exactly the "
+    "upsert-heavy tables that need pruning most at 100 TB.",
+)
+def bloom_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window as W
+
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "lang", "source", "n_chars")
+    keys = [
+        int(r.doc_id)
+        for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    hi = int(docs.agg(F.max("doc_id")).collect()[0][0])
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_bloomm_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    # RANGE-disjoint thirds (row_number over doc_id): the merge batch's
+    # key range then overlaps exactly one dir and the prune carries the
+    # other two forward — the shape a time-ordered 100 TB ingest has
+    n_docs = docs.count()
+    bits = 1 << max(15, (n_docs * 20 // 3).bit_length())
+    w = W.orderBy("doc_id")
+    thirds = docs.withColumn(
+        "b", ((F.row_number().over(w) - 1) * 3 / F.lit(n_docs)).cast("int")
+    )
+    for i in range(3):
+        src.append(
+            thirds.where(F.col("b") == i).drop("b"),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+            bloom_bits=bits,
+        )
+    pre_dirs = src._manifest(src.latest_version())["dirs"]
+    batch = docs.where(F.col("doc_id").isin(keys)).withColumn(
+        "source", F.lit("merged")
+    )
+    src.merge(batch, keys=["doc_id"], prune_col="doc_id")
+    m = src._manifest(src.latest_version())
+    carried = [d for d in m["dirs"] if d in set(pre_dirs)]
+    if len(carried) != 2:  # pragma: no cover - invariant guard
+        raise AssertionError(f"merge carried {len(carried)} of 3 dirs")
+    missing = [d for d in m["dirs"] if "doc_id" not in m.get("blooms", {}).get(d, {})]
+    if missing:  # pragma: no cover - invariant guard
+        raise AssertionError(f"dirs without post-merge blooms: {missing}")
+
+    frames = []
+    n_dirs = len(m["dirs"])
+    for key in (*keys, hi):
+        df = src.read(where={"doc_id": key})
+        touched = dirs_read(df)
+        if not (len(touched) < n_dirs):  # pragma: no cover
+            raise AssertionError(
+                f"post-merge bloom lookup read {len(touched)}/{n_dirs} dirs"
+            )
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("doc_id")

@@ -62,6 +62,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # events_equidepth/funnel) front-loaded, then the freshest-needed
 # backfill — this closes the post-regeneration evidence rotation.
 PRIORITY: tuple[str, ...] = (
+    "bloom_merge_lookup",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "set_operations",
     "theta_range_join",
     "cross_join_dims",
-    "fn_string",
 )
 
 
