@@ -44,6 +44,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hapiy_etl_spark.operators.sketches import (
+    kll_merge_agg,
+    kll_quantile,
+    kll_sketch,
     kmv_estimate,
     kmv_sketch,
     loghist_merge_agg,
@@ -89,9 +92,15 @@ class IncrementalAggView:
         kmv_k: int = 512,
         histogram_col: str | None = None,
         quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+        rank_sketch: str = "loghist",
+        kll_k: int = 2048,
     ):
         if (value_col is None) == (value_cols is None):
             raise ValueError("pass exactly one of value_col / value_cols")
+        if rank_sketch not in ("loghist", "kll"):
+            raise ValueError(
+                f"rank_sketch must be 'loghist' or 'kll', got {rank_sketch!r}"
+            )
         self.spark = spark
         self.source = source
         self.view = TxTable(spark, view_path)
@@ -104,6 +113,12 @@ class IncrementalAggView:
         self.kmv_k = kmv_k
         self.histogram_col = histogram_col
         self.quantiles = list(quantiles)
+        # quantile-panel sketch: "loghist" (bounded RELATIVE error,
+        # exact element-wise merge — the default) or "kll" (bounded
+        # RANK error; exact while a group holds ≤ kll_k values, so
+        # narrow-range distributions resolve beyond a 1.33x log bucket)
+        self.rank_sketch = rank_sketch
+        self.kll_k = kll_k
 
     def _names(self, c: str) -> tuple[str, str, str, str]:
         if self.legacy:
@@ -137,14 +152,16 @@ class IncrementalAggView:
             ).withColumnRenamed("sketch", "kmv")
             parts = parts.join(sk, self.group_cols, "left")
         if self.histogram_col:
-            # DDSketch-style log-histogram partial: merges EXACTLY
-            # (element-wise integer sums), so quantile panels roll up
-            # incrementally like the other partials
-            parts = parts.join(
-                loghist_sketch(df, self.group_cols, self.histogram_col),
-                self.group_cols,
-                "left",
+            # rank-sketch partial for the quantile panel — loghist
+            # merges EXACTLY (element-wise integer sums); kll merges
+            # exactly while within capacity, with bounded rank error
+            # above (operators/sketches.py)
+            sk = (
+                kll_sketch(df, self.group_cols, self.histogram_col, self.kll_k)
+                if self.rank_sketch == "kll"
+                else loghist_sketch(df, self.group_cols, self.histogram_col)
             )
+            parts = parts.join(sk, self.group_cols, "left")
         return parts
 
     def _merge_partials(self, parts: DataFrame) -> DataFrame:
@@ -179,9 +196,19 @@ class IncrementalAggView:
                     self.kmv_k,
                 ).alias("kmv")
             )
-        if self.histogram_col:
+        if self.histogram_col and self.rank_sketch != "kll":
             aggs.append(loghist_merge_agg("loghist").alias("loghist"))
-        return parts.groupBy(*self.group_cols).agg(*aggs)
+        merged = parts.groupBy(*self.group_cols).agg(*aggs)
+        if self.histogram_col and self.rank_sketch == "kll":
+            # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM
+            # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT);
+            # the kll merge runs as its own tiny aggregation over the
+            # per-batch partial rows and joins back by group
+            kll_m = parts.groupBy(*self.group_cols).agg(
+                kll_merge_agg("kllrank", self.kll_k).alias("kllrank")
+            )
+            merged = merged.join(kll_m, self.group_cols, "left")
+        return merged
 
     def _partial_cols(self) -> set[str]:
         """The column set the CURRENT engine's partials carry — compared
@@ -195,7 +222,7 @@ class IncrementalAggView:
         if self.distinct_col:
             cols.add("kmv")
         if self.histogram_col:
-            cols.add("loghist")
+            cols.add("kllrank" if self.rank_sketch == "kll" else "loghist")
         return cols
 
     # -- refresh cursor -----------------------------------------------------
@@ -303,9 +330,10 @@ class IncrementalAggView:
         if self.histogram_col:
             for q in self.quantiles:
                 label = f"p{int(q * 100)}" if (q * 100).is_integer() else f"p{q}"
-                cols.append(
-                    loghist_quantile(F.col("loghist"), q).alias(
-                        f"approx_{label}_{self.histogram_col}"
-                    )
+                est = (
+                    kll_quantile(F.col("kllrank"), q)
+                    if self.rank_sketch == "kll"
+                    else loghist_quantile(F.col("loghist"), q)
                 )
+                cols.append(est.alias(f"approx_{label}_{self.histogram_col}"))
         return p.select(*cols)

@@ -203,3 +203,159 @@ def loghist_quantile(col: Column, q: float) -> Column:
         return pd.Series([_loghist_quantile_py(h, q) for h in hists])
 
     return pandas_udf(_q, DoubleType())(col)
+
+
+# -- mergeable rank sketch (KLL family, deterministic MRL compaction) ------
+#
+# The finer-precision opt-in next to the log-histogram: the loghist's
+# error is RELATIVE (one log-bucket, ~1.33x) regardless of n; this
+# sketch bounds RANK error instead — exact while a group holds ≤ k
+# values, O(log(n/k)/k) rank error above — so quantiles of
+# narrow-range distributions (latencies clustered around one value)
+# resolve far better than a 1.33x bucket can. Design:
+#
+# - levels of sorted buffers; items at level i carry weight 2^i
+#   (Karnin-Lang-Liberty's structure with the DETERMINISTIC
+#   Munro-Paterson/MRL compactor: a full level sorts, keeps every
+#   other element starting at a per-level parity bit that FLIPS each
+#   compaction — no randomness, so sketches, merges, and the oracle
+#   twin are bit-reproducible);
+# - merge = element-wise buffer concatenation, then the same
+#   compaction rule: while every level stays within capacity the merge
+#   is EXACT (the union multiset, weights preserved) — the algebraic
+#   partial contract incremental_mv.py needs;
+# - serialized as a JSON string column ({"k", "levels", "parity"}),
+#   built and merged by Arrow-vectorized GROUPED_AGG pandas UDFs (one
+#   python call per group, never per row).
+
+import json as _json
+
+
+def _kll_new(k: int) -> dict:
+    return {"k": int(k), "levels": [[]], "parity": [0]}
+
+
+def _kll_compress(s: dict) -> dict:
+    k = s["k"]
+    i = 0
+    while i < len(s["levels"]):
+        buf = s["levels"][i]
+        if len(buf) <= k:
+            i += 1
+            continue
+        buf.sort()
+        p = s["parity"][i]
+        keep = buf[p::2]
+        s["parity"][i] = p ^ 1
+        s["levels"][i] = []
+        if i + 1 == len(s["levels"]):
+            s["levels"].append([])
+            s["parity"].append(0)
+        s["levels"][i + 1].extend(keep)
+        i += 1
+    return s
+
+
+def _kll_insert_many(s: dict, values) -> dict:
+    s["levels"][0].extend(float(v) for v in values)
+    return _kll_compress(s)
+
+
+def _kll_merge_py(a: dict, b: dict) -> dict:
+    if a["k"] != b["k"]:
+        raise ValueError(f"cannot merge rank sketches with k={a['k']} vs {b['k']}")
+    out = {"k": a["k"], "levels": [], "parity": []}
+    for i in range(max(len(a["levels"]), len(b["levels"]))):
+        la = a["levels"][i] if i < len(a["levels"]) else []
+        lb = b["levels"][i] if i < len(b["levels"]) else []
+        out["levels"].append(list(la) + list(lb))
+        pa = a["parity"][i] if i < len(a["parity"]) else 0
+        pb = b["parity"][i] if i < len(b["parity"]) else 0
+        out["parity"].append(pa ^ pb)
+    return _kll_compress(out)
+
+
+def _kll_quantile_py(s: dict | None, q: float):
+    """Rank-q value (PERCENTILE_DISC semantics: the smallest value whose
+    cumulative weight reaches ceil(q * W)) over the weighted items —
+    the exact order statistic while the sketch never compacted."""
+    import math
+
+    if s is None:
+        return None
+    items = [
+        (v, 1 << lvl)
+        for lvl, buf in enumerate(s["levels"])
+        for v in buf
+    ]
+    if not items:
+        return None
+    items.sort(key=lambda t: t[0])
+    total = sum(w for _, w in items)
+    target = max(1, math.ceil(total * q))
+    cum = 0
+    for v, w in items:
+        cum += w
+        if cum >= target:
+            return v
+    return items[-1][0]
+
+
+def kll_partial_agg(value_col: str, k: int = 2048) -> Column:
+    """GROUPED_AGG: a group's values → serialized rank sketch. NULLs
+    are excluded (SQL aggregate convention, matching the loghist)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _build(v):
+        s = _kll_new(k)
+        _kll_insert_many(s, v.dropna().astype(float))
+        return _json.dumps(s)
+
+    # explicit GROUPED_AGG: the type-hint inference path does not
+    # accept Series -> str signatures
+    return pandas_udf(_build, "string", PandasUDFType.GROUPED_AGG)(
+        F.col(value_col)
+    )
+
+
+def kll_merge_agg(col: str = "kllrank", k: int = 2048) -> Column:
+    """GROUPED_AGG: merge a group's serialized sketches — exact
+    (the union multiset) while no level overflows."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _merge(v):
+        acc = _kll_new(k)
+        for blob in v.dropna():
+            acc = _kll_merge_py(acc, _json.loads(blob))
+        return _json.dumps(acc)
+
+    return pandas_udf(_merge, "string", PandasUDFType.GROUPED_AGG)(F.col(col))
+
+
+def kll_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 2048
+) -> DataFrame:
+    """One rank sketch per group as ``kllrank`` string — the
+    join-shaped builder incremental_mv.py composes with its other
+    partials (same contract as loghist_sketch)."""
+    return df.groupBy(*group_cols).agg(
+        kll_partial_agg(value_col, k).alias("kllrank")
+    )
+
+
+def kll_quantile(col: Column, q: float) -> Column:
+    """Quantile finalizer (vectorized; runs only over final per-group
+    rows, like loghist_quantile)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _q(blobs):
+        return pd.Series(
+            [
+                None if b is None else _kll_quantile_py(_json.loads(b), q)
+                for b in blobs
+            ]
+        )
+
+    return pandas_udf(_q, DoubleType())(col)

@@ -63,6 +63,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # backfill — this closes the post-regeneration evidence rotation.
 PRIORITY: tuple[str, ...] = (
     "bloom_merge_lookup",
+    "incremental_mv_kll_quantiles",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "topk_per_group",
     "set_operations",
     "theta_range_join",
-    "cross_join_dims",
 )
 
 

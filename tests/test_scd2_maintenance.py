@@ -376,3 +376,131 @@ def test_incremental_mv_histogram_refresh_equals_recompute(spark, tmp_path):
     assert 500 / rel <= row.approx_p50_v <= 500 * rel
     assert 950 / rel <= row.approx_p95_v <= 950 * rel
     assert row.n == 1000 and row.min_v == 1.0 and row.max_v == 1000.0
+
+
+def test_kll_sketch_exact_regime_merge_and_error_bound(spark):
+    """KLL-family rank sketch (operators/sketches.py, r8): (1) within
+    capacity the sketch is EXACT — quantiles are order statistics and
+    a merge is the union multiset; (2) above capacity the deterministic
+    MRL compactor keeps empirical rank error well-bounded; (3) the
+    whole pipeline is deterministic — same input, same serialized
+    sketch, bit-for-bit."""
+    import json
+    import random
+
+    from hapiy_etl_spark.operators.sketches import (
+        _kll_insert_many,
+        _kll_merge_py,
+        _kll_new,
+        _kll_quantile_py,
+        kll_merge_agg,
+        kll_quantile,
+        kll_sketch,
+    )
+
+    # (1) exact regime, python kernels: merge == union, disc quantiles
+    a, b = _kll_new(128), _kll_new(128)
+    _kll_insert_many(a, range(40))
+    _kll_insert_many(b, range(40, 100))
+    m = _kll_merge_py(a, b)
+    assert sorted(m["levels"][0]) == [float(i) for i in range(100)]
+    assert _kll_quantile_py(m, 0.5) == 49.0
+    assert _kll_quantile_py(m, 0.01) == 0.0
+    assert _kll_quantile_py(m, 1.0) == 99.0
+
+    # (2) compaction regime: 40k values, k=256 -> rank error < 2%
+    rng = random.Random(11)
+    vals = [rng.gauss(100.0, 15.0) for _ in range(40000)]
+    s = _kll_new(256)
+    for i in range(0, len(vals), 5000):
+        _kll_insert_many(s, vals[i : i + 5000])
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = _kll_quantile_py(s, q)
+        rank = sum(1 for v in vals if v <= est) / len(vals)
+        assert abs(rank - q) < 0.02, (q, rank)
+
+    # (3) Spark path: per-group sketch -> merge agg -> quantile, exact
+    # and deterministic across two runs
+    rows = [("g", float(v)) for v in range(1, 201)] + [("h", 5.0), ("h", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    halves = df.withColumn("b", (F.col("v") % 2).cast("int"))
+    parts = [
+        kll_sketch(halves.where(F.col("b") == i).drop("b"), ["g"], "v", k=512)
+        for i in range(2)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("g")
+        .agg(kll_merge_agg("kllrank", 512).alias("kllrank"))
+    )
+    out1 = {
+        r.g: (r.p50, r.blob)
+        for r in merged.select(
+            "g",
+            kll_quantile(F.col("kllrank"), 0.5).alias("p50"),
+            F.col("kllrank").alias("blob"),
+        ).collect()
+    }
+    assert out1["g"][0] == 100.0  # ceil(0.5*200) = rank 100
+    assert out1["h"][0] == 5.0
+    out2 = {
+        r.g: (r.p50, r.blob)
+        for r in merged.select(
+            "g",
+            kll_quantile(F.col("kllrank"), 0.5).alias("p50"),
+            F.col("kllrank").alias("blob"),
+        ).collect()
+    }
+    assert out1 == out2  # deterministic serialization end-to-end
+    assert json.loads(out1["g"][1])["k"] == 512
+
+
+def test_incremental_mv_kll_refresh_equals_recompute(spark, tmp_path):
+    """The KLL panel as an incremental-MV partial: refresh-by-parts
+    equals a from-scratch recompute in the exact regime — the merge is
+    the union multiset, so the quantiles are identical, not merely
+    close."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(1000 + i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    src = TxTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "mv"),
+        ["g"],
+        value_cols=["v"],
+        histogram_col="v",
+        quantiles=(0.5, 0.9),
+        rank_sketch="kll",
+        kll_k=1024,
+    )
+    thirds = df.withColumn("b", (F.xxhash64("v") % 3).cast("int"))
+    for i in range(3):
+        src.append(thirds.where(F.pmod("b", F.lit(3)) == i).drop("b"))
+        mv.refresh()
+
+    src2 = TxTable(spark, str(tmp_path / "src2"))
+    src2.append(df)
+    mv2 = IncrementalAggView(
+        spark,
+        src2,
+        str(tmp_path / "mv2"),
+        ["g"],
+        value_cols=["v"],
+        histogram_col="v",
+        quantiles=(0.5, 0.9),
+        rank_sketch="kll",
+        kll_k=1024,
+    )
+    mv2.refresh()
+    cols = ["g", "n", "approx_p50_v", "approx_p90_v"]
+    got = sorted(map(tuple, mv.result().select(*cols).collect()))
+    want = sorted(map(tuple, mv2.result().select(*cols).collect()))
+    assert got == want
+    assert got[0][2] == 49.0  # exact order statistic, not an estimate
