@@ -184,6 +184,7 @@ class TxTable:
         merge_schema: bool = False,
         where: dict | None = None,
         where_range: dict | None = None,
+        where_in: dict | None = None,
     ) -> DataFrame:
         """Resolve a snapshot. ``merge_schema=True`` unions the schemas
         of a multi-dir snapshot (appends may evolve the schema — added
@@ -207,47 +208,85 @@ class TxTable:
         for an open end), then re-applies the range row-level — the
         metadata half of time-travel-free time-slicing: an
         append-mostly event table whose batches arrive roughly in time
-        order prunes to the handful of dirs overlapping the window."""
+        order prunes to the handful of dirs overlapping the window.
+
+        ``where_in={"col": [v1, v2, ...]}`` is the BATCH point lookup:
+        a dir is kept when ANY of the values might be present (spec /
+        stats / bloom checks per value), and ``col IN (...)`` is
+        re-applied row-level. All bloom probes — every (column, value,
+        recorded geometry) combination across ``where`` and
+        ``where_in`` — hash in ONE 1-row local job, so fetching a
+        thousand documents by id costs one driver round-trip, not a
+        thousand (the vectorized form VERDICT r7 asked for when bloom
+        probing feeds a join)."""
         from pyspark.sql import functions as F
 
         v = self.latest_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"empty table at {self.path}")
+        for k, vals in (where_in or {}).items():
+            if not vals:
+                raise ValueError(f"where_in[{k!r}] is empty — nothing can match")
+            if any(x is None for x in vals):
+                raise ValueError(
+                    f"where_in[{k!r}] contains None — SQL IN never matches "
+                    "NULL; filter nulls explicitly"
+                )
         m = self._manifest(v)
         dirs = m["dirs"]
-        if where or where_range:
+        if where or where_range or where_in:
             specs = m.get("partitions", {})
             stats = m.get("stats", {})
             blooms = m.get("blooms", {})
-            # probe positions once per (col, recorded type) — not per
-            # dir: computing them is a 1-row local job
-            bloom_pos: dict[tuple, list[int] | None] = {}
-            for k, val in (where or {}).items():
+            # probe positions once per (col, value, recorded geometry)
+            # — not per dir — and ALL probes in one local job
+            probes, seen = [], set()
+            for k, val in list((where or {}).items()) + [
+                (k, val) for k, vals in (where_in or {}).items() for val in vals
+            ]:
                 for d in dirs:
                     bl = blooms.get(d, {}).get(k)
                     if bl is not None:
-                        key = (k, bl["type"], bl.get("bits"), bl.get("k"))
-                        if key not in bloom_pos:
-                            bloom_pos[key] = self._bloom_positions(bl, val)
+                        key = (k, val, bl["type"], bl.get("bits"), bl.get("k"))
+                        if key not in seen:
+                            seen.add(key)
+                            probes.append((key, bl))
+            bloom_pos = dict(
+                zip(
+                    [key for key, _ in probes],
+                    self._bloom_positions_many(
+                        [(bl, key[1]) for key, bl in probes]
+                    ),
+                )
+            )
+
+            def _point_excludes(d: str, k: str, val) -> bool:
+                """True when dir d provably cannot contain k == val."""
+                spec_val = specs.get(d, {}).get(k)
+                if spec_val is not None and _meta_eq(spec_val, val) is False:
+                    return True
+                rng = stats.get(d, {}).get(k)
+                if rng is not None and rng[0] is not None:
+                    below = _meta_cmp(rng[0], val)  # rng[0] <= val ?
+                    above = _meta_cmp(val, rng[1])  # val <= rng[1] ?
+                    if below is False or above is False:
+                        return True
+                bl = blooms.get(d, {}).get(k)
+                if bl is not None:
+                    pos = bloom_pos.get(
+                        (k, val, bl["type"], bl.get("bits"), bl.get("k"))
+                    )
+                    if pos is not None and not self._bloom_test(bl["b64"], pos):
+                        return True  # bloom proves the key absent
+                return False
 
             def _keep(d: str) -> bool:
                 for k, val in (where or {}).items():
-                    spec_val = specs.get(d, {}).get(k)
-                    if spec_val is not None and _meta_eq(spec_val, val) is False:
+                    if _point_excludes(d, k, val):
                         return False
-                    rng = stats.get(d, {}).get(k)
-                    if rng is not None and rng[0] is not None:
-                        below = _meta_cmp(rng[0], val)  # rng[0] <= val ?
-                        above = _meta_cmp(val, rng[1])  # val <= rng[1] ?
-                        if below is False or above is False:
-                            return False
-                    bl = blooms.get(d, {}).get(k)
-                    if bl is not None:
-                        pos = bloom_pos.get(
-                            (k, bl["type"], bl.get("bits"), bl.get("k"))
-                        )
-                        if pos is not None and not self._bloom_test(bl["b64"], pos):
-                            return False  # bloom proves the key absent
+                for k, vals in (where_in or {}).items():
+                    if all(_point_excludes(d, k, val) for val in vals):
+                        return False  # no listed value can be in d
                 for k, (lo, hi) in (where_range or {}).items():
                     rng = stats.get(d, {}).get(k)
                     if rng is None or rng[0] is None:
@@ -268,6 +307,9 @@ class TxTable:
         if where:
             for k, val in where.items():
                 df = df.where(F.col(k) == F.lit(val))
+        if where_in:
+            for k, vals in where_in.items():
+                df = df.where(F.col(k).isin(list(vals)))
         if where_range:
             for k, (lo, hi) in where_range.items():
                 if lo is not None:
@@ -746,43 +788,58 @@ class TxTable:
             }
         return out
 
-    def _bloom_positions(self, bloom: dict, val) -> list[int] | None:
-        """The probe positions for a literal against one bloom entry's
-        RECORDED geometry and column type — or None when the probe is
-        not provably type-consistent (then the bloom is skipped, never
-        pruned on). Computed by a 1-row LOCAL Spark job casting the
-        literal to the recorded type — replaying exactly the build-side
-        hash (Spark's xxhash64 is type-sensitive; a Python
-        re-implementation would silently diverge)."""
-        from pyspark.sql import functions as F
-
+    @staticmethod
+    def _bloom_probe_ok(bloom: dict, val) -> bool:
+        """A probe literal is only hash-replayable when its Python type
+        maps onto the RECORDED column type (and, for ints, fits the
+        type's range — under ANSI an overflowing cast RAISES; an
+        out-of-range probe can simply skip the bloom: the value cannot
+        be in the column anyway, and stats/row filtering stay exact)."""
         typ = bloom.get("type", "")
-        bits = int(bloom.get("bits", self.BLOOM_BITS))
-        k = int(bloom.get("k", self.BLOOM_K))
-        ok = (isinstance(val, str) and typ == "string") or (
+        return (isinstance(val, str) and typ == "string") or (
             isinstance(val, int)
             and not isinstance(val, bool)
-            and typ in ("bigint", "int", "smallint", "tinyint")
-            # range gate: under ANSI (Spark 4 default) an overflowing
-            # cast RAISES — an out-of-range probe can simply skip the
-            # bloom (the value cannot be in the column anyway, and
-            # stats/row filtering stay exact)
+            and typ in _INT_RANGES
             and _INT_RANGES[typ][0] <= val <= _INT_RANGES[typ][1]
         )
-        if not ok:
-            return None
-        lit = F.lit(val).cast(typ)
-        row = (
-            self.spark.range(1)
-            .select(
-                *[
-                    F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits)).alias(f"p{i}")
-                    for i in range(k)
-                ]
-            )
-            .collect()[0]
-        )
-        return [int(row[f"p{i}"]) for i in range(k)]
+
+    def _bloom_positions_many(
+        self, entries: list[tuple[dict, object]]
+    ) -> list[list[int] | None]:
+        """Probe positions for MANY (bloom entry, literal) pairs in ONE
+        1-row local Spark job — the vectorized form of the per-probe
+        round-trip (a batch of point lookups paid one driver job per
+        key, VERDICT r7). Each pair replays exactly the build-side hash
+        by casting its literal to the entry's recorded type (Spark's
+        xxhash64 is type-sensitive; a Python re-implementation would
+        silently diverge). A pair whose probe is not provably
+        type-consistent yields None (bloom skipped, never pruned on)."""
+        from pyspark.sql import functions as F
+
+        results: list[list[int] | None] = [None] * len(entries)
+        exprs, counts = [], {}
+        for j, (bl, val) in enumerate(entries):
+            if not self._bloom_probe_ok(bl, val):
+                continue
+            typ = bl.get("type", "")
+            bits = int(bl.get("bits", self.BLOOM_BITS))
+            k = int(bl.get("k", self.BLOOM_K))
+            lit = F.lit(val).cast(typ)
+            exprs += [
+                F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits)).alias(f"p_{j}_{i}")
+                for i in range(k)
+            ]
+            counts[j] = k
+        if not exprs:
+            return results
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        for j, k in counts.items():
+            results[j] = [int(row[f"p_{j}_{i}"]) for i in range(k)]
+        return results
+
+    def _bloom_positions(self, bloom: dict, val) -> list[int] | None:
+        """Single-probe convenience over :meth:`_bloom_positions_many`."""
+        return self._bloom_positions_many([(bloom, val)])[0]
 
     @staticmethod
     def _bloom_test(b64: str, positions: list[int]) -> bool:

@@ -1505,3 +1505,57 @@ def test_txstore_merge_carries_all_column_stats(spark, tmp_path):
     assert df.count() == 2 and len(dirs_read(df)) == 1
     # and every row is still reachable (bounds never under-cover)
     assert t.read(where_range={"ts": (9000, 9049)}).count() == 50
+
+
+def test_txstore_where_in_batch_point_lookup(spark, tmp_path):
+    """r8: where_in is the vectorized batch point lookup — ALL bloom
+    probes hash in one local job, a dir is kept when ANY listed key
+    might be present, and col IN (...) re-applies row-level. Fetching
+    many documents by id costs one driver round-trip, not one per key."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for base in (0, 1000, 2000, 3000):
+        t.append(
+            spark.createDataFrame(
+                [(base + i, f"v{base + i}") for i in range(100)],
+                "k long, v string",
+            ),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    # three keys from the same dir: exactly one dir read
+    df = t.read(where_in={"k": [2001, 2002, 2050]})
+    assert sorted(r.k for r in df.collect()) == [2001, 2002, 2050]
+    assert len(dirs_read(df)) == 1
+    # keys across two dirs: both read, other two pruned, rows exact
+    df = t.read(where_in={"k": [5, 3099]})
+    assert sorted(r.k for r in df.collect()) == [5, 3099]
+    assert len(dirs_read(df)) == 2
+    # absent keys: every dir pruned (bloom-proved), exact empty result
+    df = t.read(where_in={"k": [500, 1500]})
+    assert df.count() == 0
+    # a type-inconsistent probe skips blooms but stays EXACT via stats
+    assert t.read(where_in={"k": [2**40]}).count() == 0
+    with pytest.raises(ValueError, match="empty"):
+        t.read(where_in={"k": []})
+    with pytest.raises(ValueError, match="None"):
+        t.read(where_in={"k": [1, None]})
+
+
+def test_txstore_bloom_positions_many_one_job(spark, tmp_path):
+    """The batched probe computes every (entry, literal) pair in a
+    single collect — and agrees with the single-probe path bit-for-bit,
+    including the None verdict for unreplayable probes."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a")], "k long, s string"),
+        bloom_cols=["k", "s"],
+    )
+    m = t._manifest(t.latest_version())
+    (d,) = m["dirs"]
+    blk, bls = m["blooms"][d]["k"], m["blooms"][d]["s"]
+    entries = [(blk, 1), (blk, 999), (bls, "a"), (blk, "wrong-type"), (bls, 7)]
+    many = t._bloom_positions_many(entries)
+    for e, got in zip(entries, many):
+        assert got == t._bloom_positions(*e)
+    assert many[3] is None and many[4] is None  # type-inconsistent
+    assert all(p is not None for p in many[:3])
