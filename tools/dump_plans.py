@@ -85,6 +85,12 @@ SHOWCASE = [
     # r7: bloom point lookup — the scan lists only bloom-positive dirs
     # and the key equality pushes into it
     ("bloom_point_lookup", ["FileScan", "PushedFilters"]),
+    # r8: bloom pruning survives MERGE — post-upsert lookups still scan
+    # only bloom-positive dirs, the key equality pushed down
+    ("bloom_merge_lookup", ["FileScan", "PushedFilters"]),
+    # r8: KLL rank panel — partials/merges are grouped-agg Arrow
+    # batches; the finalizer is one Arrow eval over per-group rows
+    ("incremental_mv_kll_quantiles", ["ArrowEvalPython", "FileScan"]),
 ]
 
 
