@@ -2170,3 +2170,75 @@ def bloom_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("doc_id")
+
+
+@register(
+    "bloom_batch_fetch",
+    oracle="""
+    WITH lo1 AS (SELECT MIN(doc_id) AS v FROM documents),
+         lo2 AS (SELECT MIN(doc_id) AS v FROM documents
+                 WHERE doc_id > (SELECT v FROM lo1)),
+         hi1 AS (SELECT MAX(doc_id) AS v FROM documents)
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN ((SELECT v FROM lo1), (SELECT v FROM lo2),
+                     (SELECT v FROM hi1))
+    ORDER BY doc_id
+    """,
+    doc="Batch point lookup (operators/txstore.py read(where_in=...), "
+    "r8): documents land as three range-disjoint appends with doc_id "
+    "stats + corpus-sized blooms, then ONE read fetches three keys "
+    "(the two smallest and the largest doc_id) — the dir filter keeps "
+    "a dir only when some listed key might be present, every bloom "
+    "probe hashes in a single 1-row local job, and doc_id IN (...) "
+    "re-applies row-level. The query asserts the single read touched "
+    "only the two dirs that hold the keys (the middle dir pruned). "
+    "The oracle filters the raw table with the same IN list. At "
+    "100 TB this is 'fetch a thousand documents by id' as one driver "
+    "round-trip and a scan of only the dirs that matter — the batch "
+    "form of bloom_point_lookup's one-key story.",
+)
+def bloom_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window as W
+
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "lang", "source", "n_chars")
+    lows = [
+        int(r.doc_id)
+        for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    hi = int(docs.agg(F.max("doc_id")).collect()[0][0])
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_bloomf_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    n_docs = docs.count()
+    bits = 1 << max(15, (n_docs * 20 // 3).bit_length())
+    w = W.orderBy("doc_id")
+    thirds = docs.withColumn(
+        "b", ((F.row_number().over(w) - 1) * 3 / F.lit(n_docs)).cast("int")
+    )
+    for i in range(3):
+        src.append(
+            thirds.where(F.col("b") == i).drop("b"),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+            bloom_bits=bits,
+        )
+    df = src.read(where_in={"doc_id": [*lows, hi]})
+    touched = dirs_read(df)
+    if len(touched) > 2:  # pragma: no cover - invariant guard
+        raise AssertionError(
+            f"batch fetch read {len(touched)} of 3 dirs (expected the two "
+            "holding the keys; the middle dir must prune)"
+        )
+    return df.orderBy("doc_id")

@@ -64,6 +64,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 PRIORITY: tuple[str, ...] = (
     "bloom_merge_lookup",
     "incremental_mv_kll_quantiles",
+    "bloom_batch_fetch",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "q2_min_cost_per_group",
     "topk_per_group",
     "set_operations",
-    "theta_range_join",
 )
 
 

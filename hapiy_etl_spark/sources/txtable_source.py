@@ -156,9 +156,26 @@ class TxChangesStreamReader(DataSourceStreamReader):
         layouts = m_ev.get("layouts") or {}
         schemas = m_ev.get("schemas") or {}
         stream_schema = json.dumps(self.schema_.jsonValue())
+        stream_cols = {f.name for f in self.schema_.fields}
         parts = []
         for d in new:
             dir_path = Path(self.table_path) / "data" / d
+            lost = [c for c in layouts.get(d) or [] if c not in stream_cols]
+            if lost:
+                # the stream's schema is the NEWEST dir's recorded
+                # schema; if a later append dropped this dir's partition
+                # columns, emitting its rows would silently lose them —
+                # the same hazard the batch reader documents for
+                # merge_schema=False, but a stream cannot ask for a
+                # wider schema mid-run, so fail loudly instead
+                raise ValueError(
+                    f"dir {d} in the span v{sv}..v{ev} at {self.table_path} "
+                    f"is partitioned on {lost} but the stream schema "
+                    "(the newest dir's) no longer carries those columns — "
+                    "emitting its rows would silently drop them; re-commit "
+                    "with a schema that includes the partition columns, or "
+                    "resync from a snapshot read"
+                )
             if layouts.get(d):
                 # Hive-partitioned dir: partition VALUES live in the
                 # subdirectory names, typed by the dir's pinned written

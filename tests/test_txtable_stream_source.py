@@ -213,3 +213,24 @@ def test_txtable_change_stream_max_versions_per_trigger(spark, tmp_path):
         [(3, "v3"), (4, "v4")],
         [(5, "v5"), (6, "v6")],
     ]
+
+
+def test_txtable_change_stream_refuses_narrowed_partition_schema(spark, tmp_path):
+    """The stream schema is the newest dir's recorded schema; if a
+    later append dropped a partitioned dir's partition columns,
+    emitting that dir's rows would silently lose them — refuse loudly
+    (a stream cannot widen its schema mid-run)."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.merge(
+        spark.createDataFrame([("a", 1)], "repo string, n long"),
+        keys=["repo"],
+        partition_by=["repo"],
+    )
+    # schema-narrowing append: no repo column
+    t.append(spark.createDataFrame([(9,)], "n long"))
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="no longer carries"):
+        _drain(spark, path, ckpt)

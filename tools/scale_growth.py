@@ -476,6 +476,64 @@ def bloom_main(n_batches: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def mergebloom_main(n_batches: int) -> None:
+    """Bloom-through-MERGE growth (r8): land n disjoint-key-range
+    bloomed batches; after each append, a small UPSERT confined to the
+    FIRST batch's key range runs with prune_col (rewriting ~one dir),
+    then a point lookup of an updated key and one of a far untouched
+    key. The scale claim: post-merge lookups still read ~1 of n dirs
+    at every n — before r8 the merged dir lost its bloom and every
+    lookup paid a scan of it forever."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.operators.txstore import dirs_read as _dirs_read
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_mergebloom")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    span = docs.agg(F.max("doc_id")).first()[0] + 1
+    target = int(docs.agg(F.min("doc_id")).first()[0])
+    base = tempfile.mkdtemp(prefix="mergebloom_growth_")
+    t = TxTable(spark, f"{base}/t")
+    rows = []
+    for i in range(1, n_batches + 1):
+        t.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit((i - 1) * span)),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+            bloom_bits=131072,
+        )
+        # upsert 100 keys inside the FIRST batch's range: prune carries
+        # every other dir, the rewritten dir gets the OR-union bloom
+        batch = (
+            docs.orderBy("doc_id")
+            .limit(100)
+            .withColumn("n_chars", F.lit(-1).cast(docs.schema["n_chars"].dataType))
+        )
+        t0 = time.perf_counter()
+        t.merge(batch, keys=["doc_id"], prune_col="doc_id")
+        dt_merge = time.perf_counter() - t0
+        far = target + (i - 1) * span  # lives in the NEWEST batch's dir
+        out = {"batches": i, "total_dirs": i, "merge_s": round(dt_merge, 2)}
+        for label, key in (("updated", target), ("far", far)):
+            t0 = time.perf_counter()
+            df = t.read(where={"doc_id": key})
+            n = df.count()
+            out[f"{label}_dirs_read"] = len(_dirs_read(df))
+            out[f"{label}_lookup_s"] = round(time.perf_counter() - t0, 2)
+            assert n == 1
+        rows.append(out)
+        print(json.dumps(out))
+    print(json.dumps({"mergebloom_growth": rows}))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -492,6 +550,9 @@ def main() -> None:
         return
     if args and args[0] == "--bloom":
         bloom_main(int(args[1]) if args[1:] else 8)
+        return
+    if args and args[0] == "--mergebloom":
+        mergebloom_main(int(args[1]) if args[1:] else 8)
         return
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
