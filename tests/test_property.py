@@ -453,3 +453,86 @@ def test_txstore_bloom_pruning_always_exact(spark, tmp_path_factory, ops, probes
             got = sorted(r.k for r in t.read(where={"k": p}).collect())
             want = sorted(k for k in live if k == p)
             assert got == want, (ops, p, got, want)
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(st.integers(0, 80), st.integers(-5, 5)),
+                    min_size=1,
+                    max_size=6,
+                ),
+                st.booleans(),  # bloom+stats this dir?
+            ),
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(st.integers(0, 80), st.integers(-5, 5)),
+                    min_size=1,
+                    max_size=4,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    probe_sets=st.lists(
+        st.lists(st.integers(-5, 90), min_size=1, max_size=4, unique=True),
+        min_size=1,
+        max_size=2,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txstore_where_in_pruning_always_exact(
+    spark, tmp_path_factory, ops, probe_sets
+):
+    """Catch-all batch-lookup invariant (r8): under randomized
+    bloom/stats-carrying appends and pruned merges (which rewrite dirs
+    and OR-union their blooms), every where_in read equals the
+    brute-force IN filter of the live rows — metadata pruning may only
+    ever cost an extra dir read, never hide or invent a row."""
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    tmp = tmp_path_factory.mktemp("whereinprop")
+    t = TxTable(spark, str(tmp / "t"))
+    live: dict[int, int] = {}
+    for op in ops:
+        if op[0] == "append":
+            rows = [(k, v) for k, v in op[1] if k not in live]
+            seen = set()
+            uniq = [(k, v) for k, v in rows if not (k in seen or seen.add(k))]
+            if not uniq:
+                continue
+            t.append(
+                spark.createDataFrame(uniq, "k long, v long"),
+                stats_cols=["k"] if op[2] else None,
+                bloom_cols=["k"] if op[2] else None,
+            )
+            live.update(dict(uniq))
+        else:
+            seen = set()
+            uniq = [(k, v) for k, v in op[1] if not (k in seen or seen.add(k))]
+            t.merge(
+                spark.createDataFrame(uniq, "k long, v long"),
+                keys=["k"],
+                prune_col="k",
+            )
+            live.update(dict(uniq))
+        if t.latest_version() == 0:
+            continue
+        for probes in probe_sets:
+            got = sorted(
+                (r.k, r.v)
+                for r in t.read(where_in={"k": list(probes)}).collect()
+            )
+            want = sorted(
+                (k, v) for k, v in live.items() if k in set(probes)
+            )
+            assert got == want, (ops, probes, got, want)

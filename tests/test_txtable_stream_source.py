@@ -234,3 +234,29 @@ def test_txtable_change_stream_refuses_narrowed_partition_schema(spark, tmp_path
 
     with pytest.raises(StreamingQueryException, match="no longer carries"):
         _drain(spark, path, ckpt)
+
+
+def test_txtable_change_stream_timestamp_decimal_arrow_path(spark, tmp_path):
+    """The Arrow batch path must round-trip the awkward types: session
+    timestamps (parquet UTC-adjusted → arrow tz cast), timestamp_ntz,
+    and decimals — byte-exact against what the table's batch read
+    returns."""
+    import datetime as dt
+    from decimal import Decimal
+
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 3, 1, 12, 30), dt.datetime(2024, 3, 1, 7),
+             Decimal("12345.6789")),
+            (2, dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 1),
+             Decimal("-0.0001")),
+        ],
+        "k long, ts timestamp, tn timestamp_ntz, amt decimal(18,4)",
+    )
+    t.append(df)
+    got = _drain(spark, path, ckpt)
+    want = sorted(map(tuple, t.read().collect()))
+    assert got == want
