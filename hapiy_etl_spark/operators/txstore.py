@@ -1289,6 +1289,118 @@ class TxTable:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"optimize lost {max_retries} races at {self.path}")
 
+    def optimize_clustered(
+        self,
+        cluster_by: str,
+        n_dirs: int = 8,
+        stats_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int | None = None,
+        bloom_k: int | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Range-CLUSTERED compaction: rewrite the snapshot as
+        ``n_dirs`` dirs clustered on ``cluster_by``, each with TIGHT
+        per-dir stats (and optionally blooms) computed from a read-back
+        of its written files. Plain ``optimize()`` compacts to one dir
+        whose union-bounds stats span the whole table — correct but
+        useless for pruning, so a compaction silently destroys the
+        dir-skipping an append-mostly table accumulated. This is the
+        Delta ``OPTIMIZE ZORDER``-to-many-files analogue at dir
+        granularity: after it, a range or point read on the cluster key
+        touches ~one of n dirs.
+
+        Scale shape: ONE distributed pass — exact percentile boundaries
+        on the cluster key (one agg), one shuffle-write into a
+        Hive-partitioned spool on the computed bucket id, then the
+        bucket subdirs are PROMOTED to data dirs by rename (no second
+        copy); per-dir metadata derives from reading back the committed
+        files (the same provably-covering contract appends use).
+        ``stats_cols`` defaults to ``[cluster_by]``. Ties and skew are
+        safe: equal keys land in one bucket (dirs may be uneven, their
+        recorded bounds stay exact); empty buckets are skipped."""
+        from pyspark.sql import functions as F
+
+        stats_cols = list(stats_cols) if stats_cols is not None else [cluster_by]
+        if n_dirs < 1:
+            raise ValueError(f"n_dirs must be >= 1: {n_dirs}")
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            snap = self.read(parent, merge_schema=True)
+            if cluster_by not in snap.columns:
+                raise ValueError(
+                    f"cluster_by {cluster_by!r} not in snapshot columns "
+                    f"{snap.columns}"
+                )
+            qs = [i / n_dirs for i in range(1, n_dirs)]
+            if qs:
+                bounds = (
+                    snap.where(F.col(cluster_by).isNotNull())
+                    .agg(
+                        F.expr(
+                            f"percentile({cluster_by}, array("
+                            + ",".join(str(q) for q in qs)
+                            + "))"
+                        ).alias("b")
+                    )
+                    .collect()[0]["b"]
+                ) or []
+            else:
+                bounds = []
+            # bucket id = how many boundaries the key has passed; NULL
+            # keys sort first (bucket 0), matching NULLS FIRST reads
+            b = F.lit(0)
+            for bound in bounds:
+                b = b + F.when(F.col(cluster_by) > F.lit(bound), 1).otherwise(0)
+            spool = self.path / "data" / f".opt-{uuid.uuid4().hex[:12]}"
+            snap.withColumn("__b", b.cast("int")).write.partitionBy(
+                "__b"
+            ).parquet(str(spool))
+            dirs, schemas, stats, blooms = [], {}, {}, {}
+            try:
+                for sub in sorted(
+                    spool.glob("__b=*"), key=lambda p: int(p.name[4:])
+                ):
+                    d = f"s-{uuid.uuid4().hex[:12]}"
+                    os.rename(sub, self.path / "data" / d)
+                    dirs.append(d)
+                if not dirs:
+                    # an empty snapshot writes no bucket subdirs; a
+                    # manifest needs at least one dir to carry the schema
+                    d = self._write_data_dir(snap)
+                    dirs.append(d)
+                for d in dirs:
+                    written = self.spark.read.parquet(
+                        str(self.path / "data" / d)
+                    )
+                    schemas[d] = written.schema.jsonValue()
+                    stats[d] = self._column_stats(written, stats_cols)
+                    if bloom_cols:
+                        blooms[d] = self._bloom_build(
+                            written, bloom_cols, bloom_bits, bloom_k
+                        )
+            except Exception:
+                for d in dirs:
+                    shutil.rmtree(self.path / "data" / d, ignore_errors=True)
+                shutil.rmtree(spool, ignore_errors=True)
+                raise
+            shutil.rmtree(spool, ignore_errors=True)
+            try:
+                return self._commit(
+                    parent,
+                    dirs,
+                    "optimize",
+                    schemas=schemas,
+                    stats=stats,
+                    blooms=blooms or None,
+                )
+            except ConcurrentCommitError:
+                for d in dirs:
+                    shutil.rmtree(self.path / "data" / d, ignore_errors=True)
+        raise ConcurrentCommitError(
+            f"optimize_clustered lost {max_retries} races at {self.path}"
+        )
+
     # -- maintenance ----------------------------------------------------------
     def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> list[str]:
         """Drop data dirs referenced only by manifests older than the

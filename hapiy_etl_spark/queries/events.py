@@ -1363,6 +1363,81 @@ def incremental_mv_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "optimize_clustered_slice",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events, bounds
+    WHERE event_id <= mn + (mx - mn) // 8
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Range-clustered compaction (operators/txstore.py "
+    "optimize_clustered, r8): events land as three hash-interleaved "
+    "appends — every dir spans the whole event_id range, so the "
+    "accumulated stats prune NOTHING (the query asserts a pre-optimize "
+    "slice reads all 3 dirs). One clustered OPTIMIZE rewrites the "
+    "snapshot as four range-disjoint dirs with tight per-dir stats "
+    "computed from the written files (exact percentile boundaries, one "
+    "shuffle-write into a bucket spool, subdirs promoted by rename), "
+    "after which the same bottom-eighth slice reads ONE dir (asserted). "
+    "The oracle aggregates the raw table under the same range filter. "
+    "At 100 TB this is the compaction that IMPROVES skipping instead "
+    "of destroying it: plain OPTIMIZE collapses to one dir whose "
+    "union bounds span everything; the clustered form is Delta's "
+    "OPTIMIZE ZORDER at dir granularity.",
+)
+def optimize_clustered_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "event_id", "event_type", "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(3)).alias("b"),
+    )
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    cut = int(mn) + (int(mx) - int(mn)) // 8
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_optc_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    for i in range(3):  # hash-interleaved: every dir spans the key range
+        src.append(ev.where(F.col("b") == i).drop("b"), stats_cols=["event_id"])
+    pre = src.read(where_range={"event_id": (None, cut)})
+    if len(dirs_read(pre)) != 3:  # pragma: no cover - invariant guard
+        raise AssertionError("interleaved appends should be unprunable")
+
+    src.optimize_clustered("event_id", n_dirs=4)
+    df = src.read(where_range={"event_id": (None, cut)})
+    touched = dirs_read(df)
+    if len(touched) != 1:  # pragma: no cover - invariant guard
+        raise AssertionError(
+            f"clustered slice read {len(touched)} of 4 dirs (want 1)"
+        )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "merge_pruned_upsert",
     oracle="""
     WITH bounds AS (

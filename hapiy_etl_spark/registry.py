@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "bloom_merge_lookup",
     "incremental_mv_kll_quantiles",
     "bloom_batch_fetch",
+    "optimize_clustered_slice",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "join_full_outer",
     "q2_min_cost_per_group",
     "topk_per_group",
-    "set_operations",
 )
 
 

@@ -1559,3 +1559,54 @@ def test_txstore_bloom_positions_many_one_job(spark, tmp_path):
         assert got == t._bloom_positions(*e)
     assert many[3] is None and many[4] is None  # type-inconsistent
     assert all(p is not None for p in many[:3])
+
+
+def test_txstore_optimize_clustered_restores_pruning(spark, tmp_path):
+    """r8: optimize_clustered compacts the snapshot into n range-
+    clustered dirs with TIGHT per-dir stats (and blooms) computed from
+    the written files — so a compaction IMPROVES dir skipping instead
+    of collapsing every range to one table-wide dir. Content is
+    identical to the snapshot; reads on the cluster key touch one dir."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    # three interleaved appends: every dir spans the whole key range,
+    # so pre-optimize stats prune NOTHING
+    for off in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i * 3 + off, f"v{i * 3 + off}") for i in range(400)],
+                "k long, v string",
+            ),
+            stats_cols=["k"],
+        )
+    before = sorted(map(tuple, t.read().collect()))
+    df_pre = t.read(where_range={"k": (0, 10)})
+    assert len(dirs_read(df_pre)) == 3  # interleaved: nothing prunable
+
+    t.optimize_clustered("k", n_dirs=4, bloom_cols=["k"])
+    m = t._manifest(t.latest_version())
+    assert len(m["dirs"]) == 4 and m["op"] == "optimize"
+    assert sorted(map(tuple, t.read().collect())) == before  # content kept
+    # tight non-overlapping ranges: a slice and a point read hit 1 dir
+    df = t.read(where_range={"k": (0, 10)})
+    assert df.count() == 11 and len(dirs_read(df)) == 1
+    df = t.read(where={"k": 1100})
+    assert df.count() == 1 and len(dirs_read(df)) == 1
+    # recorded bounds cover every dir's actual rows (read-back contract)
+    stats = m["stats"]
+    for d in m["dirs"]:
+        lo, hi = stats[d]["k"]
+        rows = sorted(
+            r.k for r in spark.read.parquet(str(tmp_path / "t" / "data" / d)).collect()
+        )
+        assert lo == rows[0] and hi == rows[-1]
+
+    # skewed keys: ties land in one bucket, bounds stay exact
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame([(7,)] * 50 + [(9,)] * 3, "k long"),
+        stats_cols=["k"],
+    )
+    t2.optimize_clustered("k", n_dirs=4)
+    assert sorted(r.k for r in t2.read().collect()) == [7] * 50 + [9] * 3
+    m2 = t2._manifest(t2.latest_version())
+    assert all(rng[0] is not None for rng in (m2["stats"][d]["k"] for d in m2["dirs"]))
