@@ -337,9 +337,42 @@ def kll_sketch(
 ) -> DataFrame:
     """One rank sketch per group as ``kllrank`` string — the
     join-shaped builder incremental_mv.py composes with its other
-    partials (same contract as loghist_sketch)."""
-    return df.groupBy(*group_cols).agg(
-        kll_partial_agg(value_col, k).alias("kllrank")
+    partials (same contract as loghist_sketch).
+
+    Scale shape: per-PARTITION partial sketches via mapInPandas
+    (memory bounded at ~k·log(n/k) per live group per partition —
+    Arrow batches stream through, raw values are never held), then the
+    per-group merge reduces only the small serialized sketches. A
+    grouped-agg UDF over the raw values would instead ship EVERY row
+    of a group to one task — the loghist avoids that with map-side
+    bucket counts; this is the sketch-partial equivalent."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    gcols = list(group_cols)
+    src = df.select(*gcols, value_col)
+    out_schema = StructType(
+        [*[src.schema[c] for c in gcols], StructField("kllrank", StringType())]
+    )
+
+    def _build(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for gkey, sub in pdf.groupby(gcols, dropna=False, sort=False):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                s = acc.get(gkey)
+                if s is None:
+                    s = acc[gkey] = _kll_new(k)
+                _kll_insert_many(s, sub[value_col].dropna())
+        yield pd.DataFrame(
+            [(*gkey, _json.dumps(s)) for gkey, s in acc.items()],
+            columns=[*gcols, "kllrank"],
+        )
+
+    partials = src.mapInPandas(_build, out_schema)
+    return partials.groupBy(*gcols).agg(
+        kll_merge_agg("kllrank", k).alias("kllrank")
     )
 
 

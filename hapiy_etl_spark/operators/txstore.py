@@ -1334,13 +1334,19 @@ class TxTable:
                 )
             qs = [i / n_dirs for i in range(1, n_dirs)]
             if qs:
+                # approx_percentile, not exact percentile: the exact
+                # form buffers every value per partition (a scale-killer
+                # at 100 TB), and boundary precision only affects bucket
+                # BALANCE — each dir's recorded bounds come from reading
+                # back its written files, so pruning stays exact no
+                # matter where the boundaries land
                 bounds = (
                     snap.where(F.col(cluster_by).isNotNull())
                     .agg(
                         F.expr(
-                            f"percentile({cluster_by}, array("
+                            f"approx_percentile({cluster_by}, array("
                             + ",".join(str(q) for q in qs)
-                            + "))"
+                            + "), 10000)"
                         ).alias("b")
                     )
                     .collect()[0]["b"]
