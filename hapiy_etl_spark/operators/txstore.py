@@ -1310,8 +1310,11 @@ class TxTable:
         granularity: after it, a range or point read on the cluster key
         touches ~one of n dirs.
 
-        Scale shape: ONE distributed pass — exact percentile boundaries
-        on the cluster key (one agg), one shuffle-write into a
+        Scale shape: ONE distributed pass — approximate percentile
+        boundaries on the cluster key (one agg; boundary precision only
+        affects bucket balance, never pruning exactness, because each
+        dir's recorded bounds derive from read-back), one shuffle-write
+        into a
         Hive-partitioned spool on the computed bucket id, then the
         bucket subdirs are PROMOTED to data dirs by rename (no second
         copy); per-dir metadata derives from reading back the committed

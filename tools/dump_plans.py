@@ -91,6 +91,12 @@ SHOWCASE = [
     # r8: KLL rank panel — partials/merges are grouped-agg Arrow
     # batches; the finalizer is one Arrow eval over per-group rows
     ("incremental_mv_kll_quantiles", ["ArrowEvalPython", "FileScan"]),
+    # r8: batch point lookup — one read, the IN filter pushed into a
+    # scan of only the dirs that might hold a listed key
+    ("bloom_batch_fetch", ["FileScan", "PushedFilters"]),
+    # r8: clustered compaction — the post-optimize slice scans ONE
+    # range-clustered dir with the residual range pushed down
+    ("optimize_clustered_slice", ["FileScan", "PushedFilters", "HashAggregate"]),
 ]
 
 
