@@ -534,6 +534,78 @@ def mergebloom_main(n_batches: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def optclustered_main(n_batches: int) -> None:
+    """Range-clustered OPTIMIZE growth (r8): land n appends that EACH
+    span the full doc_id range (every dir's recorded [min,max] covers
+    every slice — range pruning is useless, a slice read scans all n
+    dirs). Then optimize_clustered(doc_id, n) and re-run the slice.
+    The scale claim: the clustered rewrite restores 1-of-n dir reads
+    no matter how many interleaved appends accumulated — and a plain
+    optimize() would instead collapse to ONE unprunable dir."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.operators.txstore import dirs_read as _dirs_read
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_optclustered")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    lo, hi = docs.agg({"doc_id": "min"}).first()[0], docs.agg(
+        {"doc_id": "max"}
+    ).first()[0]
+    # slice = the bottom ~1/n of the key range
+    rows = []
+    for n in (
+        [n_batches]
+        if n_batches > 0
+        else [2, 4, 8]
+    ):
+        base = tempfile.mkdtemp(prefix="optclustered_growth_")
+        t = TxTable(spark, f"{base}/t")
+        for i in range(n):
+            # every batch spans the WHOLE range: interleave by stride
+            t.append(
+                docs.where((F.col("doc_id") % n) == i),
+                stats_cols=["doc_id"],
+            )
+        cut = lo + (hi - lo) // n
+        t0 = time.perf_counter()
+        df = t.read(where_range={"doc_id": (lo, cut)})
+        pre_rows = df.count()
+        pre = {
+            "dirs_read": len(_dirs_read(df)),
+            "s": round(time.perf_counter() - t0, 2),
+        }
+        t0 = time.perf_counter()
+        t.optimize_clustered("doc_id", n_dirs=n)
+        dt_opt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        df = t.read(where_range={"doc_id": (lo, cut)})
+        post_rows = df.count()
+        post = {
+            "dirs_read": len(_dirs_read(df)),
+            "s": round(time.perf_counter() - t0, 2),
+        }
+        assert pre_rows == post_rows, (pre_rows, post_rows)
+        assert pre["dirs_read"] == n, pre
+        out = {
+            "appends": n,
+            "pre_slice": pre,
+            "optimize_s": round(dt_opt, 2),
+            "post_slice": post,
+            "slice_rows": post_rows,
+        }
+        rows.append(out)
+        print(json.dumps(out))
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"optclustered_growth": rows}))
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -553,6 +625,9 @@ def main() -> None:
         return
     if args and args[0] == "--mergebloom":
         mergebloom_main(int(args[1]) if args[1:] else 8)
+        return
+    if args and args[0] == "--optclustered":
+        optclustered_main(int(args[1]) if args[1:] else 0)
         return
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
