@@ -1361,14 +1361,21 @@ class TxTable:
             b = F.lit(0)
             for bound in bounds:
                 b = b + F.when(F.col(cluster_by) > F.lit(bound), 1).otherwise(0)
+            # the spool bucket column must not collide with a real
+            # column — withColumn would silently REPLACE it and the
+            # partitionBy would then strip it from the rewritten files
+            bcol = "__b"
+            while bcol in snap.columns:
+                bcol = f"__b_{uuid.uuid4().hex[:8]}"
             spool = self.path / "data" / f".opt-{uuid.uuid4().hex[:12]}"
-            snap.withColumn("__b", b.cast("int")).write.partitionBy(
-                "__b"
+            snap.withColumn(bcol, b.cast("int")).write.partitionBy(
+                bcol
             ).parquet(str(spool))
             dirs, schemas, stats, blooms = [], {}, {}, {}
             try:
                 for sub in sorted(
-                    spool.glob("__b=*"), key=lambda p: int(p.name[4:])
+                    spool.glob(f"{bcol}=*"),
+                    key=lambda p: int(p.name[len(bcol) + 1 :]),
                 ):
                     d = f"s-{uuid.uuid4().hex[:12]}"
                     os.rename(sub, self.path / "data" / d)

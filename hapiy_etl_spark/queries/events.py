@@ -1382,7 +1382,7 @@ def incremental_mv_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accumulated stats prune NOTHING (the query asserts a pre-optimize "
     "slice reads all 3 dirs). One clustered OPTIMIZE rewrites the "
     "snapshot as four range-disjoint dirs with tight per-dir stats "
-    "computed from the written files (exact percentile boundaries, one "
+    "computed from the written files (approx-percentile boundaries, one "
     "shuffle-write into a bucket spool, subdirs promoted by rename), "
     "after which the same bottom-eighth slice reads ONE dir (asserted). "
     "The oracle aggregates the raw table under the same range filter. "

@@ -1610,3 +1610,45 @@ def test_txstore_optimize_clustered_restores_pruning(spark, tmp_path):
     assert sorted(r.k for r in t2.read().collect()) == [7] * 50 + [9] * 3
     m2 = t2._manifest(t2.latest_version())
     assert all(rng[0] is not None for rng in (m2["stats"][d]["k"] for d in m2["dirs"]))
+
+
+def test_txstore_optimize_clustered_mixed_layout_keeps_partition_values(
+    spark, tmp_path
+):
+    """Clustering a table whose snapshot mixes Hive-partitioned merge
+    dirs with flat appends must carry the partition VALUES through the
+    rewrite (they become regular columns in the clustered dirs — same
+    content, different layout)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.merge(
+        spark.createDataFrame(
+            [("a", 1, 10), ("b", 2, 20)], "repo string, k long, n long"
+        ),
+        keys=["repo", "k"],
+        partition_by=["repo"],
+    )
+    t.append(
+        spark.createDataFrame([("c", 3, 30)], "repo string, k long, n long")
+    )
+    before = sorted(map(tuple, t.read(merge_schema=True).collect()))
+    t.optimize_clustered("k", n_dirs=2)
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_txstore_optimize_clustered_survives_bucket_column_collision(
+    spark, tmp_path
+):
+    """A real column named ``__b`` must ride through the clustered
+    rewrite untouched — the spool bucket column picks a fresh name
+    instead of silently replacing it (and then losing it to
+    partitionBy)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(100)], "k long, __b string"
+        ),
+        stats_cols=["k"],
+    )
+    t.optimize_clustered("k", n_dirs=3)
+    out = sorted(map(tuple, t.read().collect()))
+    assert out == [(i, f"b{i}") for i in range(100)]
