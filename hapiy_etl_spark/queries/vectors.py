@@ -110,6 +110,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "rank")
 
 
+@register(
+    "ann_ivf_exact_regime",
+    oracle=_EXACT_TOPK_ORACLE,
+    doc="IVF in its EXACT regime: with n_probe == n_centroids every "
+    "inverted list is searched, so the result is bit-for-bit the "
+    "brute-force ranking no matter where the KMeans quantizer put the "
+    "cells — the same exact-regime oracle move agg_kmv_distinct_sketch "
+    "made for the KMV sketch (operators/similarity.py ivf_topk). This "
+    "pins the IVF plumbing (quantizer fit, inverted-list join, "
+    "per-query probe ranking, final window top-k) against the DuckDB "
+    "brute-force twin; the approximate regime's recall bound stays "
+    "covered by ann_ivf_topk's planted-neighbor pytest. At 100 TB the "
+    "exact regime is also a real setting: probe-all on a modest "
+    "centroid count is how you VALIDATE a new quantizer before "
+    "dialing n_probe down.",
+)
+def ann_ivf_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_topk(
+        queries,
+        emb,
+        "vec_id",
+        "vec_id",
+        k=3,
+        n_centroids=4,
+        n_probe=4,
+        train_fraction=0.2,
+    ).orderBy("vec_id", "rank")
+
+
 _SIGN_BITS = 8  # 256 buckets; bump for denser corpora
 
 

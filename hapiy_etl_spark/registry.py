@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "incremental_mv_kll_quantiles",
     "bloom_batch_fetch",
     "optimize_clustered_slice",
+    "ann_ivf_exact_regime",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "join_outer_coalesce",
     "join_full_outer",
     "q2_min_cost_per_group",
-    "topk_per_group",
 )
 
 

@@ -165,6 +165,37 @@ def test_ivf_topk_recall_vs_bruteforce(spark, planted_vectors):
     assert hits >= 4, f"IVF recall too low: {hits}/5"
 
 
+def test_ivf_probe_all_equals_bruteforce_exactly(spark, planted_vectors):
+    """IVF's exact regime: n_probe == n_centroids searches every
+    inverted list, so the ranking is identical to brute force —
+    neighbor ids, ranks, and rounded sims — regardless of where the
+    quantizer put the cells."""
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    exact = sorted(
+        map(
+            tuple,
+            S.cosine_topk(
+                queries, planted_vectors, "vec_id", "vec_id", k=3
+            ).collect(),
+        )
+    )
+    probe_all = sorted(
+        map(
+            tuple,
+            S.ivf_topk(
+                queries,
+                planted_vectors,
+                "vec_id",
+                "vec_id",
+                k=3,
+                n_centroids=4,
+                n_probe=4,
+            ).collect(),
+        )
+    )
+    assert probe_all == exact
+
+
 def test_decode_stub_deterministic_and_batched(spark):
     df = spark.createDataFrame([(i, f"payload {i}") for i in range(20)], "doc_id long, text string")
     with_payload = attach_binary_payload(df, "text")
