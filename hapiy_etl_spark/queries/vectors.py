@@ -91,6 +91,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_exact_regime",
+    oracle=_EXACT_TOPK_ORACLE,
+    doc="LSH in its EXACT regime: with 1 hyperplane and radius-1 "
+    "multi-probe every query probes BOTH of the 2 signature buckets, "
+    "so candidate generation is exhaustive and the refine + window "
+    "top-k must reproduce the brute-force ranking bit-for-bit — "
+    "pinning the signature join, the multi-probe XOR expansion, and "
+    "the collide-twice dedupe against the DuckDB twin "
+    "(operators/similarity.py lsh_topk). The approximate regime's "
+    "recall bound stays covered by ann_lsh_topk's planted-neighbor "
+    "pytest; this is the probe-all validation setting you'd run "
+    "before dialing planes up at 100 TB.",
+)
+def ann_lsh_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.lsh_topk(
+        queries, emb, "vec_id", "vec_id", k=3, n_planes=1, multi_probe=1
+    ).orderBy("vec_id", "rank")
+
+
+@register(
     "ann_ivf_topk",
     oracle=None,  # KMeans quantizer is engine-specific; recall vs brute
     # force asserted in tests/test_llm.py

@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "bloom_batch_fetch",
     "optimize_clustered_slice",
     "ann_ivf_exact_regime",
+    "ann_lsh_exact_regime",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
-    "q2_min_cost_per_group",
 )
 
 

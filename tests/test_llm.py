@@ -165,6 +165,37 @@ def test_ivf_topk_recall_vs_bruteforce(spark, planted_vectors):
     assert hits >= 4, f"IVF recall too low: {hits}/5"
 
 
+def test_lsh_probe_all_equals_bruteforce_exactly(spark, planted_vectors):
+    """LSH's exact regime: 1 plane + radius-1 probing covers both
+    buckets, so candidates are exhaustive and the ranking equals brute
+    force exactly."""
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    exact = sorted(
+        map(
+            tuple,
+            S.cosine_topk(
+                queries, planted_vectors, "vec_id", "vec_id", k=3
+            ).collect(),
+        )
+    )
+    probe_all = sorted(
+        map(
+            tuple,
+            S.lsh_topk(
+                queries,
+                planted_vectors,
+                "vec_id",
+                "vec_id",
+                k=3,
+                dim=16,
+                n_planes=1,
+                multi_probe=1,
+            ).collect(),
+        )
+    )
+    assert probe_all == exact
+
+
 def test_ivf_probe_all_equals_bruteforce_exactly(spark, planted_vectors):
     """IVF's exact regime: n_probe == n_centroids searches every
     inverted list, so the ranking is identical to brute force —
