@@ -165,6 +165,55 @@ def ann_ivf_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "rank")
 
 
+@register(
+    "ann_pq_exact_regime",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    q AS (SELECT vec_id, embedding FROM c WHERE vec_id < 10),
+    sims AS (
+        SELECT q.vec_id,
+               c.vec_id AS neighbor_id,
+               POWER(list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 2) AS d
+        FROM q JOIN c ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT vec_id, neighbor_id, rank, ROUND(d, 6) AS approx_l2sq
+    FROM ranked WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """,
+    doc="PQ in its EXACT regime: codebooks trained on the ENTIRE "
+    "(restricted) corpus with n_codes >= corpus size make quantization "
+    "LOSSLESS — Lloyd initializes every point as its own centroid and "
+    "never drifts, so encode reconstructs each sub-vector exactly and "
+    "the ADC lookup-table sum IS the true squared-L2 distance. The "
+    "ranking must then match DuckDB's brute-force list_distance twin "
+    "bit-for-bit (operators/similarity.py pq_topk: encode, LUT build, "
+    "partition-local total-order top-k, global refine — all pinned). "
+    "The lossy regime's recall stays covered by ann_pq_topk's pytest. "
+    "At 100 TB this is the codebook-validation setting: prove the "
+    "PQ plumbing exact on a slice before accepting 64x compression "
+    "error on the corpus.",
+)
+def ann_pq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    corpus = t["embeddings"].where(F.col("vec_id") < 200)
+    queries = corpus.where(F.col("vec_id") < 10)
+    return S.pq_topk(
+        queries,
+        corpus,
+        "vec_id",
+        "vec_id",
+        k=3,
+        m=8,
+        n_codes=256,
+        train_limit=10_000,
+    ).orderBy("vec_id", "rank")
+
+
 _SIGN_BITS = 8  # 256 buckets; bump for denser corpora
 
 

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "optimize_clustered_slice",
     "ann_ivf_exact_regime",
     "ann_lsh_exact_regime",
+    "ann_pq_exact_regime",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "filter_predicate_algebra",
     "join_semi_anti",
     "join_outer_coalesce",
-    "join_full_outer",
 )
 
 

@@ -227,6 +227,41 @@ def test_ivf_probe_all_equals_bruteforce_exactly(spark, planted_vectors):
     assert probe_all == exact
 
 
+def test_pq_lossless_codebook_equals_bruteforce_l2(spark, planted_vectors):
+    """PQ's exact regime: codebooks trained on the whole corpus with
+    n_codes >= corpus size are lossless (every sub-vector is its own
+    codeword), so ADC distances are the true squared-L2 and the
+    ranking equals numpy brute force under the (distance, cid) order."""
+    import numpy as np
+
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    got = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.approx_l2sq)
+        for r in S.pq_topk(
+            queries,
+            planted_vectors,
+            "vec_id",
+            "vec_id",
+            k=3,
+            m=8,
+            n_codes=64,
+            train_limit=10_000,
+        ).collect()
+    }
+    rows = planted_vectors.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    for q in range(5):
+        qv = mat[ids == q][0]
+        d = ((mat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        want = [(int(ids[i]), float(d[i])) for i in order if ids[i] != q][:3]
+        for rank, (nid, dist) in enumerate(want, start=1):
+            g_nid, g_d = got[(q, rank)]
+            assert g_nid == nid, (q, rank, g_nid, nid)
+            assert abs(g_d - dist) < 1e-6, (q, rank, g_d, dist)
+
+
 def test_decode_stub_deterministic_and_batched(spark):
     df = spark.createDataFrame([(i, f"payload {i}") for i in range(20)], "doc_id long, text string")
     with_payload = attach_binary_payload(df, "text")
