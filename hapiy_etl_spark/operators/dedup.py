@@ -203,6 +203,7 @@ def minhash_native_pairs(
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via DataFrame-native MinHash banding —
     no pyspark.ml, every stage declarative and codegen'd.
@@ -217,13 +218,29 @@ def minhash_native_pairs(
     ~sqrt(s(1-s)/k); for dedup-grade thresholds (s ≥ ~0.7) k=16 is
     ample. Scale shape: one shuffle for signatures, one band join on
     16-byte keys, no all-pairs anywhere.
+
+    ``portable=True`` swaps the shingle hash from xxhash64 to the
+    repo's md5 kernel (first 14 hex digits as a bigint — the
+    md5_uniform trick) and joins bands on the raw component-concat
+    string instead of its xxhash: every stage is then reproducible in
+    ANY engine with md5, which is what lets dedup_minhash_portable
+    carry a full DuckDB oracle twin of the whole minhash+banding
+    pipeline. Default stays xxhash64 — one 8-byte hash beats a 16-byte
+    md5 on the hot shingle explode, and band keys stay fixed-width.
     """
     params = _hash_params(num_hashes, seed)
     n_bands = num_hashes // band_size
 
+    if portable:
+        base_h = F.pmod(
+            F.conv(F.substring(F.md5(F.col("s")), 1, 14), 16, 10).cast("long"),
+            F.lit(_MERSENNE31),
+        )
+    else:
+        base_h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
-    ).select("doc", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
+    ).select("doc", base_h.alias("h"))
     sig = sh.groupBy("doc").agg(
         *[
             F.min((F.col("h") * a + b) % _MERSENNE31).alias(f"m{i}")
@@ -237,20 +254,21 @@ def minhash_native_pairs(
     ).cache()
     sig_arr.count()
 
+    def _band_key(j: int) -> Column:
+        concat = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", j * band_size + r + 1).cast("string")
+                for r in range(band_size)
+            ],
+        )
+        # portable mode joins on the raw concat (engine-agnostic);
+        # default hashes it to a fixed-width 8-byte shuffle key
+        return concat if portable else F.xxhash64(concat)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", j * band_size + r + 1).cast("string")
-                            for r in range(band_size)
-                        ],
-                    )
-                ).alias("key"),
-            )
+            F.struct(F.lit(j).alias("band"), _band_key(j).alias("key"))
             for j in range(n_bands)
         ]
     )

@@ -184,6 +184,102 @@ def dedup_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_portable_oracle(
+    n_hashes: int = 16, band_size: int = 2, seed: int = 42, thr: float = 0.5
+) -> str:
+    """DuckDB twin of the FULL portable-minhash pipeline — the same
+    (a, b) universal-hash constants baked in, the same md5-prefix base
+    hash, the same banding and matching-component estimator. Portable
+    minhash is deterministic, so unlike the xxhash paths the whole
+    approximation is replayable and hash-checkable, not just
+    rows-only."""
+    from hapiy_etl_spark.operators.dedup import _MERSENNE31, _hash_params
+
+    params = _hash_params(n_hashes, seed)
+    comps = ",\n               ".join(
+        f"MIN((hh * {a} + {b}) % {_MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    n_bands = n_hashes // band_size
+    bands = "\n        UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {key} AS key FROM comp".format(
+            j=j,
+            key=" || ',' || ".join(
+                f"m{j * band_size + r}::VARCHAR" for r in range(band_size)
+            ),
+        )
+        for j in range(n_bands)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN ca.m{i} = cb.m{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 14))::BIGINT % {_MERSENNE31} AS hh
+        FROM sh
+    ),
+    comp AS (
+        SELECT doc_id,
+               {comps}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(({eq_sum}) / {float(n_hashes)}, 6) AS jaccard_est
+    FROM cand
+    JOIN comp ca ON ca.doc_id = id_a
+    JOIN comp cb ON cb.doc_id = id_b
+    WHERE ({eq_sum}) / {float(n_hashes)} >= {thr}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=_minhash_portable_oracle(),
+    doc="MinHash banding with the PORTABLE md5 hash kernel "
+    "(operators/dedup.py minhash_native_pairs(portable=True), r8): the "
+    "base shingle hash is the md5-prefix bigint (the md5_uniform "
+    "trick) and bands join on the raw component-concat string, so the "
+    "ENTIRE approximate pipeline — shingles, k universal hashes, "
+    "min-signatures, band collision join, matching-component Jaccard "
+    "estimate — replays verbatim in the DuckDB twin and hash-matches, "
+    "where the xxhash64 variants can only be rows-only. Same banding "
+    "math, same one-shuffle scale shape as dedup_minhash_native "
+    "(which stays the default: one 8-byte xxhash beats a 16-byte md5 "
+    "on the hot explode). The cross-engine determinism is itself the "
+    "100 TB feature: signatures computed by DIFFERENT engines or "
+    "cluster versions agree, so incremental dedup state survives an "
+    "engine migration.",
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.minhash_native_pairs(
+        t["documents"], "doc_id", "text", n=3, jaccard_threshold=0.5,
+        portable=True,
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "dedup_simhash",
     oracle=None,  # xxhash64 is Spark-specific — signatures aren't portable;

@@ -75,6 +75,27 @@ def test_minhash_native_recall_and_agreement(spark, planted_docs):
         assert exact.get(p, 0.0) >= 0.3, f"false positive {p} est={est}"
 
 
+def test_minhash_portable_kernel_recall(spark, planted_docs):
+    """The md5 portable kernel is a different base hash but the same
+    banding math — exact dups still estimate 1.0 and planted near-dups
+    still collide, with no low-similarity false positives."""
+    pairs = D.minhash_native_pairs(
+        planted_docs, "doc_id", "text", n=3, jaccard_threshold=0.5,
+        portable=True,
+    )
+    got = {(r.id_a, r.id_b): r.jaccard_est for r in pairs.collect()}
+    for j in range(5):
+        assert got.get((j, 100 + j)) == 1.0, f"exact dup {j} must estimate 1.0"
+    near_found = sum((j, 100 + j) in got for j in range(5, 10))
+    assert near_found >= 4, f"portable minhash recall too low: {near_found}/5"
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    }
+    for p, est in got.items():
+        assert exact.get(p, 0.0) >= 0.3, f"false positive {p} est={est}"
+
+
 def test_jaccard_pairs_finds_planted_only_high(spark, planted_docs):
     pairs = D.jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.5)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
