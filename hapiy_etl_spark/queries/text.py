@@ -297,6 +297,105 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _simhash_portable_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of the FULL portable-simhash pipeline: md5-prefix
+    token hash (60 bits), per-bit majority votes, packed signature,
+    Manku block-combination banding, exact-hamming refine — every
+    constant replayed from the Spark side's own block layout."""
+    from hapiy_etl_spark.operators.dedup import (
+        PORTABLE_SIMHASH_BITS,
+        _simhash_tables,
+    )
+
+    n_bits = PORTABLE_SIMHASH_BITS
+    m = max_hamming + 3
+    widths = [n_bits // m + (1 if i < n_bits % m else 0) for i in range(m)]
+    offsets = [sum(widths[:i]) for i in range(m)]
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (hh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    sig_expr = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(n_bits)
+    )
+
+    def block(i: int) -> str:
+        return f"((sig >> {offsets[i]}) & {(1 << widths[i]) - 1})"
+
+    def key(combo: tuple[int, ...]) -> str:
+        # disjoint bit ranges: Spark's shift-and-OR packing equals
+        # plain shifted addition
+        parts = []
+        shift = 0
+        for i in reversed(combo):
+            parts.append(f"({block(i)} << {shift})" if shift else block(i))
+            shift += widths[i]
+        return " + ".join(parts)
+
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {t} AS band, {key(combo)} AS key FROM sigs"
+        for t, combo in enumerate(_simhash_tables(max_hamming))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh
+        FROM toks
+    ),
+    sigs AS (
+        SELECT doc_id, ({sig_expr}) AS sig FROM (
+            SELECT doc_id,
+               {votes}
+            FROM h GROUP BY doc_id
+        )
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=_simhash_portable_oracle(),
+    doc="SimHash near-dedup with the PORTABLE md5 hash kernel "
+    "(operators/dedup.py simhash_pairs(portable=True), r8): the token "
+    "hash is the md5-prefix bigint (15 hex digits → a 60-bit "
+    "signature), so the ENTIRE pipeline — per-bit majority votes, "
+    "signature packing, Manku C(6,3)=20 block-combination banding, "
+    "exact-hamming refine — replays verbatim in a generated DuckDB "
+    "twin and hash-matches, where the xxhash64 variant is rows-only. "
+    "Same pigeonhole recall-1.0 guarantee and per-table equi-join "
+    "scale shape as dedup_simhash (which stays the default 64-bit "
+    "path). As with portable minhash, cross-engine-deterministic "
+    "signatures mean a 100 TB signature store outlives any one "
+    "engine.",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = D.simhash_pairs(
+        t["documents"], "doc_id", "text", max_hamming=3, portable=True
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 @register(
     "dedup_pipeline_end_to_end",
     oracle="""

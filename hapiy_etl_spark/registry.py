@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_exact_regime",
     "ann_pq_exact_regime",
     "dedup_minhash_portable",
+    "dedup_simhash_portable",
     "events_rolling_distinct_users",
     "asof_forward_tolerance",
     "interval_union_coverage",
@@ -111,7 +112,6 @@ PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "filter_predicate_algebra",
-    "join_semi_anti",
 )
 
 

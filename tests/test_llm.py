@@ -114,6 +114,20 @@ def test_simhash_near_dup_on_planted(spark, planted_docs):
     assert found_near >= 3  # 1-token edit rarely flips > 8 bits
 
 
+def test_simhash_portable_kernel_near_dup_on_planted(spark, planted_docs):
+    """The md5 portable kernel is a 60-bit signature but the same
+    majority-vote + Manku banding — identical text still hashes to
+    hamming 0 and near-dups still surface."""
+    pairs = D.simhash_pairs(
+        planted_docs, "doc_id", "text", max_hamming=8, portable=True
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for j in range(5):
+        assert got.get((j, 100 + j)) == 0
+    found_near = sum((j, 100 + j) in got for j in range(5, 10))
+    assert found_near >= 3
+
+
 def test_dedup_clusters_connected_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
