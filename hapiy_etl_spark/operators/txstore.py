@@ -1363,9 +1363,12 @@ class TxTable:
                 b = b + F.when(F.col(cluster_by) > F.lit(bound), 1).otherwise(0)
             # the spool bucket column must not collide with a real
             # column — withColumn would silently REPLACE it and the
-            # partitionBy would then strip it from the rewritten files
+            # partitionBy would then strip it from the rewritten files.
+            # withColumn resolves case-INSENSITIVELY by default, so the
+            # guard must compare case-folded names ('__B' collides too)
+            taken = {c.lower() for c in snap.columns}
             bcol = "__b"
-            while bcol in snap.columns:
+            while bcol.lower() in taken:
                 bcol = f"__b_{uuid.uuid4().hex[:8]}"
             spool = self.path / "data" / f".opt-{uuid.uuid4().hex[:12]}"
             snap.withColumn(bcol, b.cast("int")).write.partitionBy(

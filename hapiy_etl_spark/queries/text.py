@@ -216,7 +216,10 @@ def _minhash_portable_oracle(
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        -- NULL-text docs are filtered on BOTH sides: unnest() would
+        -- silently drop them here while Spark's shingles() keeps them
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
         SELECT doc_id,
@@ -274,8 +277,11 @@ def _minhash_portable_oracle(
 )
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
+    # NULL-text docs filtered to match the twin (its unnest would drop
+    # them while shingles() maps NULL to the [''] fallback shingle)
+    docs = t["documents"].where(F.col("text").isNotNull())
     return D.minhash_native_pairs(
-        t["documents"], "doc_id", "text", n=3, jaccard_threshold=0.5,
+        docs, "doc_id", "text", n=3, jaccard_threshold=0.5,
         portable=True,
     ).orderBy("id_a", "id_b")
 
@@ -339,8 +345,10 @@ def _simhash_portable_oracle(max_hamming: int = 3) -> str:
     )
     return f"""
     WITH toks AS (
+        -- NULL-text docs filtered on BOTH sides (unnest drops them
+        -- here; Spark's explode_outer would keep them as sig=0)
         SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     h AS (
         SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh
@@ -390,8 +398,11 @@ def _simhash_portable_oracle(max_hamming: int = 3) -> str:
 )
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
+    # NULL-text docs filtered to match the twin (its unnest would drop
+    # them while explode_outer keeps them as all-(-1)-vote sig=0 rows)
+    docs = t["documents"].where(F.col("text").isNotNull())
     pairs = D.simhash_pairs(
-        t["documents"], "doc_id", "text", max_hamming=3, portable=True
+        docs, "doc_id", "text", max_hamming=3, portable=True
     )
     return pairs.orderBy("id_a", "id_b")
 

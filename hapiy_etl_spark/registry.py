@@ -53,14 +53,12 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r7 window (tools/rotate_priority.py over CORRECTNESS_r01..r06): zero
-# failures, zero unchecked; the entire window is the last 30 r3-era
-# stale greens (TPC-H analogue family, text_bm25/decontamination/
-# fingerprint/sequence_pack, dedup cluster/substring/incremental,
-# graph_pagerank_trade, join_skew_salted, subq_lateral_topn,
-# fn_variant, window_time_range_frame, maintenance_zorder_key,
-# events_equidepth/funnel) front-loaded, then the freshest-needed
-# backfill — this closes the post-regeneration evidence rotation.
+# r8 window (tools/rotate_priority.py over CORRECTNESS_r01..r07, rerun
+# after EACH new registration): zero failures; the 9 never-checked r8
+# queries front-load (bloom_merge_lookup, incremental_mv_kll_quantiles,
+# bloom_batch_fetch, optimize_clustered_slice, the three ANN
+# exact-regimes, the two portable-kernel dedups), then freshest-last
+# backfill of the stalest greens (r4-era rows first).
 PRIORITY: tuple[str, ...] = (
     "bloom_merge_lookup",
     "incremental_mv_kll_quantiles",

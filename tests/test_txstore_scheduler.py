@@ -1645,7 +1645,9 @@ def test_txstore_optimize_clustered_survives_bucket_column_collision(
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(
         spark.createDataFrame(
-            [(i, f"b{i}") for i in range(100)], "k long, __b string"
+            # '__B' (not '__b'): withColumn resolves case-insensitively
+            # by default, so a case-variant name collides just the same
+            [(i, f"b{i}") for i in range(100)], "k long, __B string"
         ),
         stats_cols=["k"],
     )
