@@ -58,6 +58,7 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   query set x corpus (the scale paths are ann_lsh/ann_ivf)
         "ann_ivf_topk",  # bounded cross: |queries| x |centroids|, both
         #   broadcast, to rank probe cells
+        "ann_ivf_exact_regime",  # same bounded probe-cell cross (10 x 4)
         "text_bm25_search",  # 1-row corpus-stats aggregate crossed in
         "text_bm25_query_table",  # same 1-row corpus-stats cross
         "agg_kmv_distinct_sketch",  # two 1-row sketch sides crossed

@@ -97,6 +97,9 @@ SHOWCASE = [
     # r8: clustered compaction — the post-optimize slice scans ONE
     # range-clustered dir with the residual range pushed down
     ("optimize_clustered_slice", ["FileScan", "PushedFilters", "HashAggregate"]),
+    # r8: portable minhash — same partial/final signature agg and band
+    # equi-join shape as native, with the md5 kernel fully codegen'd
+    ("dedup_minhash_portable", ["HashAggregate", "Exchange"]),
 ]
 
 
