@@ -58,6 +58,25 @@ from hapiy_etl_spark.operators.txstore import TxTable
 DEC = "decimal(28,4)"
 
 
+def _join_groups_nullsafe(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], how: str = "left"
+) -> DataFrame:
+    """Join sketch partials back to the aggregate rows by group key with
+    NULL-SAFE equality. The name-list join form uses plain ``=``, so a
+    group whose key is NULL silently loses its sketch column (NULL kmv /
+    kllrank / loghist) even though groupBy happily produced a partial
+    for it (r8 advice, incremental_mv.py). ``eqNullSafe`` per key keeps
+    the NULL group paired with its own sketch."""
+    ren = {k: f"__mvgk_{k}" for k in keys}
+    r = right
+    for k, rk in ren.items():
+        r = r.withColumnRenamed(k, rk)
+    cond = F.lit(True)
+    for k, rk in ren.items():
+        cond = cond & left[k].eqNullSafe(r[rk])
+    return left.join(r, cond, how).drop(*ren.values())
+
+
 class IncrementalAggView:
     """Materialized ``GROUP BY group_cols`` view with count/sum/min/max
     over one or more value columns — and optionally an approximate
@@ -150,7 +169,7 @@ class IncrementalAggView:
             sk = kmv_sketch(
                 df, self.group_cols, self.distinct_col, self.kmv_k
             ).withColumnRenamed("sketch", "kmv")
-            parts = parts.join(sk, self.group_cols, "left")
+            parts = _join_groups_nullsafe(parts, sk, self.group_cols)
         if self.histogram_col:
             # rank-sketch partial for the quantile panel — loghist
             # merges EXACTLY (element-wise integer sums); kll merges
@@ -161,7 +180,7 @@ class IncrementalAggView:
                 if self.rank_sketch == "kll"
                 else loghist_sketch(df, self.group_cols, self.histogram_col)
             )
-            parts = parts.join(sk, self.group_cols, "left")
+            parts = _join_groups_nullsafe(parts, sk, self.group_cols)
         return parts
 
     def _merge_partials(self, parts: DataFrame) -> DataFrame:
@@ -207,7 +226,7 @@ class IncrementalAggView:
             kll_m = parts.groupBy(*self.group_cols).agg(
                 kll_merge_agg("kllrank", self.kll_k).alias("kllrank")
             )
-            merged = merged.join(kll_m, self.group_cols, "left")
+            merged = _join_groups_nullsafe(merged, kll_m, self.group_cols)
         return merged
 
     def _partial_cols(self) -> set[str]:

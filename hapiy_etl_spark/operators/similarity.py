@@ -406,7 +406,17 @@ def _pq_training_sample(
     train_fraction ≈ train_limit / |corpus| so the sort stays tiny.
     """
     train = corpus.select(vec, corpus_id)
-    if train_fraction is not None:
+    if train_fraction is None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pq_topk: train_fraction not set — codebooks train on the "
+            "corpus HEAD (limit(%d)), which is biased on a clustered/"
+            "sorted layout; pass train_fraction ~ train_limit/|corpus| "
+            "for a layout-invariant md5-uniform draw",
+            train_limit,
+        )
+    else:
         from hapiy_etl_spark.functions import md5_uniform
 
         u = md5_uniform(F.concat_ws("#", F.col(corpus_id), F.lit(seed)))

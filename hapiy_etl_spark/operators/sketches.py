@@ -245,9 +245,19 @@ def _kll_compress(s: dict) -> dict:
             continue
         buf.sort()
         p = s["parity"][i]
+        # Weight conservation (KLL invariant): only an EVEN count may be
+        # compacted — promoting every other of 2m items at doubled
+        # weight keeps total weight exactly 2m*w. An odd buffer leaves
+        # one element behind at level i (which end alternates with the
+        # parity bit so the leftover isn't systematically the max);
+        # compacting all of an odd buffer would drift total weight by
+        # ±w per compaction (r8 advice, sketches.py).
+        leftover = []
+        if len(buf) % 2:
+            leftover = [buf.pop() if p else buf.pop(0)]
         keep = buf[p::2]
         s["parity"][i] = p ^ 1
-        s["levels"][i] = []
+        s["levels"][i] = leftover
         if i + 1 == len(s["levels"]):
             s["levels"].append([])
             s["parity"].append(0)

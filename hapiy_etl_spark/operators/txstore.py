@@ -813,28 +813,44 @@ class TxTable:
         by casting its literal to the entry's recorded type (Spark's
         xxhash64 is type-sensitive; a Python re-implementation would
         silently diverge). A pair whose probe is not provably
-        type-consistent yields None (bloom skipped, never pruned on)."""
+        type-consistent yields None (bloom skipped, never pruned on).
+
+        Probes are chunked at ~512 hash expressions per local job: a
+        1000-key where_in with k=5 would otherwise build one 5000-field
+        projection, which knocks the plan out of whole-stage codegen
+        and stresses the driver with a single enormous row (r8 advice,
+        txstore.py). Chunking keeps each job a small constant-width
+        select while staying O(1) driver round-trips per ~100 keys."""
         from pyspark.sql import functions as F
 
         results: list[list[int] | None] = [None] * len(entries)
         exprs, counts = [], {}
+        max_exprs = 512
+
+        def _flush():
+            if not exprs:
+                return
+            row = self.spark.range(1).select(*exprs).collect()[0]
+            for j, k in counts.items():
+                results[j] = [int(row[f"p_{j}_{i}"]) for i in range(k)]
+            exprs.clear()
+            counts.clear()
+
         for j, (bl, val) in enumerate(entries):
             if not self._bloom_probe_ok(bl, val):
                 continue
             typ = bl.get("type", "")
             bits = int(bl.get("bits", self.BLOOM_BITS))
             k = int(bl.get("k", self.BLOOM_K))
+            if exprs and len(exprs) + k > max_exprs:
+                _flush()
             lit = F.lit(val).cast(typ)
             exprs += [
                 F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits)).alias(f"p_{j}_{i}")
                 for i in range(k)
             ]
             counts[j] = k
-        if not exprs:
-            return results
-        row = self.spark.range(1).select(*exprs).collect()[0]
-        for j, k in counts.items():
-            results[j] = [int(row[f"p_{j}_{i}"]) for i in range(k)]
+        _flush()
         return results
 
     def _bloom_positions(self, bloom: dict, val) -> list[int] | None:

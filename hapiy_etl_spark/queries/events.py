@@ -1206,14 +1206,18 @@ def incremental_mv_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- excludes NULL values, so it must not stand in for n
         SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
     )
-    SELECT mid.event_type,
+    SELECT totals.event_type,
            MAX(totals.n) AS n,
            ROUND(MAX(CASE WHEN prev_cum < CEIL(0.5 * total) AND cum >= CEIL(0.5 * total) THEN midv END), 6) AS approx_p50_value,
            ROUND(MAX(CASE WHEN prev_cum < CEIL(0.95 * total) AND cum >= CEIL(0.95 * total) THEN midv END), 6) AS approx_p95_value,
            ROUND(MAX(CASE WHEN prev_cum < CEIL(0.99 * total) AND cum >= CEIL(0.99 * total) THEN midv END), 6) AS approx_p99_value
-    FROM mid JOIN totals ON mid.event_type = totals.event_type
-    GROUP BY mid.event_type
-    ORDER BY mid.event_type
+    -- driven FROM totals with a null-safe LEFT JOIN: a group whose
+    -- values are entirely NULL (absent from the histogram) or whose
+    -- KEY is NULL still surfaces with n>0 and NULL quantiles, matching
+    -- the MV (r8 advice, events.py)
+    FROM totals LEFT JOIN mid ON mid.event_type IS NOT DISTINCT FROM totals.event_type
+    GROUP BY totals.event_type
+    ORDER BY totals.event_type
     """,
     doc="Incremental quantile panel (operators/sketches.py log-"
     "histogram + operators/incremental_mv.py): the view maintains a "
@@ -1288,14 +1292,18 @@ def incremental_mv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals AS (
         SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
     )
-    SELECT r.event_type,
+    SELECT t.event_type,
            MAX(t.n) AS n,
            ROUND(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.5 * total)) THEN value END), 6) AS approx_p50_value,
            ROUND(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.95 * total)) THEN value END), 6) AS approx_p95_value,
            ROUND(MAX(CASE WHEN rn = GREATEST(1, CEIL(0.99 * total)) THEN value END), 6) AS approx_p99_value
-    FROM ranked r JOIN totals t ON r.event_type = t.event_type
-    GROUP BY r.event_type
-    ORDER BY r.event_type
+    -- driven FROM totals with a null-safe LEFT JOIN: an event_type
+    -- whose values are all NULL (absent from ranked) or whose KEY is
+    -- NULL still surfaces with n>0 and NULL quantiles, matching the
+    -- MV output (r8 advice, events.py:1279)
+    FROM totals t LEFT JOIN ranked r ON r.event_type IS NOT DISTINCT FROM t.event_type
+    GROUP BY t.event_type
+    ORDER BY t.event_type
     """,
     doc="Incremental quantile panel on the KLL-family rank sketch "
     "(operators/sketches.py kll_*, r8 — the finer-precision opt-in "

@@ -211,6 +211,10 @@ def ann_pq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=8,
         n_codes=256,
         train_limit=10_000,
+        # exact regime NEEDS the whole restricted corpus as training
+        # set; fraction 1.0 keeps every row through the md5-uniform
+        # kernel (u < 1 always) while staying layout-invariant
+        train_fraction=1.0,
     ).orderBy("vec_id", "rank")
 
 
@@ -471,12 +475,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quartet next to brute/LSH/IVF. Rows-only, FINAL; bound: ADC error "
     "is the codebook quantization error (planted near-dups recalled "
     ">=4/5, uniform-sampled training >=8/10 on a clustered corpus, "
-    "output layout-invariant — tests/test_llm.py pq suite).",
+    "output layout-invariant — tests/test_llm.py pq suite). "
+    "train_fraction routes the codebook sample through the "
+    "md5-uniform kernel so the training draw is layout-invariant on "
+    "a clustered 100 TB corpus (r8 verdict: the head-taken default "
+    "modeled the wrong thing even though it was lossless at test SF).",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.where(F.col("vec_id") < 10)
     return S.pq_topk(
-        queries, emb, "vec_id", "vec_id", k=3, m=8, n_codes=16
+        queries, emb, "vec_id", "vec_id", k=3, m=8, n_codes=16,
+        train_fraction=0.5,
     ).orderBy("vec_id", "rank")

@@ -53,63 +53,61 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r8 window (tools/rotate_priority.py over CORRECTNESS_r01..r07, rerun
-# after EACH new registration): zero failures; the 9 never-checked r8
-# queries front-load (bloom_merge_lookup, incremental_mv_kll_quantiles,
-# bloom_batch_fetch, optimize_clustered_slice, the three ANN
-# exact-regimes, the two portable-kernel dedups), then freshest-last
-# backfill of the stalest greens (r4-era rows first).
+# r9 window (tools/rotate_priority.py over CORRECTNESS_r01..r08):
+# zero failures, zero never-checked — pure freshest-last backfill; the
+# r8 window re-proved its 50, so the stalest standing greens (r5-era
+# join/scalar-fn/subquery/dedup rows) rotate back in for fresh evidence.
 PRIORITY: tuple[str, ...] = (
-    "bloom_merge_lookup",
-    "incremental_mv_kll_quantiles",
-    "bloom_batch_fetch",
-    "optimize_clustered_slice",
-    "ann_ivf_exact_regime",
-    "ann_lsh_exact_regime",
-    "ann_pq_exact_regime",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "events_rolling_distinct_users",
-    "asof_forward_tolerance",
-    "interval_union_coverage",
-    "events_daily_anomaly",
-    "events_dau_mau_stickiness",
-    "graph_triangle_count",
-    "graph_reachability_bfs",
-    "basket_pair_lift",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "join_null_safe",
-    "scd2_point_in_time",
-    "subq_scalar_above_avg",
-    "subq_not_in_anti",
-    "text_repetition_filter",
-    "corpus_mix_sample",
-    "text_chunk_overlap",
-    "corpus_lang_quota",
-    "doc_tfidf_topterms",
-    "corpus_weighted_sample",
-    "text_cdc_chunking",
-    "corpus_split_leakfree",
-    "text_segment_dedup",
-    "corpus_mix_temperature",
-    "doc_novelty_score",
-    "q22_dormant_rich_customers",
-    "sales_yoy_growth",
-    "customer_rfm_segmentation",
-    "revenue_pareto_curve",
-    "supplier_lead_time",
-    "customer_order_cadence",
-    "timeseries_ewma",
-    "semdedup_assign",
-    "embedding_quantize_int8",
-    "agg_collect",
-    "events_funnel_conversion",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "filter_predicate_algebra",
+    "join_semi_anti",
+    "join_outer_coalesce",
+    "join_full_outer",
+    "q2_min_cost_per_group",
+    "topk_per_group",
+    "set_operations",
+    "theta_range_join",
+    "cross_join_dims",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
+    "fn_array",
+    "fn_explode_wordcount",
+    "fn_json",
+    "fn_json_schema",
+    "fn_datetime_arith",
+    "fn_regexp_extract_all",
+    "fn_try_safe",
+    "fn_struct",
+    "fn_conditional",
+    "fn_hash",
+    "stat_chi2_independence",
+    "stat_ab_proportion_ztest",
+    "corpus_lang_drift_jsd",
+    "sample_stratified_rates",
+    "doc_source_entropy",
+    "subq_exists_priority",
+    "subq_correlated_avg_qty",
+    "subq_in_large_orders",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_native",
+    "dedup_simhash",
+    "dedup_pipeline_end_to_end",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "vocab_encode_documents",
+    "editsim_source_labels",
+    "text_unicode_nfc",
+    "udf_grouped_agg_mad",
+    "udtf_table_argument",
+    "ann_cosine_topk_numpy",
+    "agg_basic_stats",
+    "agg_corr_covar",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_cube",
 )
 
 

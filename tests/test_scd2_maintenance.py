@@ -456,6 +456,82 @@ def test_kll_sketch_exact_regime_merge_and_error_bound(spark):
     assert json.loads(out1["g"][1])["k"] == 512
 
 
+def test_kll_compaction_conserves_weight_exactly():
+    """r8 advice: compacting an ODD buffer wholesale drifts total sketch
+    weight by up to 2^i per compaction. The fix leaves one element at
+    level i when the buffer is odd, so total weight == items inserted,
+    exactly, after every insert and merge."""
+    import random
+
+    from hapiy_etl_spark.operators.sketches import (
+        _kll_insert_many,
+        _kll_merge_py,
+        _kll_new,
+    )
+
+    def weight(s):
+        return sum(len(buf) << lvl for lvl, buf in enumerate(s["levels"]))
+
+    rng = random.Random(7)
+    s = _kll_new(16)
+    n = 0
+    # odd-sized batches force odd-length compactions at many levels
+    for batch in (1, 17, 33, 5, 129, 255, 3, 1001, 77):
+        _kll_insert_many(s, [rng.random() for _ in range(batch)])
+        n += batch
+        assert weight(s) == n, (batch, weight(s), n)
+
+    other = _kll_new(16)
+    _kll_insert_many(other, [rng.random() for _ in range(501)])
+    m = _kll_merge_py(s, other)
+    assert weight(m) == n + 501
+
+
+def test_incremental_mv_null_group_key_keeps_sketch_panels(spark, tmp_path):
+    """r8 advice: the sketch join-backs used non-null-safe equality, so
+    a group whose KEY is NULL silently got NULL kmv/kllrank (and NULL
+    distinct/quantile panels) even though its partial existed. With the
+    null-safe join the NULL group carries real panels; an all-NULL-
+    values group still surfaces with n>0 and NULL quantiles."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    rows = (
+        [(None, float(i), f"u{i % 7}") for i in range(40)]
+        + [("a", float(100 + i), f"v{i % 5}") for i in range(30)]
+        + [("allnull", None, "w") for _ in range(4)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double, u string")
+    src = TxTable(spark, str(tmp_path / "src"))
+    mv = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "mv"),
+        ["g"],
+        value_cols=["v"],
+        distinct_col="u",
+        histogram_col="v",
+        quantiles=(0.5,),
+        rank_sketch="kll",
+        kll_k=1024,
+    )
+    halves = df.withColumn("b", (F.xxhash64("u") % 2).cast("int"))
+    for i in range(2):
+        src.append(halves.where(F.pmod("b", F.lit(2)) == i).drop("b"))
+        mv.refresh()
+
+    got = {r["g"]: r.asDict() for r in mv.result().collect()}
+    assert set(got) == {None, "a", "allnull"}
+    # NULL-keyed group: full panels, exact in this regime
+    assert got[None]["n"] == 40
+    assert got[None]["approx_distinct_u"] == 7
+    assert got[None]["approx_p50_v"] == 19.0  # ceil(0.5*40) = rank 20 -> 19.0
+    assert got["a"]["approx_distinct_u"] == 5
+    # all-NULL values: the group exists with a NULL quantile
+    assert got["allnull"]["n"] == 4
+    assert got["allnull"]["approx_p50_v"] is None
+
+
 def test_incremental_mv_kll_refresh_equals_recompute(spark, tmp_path):
     """The KLL panel as an incremental-MV partial: refresh-by-parts
     equals a from-scratch recompute in the exact regime — the merge is
