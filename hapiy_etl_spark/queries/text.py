@@ -2448,3 +2448,72 @@ def bloom_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "holding the keys; the middle dir must prune)"
         )
     return df.orderBy("doc_id")
+
+
+@register(
+    "changestream_optimize_exactly_once",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Change-data-feed streaming across a compaction "
+    "(sources/txtable_source.py, r9): documents land in a TxTable as "
+    "three appends; a CDC consumer (the txtable_changes Structured "
+    "Streaming source, parquet sink, engine checkpoint) drains after "
+    "the first two, then the table is OPTIMIZE-compacted and the third "
+    "batch appended BEFORE the consumer returns. The second drain's "
+    "span contains the rewrite — the stream recognizes op=optimize as "
+    "row-preserving, skips the compacted dir as a no-data micro-batch, "
+    "and delivers only the genuinely appended rows from their original "
+    "files. The oracle is the raw table: ONE duplicated or dropped row "
+    "anywhere breaks the hash, so exactly-once through the compaction "
+    "is value-checked, not just row-counted. At 100 TB this is the "
+    "likeliest CDC trap: nightly compaction must not kill (or corrupt) "
+    "every downstream streaming consumer.",
+)
+def changestream_optimize_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.sources.txtable_source import register as _reg_cdc
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "lang", "source", "n_chars")
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_cdc_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    _reg_cdc(spark)
+    thirds = docs.withColumn(
+        "b", F.pmod(F.xxhash64("doc_id"), F.lit(3)).cast("int")
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable_changes")
+            .option("path", f"{base}/src")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{base}/sink")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    src.append(thirds.where(F.col("b") == 0).drop("b"))
+    src.append(thirds.where(F.col("b") == 1).drop("b"))
+    drain()
+    # compaction + append while the consumer is down: the next span
+    # holds a rewrite, which must stream as appended-rows-only
+    src.optimize()
+    src.append(thirds.where(F.col("b") == 2).drop("b"))
+    drain()
+    return spark.read.parquet(f"{base}/sink").orderBy("doc_id")

@@ -53,11 +53,14 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r9 window (tools/rotate_priority.py over CORRECTNESS_r01..r08):
-# zero failures, zero never-checked — pure freshest-last backfill; the
-# r8 window re-proved its 50, so the stalest standing greens (r5-era
-# join/scalar-fn/subquery/dedup rows) rotate back in for fresh evidence.
+# r9 window (tools/rotate_priority.py over CORRECTNESS_r01..r08, rerun
+# after each new registration): zero failures; new r9 queries front-load
+# as never-checked (changestream_optimize_exactly_once first), then
+# freshest-last backfill — the r8 window re-proved its 50, so the
+# stalest standing greens (r5-era join/scalar-fn/subquery/dedup rows)
+# rotate back in for fresh evidence.
 PRIORITY: tuple[str, ...] = (
+    "changestream_optimize_exactly_once",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -107,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_distinct",
     "agg_percentiles",
     "agg_rollup",
-    "agg_cube",
 )
 
 

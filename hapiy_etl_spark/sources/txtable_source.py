@@ -27,7 +27,12 @@ appended row across restarts with zero bookkeeping of its own:
   dir's PINNED written schema (directory names round-trip as strings;
   the recorded schema restores the written types, same as the batch
   reader's basePath+schema read);
-- a rewrite inside the span (overwrite/merge/delete/restore/optimize)
+- a row-preserving OPTIMIZE inside the span is a no-data micro-batch:
+  compaction rewrites the snapshot verbatim, so the stream skips the
+  compacted dir and keeps delivering appended dirs from their original
+  files (which outlive the rewrite until vacuum) — a routine
+  compaction never kills the CDC consumer;
+- any OTHER rewrite inside the span (overwrite/merge/delete/restore)
   raises the same loud not-representable error as the batch CDF —
   streaming consumers must resync from a snapshot, never silently
   miss a mutation.
@@ -137,30 +142,56 @@ class TxChangesStreamReader(DataSourceStreamReader):
         if ev == sv:
             return []
         man = _Manifests(self.table_path)
-        m_ev = man.manifest(ev)
-        to_dirs = m_ev["dirs"]
+        # Walk the span COMMIT BY COMMIT instead of one end-to-end
+        # dir-set diff: an OPTIMIZE inside the span is row-preserving
+        # by construction (txstore.optimize rewrites read(parent)
+        # verbatim; both optimize and optimize_clustered commit
+        # op="optimize"), so its rewritten dirs are NOT a lost
+        # mutation — the batch CDF learned this in r7 (changes(keys=)),
+        # and without it a routine compaction mid-stream killed the CDC
+        # consumer (r8 verdict). The compacted dir is SKIPPED (its rows
+        # were, or will be, delivered from their original append dirs,
+        # whose files outlive the rewrite until vacuum); genuine
+        # appends in the span emit their own dirs, with each dir's
+        # layout read from the manifest that ADDED it (a later
+        # optimize drops superseded dirs from the carried-forward
+        # maps, so the end manifest can no longer describe them). Any
+        # OTHER dir-removing op (overwrite / merge / delete / restore)
+        # still raises the loud not-representable error.
+        new: list[tuple[str, list | None]] = []
         if sv == 0:
-            new = list(to_dirs)
+            m_ev = man.manifest(ev)
+            layouts_ev = m_ev.get("layouts") or {}
+            new = [(d, layouts_ev.get(d)) for d in m_ev["dirs"]]
         else:
-            from_dirs = set(man.manifest(sv)["dirs"])
-            gone = from_dirs - set(to_dirs)
-            if gone:
-                raise ValueError(
-                    f"non-append history between v{sv} and v{ev} at "
-                    f"{self.table_path} (dirs rewritten: {sorted(gone)}); "
-                    "the change stream only carries appended rows — resync "
-                    "the consumer from a snapshot read and restart the "
-                    "stream from a fresh checkpoint"
-                )
-            new = [d for d in to_dirs if d not in from_dirs]
-        layouts = m_ev.get("layouts") or {}
-        schemas = m_ev.get("schemas") or {}
+            prev_dirs = set(man.manifest(sv)["dirs"])
+            for v in range(sv + 1, ev + 1):
+                m_v = man.manifest(v)
+                cur = m_v["dirs"]
+                if m_v.get("op") == "optimize":
+                    prev_dirs = set(cur)
+                    continue
+                gone = prev_dirs - set(cur)
+                if gone:
+                    raise ValueError(
+                        f"non-append history between v{sv} and v{ev} at "
+                        f"{self.table_path} (v{v} op="
+                        f"{m_v.get('op')!r} rewrote dirs: {sorted(gone)}); "
+                        "the change stream only carries appended rows — "
+                        "resync the consumer from a snapshot read and "
+                        "restart the stream from a fresh checkpoint"
+                    )
+                layouts_v = m_v.get("layouts") or {}
+                new += [
+                    (d, layouts_v.get(d)) for d in cur if d not in prev_dirs
+                ]
+                prev_dirs = set(cur)
         stream_schema = json.dumps(self.schema_.jsonValue())
         stream_cols = {f.name for f in self.schema_.fields}
         parts = []
-        for d in new:
+        for d, layout in new:
             dir_path = Path(self.table_path) / "data" / d
-            lost = [c for c in layouts.get(d) or [] if c not in stream_cols]
+            lost = [c for c in layout or [] if c not in stream_cols]
             if lost:
                 # the stream's schema is the NEWEST dir's recorded
                 # schema; if a later append dropped this dir's partition
@@ -176,7 +207,7 @@ class TxChangesStreamReader(DataSourceStreamReader):
                     "with a schema that includes the partition columns, or "
                     "resync from a snapshot read"
                 )
-            if layouts.get(d):
+            if layout:
                 # Hive-partitioned dir: partition VALUES live in the
                 # subdirectory names, typed by the dir's pinned written
                 # schema (directory strings would otherwise re-infer —

@@ -19,12 +19,15 @@ def test_oracles_reference_known_tables_only():
     for q in all_queries().values():
         if not q.oracle:
             continue
+        # strip `--` line comments first: prose like "driven FROM totals"
+        # inside a comment is not a scan (DuckDB strips them the same way)
+        sql = re.sub(r"--[^\n]*", "", q.oracle)
         # crude FROM/JOIN table extraction; CTE names get defined inline
         # CTE names, incl. recursive form with a column list: name(a, b) AS (
-        ctes = set(re.findall(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", q.oracle, re.IGNORECASE))
+        ctes = set(re.findall(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", sql, re.IGNORECASE))
         # lookbehind: `x IS [NOT] DISTINCT FROM y` is a comparison, not a scan
         refs = re.findall(
-            r"(?:(?<!DISTINCT )FROM|JOIN)\s+([a-z_][a-z0-9_]*)", q.oracle, re.IGNORECASE
+            r"(?:(?<!DISTINCT )FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.IGNORECASE
         )
         for r in refs:
             if r.lower() in {"lateral", "unnest", "range", "generate_series"}:
