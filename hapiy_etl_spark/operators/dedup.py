@@ -194,6 +194,127 @@ def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, sig array<long>) MinHash signatures — the PERSISTABLE unit
+    of incremental dedup state: one narrow row per document, text never
+    needed again. ``portable=True`` uses the md5-prefix base hash so
+    signatures computed by ANY engine (or cluster version) agree —
+    store these in a table and dedup future batches against history
+    without rescanning a byte of corpus text (dedup_against_index)."""
+    params = _hash_params(num_hashes, seed)
+    if portable:
+        base_h = F.pmod(
+            F.conv(F.substring(F.md5(F.col("s")), 1, 14), 16, 10).cast("long"),
+            F.lit(_MERSENNE31),
+        )
+    else:
+        base_h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    ).select("doc", base_h.alias("h"))
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min((F.col("h") * a + b) % _MERSENNE31).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return sig.select(
+        "doc", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_bands(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, band, key) banding rows derived from stored signatures —
+    a narrow projection over sig arrays, no text, no shingle pass.
+    Key geometry must match the signatures' ``portable`` flag: raw
+    component-concat strings (engine-agnostic) or xxhash64 of them
+    (fixed-width shuffle keys, the default)."""
+    n_bands = num_hashes // band_size
+
+    def _band_key(j: int) -> Column:
+        concat = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", j * band_size + r + 1).cast("string")
+                for r in range(band_size)
+            ],
+        )
+        # portable mode joins on the raw concat (engine-agnostic);
+        # default hashes it to a fixed-width 8-byte shuffle key
+        return concat if portable else F.xxhash64(concat)
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(j).alias("band"), _band_key(j).alias("key"))
+            for j in range(n_bands)
+        ]
+    )
+    return sigs.select("doc", F.explode(band_structs).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def dedup_against_index(
+    batch_sigs: DataFrame,
+    index_sigs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental near-dedup: (new_id, dup_of, jaccard_est) for every
+    BATCH document that band-collides with an INDEX (history) document
+    and refines above the threshold. The 100 TB ingestion pattern: the
+    corpus's dedup state is its signature table (minhash_signatures —
+    narrow rows, appended batch-by-batch); a new batch computes its own
+    signatures, bands BOTH sides from sig arrays (no text rescan,
+    ever), and joins band keys — cost scales with |batch| + the index
+    rows sharing its band keys, never with corpus text. Batch-vs-batch
+    self-duplicates are minhash_native_pairs' job; this checks only
+    new-vs-history (caller keeps id spaces disjoint). With
+    ``portable=True`` signatures survive engine migration, so an index
+    built by one engine keeps deduping under another — the whole
+    pipeline replays in the DuckDB oracle twin."""
+    bb = minhash_bands(batch_sigs, num_hashes, band_size, portable)
+    ib = minhash_bands(index_sigs, num_hashes, band_size, portable)
+    cand = (
+        bb.alias("b")
+        .join(
+            ib.alias("i"),
+            (F.col("b.band") == F.col("i.band"))
+            & (F.col("b.key") == F.col("i.key")),
+        )
+        .select(
+            F.col("b.doc").alias("new_id"), F.col("i.doc").alias("dup_of")
+        )
+        .dropDuplicates(["new_id", "dup_of"])
+    )
+    sb = batch_sigs.select(F.col("doc").alias("new_id"), F.col("sig").alias("sig_b"))
+    si = index_sigs.select(F.col("doc").alias("dup_of"), F.col("sig").alias("sig_i"))
+    est = F.size(
+        F.filter(F.zip_with("sig_b", "sig_i", lambda x, y: x == y), lambda t: t)
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sb, "new_id")
+        .join(si, "dup_of")
+        .select("new_id", "dup_of", F.round(est, 6).alias("jaccard_est"))
+        .where(F.col("jaccard_est") >= jaccard_threshold)
+    )
+
+
 def minhash_native_pairs(
     df: DataFrame,
     id_col: str,
@@ -228,52 +349,15 @@ def minhash_native_pairs(
     pipeline. Default stays xxhash64 — one 8-byte hash beats a 16-byte
     md5 on the hot shingle explode, and band keys stay fixed-width.
     """
-    params = _hash_params(num_hashes, seed)
-    n_bands = num_hashes // band_size
-
-    if portable:
-        base_h = F.pmod(
-            F.conv(F.substring(F.md5(F.col("s")), 1, 14), 16, 10).cast("long"),
-            F.lit(_MERSENNE31),
-        )
-    else:
-        base_h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
-    ).select("doc", base_h.alias("h"))
-    sig = sh.groupBy("doc").agg(
-        *[
-            F.min((F.col("h") * a + b) % _MERSENNE31).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
     # signatures feed three branches (band explode + both refine sides) —
     # cache and force once, or the shingle pass replays per branch
-    sig_arr = sig.select(
-        "doc", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    sig_arr = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, seed=seed,
+        portable=portable,
     ).cache()
     sig_arr.count()
-
-    def _band_key(j: int) -> Column:
-        concat = F.concat_ws(
-            ",",
-            *[
-                F.element_at("sig", j * band_size + r + 1).cast("string")
-                for r in range(band_size)
-            ],
-        )
-        # portable mode joins on the raw concat (engine-agnostic);
-        # default hashes it to a fixed-width 8-byte shuffle key
-        return concat if portable else F.xxhash64(concat)
-
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(j).alias("band"), _band_key(j).alias("key"))
-            for j in range(n_bands)
-        ]
-    )
-    bands = sig_arr.select("doc", F.explode(band_structs).alias("bk")).select(
-        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bands = minhash_bands(
+        sig_arr, num_hashes=num_hashes, band_size=band_size, portable=portable
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -1307,7 +1307,7 @@ class TxTable:
 
     def optimize_clustered(
         self,
-        cluster_by: str,
+        cluster_by: str | Sequence[str],
         n_dirs: int = 8,
         stats_cols: Sequence[str] | None = None,
         bloom_cols: Sequence[str] | None = None,
@@ -1317,40 +1317,98 @@ class TxTable:
     ) -> int:
         """Range-CLUSTERED compaction: rewrite the snapshot as
         ``n_dirs`` dirs clustered on ``cluster_by``, each with TIGHT
-        per-dir stats (and optionally blooms) computed from a read-back
-        of its written files. Plain ``optimize()`` compacts to one dir
-        whose union-bounds stats span the whole table — correct but
-        useless for pruning, so a compaction silently destroys the
-        dir-skipping an append-mostly table accumulated. This is the
-        Delta ``OPTIMIZE ZORDER``-to-many-files analogue at dir
-        granularity: after it, a range or point read on the cluster key
-        touches ~one of n dirs.
+        per-dir stats (and blooms) computed from a read-back of its
+        written files. Plain ``optimize()`` compacts to one dir whose
+        union-bounds stats span the whole table — correct but useless
+        for pruning, so a compaction silently destroys the dir-skipping
+        an append-mostly table accumulated. This is the Delta
+        ``OPTIMIZE ZORDER``-to-many-files analogue at dir granularity:
+        after it, a range or point read on the cluster key touches ~one
+        of n dirs.
+
+        ``cluster_by`` may be a LIST of numeric columns (r9): buckets
+        then come from percentiles of the Morton Z-order interleave of
+        the min-max-scaled columns (operators/maintenance.zorder_key),
+        so a slice predicated on EVERY listed column prunes to ~one dir
+        — single-column range clustering makes a two-predicate slice
+        scan every dir that matches the first column alone.
+        ``stats_cols`` defaults to the cluster columns (each dir records
+        tight per-column bounds, which is what makes the multi-column
+        prune exact regardless of boundary placement).
+
+        Blooms (r9): with ``bloom_cols`` explicit, each dir blooms
+        those columns at the given geometry. With ``bloom_cols=None``,
+        the columns AND geometry are INHERITED from the parent
+        manifest's newest blooming dir — the same inheritance MERGE
+        uses — so a table that accumulated bloom pruning keeps it
+        through a re-clustering instead of silently degrading point
+        lookups to full scans (the r8 merge fix, applied to the
+        clustered rewrite's read-back pass).
 
         Scale shape: ONE distributed pass — approximate percentile
         boundaries on the cluster key (one agg; boundary precision only
         affects bucket balance, never pruning exactness, because each
         dir's recorded bounds derive from read-back), one shuffle-write
-        into a
-        Hive-partitioned spool on the computed bucket id, then the
-        bucket subdirs are PROMOTED to data dirs by rename (no second
-        copy); per-dir metadata derives from reading back the committed
-        files (the same provably-covering contract appends use).
-        ``stats_cols`` defaults to ``[cluster_by]``. Ties and skew are
-        safe: equal keys land in one bucket (dirs may be uneven, their
-        recorded bounds stay exact); empty buckets are skipped."""
+        into a Hive-partitioned spool on the computed bucket id, then
+        the bucket subdirs are PROMOTED to data dirs by rename (no
+        second copy); per-dir metadata derives from reading back the
+        committed files (the same provably-covering contract appends
+        use). Ties and skew are safe: equal keys land in one bucket
+        (dirs may be uneven, their recorded bounds stay exact); empty
+        buckets are skipped."""
         from pyspark.sql import functions as F
 
-        stats_cols = list(stats_cols) if stats_cols is not None else [cluster_by]
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        if not cols:
+            raise ValueError("cluster_by must name at least one column")
+        stats_cols = list(stats_cols) if stats_cols is not None else list(cols)
         if n_dirs < 1:
             raise ValueError(f"n_dirs must be >= 1: {n_dirs}")
         for _ in range(max_retries):
             parent = self.latest_version()
             snap = self.read(parent, merge_schema=True)
-            if cluster_by not in snap.columns:
+            missing = [c for c in cols if c not in snap.columns]
+            if missing:
                 raise ValueError(
-                    f"cluster_by {cluster_by!r} not in snapshot columns "
+                    f"cluster_by {missing!r} not in snapshot columns "
                     f"{snap.columns}"
                 )
+            if len(cols) == 1:
+                keycol = F.col(cols[0])
+            else:
+                # Morton interleave of min-max-scaled columns. Bounds
+                # come from one scalar agg (driver literals — boundary
+                # precision affects balance only); a NULL in any column
+                # scales to 0, so all-NULL rows land in bucket 0 like
+                # the single-column NULLS FIRST behavior.
+                from hapiy_etl_spark.operators.maintenance import zorder_key
+
+                zbits = min(16, 63 // len(cols))
+                brow = snap.agg(
+                    *[F.min(c).alias(f"__mn_{c}") for c in cols],
+                    *[F.max(c).alias(f"__mx_{c}") for c in cols],
+                ).collect()[0]
+                scaled = []
+                for c in cols:
+                    mn, mx = brow[f"__mn_{c}"], brow[f"__mx_{c}"]
+                    if mn is None or mx is None or mx <= mn:
+                        scaled.append(F.lit(0).cast("long"))
+                        continue
+                    span = float(mx) - float(mn)
+                    scaled.append(
+                        F.coalesce(
+                            F.least(
+                                F.floor(
+                                    (F.col(c) - F.lit(mn))
+                                    / F.lit(span)
+                                    * F.lit((1 << zbits) - 1)
+                                ),
+                                F.lit((1 << zbits) - 1),
+                            ),
+                            F.lit(0),
+                        ).cast("long")
+                    )
+                keycol = zorder_key(scaled, zbits)
             qs = [i / n_dirs for i in range(1, n_dirs)]
             if qs:
                 # approx_percentile, not exact percentile: the exact
@@ -1360,10 +1418,11 @@ class TxTable:
                 # back its written files, so pruning stays exact no
                 # matter where the boundaries land
                 bounds = (
-                    snap.where(F.col(cluster_by).isNotNull())
+                    snap.select(keycol.alias("__ck"))
+                    .where(F.col("__ck").isNotNull())
                     .agg(
                         F.expr(
-                            f"approx_percentile({cluster_by}, array("
+                            "approx_percentile(__ck, array("
                             + ",".join(str(q) for q in qs)
                             + "), 10000)"
                         ).alias("b")
@@ -1376,7 +1435,7 @@ class TxTable:
             # keys sort first (bucket 0), matching NULLS FIRST reads
             b = F.lit(0)
             for bound in bounds:
-                b = b + F.when(F.col(cluster_by) > F.lit(bound), 1).otherwise(0)
+                b = b + F.when(keycol > F.lit(bound), 1).otherwise(0)
             # the spool bucket column must not collide with a real
             # column — withColumn would silently REPLACE it and the
             # partitionBy would then strip it from the rewritten files.
@@ -1386,6 +1445,23 @@ class TxTable:
             bcol = "__b"
             while bcol.lower() in taken:
                 bcol = f"__b_{uuid.uuid4().hex[:8]}"
+            # bloom inheritance (r9): with no explicit bloom_cols, the
+            # parent's bloomed columns + geometry carry through the
+            # rewrite — newest blooming dir wins per column, the same
+            # rule _merge_blooms uses for batch-only dirs
+            inherited: dict[str, tuple[int, int]] = {}
+            if bloom_cols is None and parent:
+                pm = self._manifest(parent)
+                pbl = pm.get("blooms") or {}
+                for pd_ in reversed(pm["dirs"]):
+                    for col, entry in (pbl.get(pd_) or {}).items():
+                        inherited.setdefault(
+                            col,
+                            (
+                                int(entry.get("bits", self.BLOOM_BITS)),
+                                int(entry.get("k", self.BLOOM_K)),
+                            ),
+                        )
             spool = self.path / "data" / f".opt-{uuid.uuid4().hex[:12]}"
             snap.withColumn(bcol, b.cast("int")).write.partitionBy(
                 bcol
@@ -1414,6 +1490,15 @@ class TxTable:
                         blooms[d] = self._bloom_build(
                             written, bloom_cols, bloom_bits, bloom_k
                         )
+                    elif inherited:
+                        ent: dict = {}
+                        for col, (bb, bk) in inherited.items():
+                            if col in written.columns:
+                                ent.update(
+                                    self._bloom_build(written, [col], bb, bk)
+                                )
+                        if ent:
+                            blooms[d] = ent
             except Exception:
                 for d in dirs:
                     shutil.rmtree(self.path / "data" / d, ignore_errors=True)

@@ -286,6 +286,134 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_incremental_oracle(
+    n_hashes: int = 16, band_size: int = 2, seed: int = 42, thr: float = 0.5
+) -> str:
+    """DuckDB twin of the INCREMENTAL portable-minhash path: the same
+    signature/banding arithmetic as _minhash_portable_oracle, but
+    candidates come from batch-side (doc_id % 5 = 0) band keys joined
+    against corpus-side (doc_id % 5 != 0) band keys — the new-vs-history
+    collision join dedup_against_index runs, not the self-join."""
+    from hapiy_etl_spark.operators.dedup import _MERSENNE31, _hash_params
+
+    params = _hash_params(n_hashes, seed)
+    comps = ",\n               ".join(
+        f"MIN((hh * {a} + {b}) % {_MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    n_bands = n_hashes // band_size
+    bands = "\n        UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {key} AS key FROM comp".format(
+            j=j,
+            key=" || ',' || ".join(
+                f"m{j * band_size + r}::VARCHAR" for r in range(band_size)
+            ),
+        )
+        for j in range(n_bands)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN cb.m{i} = ci.m{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 14))::BIGINT % {_MERSENNE31} AS hh
+        FROM sh
+    ),
+    comp AS (
+        SELECT doc_id,
+               {comps}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS new_id, i.doc_id AS dup_of
+        FROM bands b
+        JOIN bands i ON b.band = i.band AND b.key = i.key
+        WHERE b.doc_id % 5 = 0 AND i.doc_id % 5 != 0
+    )
+    SELECT new_id, dup_of,
+           ROUND(({eq_sum}) / {float(n_hashes)}, 6) AS jaccard_est
+    FROM cand
+    JOIN comp cb ON cb.doc_id = new_id
+    JOIN comp ci ON ci.doc_id = dup_of
+    WHERE ({eq_sum}) / {float(n_hashes)} >= {thr}
+    ORDER BY new_id, dup_of
+    """
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=_minhash_incremental_oracle(),
+    doc="Incremental dedup against a PERSISTED signature index "
+    "(operators/dedup.py minhash_signatures / dedup_against_index, "
+    "r9): the corpus's dedup state is a TxTable of portable MinHash "
+    "signatures — narrow (doc, sig) rows appended batch-by-batch. A "
+    "new batch (doc_id % 5 == 0 here) computes its own signatures, "
+    "bands both sides FROM THE SIG ARRAYS (corpus text is never "
+    "rescanned), and band-joins new-vs-history; collisions refine on "
+    "the matching-component Jaccard estimate. The index then grows by "
+    "appending the batch's rows — dedup state, not data, carries "
+    "forward. Portable md5 kernel end-to-end, so the DuckDB twin "
+    "replays the whole pipeline and the incremental path is "
+    "hash-checked like the batch one. At 100 TB this is THE ingestion "
+    "dedup shape: per-batch cost tracks the batch and its band "
+    "collisions, never corpus size, and the signature table survives "
+    "an engine migration.",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].where(F.col("text").isNotNull())
+    corpus = docs.where(F.pmod("doc_id", F.lit(5)) != 0)
+    batch = docs.where(F.pmod("doc_id", F.lit(5)) == 0)
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_dedupidx_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/idx")
+    # history lands as two index appends (any batching works — the
+    # signature table is a plain append-only TxTable)
+    halves = corpus.withColumn("h", F.pmod(F.xxhash64("doc_id"), F.lit(2)))
+    for i in range(2):
+        idx.append(
+            D.minhash_signatures(
+                halves.where(F.col("h") == i).drop("h"),
+                "doc_id", "text", n=3, portable=True,
+            )
+        )
+    batch_sigs = D.minhash_signatures(
+        batch, "doc_id", "text", n=3, portable=True
+    )
+    out = D.dedup_against_index(
+        batch_sigs, idx.read(), jaccard_threshold=0.5, portable=True
+    ).orderBy("new_id", "dup_of")
+    # the incremental step: the checked batch joins the index
+    idx.append(batch_sigs)
+    return out
+
+
 @register(
     "dedup_simhash",
     oracle=None,  # xxhash64 is Spark-specific — signatures aren't portable;

@@ -61,6 +61,8 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # rotate back in for fresh evidence.
 PRIORITY: tuple[str, ...] = (
     "changestream_optimize_exactly_once",
+    "optimize_zorder_slice",
+    "dedup_incremental_index",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -108,8 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_basic_stats",
     "agg_corr_covar",
     "agg_distinct",
-    "agg_percentiles",
-    "agg_rollup",
 )
 
 

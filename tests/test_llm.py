@@ -96,6 +96,53 @@ def test_minhash_portable_kernel_recall(spark, planted_docs):
         assert exact.get(p, 0.0) >= 0.3, f"false positive {p} est={est}"
 
 
+def test_dedup_against_index_matches_cross_split_native(spark, planted_docs):
+    """Incremental dedup (r9): corpus signatures persisted once, a new
+    batch checked against them with NO corpus text rescan. The planted
+    duplicates (100+j duplicates j) all cross the split, so every one
+    must surface as (new_id, dup_of); the result must agree exactly
+    with minhash_native_pairs' cross-split subset (same kernel, same
+    banding — only the join shape differs)."""
+    corpus = planted_docs.where(F.col("doc_id") < 100)
+    batch = planted_docs.where(F.col("doc_id") >= 100)
+    kw = dict(n=3, num_hashes=16, seed=42, portable=True)
+    idx_sigs = D.minhash_signatures(corpus, "doc_id", "text", **kw)
+    batch_sigs = D.minhash_signatures(batch, "doc_id", "text", **kw)
+    got = {
+        (r.new_id, r.dup_of): r.jaccard_est
+        for r in D.dedup_against_index(
+            batch_sigs, idx_sigs, jaccard_threshold=0.5, portable=True
+        ).collect()
+    }
+    for j in range(5):  # planted exacts: estimate exactly 1.0
+        assert got.get((100 + j, j)) == 1.0
+    near_found = sum((100 + j, j) in got for j in range(5, 10))
+    assert near_found >= 4, f"incremental recall too low: {near_found}/5"
+    # exact agreement with the self-join path restricted to the split
+    native = {
+        (r.id_b, r.id_a): r.jaccard_est
+        for r in D.minhash_native_pairs(
+            planted_docs, "doc_id", "text", n=3, jaccard_threshold=0.5,
+            portable=True,
+        ).collect()
+        if r.id_b >= 100 and r.id_a < 100
+    }
+    assert got == native
+
+    # round-trip: signatures survive a parquet write (the index table)
+    p = str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", "")
+    path = f"{p}/__dedupidx_test"
+    idx_sigs.write.mode("overwrite").parquet(path)
+    got2 = {
+        (r.new_id, r.dup_of): r.jaccard_est
+        for r in D.dedup_against_index(
+            batch_sigs, spark.read.parquet(path),
+            jaccard_threshold=0.5, portable=True,
+        ).collect()
+    }
+    assert got2 == got
+
+
 def test_jaccard_pairs_finds_planted_only_high(spark, planted_docs):
     pairs = D.jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.5)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}

@@ -606,6 +606,67 @@ def optclustered_main(n_batches: int) -> None:
     print(json.dumps({"optclustered_growth": rows}))
 
 
+def zorder_main(n_batches: int) -> None:
+    """Multi-column Z-order OPTIMIZE growth (r9): land n interleaved
+    appends of events (every dir spans BOTH the event_id and user_id
+    ranges), then time a two-predicate box slice (bottom quarter of
+    each key) under three layouts: as-appended (reads all n dirs),
+    single-column optimize_clustered(event_id, n) (prunes on event_id
+    only — ~n/4 dirs still match the box), and
+    optimize_clustered([event_id, user_id], n) (Morton buckets — the
+    box is local in BOTH dimensions, ~1-2 dirs). The scale claim:
+    two-predicate slices need two-dimensional locality, and the
+    clustered rewrite provides it at dir granularity with read-back
+    stats in both columns."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.operators.txstore import dirs_read as _dirs_read
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_zorder")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    b = ev.agg(
+        F.min("event_id"), F.max("event_id"), F.min("user_id"), F.max("user_id")
+    ).first()
+    cut_e = b[0] + (b[1] - b[0]) // 4
+    cut_u = b[2] + (b[3] - b[2]) // 4
+    box = {"event_id": (None, cut_e), "user_id": (None, cut_u)}
+    rows = []
+    for n in [n_batches] if n_batches > 0 else [8, 16]:
+        out = {"appends": n}
+        for mode in ("as_appended", "single_col", "zorder"):
+            base = tempfile.mkdtemp(prefix="zorder_growth_")
+            t = TxTable(spark, f"{base}/t")
+            for i in range(n):
+                t.append(
+                    ev.where(F.pmod(F.xxhash64("event_id"), F.lit(n)) == i),
+                    stats_cols=["event_id", "user_id"],
+                )
+            if mode == "single_col":
+                t.optimize_clustered("event_id", n_dirs=n,
+                                     stats_cols=["event_id", "user_id"])
+            elif mode == "zorder":
+                t.optimize_clustered(["event_id", "user_id"], n_dirs=n)
+            t0 = time.perf_counter()
+            df = t.read(where_range=box)
+            n_rows = df.count()
+            out[mode] = {
+                "dirs_read": len(_dirs_read(df)),
+                "s": round(time.perf_counter() - t0, 2),
+                "rows": n_rows,
+            }
+            shutil.rmtree(base, ignore_errors=True)
+        rows.append(out)
+        print(json.dumps(out))
+    print(json.dumps({"zorder_growth": rows}))
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -628,6 +689,9 @@ def main() -> None:
         return
     if args and args[0] == "--optclustered":
         optclustered_main(int(args[1]) if args[1:] else 0)
+        return
+    if args and args[0] == "--zorder":
+        zorder_main(int(args[1]) if args[1:] else 0)
         return
     if args and args[0] == "--graph":
         graph_main([int(a) for a in args[1:]] or [1, 2, 4])
