@@ -35,6 +35,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² in double precision (left-fold, deterministic)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -284,6 +298,141 @@ def lsh_topk(
     )
 
 
+def ivf_index_build(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index: ``(centroids, assigned)``.
+
+    ``centroids``: (cell int, centroid array<double>) — n_centroids
+    tiny rows. ``assigned``: (cell, <corpus_id>, <vec>) — one row per
+    corpus vector, the inverted file. Store both (e.g. in TxTables,
+    the assignment table clustered/stats'd on ``cell``) and future
+    probes never re-train or re-scan: new batches join via
+    ``ivf_index_assign`` (no retraining), queries via
+    ``ivf_probe_index`` (reads only the probed cells' rows — with
+    per-dir cell stats, only the probed cells' DIRS).
+
+    Coarse quantizer: a handful of Lloyd iterations is plenty — cells
+    only need to be roughly Voronoi, n_probe covers boundary error.
+    At true corpus scale pass train_fraction to fit the quantizer on a
+    sample — full-data Lloyd iterations would dominate."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corp = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv")).withColumn(
+        "__features", array_to_vector(F.col("__cv").cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__features", predictionCol="__cell"
+    )
+    train = corp if train_fraction is None else corp.sample(fraction=train_fraction, seed=seed)
+    model = km.fit(train)
+    assigned = model.transform(corp).select(
+        F.col("__cell").alias("cell"),
+        F.col("__cid").alias(corpus_id),
+        F.col("__cv").alias(vec),
+    )
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return cent_df, assigned
+
+
+def ivf_index_assign(
+    centroids: DataFrame,
+    batch: DataFrame,
+    corpus_id: str,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an EXISTING quantizer — the incremental
+    index append (no retraining, no touch of stored rows): each batch
+    vector crosses the broadcast centroid table (|batch| x n_centroids,
+    the sanctioned bounded-multiplier shape) and keeps its nearest
+    cell by SQUARED L2 — the same metric the KMeans quantizer assigned
+    the original corpus with, so incremental rows land in the cell the
+    quantizer itself would have picked. Append the result to the stored
+    assignment table and the index has grown by exactly the batch.
+    Re-train only when drift degrades cell balance — the standard IVF
+    operating posture."""
+    b = batch.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv"))
+    bc = (
+        b.crossJoin(F.broadcast(centroids))
+        .select(
+            "__cid", "__cv", "cell",
+            l2sq(F.col("__cv"), F.col("centroid")).alias("__d"),
+        )
+    )
+    w = W.partitionBy("__cid").orderBy(F.col("__d").asc(), F.col("cell"))
+    return (
+        bc.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("cell", F.col("__cid").alias(corpus_id), F.col("__cv").alias(vec))
+    )
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned,
+    query_id: str,
+    corpus_id: str,
+    k: int = 5,
+    n_probe: int = 2,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Probe a PERSISTED IVF index: rank the broadcast centroid table
+    per query, keep n_probe cells, then read ONLY those cells' stored
+    rows and score them. ``assigned`` is either the assignment
+    DataFrame (filtered with isin — parquet row-group stats skip) or a
+    callable ``cells -> DataFrame`` so a TxTable reader can turn the
+    probed-cell list into dir-level pruning
+    (``lambda cells: t.read(where_in={"cell": cells})``). The
+    probed-cell collect is bounded by n_centroids rows regardless of
+    query-set size."""
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec).alias("__qv"))
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select("__qid", "__qv", "cell", cosine(F.col("__qv"), F.col("centroid")).alias("__csim"))
+    )
+    wq = W.partitionBy("__qid").orderBy(F.col("__csim").desc(), F.col("cell"))
+    probes = qc.withColumn("__pr", F.row_number().over(wq)).where(F.col("__pr") <= n_probe)
+    cells = sorted(r[0] for r in probes.select("cell").distinct().collect())
+    stored = assigned(cells) if callable(assigned) else assigned.where(
+        F.col("cell").isin(cells)
+    )
+    stored = stored.select(
+        F.col("cell").alias("__cell"),
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec).alias("__cv"),
+    )
+    sim = (
+        F.broadcast(probes.select("__qid", "__qv", F.col("cell").alias("__cell")))
+        .join(stored, on="__cell")
+        .where(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__cid", cosine(F.col("__qv"), F.col("__cv")).alias("__sim"))
+    )
+    w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias("neighbor_id"),
+            "rank",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -299,61 +448,16 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer assigns each corpus vector
     to a centroid (the inverted file); each query searches its n_probe
-    nearest centroids' lists only. pyspark.ml KMeans trains the
-    quantizer; assignment + probe are DataFrame joins."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corp = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv")).withColumn(
-        "__features", array_to_vector(F.col("__cv").cast("array<double>"))
+    nearest centroids' lists only. One-shot composition of
+    ivf_index_build + ivf_probe_index — persist the index parts instead
+    when the corpus outlives the query set."""
+    cent_df, assigned = ivf_index_build(
+        corpus, corpus_id, vec=vec, n_centroids=n_centroids, seed=seed,
+        train_fraction=train_fraction, max_iter=max_iter,
     )
-    # coarse quantizer: a handful of Lloyd iterations is plenty — cells
-    # only need to be roughly Voronoi, n_probe covers boundary error.
-    # Each iteration is a full Spark job (fixed scheduling cost dwarfs
-    # the 64-dim math locally), so the default is deliberately small.
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__features", predictionCol="__cell"
-    )
-    # At true corpus scale pass train_fraction to fit the quantizer on a
-    # sample — centroids only need to be roughly right, and full-data
-    # Lloyd iterations would dominate the query.
-    train = corp if train_fraction is None else corp.sample(fraction=train_fraction, seed=seed)
-    model = km.fit(train)
-    assigned = model.transform(corp).select("__cid", "__cv", "__cell")
-
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in centroids], "cell int, centroid array<double>"
-    )
-    q = queries.select(F.col(query_id).alias("__qid"), F.col(vec).alias("__qv"))
-    # rank centroids per query, keep n_probe nearest
-    qc = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cent_df))
-        .select("__qid", "__qv", "cell", cosine(F.col("__qv"), F.col("centroid")).alias("__csim"))
-    )
-    wq = W.partitionBy("__qid").orderBy(F.col("__csim").desc(), F.col("cell"))
-    probes = qc.withColumn("__pr", F.row_number().over(wq)).where(F.col("__pr") <= n_probe)
-
-    sim = (
-        F.broadcast(probes.select("__qid", "__qv", F.col("cell").alias("__cell")))
-        .join(assigned, on="__cell")
-        .where(F.col("__qid") != F.col("__cid"))
-        .select("__qid", "__cid", cosine(F.col("__qv"), F.col("__cv")).alias("__sim"))
-    )
-    w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid"))
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id),
-            F.col("__cid").alias("neighbor_id"),
-            "rank",
-            F.round("__sim", 6).alias("cosine_sim"),
-        )
+    return ivf_probe_index(
+        queries, cent_df, assigned, query_id, corpus_id,
+        k=k, n_probe=n_probe, vec=vec,
     )
 
 

@@ -166,6 +166,79 @@ def ann_ivf_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_index_probe",
+    oracle=_EXACT_TOPK_ORACLE,
+    doc="PERSISTED IVF index with incremental append, probed in the "
+    "exact regime (operators/similarity.py ivf_index_build / "
+    "ivf_index_assign / ivf_probe_index, r9): the quantizer trains "
+    "ONCE on the history slice (vec_id % 4 != 3), its inverted file "
+    "lands in a TxTable as one append per cell with cell stats; the "
+    "remaining vectors arrive later as a BATCH assigned to the "
+    "existing centroids (no retraining) and appended. A single-query "
+    "n_probe=1 probe then reads only the probed cell's dir plus the "
+    "mixed batch dir (asserted: < all dirs — the inverted-file read "
+    "IS dir pruning), and the returned probe-all search must "
+    "reproduce the brute-force ranking bit-for-bit against the DuckDB "
+    "twin. At 100 TB: the index outlives the query set — build once, "
+    "append batches, probe forever; re-train only on drift.",
+)
+def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    history = emb.where(F.pmod("vec_id", F.lit(4)) != 3)
+    batch = emb.where(F.pmod("vec_id", F.lit(4)) == 3)
+    n_centroids = 4
+
+    cent, assigned = S.ivf_index_build(
+        history, "vec_id", n_centroids=n_centroids, train_fraction=0.5,
+        max_iter=2,  # exact regime: probe-all is brute force regardless
+        # of quantizer quality, so spend the minimum on Lloyd
+    )
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_ivfidx_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/idx")
+    for c in range(n_centroids):  # one dir per cell: tight cell stats
+        idx.append(assigned.where(F.col("cell") == c), stats_cols=["cell"])
+    # incremental append: later vectors join the index with NO retraining
+    idx.append(
+        S.ivf_index_assign(cent, batch, "vec_id"), stats_cols=["cell"]
+    )
+
+    reads: list = []
+
+    def reader(cells):
+        df = idx.read(where_in={"cell": cells})
+        reads.append(df)
+        return df
+
+    # dir-pruning invariant: a 1-probe single-query search touches the
+    # probed cell's dir + the (all-cells) batch dir, never the rest
+    S.ivf_probe_index(
+        emb.where(F.col("vec_id") == 0), cent, reader, "vec_id", "vec_id",
+        k=3, n_probe=1,
+    ).collect()
+    touched = dirs_read(reads[-1])
+    if len(touched) > 2:  # pragma: no cover - invariant guard
+        raise AssertionError(
+            f"1-probe read {len(touched)} of 5 dirs (want <= 2)"
+        )
+    # exact regime: probe-all == brute force, hash-checked by the twin
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_probe_index(
+        queries, cent, reader, "vec_id", "vec_id", k=3, n_probe=n_centroids
+    ).orderBy("vec_id", "rank")
+
+
+@register(
     "ann_pq_exact_regime",
     oracle="""
     WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "changestream_optimize_exactly_once",
     "optimize_zorder_slice",
     "dedup_incremental_index",
+    "ann_ivf_index_probe",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk_numpy",
     "agg_basic_stats",
     "agg_corr_covar",
-    "agg_distinct",
 )
 
 

@@ -278,6 +278,48 @@ def test_lsh_probe_all_equals_bruteforce_exactly(spark, planted_vectors):
     assert probe_all == exact
 
 
+def test_ivf_persisted_index_probe_and_incremental_assign(spark, planted_vectors):
+    """r9: the decomposed IVF stages. (1) build+probe reproduces the
+    one-shot ivf_topk bit-for-bit (same quantizer seed, same joins).
+    (2) ivf_index_assign puts rows in exactly the cell the quantizer's
+    own transform would (same squared-L2 rule), so an incrementally
+    grown index equals one built from scratch. (3) the index survives
+    a parquet round-trip and a callable reader."""
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    kw = dict(k=3, n_centroids=4, n_probe=2)
+    oneshot = sorted(map(tuple, S.ivf_topk(
+        queries, planted_vectors, "vec_id", "vec_id", **kw
+    ).collect()))
+
+    cent, assigned = S.ivf_index_build(planted_vectors, "vec_id", n_centroids=4)
+    staged = sorted(map(tuple, S.ivf_probe_index(
+        queries, cent, assigned, "vec_id", "vec_id", k=3, n_probe=2
+    ).collect()))
+    assert staged == oneshot
+
+    # incremental assign == the quantizer's own assignment
+    re_assigned = S.ivf_index_assign(cent, planted_vectors, "vec_id")
+    want = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    got = {r["vec_id"]: r["cell"] for r in re_assigned.collect()}
+    assert got == want
+
+    # parquet round-trip + callable reader (the TxTable probe shape)
+    p = str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", "")
+    path = f"{p}/__ivfidx_test"
+    assigned.write.mode("overwrite").parquet(path)
+    seen_cells = []
+
+    def reader(cells):
+        seen_cells.append(list(cells))
+        return spark.read.parquet(path).where(F.col("cell").isin(cells))
+
+    stored = sorted(map(tuple, S.ivf_probe_index(
+        queries, cent, reader, "vec_id", "vec_id", k=3, n_probe=2
+    ).collect()))
+    assert stored == oneshot
+    assert seen_cells and len(seen_cells[0]) <= 4  # bounded cell list
+
+
 def test_ivf_probe_all_equals_bruteforce_exactly(spark, planted_vectors):
     """IVF's exact regime: n_probe == n_centroids searches every
     inverted list, so the ranking is identical to brute force —

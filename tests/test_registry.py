@@ -62,6 +62,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "ann_ivf_topk",  # bounded cross: |queries| x |centroids|, both
         #   broadcast, to rank probe cells
         "ann_ivf_exact_regime",  # same bounded probe-cell cross (10 x 4)
+        "ann_ivf_index_probe",  # same bounded probe-cell cross against
+        #   the persisted index (10 queries x 4 broadcast centroids)
         "text_bm25_search",  # 1-row corpus-stats aggregate crossed in
         "text_bm25_query_table",  # same 1-row corpus-stats cross
         "agg_kmv_distinct_sketch",  # two 1-row sketch sides crossed
