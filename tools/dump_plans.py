@@ -100,6 +100,22 @@ SHOWCASE = [
     # r8: portable minhash — same partial/final signature agg and band
     # equi-join shape as native, with the md5 kernel fully codegen'd
     ("dedup_minhash_portable", ["HashAggregate", "Exchange"]),
+    # r9: z-ordered compaction — the two-predicate box slice scans only
+    # the Morton-bucketed dirs intersecting BOTH ranges, residual
+    # predicates pushed into the scan
+    ("optimize_zorder_slice", ["FileScan", "PushedFilters", "HashAggregate"]),
+    # r9: incremental dedup — band keys derived from stored sig arrays
+    # (no text scan on the index side), new-vs-history as hash
+    # equi-joins end-to-end
+    ("dedup_incremental_index", ["Join", "HashAggregate", "Exchange"]),
+    # r9: persisted-IVF probe-all — the inverted-file read is a
+    # FileScan of the index table's dirs; scoring joins stay hash/
+    # broadcast (the only nested-loop is the sanctioned bounded
+    # query x centroid cross)
+    ("ann_ivf_index_probe", ["FileScan", "Window"]),
+    # r9: CDC across compaction — the returned frame is one parquet
+    # scan of the exactly-once sink the stream wrote
+    ("changestream_optimize_exactly_once", ["FileScan"]),
 ]
 
 
