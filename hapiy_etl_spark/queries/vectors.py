@@ -353,6 +353,81 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_incremental",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_sign_bucket_sql("embedding")} AS bucket
+        FROM embeddings
+    )
+    SELECT b.vec_id AS new_id, a.vec_id AS dup_of,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket
+    WHERE b.vec_id % 4 = 3 AND a.vec_id % 4 != 3
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3
+    ORDER BY new_id, dup_of
+    """,
+    doc="Incremental SEMANTIC dedup against a persisted embedding "
+    "index (r9, the embedding twin of dedup_incremental_index): the "
+    "corpus's semantic-dedup state is a TxTable of (bucket, vec_id, "
+    "embedding) rows — sign-bucket keys computed ONCE at ingest, "
+    "deterministic (sign bits of the first 8 dims, replayed exactly "
+    "in the oracle). A new batch (vec_id % 4 == 3) computes only its "
+    "own buckets and equi-joins the stored index: candidates are "
+    "bucket collisions, refined by exact cosine > 0.3 — new-vs-history "
+    "only, never all-pairs, and history embeddings are read from the "
+    "index, not re-bucketed. At 100 TB this is SemDedup at the "
+    "ingestion boundary: each arriving batch is screened against the "
+    "corpus for semantic near-duplicates at bucket-join cost, and the "
+    "checked batch's rows append to the same index.",
+)
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    bucket = F.lit(0)
+    for i in range(_SIGN_BITS):
+        bucket = bucket + F.when(
+            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    history = bucketed.where(F.pmod("vec_id", F.lit(4)) != 3)
+    batch = bucketed.where(F.pmod("vec_id", F.lit(4)) == 3)
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_semidx_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/idx")
+    idx.append(history, stats_cols=["bucket"])
+
+    a = idx.read().select(
+        F.col("vec_id").alias("dup_of"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = batch.select(
+        F.col("vec_id").alias("new_id"), F.col("embedding").alias("eb"), "bucket"
+    )
+    sim = S.cosine(F.col("ea"), F.col("eb"))
+    out = (
+        b.join(a, ["bucket"])
+        .withColumn("__sim", sim)
+        .where(F.col("__sim") > 0.3)
+        .select("new_id", "dup_of", F.round("__sim", 6).alias("cosine_sim"))
+        .orderBy("new_id", "dup_of")
+    )
+    # the checked batch joins the index for the next arrival
+    idx.append(batch, stats_cols=["bucket"])
+    return out
+
+
+@register(
     "embedding_stats",
     oracle="""
     SELECT label,

@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "optimize_zorder_slice",
     "dedup_incremental_index",
     "ann_ivf_index_probe",
+    "semdedup_incremental",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "udtf_table_argument",
     "ann_cosine_topk_numpy",
     "agg_basic_stats",
-    "agg_corr_covar",
 )
 
 
