@@ -1,0 +1,182 @@
+"""Persisted inverted text index — postings in a TxTable, incremental
+appends, bucket-pruned BM25 probes.
+
+The text-retrieval member of the persisted-index family (IVF cells in
+``similarity.py``, MinHash signatures and sign-bucket embeddings in
+``dedup.py`` / ``queries/vectors.py``): tokenize the corpus ONCE into
+postings rows ``(tb, term, doc_id, tf, dl)``, land them one dir per
+term-bucket with tight ``tb`` stats, and every later keyword / BM25
+probe reads only the query terms' buckets — dir-level pruning instead
+of a corpus rescan. New document batches append their own postings
+without touching stored rows; corpus-level statistics (document count,
+total length) accumulate as tiny mergeable meta rows, and per-term
+document frequency is derived at probe time from exactly the postings
+the probe already reads, so nothing global is ever recomputed.
+
+The bucket key is the repo's portable md5 kernel (hex-prefix mod), so
+the same bucket is computable in Spark SQL, driver-side Python (to
+turn a literal query-term list into a dir list with no Spark job), and
+a DuckDB oracle twin.
+
+Scale shape at 100 TB: postings are narrow (term, id, two ints) — a
+fraction of corpus bytes; the probe's side tables (per-term df, 1-row
+corpus stats) are broadcast-tiny; scoring is one hash join + one
+groupBy on the pruned slice. No all-pairs, no corpus rescan per query.
+
+Reference parity: the reference pipeline (git_etl.ts) has no search
+surface; this is target-surface for the LLM-data-pipeline family
+(corpus keyword audit, decontamination probes, boolean retrieval).
+Assumes each document is ingested once — re-ingesting a changed
+document is MERGE territory (rewrite its postings), not append.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 8  # bump for denser vocabularies; buckets only need to
+# spread terms enough that a probe's dir list stays a small fraction
+
+
+def term_bucket(col: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Portable term→bucket key: first 4 md5 hex digits mod n_buckets.
+    Identical arithmetic in Spark, Python (term_bucket_py) and SQL
+    twins — the same engine-portable kernel the corpus splits use."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int"),
+        F.lit(n_buckets),
+    )
+
+
+def term_bucket_py(term: str, n_buckets: int = N_BUCKETS) -> int:
+    """Driver-side twin of term_bucket: lets a literal query-term list
+    become a probed-bucket list without a Spark job."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
+
+
+def postings_build(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Tokenize a document batch into ``(postings, meta)``.
+
+    ``postings``: one row per distinct (doc, term) —
+    ``(tb, term, <doc_id>, tf, dl)`` with the document length
+    denormalized on so a probe needs no second corpus-wide table (the
+    classic search-engine layout: the length norm rides the posting).
+    ``meta``: 1 row ``(n_docs, sum_dl)`` — mergeable by SUM across
+    appended batches, so corpus-average document length is exact at
+    any index version. Tokenization (whitespace split, NULL-text docs
+    drop at explode) matches the corpus BM25 queries bit-for-bit."""
+    tok = docs.select(
+        F.col(doc_id).alias("__doc"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__t"),
+    )
+    doclen = tok.groupBy("__doc").agg(F.count("*").alias("dl"))
+    tf = tok.groupBy("__doc", "__t").agg(F.count("*").alias("tf"))
+    postings = tf.join(doclen, "__doc").select(
+        term_bucket(F.col("__t"), n_buckets).alias("tb"),
+        F.col("__t").alias("term"),
+        F.col("__doc").alias(doc_id),
+        "tf",
+        "dl",
+    )
+    meta = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    return postings, meta
+
+
+def postings_append(
+    index,
+    meta_table,
+    postings: DataFrame,
+    meta: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    split_buckets: bool = True,
+) -> None:
+    """Land one batch's postings + meta row in the index TxTables.
+
+    ``split_buckets=True`` writes one dir per present term-bucket with
+    tight per-dir ``tb`` stats — the layout that makes a probe's
+    ``where_in={"tb": buckets}`` prune to exactly the probed buckets'
+    dirs. ``False`` lands the batch as a single mixed dir (still
+    stats'd, still correct — every probe reads it until the next
+    clustered OPTIMIZE re-sorts it into buckets); use it when append
+    latency matters more than read amplification, the same trade the
+    IVF index demo makes for its incremental batch."""
+    if split_buckets:
+        # one pass to materialize the batch + learn its present buckets
+        # (n_buckets tiny rows), then per-bucket writes cut from the
+        # cached frame — without the persist every bucket append would
+        # re-run the tokenize/join lineage
+        postings = postings.persist()
+        try:
+            present = sorted(
+                r[0] for r in postings.select("tb").distinct().collect()
+            )
+            for b in present:
+                index.append(
+                    postings.where(F.col("tb") == b), stats_cols=["tb"]
+                )
+        finally:
+            postings.unpersist()
+    else:
+        index.append(postings, stats_cols=["tb"])
+    meta_table.append(meta)
+
+
+def bm25_probe_index(
+    reader: Callable[[list[int]], DataFrame] | DataFrame,
+    meta: DataFrame,
+    terms: Sequence[str],
+    doc_id: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k over a persisted postings index, reading only the
+    query terms' buckets.
+
+    ``reader`` is either a callable ``buckets -> DataFrame`` (e.g.
+    ``lambda bs: idx.read(where_in={"tb": bs})`` so the TxTable turns
+    the bucket list into dir-level pruning) or a postings DataFrame
+    (filtered with isin — parquet row-group stats skip). The probed
+    buckets come from the driver-side md5 twin: no Spark job, no
+    collect. Per-term document frequency is computed from the probed
+    slice itself — a bucket holds EVERY posting of its terms, so the
+    slice-local count IS the corpus df — and corpus stats come from
+    summing the (tiny) meta table. Scores therefore match a full-corpus
+    BM25 exactly, at bucket-read cost."""
+    term_list = list(terms)
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in term_list})
+    p = reader(buckets) if callable(reader) else reader.where(
+        F.col("tb").isin(buckets)
+    )
+    p = p.where(F.col("term").isin(term_list))
+    stats = (
+        meta.agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avg_dl"))
+    )
+    df_t = p.groupBy("term").agg(F.count("*").alias("nd"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("nd") + 0.5) / (F.col("nd") + 0.5) + 1
+    )
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / norm
+    return (
+        p.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(doc_id)
+        .agg(F.sum(contrib).alias("score"), F.count("*").alias("n_terms_hit"))
+        .select(doc_id, "n_terms_hit", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), doc_id)
+        .limit(k)
+    )

@@ -1124,10 +1124,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("data", "pipeline", "model", "stream")
 _BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
 
-
-@register(
-    "text_bm25_search",
-    oracle=f"""
+# Shared by text_bm25_search (direct corpus scan) and
+# text_bm25_index_probe (persisted postings index): the index probe
+# must reproduce full-corpus BM25 scores exactly, so both register the
+# same DuckDB twin.
+_BM25_CORPUS_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents
     ),
@@ -1158,7 +1159,12 @@ _BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
     FROM scored
     ORDER BY bm25 DESC, doc_id
     LIMIT 20
-    """,
+    """
+
+
+@register(
+    "text_bm25_search",
+    oracle=_BM25_CORPUS_ORACLE,
     doc="BM25 full-text ranking (k1=1.2, b=0.75) for a fixed query-term "
     "set: tf per (doc, term), df per term, document-length "
     "normalization against the corpus average — the search-scoring "
@@ -1296,6 +1302,71 @@ def text_bm25_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "text_bm25_index_probe",
+    oracle=_BM25_CORPUS_ORACLE,
+    doc="BM25 served from a PERSISTED inverted index "
+    "(operators/textindex.py, r9 — the text member of the "
+    "persisted-index family): the history slice (doc_id % 4 != 3) is "
+    "tokenized once into (tb, term, doc_id, tf, dl) postings landed "
+    "one dir per md5 term-bucket with tight tb stats; the remaining "
+    "documents arrive later as a batch whose postings append as one "
+    "mixed dir (no stored row touched), and corpus stats accumulate "
+    "as mergeable (n_docs, sum_dl) meta rows. The probe computes the "
+    "query terms' buckets DRIVER-SIDE with the portable md5 twin and "
+    "reads only those buckets' dirs plus the mixed batch dir "
+    "(asserted < all dirs); per-term df comes from the probed slice "
+    "itself — a bucket holds every posting of its terms — so the "
+    "top-20 must reproduce full-corpus BM25 (the text_bm25_search "
+    "twin) bit-for-bit. At 100 TB: tokenize once, append batches, "
+    "serve keyword/decontamination probes at bucket-read cost.",
+)
+def text_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    history = docs.where(F.pmod("doc_id", F.lit(4)) != 3)
+    batch = docs.where(F.pmod("doc_id", F.lit(4)) == 3)
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_textidx_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/postings")
+    meta_t = TxTable(spark, f"{base}/meta")
+
+    hp, hm = TI.postings_build(history)
+    TI.postings_append(idx, meta_t, hp, hm)  # one dir per bucket
+    bp, bm = TI.postings_build(batch)
+    # incremental append: one mixed dir, re-clustered at next OPTIMIZE
+    TI.postings_append(idx, meta_t, bp, bm, split_buckets=False)
+
+    reads: list = []
+
+    def reader(buckets):
+        df = idx.read(where_in={"tb": buckets})
+        reads.append((buckets, df))
+        return df
+
+    out = TI.bm25_probe_index(reader, meta_t.read(), _BM25_TERMS, k=20)
+    qbuckets, probed = reads[-1]
+    touched = dirs_read(probed)
+    total = len(dirs_read(idx.read()))
+    if len(touched) > len(qbuckets) + 1 or len(touched) >= total:
+        raise AssertionError(  # pragma: no cover - invariant guard
+            f"probe read {len(touched)} of {total} dirs "
+            f"(want <= {len(qbuckets) + 1} and < {total})"
+        )
+    return out
 
 
 @register(

@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_index",
     "ann_ivf_index_probe",
     "semdedup_incremental",
+    "text_bm25_index_probe",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "udf_grouped_agg_mad",
     "udtf_table_argument",
     "ann_cosine_topk_numpy",
-    "agg_basic_stats",
 )
 
 

@@ -593,3 +593,72 @@ def test_pq_train_sample_is_layout_invariant(spark):
     a = sorted(map(tuple, S.pq_topk(queries, corpus, "vec_id", "vec_id", **kw).collect()))
     b = sorted(map(tuple, S.pq_topk(queries, relaid, "vec_id", "vec_id", **kw).collect()))
     assert a == b
+
+
+def test_text_index_probe_matches_one_shot_and_prunes(spark, planted_docs, tmp_path):
+    """Persisted inverted text index (r9): (a) history-then-batch
+    incremental appends serve EXACTLY the ranking a one-shot full-corpus
+    build serves (BM25 over the union — df, n_docs, avg_dl all merge
+    correctly); (b) a probe's TxTable read touches only the query
+    terms' bucket dirs (+ the mixed batch dir when one exists); (c) the
+    driver-side bucket twin agrees with the Spark-side kernel; (d) the
+    index survives a re-open from its path (parquet round-trip)."""
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    docs = planted_docs.select("doc_id", "text")
+    terms = ["data", "partitions", "fox"]
+
+    # (c) kernel parity: Spark and Python assign identical buckets
+    vocab_df = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("t")
+    ).distinct()
+    got = {
+        r.t: r.b
+        for r in vocab_df.select("t", TI.term_bucket(F.col("t")).alias("b")).collect()
+    }
+    for t, b in got.items():
+        assert TI.term_bucket_py(t) == b, f"bucket twin diverges on {t!r}"
+
+    # one-shot build over the whole corpus, bucket-split
+    idx1 = TxTable(spark, str(tmp_path / "oneshot/postings"))
+    meta1 = TxTable(spark, str(tmp_path / "oneshot/meta"))
+    p, m = TI.postings_build(docs)
+    TI.postings_append(idx1, meta1, p, m)
+    one_shot = sorted(
+        map(tuple, TI.bm25_probe_index(idx1.read(), meta1.read(), terms, k=50).collect())
+    )
+
+    # incremental: history bucket-split, late batch as one mixed dir
+    idx2 = TxTable(spark, str(tmp_path / "incr/postings"))
+    meta2 = TxTable(spark, str(tmp_path / "incr/meta"))
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    hp, hm = TI.postings_build(hist)
+    TI.postings_append(idx2, meta2, hp, hm)
+    bp, bm = TI.postings_build(batch)
+    TI.postings_append(idx2, meta2, bp, bm, split_buckets=False)
+
+    # (d) re-open both tables cold from their paths
+    idx2r = TxTable(spark, str(tmp_path / "incr/postings"))
+    meta2r = TxTable(spark, str(tmp_path / "incr/meta"))
+
+    reads: list = []
+
+    def reader(buckets):
+        df = idx2r.read(where_in={"tb": buckets})
+        reads.append((buckets, df))
+        return df
+
+    incr = sorted(
+        map(tuple, TI.bm25_probe_index(reader, meta2r.read(), terms, k=50).collect())
+    )
+    assert incr == one_shot  # (a) bit-for-bit ranking agreement
+
+    # (b) pruning: probed dirs <= |query buckets| (+1 mixed batch dir),
+    # strictly fewer than the table's dirs
+    qbuckets, probed = reads[-1]
+    touched = dirs_read(probed)
+    total = len(dirs_read(idx2r.read()))
+    assert len(touched) <= len(qbuckets) + 1
+    assert len(touched) < total
