@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_index_probe",
     "semdedup_incremental",
     "text_bm25_index_probe",
+    "incremental_mv_join_refresh",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "text_unicode_nfc",
     "udf_grouped_agg_mad",
     "udtf_table_argument",
-    "ann_cosine_topk_numpy",
 )
 
 

@@ -1727,3 +1727,96 @@ def test_txstore_optimize_clustered_survives_bucket_column_collision(
     t.optimize_clustered("k", n_dirs=3)
     out = sorted(map(tuple, t.read().collect()))
     assert out == [(i, f"b{i}") for i in range(100)]
+
+
+def test_incremental_join_mv_late_dim_restart_and_fallback(spark, tmp_path):
+    """IncrementalJoinAggView delta rule over two append-only TxTables:
+    (a) after EVERY refresh the view equals a from-scratch aggregate of
+    the full join; (b) fact rows whose dim key has not arrived stay
+    invisible, then surface via the F_old ⋈ ΔD term when the late dim
+    batch lands (with history-scan flags reported truthfully); (c) a
+    fresh object over the same paths resumes from the stored two-source
+    cursor (noop, then incremental); (d) a non-append dim commit forces
+    a full rebuild that is still correct."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalJoinAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    fact = TxTable(spark, str(tmp_path / "fact"))
+    dim = TxTable(spark, str(tmp_path / "dim"))
+    mv = IncrementalJoinAggView(
+        spark, fact, dim, str(tmp_path / "mv"), ["ck"], ["seg"], "v"
+    )
+
+    def recompute():
+        return {
+            (r.seg,): (r.n, r.sum_value, r.avg_value, r.min_value, r.max_value)
+            for r in fact.read()
+            .join(dim.read(), "ck")
+            .groupBy("seg")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("v").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+                F.round(
+                    F.sum(F.col("v").cast("decimal(28,4)")).cast("double")
+                    / F.count("v"),
+                    6,
+                ).alias("avg_value"),
+                F.min("v").alias("min_value"),
+                F.max("v").alias("max_value"),
+            )
+            .collect()
+        }
+
+    def view():
+        return {
+            (r.seg,): (r.n, r.sum_value, r.avg_value, r.min_value, r.max_value)
+            for r in mv.result().collect()
+        }
+
+    # ck=3 is the LATE dim key: its fact rows land first
+    fact.append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 99.0)], "ck long, v double"
+        )
+    )
+    dim.append(spark.createDataFrame([(1, "A"), (2, "B")], "ck long, seg string"))
+    r = mv.refresh()
+    assert r["mode"] == "full"
+    got = view()
+    assert got == recompute()
+    assert sum(n for (n, *_rest) in got.values()) == 2  # ck=3 invisible
+
+    # fact-only append: no fact-history scan, dim untouched
+    fact.append(spark.createDataFrame([(1, 1.0)], "ck long, v double"))
+    r = mv.refresh()
+    assert r["mode"] == "incremental" and not r["scanned_fact_history"]
+    assert r["new_dim_dirs"] == 0
+    assert view() == recompute()
+
+    # late dim batch: ck=3's old fact rows surface through F_old ⋈ ΔD
+    dim.append(spark.createDataFrame([(3, "C")], "ck long, seg string"))
+    r = mv.refresh()
+    assert r["mode"] == "incremental" and r["scanned_fact_history"]
+    got = view()
+    assert got == recompute()
+    assert got[("C",)][0] == 1 and got[("C",)][1] == 99.0
+
+    # restart: cursor lives in the view's commit meta
+    mv2 = IncrementalJoinAggView(
+        spark, fact, dim, str(tmp_path / "mv"), ["ck"], ["seg"], "v"
+    )
+    assert mv2.refresh()["mode"] == "noop"
+    fact.append(spark.createDataFrame([(3, 1.0)], "ck long, v double"))
+    assert mv2.refresh()["mode"] == "incremental"
+    mv = mv2
+    assert view() == recompute()
+
+    # non-append dim commit (overwrite rewrites its dirs) -> full rebuild
+    dim.overwrite(
+        spark.createDataFrame(
+            [(1, "A"), (2, "B2"), (3, "C")], "ck long, seg string"
+        )
+    )
+    r = mv2.refresh()
+    assert r["mode"] == "full"
+    assert view() == recompute()
