@@ -467,3 +467,58 @@ def foreach_batch_tx_append_with_mv(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_tx_append_with_join_mv(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    dim_path: str,
+    view_path: str,
+    join_keys: Sequence[str],
+    group_cols: Sequence[str],
+    value_col: str | None = None,
+    *,
+    value_cols: Sequence[str] | None = None,
+):
+    """Streaming dynamic table over a JOIN: each micro-batch appends
+    exactly-once to the fact TxTable, then incrementally refreshes an
+    aggregate-over-join view against the dim TxTable at ``dim_path``
+    (operators/incremental_mv.py:IncrementalJoinAggView). The delta
+    rule makes the per-batch refresh cost |batch| ⋈ dim — fact history
+    is never re-read on the streaming path — and when OTHER writers
+    append to the dim between micro-batches, the same refresh picks the
+    new dim rows up through the F_old ⋈ ΔD term: late-arriving
+    dimension data heals the view without any stream-side logic. A
+    replayed epoch skips the append, the two-source dir-diff sees
+    nothing new, and the view inherits exactly-once."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalJoinAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    run_id = None
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal run_id
+        if batch.isEmpty():
+            return
+        if run_id is None:
+            run_id = _checkpoint_run_id(checkpoint)
+        spark = batch.sparkSession
+        tx_append_once(batch, path, epoch_id, run_id=run_id)
+        IncrementalJoinAggView(
+            spark,
+            TxTable(spark, path),
+            TxTable(spark, dim_path),
+            view_path,
+            join_keys,
+            group_cols,
+            value_col,
+            value_cols=value_cols,
+        ).refresh()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

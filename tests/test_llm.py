@@ -662,3 +662,43 @@ def test_text_index_probe_matches_one_shot_and_prunes(spark, planted_docs, tmp_p
     total = len(dirs_read(idx2r.read()))
     assert len(touched) <= len(qbuckets) + 1
     assert len(touched) < total
+
+
+def test_text_index_reclusters_mixed_dir_on_optimize(spark, planted_docs, tmp_path):
+    """A text index that accumulated mixed (split_buckets=False) batch
+    dirs loses probe-side dir pruning; optimize_clustered(cluster_by=
+    'tb') re-sorts the postings into bucket-tight dirs and pruning
+    returns — with the probe ranking unchanged (a row-preserving
+    rewrite). The maintenance story the textindex docstrings promise."""
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    docs = planted_docs.select("doc_id", "text")
+    terms = ["data", "partitions"]
+
+    idx = TxTable(spark, str(tmp_path / "postings"))
+    meta = TxTable(spark, str(tmp_path / "meta"))
+    # three batches, all landed as mixed dirs: no pruning possible
+    for m in range(3):
+        p, mt = TI.postings_build(docs.where(F.col("doc_id") % 3 == m))
+        TI.postings_append(idx, meta, p, mt, split_buckets=False)
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                TI.bm25_probe_index(idx.read(), meta.read(), terms, k=50).collect(),
+            )
+        )
+
+    before = probe()
+    qb = sorted({TI.term_bucket_py(t) for t in terms})
+    # every dir is mixed: the manifest-stat prune cannot skip any of the 3
+    assert len(dirs_read(idx.read(where_in={"tb": qb}))) == 3
+
+    idx.optimize_clustered("tb", n_dirs=TI.N_BUCKETS, stats_cols=["tb"])
+    after = probe()
+    assert after == before  # row-preserving rewrite: same ranking
+    touched = len(dirs_read(idx.read(where_in={"tb": qb})))
+    total = len(dirs_read(idx.read()))
+    assert touched < total  # bucket-tight dirs: pruning is back

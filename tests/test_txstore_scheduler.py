@@ -1820,3 +1820,57 @@ def test_incremental_join_mv_late_dim_restart_and_fallback(spark, tmp_path):
     r = mv2.refresh()
     assert r["mode"] == "full"
     assert view() == recompute()
+
+
+def test_streaming_join_mv_refresh_per_batch(spark, tmp_path):
+    """Streaming dynamic table over a JOIN: micro-batches append
+    exactly-once to the fact TxTable and incrementally refresh the
+    join-aggregate view; a dim append BETWEEN runs heals the view on
+    the next micro-batch (facts streamed before their dim row arrived
+    surface via F_old ⋈ ΔD); a restart with no new data is a noop."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalJoinAggView
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append_with_join_mv
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "fact")
+    dimp = str(tmp_path / "dim")
+    view = str(tmp_path / "view")
+
+    dim = TxTable(spark, dimp)
+    dim.append(spark.createDataFrame([(1, "A"), (2, "B")], "ck long, seg string"))
+
+    def write(rows):
+        spark.createDataFrame(rows, "ck long, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("ck long, v double").parquet(src)
+        foreach_batch_tx_append_with_join_mv(
+            stream, store, ckpt, dimp, view, ["ck"], ["seg"], "v"
+        ).awaitTermination()
+
+    def view_rows():
+        mv = IncrementalJoinAggView(
+            spark, TxTable(spark, store), dim, view, ["ck"], ["seg"], "v"
+        )
+        return {r.seg: (r.n, r.sum_value) for r in mv.result().collect()}
+
+    # ck=3 streams in before its dim row exists
+    write([(1, 1.0), (3, 99.0)])
+    run()
+    assert view_rows() == {"A": (1, 1.0)}
+
+    # late dim row + another micro-batch: the old fact row surfaces
+    dim.append(spark.createDataFrame([(3, "C")], "ck long, seg string"))
+    write([(2, 2.0)])
+    run()
+    assert view_rows() == {"A": (1, 1.0), "B": (1, 2.0), "C": (1, 99.0)}
+
+    # no new data: restart leaves table and view untouched
+    tv = TxTable(spark, store).latest_version()
+    vv = TxTable(spark, view).latest_version()
+    run()
+    assert TxTable(spark, store).latest_version() == tv
+    assert TxTable(spark, view).latest_version() == vv
