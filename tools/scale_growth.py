@@ -294,6 +294,139 @@ def mv_main(n_batches: int) -> None:
     print(json.dumps({"mv_growth": rows}))
 
 
+def joinmv_main(n_batches: int) -> None:
+    """Join-MV growth (r9): append disjoint lineitem slices to a fact
+    TxTable joined to the part dim, and after each append time (a) the
+    incremental join-view refresh and (b) a from-scratch recompute of
+    the same aggregate over the full join. Midway, append a dim batch
+    too — the F_old ⋈ ΔD term scans fact history ONCE, a bounded spike,
+    then refresh cost returns to batch-tracking. The scale claim:
+    refresh tracks the delta, recompute tracks the table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalJoinAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_joinmv")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_partkey").alias("pk"), F.col("l_extendedprice").alias("v")
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    # split the dim so its second half arrives mid-run
+    dim_a = part.where(F.pmod("pk", F.lit(2)) == 0)
+    dim_b = part.where(F.pmod("pk", F.lit(2)) == 1)
+    batch_rows = li.count()
+    base = tempfile.mkdtemp(prefix="joinmv_growth_")
+    fact = TxTable(spark, f"{base}/fact")
+    dim = TxTable(spark, f"{base}/dim")
+    dim.append(dim_a)
+    mv = IncrementalJoinAggView(
+        spark, fact, dim, f"{base}/mv", ["pk"], ["brand"], "v"
+    )
+    rows = []
+    dim_batch_at = n_batches // 2 + 1
+    for i in range(1, n_batches + 1):
+        fact.append(li)
+        if i == dim_batch_at:
+            dim.append(dim_b)  # late dim: one bounded history scan
+        t0 = time.perf_counter()
+        rep = mv.refresh()
+        t_refresh = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fact.read().join(dim.read(), "pk").groupBy("brand").agg(
+            F.count("*"), F.sum(F.col("v").cast("decimal(28,4)")),
+            F.min("v"), F.max("v"),
+        ).collect()
+        t_recompute = time.perf_counter() - t0
+        rows.append(
+            {
+                "batches": i,
+                "mode": rep["mode"],
+                "dim_appended": i == dim_batch_at,
+                "scanned_fact_history": rep.get("scanned_fact_history"),
+                "refresh_s": round(t_refresh, 2),
+                "recompute_s": round(t_recompute, 2),
+                "refresh_scans_rows": batch_rows * (i if i == dim_batch_at else 1),
+                "recompute_scans_rows": batch_rows * i,
+            }
+        )
+        print(json.dumps(rows[-1]))
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"joinmv_growth": rows}))
+
+
+def textindex_main(n_batches: int) -> None:
+    """Inverted-index growth (r9): append disjoint document batches to
+    the persisted postings index, and after each append time (a) the
+    incremental postings append (tokenize the BATCH only), (b) the
+    bucket-pruned BM25 probe over the whole index, and (c) a
+    from-scratch full-corpus BM25 (tokenize everything, the no-index
+    baseline). Claims: append tracks the batch; the probe tracks the
+    query terms' postings (slow growth — those lists lengthen with the
+    corpus); the no-index baseline re-tokenizes the world every query."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+
+    terms = ["data", "pipeline", "model", "stream"]
+    spark = get_spark("scale_growth_textindex")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n_docs = docs.count()
+    base = tempfile.mkdtemp(prefix="textindex_growth_")
+    idx = TxTable(spark, f"{base}/postings")
+    meta = TxTable(spark, f"{base}/meta")
+    rows = []
+    for i in range(1, n_batches + 1):
+        batch = docs.withColumn("doc_id", F.col("doc_id") + F.lit((i - 1) * n_docs))
+        t0 = time.perf_counter()
+        p, m = TI.postings_build(batch)
+        # steady-state ingest: one mixed dir per batch (the split/
+        # re-cluster trade is OPTIMIZE's job, measured elsewhere)
+        TI.postings_append(idx, meta, p, m, split_buckets=False)
+        t_append = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        TI.bm25_probe_index(
+            lambda bs: idx.read(where_in={"tb": bs}), meta.read(), terms, k=20
+        ).collect()
+        t_probe = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # no-index baseline: re-tokenize the ENTIRE corpus ingested so far
+        reps = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * n_docs))
+            for j in range(i)
+        ]
+        alldocs = reps[0]
+        for r in reps[1:]:
+            alldocs = alldocs.unionByName(r)
+        fp, fm = TI.postings_build(alldocs)
+        TI.bm25_probe_index(fp, fm, terms, k=20).collect()
+        t_full = time.perf_counter() - t0
+        rows.append(
+            {
+                "batches": i,
+                "append_s": round(t_append, 2),
+                "probe_s": round(t_probe, 2),
+                "fullscan_s": round(t_full, 2),
+                "append_tokenizes_docs": n_docs,
+                "fullscan_tokenizes_docs": n_docs * i,
+            }
+        )
+        print(json.dumps(rows[-1]))
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"textindex_growth": rows}))
+
+
 def stats_main(n_batches: int) -> None:
     """Manifest-stats growth: land n time-shifted copies of the sf0.1
     events table as stats-carrying appends (each batch a later 32-day
@@ -677,6 +810,12 @@ def main() -> None:
         return
     if args and args[0] == "--stats":
         stats_main(int(args[1]) if args[1:] else 8)
+        return
+    if args and args[0] == "--joinmv":
+        joinmv_main(int(args[1]) if args[1:] else 8)
+        return
+    if args and args[0] == "--textindex":
+        textindex_main(int(args[1]) if args[1:] else 6)
         return
     if args and args[0] == "--mergeprune":
         mergeprune_main(int(args[1]) if args[1:] else 8)
