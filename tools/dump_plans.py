@@ -116,6 +116,16 @@ SHOWCASE = [
     # r9: CDC across compaction — the returned frame is one parquet
     # scan of the exactly-once sink the stream wrote
     ("changestream_optimize_exactly_once", ["FileScan"]),
+    # r9: incremental semantic dedup — new batch vs stored embedding
+    # index is a bucket equi-join (cosine refine after), never a
+    # nested-loop pair enumeration
+    ("semdedup_incremental", ["Join", "NestedLoop"]),
+    # r9: index-served BM25 — scoring is the probed postings FileScan
+    # joined to broadcast-tiny df/stats sides, one final aggregate
+    ("text_bm25_index_probe", ["FileScan", "BroadcastHashJoin", "HashAggregate"]),
+    # r9: join-MV result read — one scan of the stored partials; the
+    # delta-join cost lives at refresh time
+    ("incremental_mv_join_refresh", ["FileScan", "Project"]),
 ]
 
 
