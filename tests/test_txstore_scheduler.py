@@ -1874,3 +1874,40 @@ def test_streaming_join_mv_refresh_per_batch(spark, tmp_path):
     run()
     assert TxTable(spark, store).latest_version() == tv
     assert TxTable(spark, view).latest_version() == vv
+
+
+def test_incremental_join_mv_multi_with_kmv_sketch(spark, tmp_path):
+    """The multi-aggregate + KMV-distinct panel composes through the
+    join view unchanged (inherited partial machinery): per-group sums/
+    avgs over a join column and an approx-distinct over a fact column
+    all maintain incrementally, and equal a from-scratch recompute
+    (KMV is exact below k)."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalJoinAggView
+
+    fact = TxTable(spark, str(tmp_path / "fact"))
+    dim = TxTable(spark, str(tmp_path / "dim"))
+    mv = IncrementalJoinAggView(
+        spark, fact, dim, str(tmp_path / "mv"), ["ck"], ["seg"],
+        value_cols=["v"], distinct_col="day",
+    )
+    dim.append(spark.createDataFrame([(1, "A"), (2, "B")], "ck long, seg string"))
+    fact.append(
+        spark.createDataFrame(
+            [(1, 1.0, "d1"), (1, 2.0, "d2"), (2, 3.0, "d1")],
+            "ck long, v double, day string",
+        )
+    )
+    assert mv.refresh()["mode"] == "full"
+    fact.append(
+        spark.createDataFrame(
+            [(1, 4.0, "d2"), (1, None, "d3")], "ck long, v double, day string"
+        )
+    )
+    rep = mv.refresh()
+    assert rep["mode"] == "incremental" and not rep["scanned_fact_history"]
+    got = {
+        r.seg: (r.n, r.sum_v, r.avg_v, r.approx_distinct_day)
+        for r in mv.result().collect()
+    }
+    # avg divides by NON-NULL count (3 values for A), distinct is exact
+    assert got == {"A": (4, 7.0, round(7.0 / 3, 6), 3), "B": (1, 3.0, 3.0, 1)}
