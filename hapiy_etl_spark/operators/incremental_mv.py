@@ -53,7 +53,7 @@ from hapiy_etl_spark.operators.sketches import (
     loghist_quantile,
     loghist_sketch,
 )
-from hapiy_etl_spark.operators.txstore import TxTable
+from hapiy_etl_spark.operators.txstore import TxTable, stats_prune_dirs
 
 DEC = "decimal(28,4)"
 
@@ -455,6 +455,7 @@ class IncrementalJoinAggView(IncrementalAggView):
             else None
         )
         scanned_fact_history = scanned_dim = True
+        fact_dirs_rescanned = len(cur_f)
         if stored is not None and set(stored.columns) == self._partial_cols():
             new_f = sorted(cur_f - seen_f)
             new_d = sorted(cur_d - seen_d)
@@ -466,23 +467,44 @@ class IncrementalJoinAggView(IncrementalAggView):
                     .join(self.dim.read(dv), self.join_keys)
                 )
             scanned_fact_history = False
-            if new_d:
+            fact_dirs_rescanned = 0
+            if new_d and seen_f:
                 # F_old ⋈ ΔD: late-arriving dim rows pick up the fact
                 # rows already consumed (new fact rows were matched
-                # against D_new above, ΔD included — no double count)
-                scanned_fact_history = bool(seen_f)
-                if seen_f:
+                # against D_new above, ΔD included — no double count).
+                # When the fact table records join-key stats, the
+                # history read prunes to dirs intersecting the delta's
+                # key bounds — one bounded agg over the (small) delta
+                # buys dir-level skipping of consumed history; safe
+                # because a skipped dir's rows could not equi-join any
+                # delta key anyway (NULL keys never match an inner
+                # join, and min/max ignore them).
+                dd = self.dim._read_dirs(m_d, new_d, merge_schema=False)
+                bounds = dd.agg(
+                    *[
+                        f
+                        for k in self.join_keys
+                        for f in (
+                            F.min(k).alias(f"__lo_{k}"),
+                            F.max(k).alias(f"__hi_{k}"),
+                        )
+                    ]
+                ).first()
+                wr = {
+                    k: (bounds[f"__lo_{k}"], bounds[f"__hi_{k}"])
+                    for k in self.join_keys
+                }
+                if all(lo is not None or hi is not None for lo, hi in wr.values()):
+                    cand = stats_prune_dirs(m_f, sorted(seen_f), wr)
+                else:
+                    cand = []  # delta has no non-NULL key: joins nothing
+                fact_dirs_rescanned = len(cand)
+                scanned_fact_history = bool(cand)
+                if cand:
                     deltas.append(
                         self.source._read_dirs(
-                            m_f, sorted(seen_f), merge_schema=False
-                        ).join(
-                            F.broadcast(
-                                self.dim._read_dirs(
-                                    m_d, new_d, merge_schema=False
-                                )
-                            ),
-                            self.join_keys,
-                        )
+                            m_f, cand, merge_schema=False
+                        ).join(F.broadcast(dd), self.join_keys)
                     )
             scanned_dim = bool(new_f)
             mode = "incremental"
@@ -518,5 +540,6 @@ class IncrementalJoinAggView(IncrementalAggView):
             "new_fact_dirs": report_dirs[0],
             "new_dim_dirs": report_dirs[1],
             "scanned_fact_history": scanned_fact_history,
+            "fact_dirs_rescanned": fact_dirs_rescanned,
             "scanned_dim": scanned_dim,
         }

@@ -117,6 +117,33 @@ _INT_RANGES = {
 _BLOOM_TYPES = frozenset({"string", *_INT_RANGES})
 
 
+def stats_prune_dirs(
+    m: dict, dirs: Sequence[str], where_range: dict
+) -> list[str]:
+    """Subset of ``dirs`` that can intersect ``where_range`` by the
+    manifest's recorded per-dir [min, max] stats — the dir-level half
+    of ``read(where_range=...)`` exposed for callers that must prune a
+    specific dir SUBSET rather than the whole snapshot (e.g. the
+    join-MV's F_old ⋈ ΔD term prunes only the CONSUMED fact dirs by
+    the dim delta's key bounds; ``read()`` always prunes all current
+    dirs). Same conservatism as read(): a dir without stats for a key
+    is kept, bounds are inclusive, None means an open end."""
+    stats = m.get("stats", {})
+
+    def _keep(d: str) -> bool:
+        for k, (lo, hi) in where_range.items():
+            rng = stats.get(d, {}).get(k)
+            if rng is None or rng[0] is None:
+                continue
+            if hi is not None and _meta_cmp(rng[0], hi) is False:
+                return False  # dir min > hi
+            if lo is not None and _meta_cmp(lo, rng[1]) is False:
+                return False  # dir max < lo
+        return True
+
+    return [d for d in dirs if _keep(d)]
+
+
 def dirs_read(df: DataFrame) -> set[str]:
     """The TxTable data-dir names a DataFrame's planned scan touches —
     the shared idiom for pruning assertions (queries, growth tools,

@@ -73,6 +73,23 @@ class _Manifests:
     def manifest(self, version: int) -> dict:
         p = self.path / "_tx" / f"v{version:08d}.json"
         if not p.exists():
+            latest = self.latest_version()
+            if 0 < version < latest:
+                # the manifest EXISTED once (versions are dense) — a
+                # vacuum aged it out from under this consumer's offset.
+                # Data dirs can only be removed together with every
+                # manifest referencing them, so a missing manifest is
+                # always the FIRST symptom a lagging stream sees; name
+                # the cause and the recovery instead of a bare miss.
+                raise FileNotFoundError(
+                    f"version {version} at {self.path} was vacuumed "
+                    f"(latest is v{latest}) — this stream's offset "
+                    "predates the table's retention. Resync the "
+                    "consumer from a snapshot read and restart the "
+                    "stream from a fresh checkpoint (startingVersion), "
+                    "and keep vacuum retention above the stream's "
+                    "maximum expected lag"
+                )
             raise FileNotFoundError(f"no version {version} at {self.path}")
         return json.loads(p.read_text())
 

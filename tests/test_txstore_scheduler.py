@@ -1911,3 +1911,66 @@ def test_incremental_join_mv_multi_with_kmv_sketch(spark, tmp_path):
     }
     # avg divides by NON-NULL count (3 values for A), distinct is exact
     assert got == {"A": (4, 7.0, round(7.0 / 3, 6), 3), "B": (1, 3.0, 3.0, 1)}
+
+
+def test_incremental_join_mv_prunes_fact_history_by_delta_bounds(spark, tmp_path):
+    """When the fact table records join-key stats, the F_old ⋈ ΔD term
+    prunes consumed fact dirs to those intersecting the dim delta's key
+    bounds (stats_prune_dirs) — report-counted — and an all-NULL-key
+    dim delta skips the history scan entirely. Results always equal a
+    from-scratch recompute (pruned dirs could not have matched)."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalJoinAggView
+
+    fact = TxTable(spark, str(tmp_path / "fact"))
+    dim = TxTable(spark, str(tmp_path / "dim"))
+    mv = IncrementalJoinAggView(
+        spark, fact, dim, str(tmp_path / "mv"), ["ck"], ["seg"], "v"
+    )
+    # three stats-carrying fact dirs over disjoint key ranges
+    for lo in (0, 100, 200):
+        fact.append(
+            spark.createDataFrame(
+                [(lo + i, float(lo + i)) for i in range(5)], "ck long, v double"
+            ),
+            stats_cols=["ck"],
+        )
+    dim.append(
+        spark.createDataFrame(
+            [(1, "A"), (102, "B"), (203, "C")], "ck long, seg string"
+        )
+    )
+    assert mv.refresh()["mode"] == "full"
+
+    def recompute():
+        return {
+            r.seg: (r.n, r.sum_value)
+            for r in fact.read()
+            .join(dim.read(), "ck")
+            .groupBy("seg")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("v").cast("decimal(28,4)")).cast("double").alias("sum_value"),
+            )
+            .collect()
+        }
+
+    def view():
+        return {r.seg: (r.n, r.sum_value) for r in mv.result().collect()}
+
+    # dim delta entirely inside the middle dir's range: exactly ONE of
+    # the three consumed fact dirs is rescanned
+    dim.append(spark.createDataFrame([(104, "B")], "ck long, seg string"))
+    rep = mv.refresh()
+    assert rep["mode"] == "incremental" and rep["scanned_fact_history"]
+    assert rep["fact_dirs_rescanned"] == 1
+    assert view() == recompute()
+
+    # all-NULL-key dim delta: inner join can match nothing — the
+    # history term is skipped outright
+    dim.append(
+        spark.createDataFrame([(None, "Z")], "ck long, seg string")
+    )
+    rep = mv.refresh()
+    assert rep["mode"] == "incremental"
+    assert not rep["scanned_fact_history"] and rep["fact_dirs_rescanned"] == 0
+    assert view() == recompute()

@@ -330,3 +330,42 @@ def test_txtable_change_stream_timestamp_decimal_arrow_path(spark, tmp_path):
     got = _drain(spark, path, ckpt)
     want = sorted(map(tuple, t.read().collect()))
     assert got == want
+
+
+def test_txtable_change_stream_vacuumed_offset_fails_loudly(spark, tmp_path):
+    """Vacuum vs a lagging stream (r9): data dirs can only be removed
+    together with every manifest that references them, so a consumer
+    whose checkpoint predates retention hits a MISSING MANIFEST as the
+    first symptom — and the error must name vacuum and the recovery
+    (snapshot resync + fresh checkpoint), not read as a bare file miss.
+    A vacuum whose keep window still covers the consumer's offset
+    version leaves the stream able to resume normally — even across an
+    optimize whose superseded dirs the same vacuum removed."""
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.optimize()  # v3 supersedes the append dirs
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert _drain(spark, path, ckpt) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # checkpoint offset is v4; a vacuum keeping v4+ removes the
+    # pre-optimize manifests AND the superseded append dirs, yet the
+    # stream resumes cleanly because its span never looks below v4
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    t.append(spark.createDataFrame([(5, "e")], "k long, v string"))
+    removed = t.vacuum(keep_last=3, min_age_s=0.0)
+    assert removed  # the v1/v2 manifests + their dirs actually went
+    assert _drain(spark, path, ckpt) == [(4, "d"), (5, "e")]
+    assert _drain(spark, path, ckpt) == []
+
+    # aggressive vacuum ages out everything below the newest version —
+    # the checkpoint (v6) now predates retention
+    t.append(spark.createDataFrame([(6, "f")], "k long, v string"))
+    t.append(spark.createDataFrame([(7, "g")], "k long, v string"))
+    t.vacuum(keep_last=1, min_age_s=0.0)
+    with pytest.raises(Exception) as ei:
+        _drain(spark, path, ckpt)
+    msg = str(ei.value)
+    assert "vacuumed" in msg and "snapshot" in msg and "retention" in msg
