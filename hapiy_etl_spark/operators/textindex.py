@@ -97,11 +97,15 @@ def postings_append(
     index,
     meta_table,
     postings: DataFrame,
-    meta: DataFrame,
+    meta: DataFrame | None,
     n_buckets: int = N_BUCKETS,
     split_buckets: bool = True,
 ) -> None:
     """Land one batch's postings + meta row in the index TxTables.
+    ``meta_table``/``meta`` may be None for index layouts that carry
+    their corpus statistic denormalized on the posting instead (the
+    shingle index rides ``n_sh`` on every row, so a contamination
+    ratio needs no side table).
 
     ``split_buckets=True`` writes one dir per present term-bucket with
     tight per-dir ``tb`` stats — the layout that makes a probe's
@@ -129,7 +133,8 @@ def postings_append(
             postings.unpersist()
     else:
         index.append(postings, stats_cols=["tb"])
-    meta_table.append(meta)
+    if meta_table is not None and meta is not None:
+        meta_table.append(meta)
 
 
 def bm25_probe_index(
@@ -179,4 +184,84 @@ def bm25_probe_index(
         .select(doc_id, "n_terms_hit", F.round("score", 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), doc_id)
         .limit(k)
+    )
+
+
+def shingle_postings_build(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Tokenize a document batch into SHINGLE postings — one row per
+    distinct (doc, word-k-gram): ``(tb, shingle, <doc_id>, n_sh)`` with
+    the document's total distinct-shingle count denormalized on (the
+    ``dl``-on-the-posting trick again: a contamination RATIO needs no
+    second corpus-wide table). Shingling (``dedup.shingles``: distinct,
+    short docs yield one partial shingle, NULL-text docs drop at
+    explode) matches the corpus decontamination query bit-for-bit, so
+    a probe against this index must reproduce the full-scan result."""
+    from hapiy_etl_spark.operators.dedup import shingles
+
+    sh = docs.select(
+        F.col(doc_id).alias("__doc"),
+        F.explode(shingles(F.col(text_col), k)).alias("__s"),
+    )
+    nsh = sh.groupBy("__doc").agg(F.count("*").alias("n_sh"))
+    return sh.join(nsh, "__doc").select(
+        term_bucket(F.col("__s"), n_buckets).alias("tb"),
+        F.col("__s").alias("shingle"),
+        F.col("__doc").alias(doc_id),
+        "n_sh",
+    )
+
+
+def decontam_probe_index(
+    reader: Callable[[list[int]], DataFrame] | DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.2,
+    doc_id: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Benchmark decontamination served from a persisted shingle index:
+    flag indexed documents whose distinct-shingle overlap with the
+    benchmark set reaches ``threshold``, WITHOUT re-reading or
+    re-tokenizing the corpus — the train side is the narrow postings
+    table; corpus text is never touched at probe time.
+
+    ``bench`` is a DataFrame with one distinct benchmark shingle per
+    row in column ``s`` (typically shingles of the eval suite —
+    broadcast-tiny next to a training corpus). The probed-bucket list
+    comes from one tiny agg over bench (≤ n_buckets rows collected); a
+    realistic benchmark covers every bucket — the index's win here is
+    skipping the corpus rescan/re-shingle, and dir pruning is the
+    BM25/keyword probes' win — but a narrow bench (single leaked
+    document, one contaminated shard) does prune. ``reader`` as in
+    ``bm25_probe_index``. n_sh rides on each posting, so the ratio's
+    denominator is exact even though only bench-matching rows
+    survive the join."""
+    bench = bench.select(F.col("s").alias("shingle")).distinct()
+    buckets = sorted(
+        r[0]
+        for r in bench.select(
+            term_bucket(F.col("shingle"), n_buckets).alias("tb")
+        )
+        .distinct()
+        .collect()
+    )
+    p = reader(buckets) if callable(reader) else reader.where(
+        F.col("tb").isin(buckets)
+    )
+    return (
+        p.join(F.broadcast(bench), "shingle")
+        .groupBy(doc_id)
+        .agg(F.count("*").alias("n_hits"), F.first("n_sh").alias("n_sh"))
+        .select(
+            doc_id,
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_sh"), 6).alias("contamination"),
+        )
+        .where(F.col("contamination") >= threshold)
+        .orderBy(F.col("contamination").desc(), doc_id)
     )

@@ -1413,9 +1413,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_decontamination",
-    oracle="""
+# Shared by text_decontamination (direct corpus scan) and
+# text_decontam_index_probe (persisted shingle index): the index probe
+# must reproduce the full-scan contamination report exactly, so both
+# register the same DuckDB twin.
+_DECONTAM_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
     ),
@@ -1438,7 +1440,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.doc_id, sz.n_sh
     HAVING COUNT(*) * 1.0 / sz.n_sh >= 0.2
     ORDER BY contamination DESC, t.doc_id
-    """,
+    """
+
+
+@register(
+    "text_decontamination",
+    oracle=_DECONTAM_ORACLE,
     doc="Benchmark decontamination — the train/eval overlap detector "
     "every pretraining pipeline runs before training: flag training "
     "documents whose shingle overlap with the benchmark set (docs < 50 "
@@ -1468,6 +1475,80 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("contamination") >= 0.2)
         .orderBy(F.col("contamination").desc(), "doc_id")
     )
+
+
+@register(
+    "text_decontam_index_probe",
+    oracle=_DECONTAM_ORACLE,
+    doc="Benchmark decontamination served from the PERSISTED shingle "
+    "index (operators/textindex.py, r9 — the r10-plan composition): "
+    "the training corpus (docs >= 50) is shingled ONCE into "
+    "(tb, shingle, doc_id, n_sh) postings — the history slice lands "
+    "one dir per md5 shingle-bucket, a later batch appends as one "
+    "mixed dir, no stored row touched — and the probe joins benchmark "
+    "shingles (docs < 50, broadcast) against the narrow postings "
+    "table: corpus text is never re-read or re-tokenized at probe "
+    "time, and the per-doc denominator n_sh rides on the posting so "
+    "the ratio is exact from bench-matching rows alone. A realistic "
+    "benchmark covers every bucket (the win is skipping the corpus "
+    "rescan); a NARROW bench — one leaked document — does prune, "
+    "asserted in-query via a single-doc probe plan. Must reproduce "
+    "the full-scan text_decontamination twin bit-for-bit. At 100 TB: "
+    "shingle once at ingest, re-run decontamination against every new "
+    "eval suite at postings-read cost.",
+)
+def text_decontam_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators import dedup as D2
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    train = docs.where(F.col("doc_id") >= 50)
+    history = train.where(F.pmod("doc_id", F.lit(4)) != 3)
+    batch = train.where(F.pmod("doc_id", F.lit(4)) == 3)
+
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_decontamidx_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/shingle_postings")
+    TI.postings_append(idx, None, TI.shingle_postings_build(history), None)
+    TI.postings_append(
+        idx, None, TI.shingle_postings_build(batch), None, split_buckets=False
+    )
+
+    bench = docs.where(F.col("doc_id") < 50).select(
+        F.explode(D2.shingles("text", 3)).alias("s")
+    )
+    out = TI.decontam_probe_index(
+        lambda bs: idx.read(where_in={"tb": bs}), bench, threshold=0.2
+    )
+
+    # narrow-bench pruning: one "leaked" document's shingles probe a
+    # strict subset of the bucket dirs (plan-level check, no execution)
+    bench0 = docs.where(F.col("doc_id") == 0).select(
+        F.explode(D2.shingles("text", 3)).alias("s")
+    )
+    b0 = sorted(
+        r[0]
+        for r in bench0.select(TI.term_bucket(F.col("s")).alias("tb"))
+        .distinct()
+        .collect()
+    )
+    total = len(dirs_read(idx.read()))
+    touched = len(dirs_read(idx.read(where_in={"tb": b0})))
+    if len(b0) < TI.N_BUCKETS and touched >= total:
+        raise AssertionError(  # pragma: no cover - invariant guard
+            f"single-doc probe read {touched} of {total} dirs "
+            f"for {len(b0)} of {TI.N_BUCKETS} buckets"
+        )
+    return out
 
 
 @register(

@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "semdedup_incremental",
     "text_bm25_index_probe",
     "incremental_mv_join_refresh",
+    "text_decontam_index_probe",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "editsim_source_labels",
     "text_unicode_nfc",
     "udf_grouped_agg_mad",
-    "udtf_table_argument",
 )
 
 

@@ -702,3 +702,85 @@ def test_text_index_reclusters_mixed_dir_on_optimize(spark, planted_docs, tmp_pa
     touched = len(dirs_read(idx.read(where_in={"tb": qb})))
     total = len(dirs_read(idx.read()))
     assert touched < total  # bucket-tight dirs: pruning is back
+
+
+def test_decontam_index_probe_matches_full_scan_and_prunes(spark, planted_docs, tmp_path):
+    """Decontamination from a persisted shingle index (r9): (a) the
+    probe against a two-append index (bucket-split history + one mixed
+    batch dir, re-opened cold) equals a direct full-scan decontamination
+    over the text; (b) the ratio's denominator is the doc's TOTAL
+    distinct-shingle count even though only bench-matching postings
+    survive the join — an exact duplicate of a benchmark doc scores
+    contamination == 1.0; (c) a narrow (few-shingle) bench probes a
+    strict subset of the bucket dirs."""
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    docs = planted_docs.select("doc_id", "text")
+    train = docs.where(F.col("doc_id") >= 10)
+
+    idx = TxTable(spark, str(tmp_path / "shingle_postings"))
+    hist = train.where(F.col("doc_id") % 2 == 0)
+    batch = train.where(F.col("doc_id") % 2 == 1)
+    TI.postings_append(idx, None, TI.shingle_postings_build(hist), None)
+    TI.postings_append(
+        idx, None, TI.shingle_postings_build(batch), None, split_buckets=False
+    )
+    idx = TxTable(spark, str(tmp_path / "shingle_postings"))  # cold re-open
+
+    bench = docs.where(F.col("doc_id") < 10).select(
+        F.explode(D.shingles("text", 3)).alias("s")
+    )
+    got = sorted(
+        map(
+            tuple,
+            TI.decontam_probe_index(
+                lambda bs: idx.read(where_in={"tb": bs}), bench, threshold=0.2
+            ).collect(),
+        )
+    )
+
+    # (a) direct full-scan recompute from the text
+    sh = docs.select("doc_id", F.explode(D.shingles("text", 3)).alias("s"))
+    b = sh.where(F.col("doc_id") < 10).select("s").distinct()
+    tr = sh.where(F.col("doc_id") >= 10)
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    direct = sorted(
+        map(
+            tuple,
+            tr.join(b, "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"))
+            .join(sizes, "doc_id")
+            .select(
+                "doc_id",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_sh"), 6).alias("contamination"),
+            )
+            .where(F.col("contamination") >= 0.2)
+            .collect(),
+        )
+    )
+    assert got == direct and got
+
+    # (b) planted exact dups of bench docs 0..4 live at 100..104 (even
+    # ones in history, odd in the mixed batch): full overlap, and the
+    # denominator counted ALL their shingles, not just matching rows
+    by_id = {r[0]: r for r in got}
+    for j in range(5):
+        assert by_id[100 + j][2] == 1.0
+
+    # (c) a narrow bench (3 shingles of doc 0) prunes bucket dirs
+    toks = docs.where(F.col("doc_id") == 0).first().text.split()
+    three = [" ".join(toks[i : i + 3]) for i in range(3)]
+    bench0 = spark.createDataFrame([(s,) for s in three], "s string")
+    b0 = sorted({TI.term_bucket_py(s) for s in three})
+    assert len(b0) < TI.N_BUCKETS
+    touched = dirs_read(idx.read(where_in={"tb": b0}))
+    total = dirs_read(idx.read())
+    assert len(touched) <= len(b0) + 1  # bucket dirs + the mixed dir
+    assert len(touched) < len(total)
+    hits0 = TI.decontam_probe_index(
+        lambda bs: idx.read(where_in={"tb": bs}), bench0, threshold=0.01
+    )
+    assert {r.doc_id for r in hits0.collect()} >= {100}  # dup of doc 0
