@@ -784,3 +784,51 @@ def test_decontam_index_probe_matches_full_scan_and_prunes(spark, planted_docs, 
         lambda bs: idx.read(where_in={"tb": bs}), bench0, threshold=0.01
     )
     assert {r.doc_id for r in hits0.collect()} >= {100}  # dup of doc 0
+
+
+def test_ivf_index_reclusters_mixed_dirs_on_optimize(spark, planted_vectors, tmp_path):
+    """An IVF inverted file that accumulated MIXED batch dirs (each
+    append holding every cell) loses probe-side dir pruning;
+    optimize_clustered(cluster_by='cell') re-sorts rows into cell-tight
+    dirs and pruning returns — with probe results unchanged (a
+    row-preserving rewrite). The IVF twin of
+    test_text_index_reclusters_mixed_dir_on_optimize: the maintenance
+    story for an index grown by many small incremental assigns."""
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+
+    cent, assigned = S.ivf_index_build(planted_vectors, "vec_id", n_centroids=4)
+    idx = TxTable(spark, str(tmp_path / "ivf"))
+    # three incremental batches, each spanning every cell: the per-dir
+    # cell stats are [0, 3] everywhere — no probe can skip a dir
+    for m in range(3):
+        idx.append(
+            assigned.where(F.col("vec_id") % 3 == m), stats_cols=["cell"]
+        )
+
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                S.ivf_probe_index(
+                    queries,
+                    cent,
+                    lambda cells: idx.read(where_in={"cell": cells}),
+                    "vec_id",
+                    "vec_id",
+                    k=3,
+                    n_probe=2,
+                ).collect(),
+            )
+        )
+
+    before = probe()
+    assert len(dirs_read(idx.read(where_in={"cell": [0]}))) == 3  # all mixed
+
+    idx.optimize_clustered("cell", n_dirs=4, stats_cols=["cell"])
+    assert probe() == before  # row-preserving rewrite: same neighbors
+    touched = len(dirs_read(idx.read(where_in={"cell": [0]})))
+    total = len(dirs_read(idx.read()))
+    assert touched < total  # cell-tight dirs: the inverted-file read
+    assert touched <= 2  # is dir pruning again
