@@ -414,6 +414,167 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _stream_dedup_oracle(
+    n_hashes: int = 16, band_size: int = 2, seed: int = 42, thr: float = 0.5
+) -> str:
+    """DuckDB twin of the STREAMING online-dedup pipeline
+    (streaming/jobs.py foreach_batch_ingest_dedup): replay two
+    micro-batches (doc_id % 8 == 0 first, then % 8 == 1 — a quarter
+    slice keeps the demo inside the bench budget at every sf) through
+    the same portable-minhash collision predicate and the same greedy
+    rules — a doc drops iff it collides with a LOWER-id doc of its own
+    batch, or with a SURVIVOR of an earlier batch (the signature
+    index only ever holds survivors). NULL-text docs carry no
+    signature, so they never collide and always survive."""
+    from hapiy_etl_spark.operators.dedup import _MERSENNE31, _hash_params
+
+    params = _hash_params(n_hashes, seed)
+    comps = ",\n               ".join(
+        f"MIN((hh * {a} + {b}) % {_MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    n_bands = n_hashes // band_size
+    bands = "\n        UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {key} AS key FROM comp".format(
+            j=j,
+            key=" || ',' || ".join(
+                f"m{j * band_size + r}::VARCHAR" for r in range(band_size)
+            ),
+        )
+        for j in range(n_bands)
+    )
+    eq_sum = " + ".join(
+        f"CASE WHEN ca.m{i} = cb.m{i} THEN 1 ELSE 0 END"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id % 8 < 2
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 14))::BIGINT % {_MERSENNE31} AS hh
+        FROM sh
+    ),
+    comp AS (
+        SELECT doc_id,
+               {comps}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    refined AS (
+        SELECT id_a, id_b FROM (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id <> b.doc_id
+        )
+        JOIN comp ca ON ca.doc_id = id_a
+        JOIN comp cb ON cb.doc_id = id_b
+        WHERE ({eq_sum}) / {float(n_hashes)} >= {thr}
+    ),
+    b0 AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0),
+    b1 AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 1),
+    surv0 AS (
+        SELECT doc_id FROM b0 WHERE doc_id NOT IN (
+            SELECT r.id_b FROM refined r
+            JOIN b0 a ON r.id_a = a.doc_id
+            JOIN b0 b ON r.id_b = b.doc_id
+            WHERE r.id_a < r.id_b
+        )
+    ),
+    surv1 AS (
+        SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+            SELECT r.id_b FROM refined r
+            JOIN b1 a ON r.id_a = a.doc_id
+            JOIN b1 b ON r.id_b = b.doc_id
+            WHERE r.id_a < r.id_b
+            UNION
+            SELECT r.id_b FROM refined r
+            JOIN surv0 s ON r.id_a = s.doc_id
+            JOIN b1 b ON r.id_b = b.doc_id
+        )
+    )
+    SELECT doc_id FROM surv0
+    UNION ALL
+    SELECT doc_id FROM surv1
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "stream_ingest_online_dedup",
+    oracle=_stream_dedup_oracle(),
+    doc="STREAMING ingestion with online near-dedup, end-to-end and "
+    "hash-checked (streaming/jobs.py foreach_batch_ingest_dedup, r9): "
+    "documents arrive as two micro-batches (doc_id % 8 == 0, then "
+    "% 8 == 1); each batch computes portable MinHash signatures once, "
+    "drops docs colliding with the persisted signature index (corpus "
+    "survivors only — text never rescanned) or with a lower-id doc of "
+    "its own batch (greedy keep-first), then commits survivors to the "
+    "corpus TxTable and their signatures to the index, exactly-once "
+    "with aligned (run, epoch). The DuckDB twin replays the whole "
+    "stream — batching, collision arithmetic, greedy rules, "
+    "survivor-only index growth — so the STREAMING path is "
+    "hash-checked like the batch one. At 100 TB this is the front "
+    "door of a training-data pipeline: per-batch cost tracks the "
+    "batch and its band collisions, never corpus size.",
+)
+def stream_ingest_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_ingest_dedup
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+
+    base = Path(tempfile.gettempdir()) / (
+        f"spark_graft_streamdedup_demo_{spark.sparkContext.applicationId}"
+        f"_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    corpus, sigp = str(base / "corpus"), str(base / "sigs")
+
+    # stage both arrivals up front with forced ascending mtimes and let
+    # maxFilesPerTrigger=1 pace them: FileStreamSource orders files by
+    # modification time, so this is two ordered micro-batches through
+    # ONE stream run (same per-batch semantics, half the start cost)
+    import os
+
+    (base / "src").mkdir(parents=True, exist_ok=True)
+    for m in range(2):
+        stage = str(base / f"stage{m}")
+        docs.where(F.pmod("doc_id", F.lit(8)) == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = str(base / "src" / f"b{m}.parquet")
+        shutil.copyfile(f"{stage}/{part}", dst)
+        os.utime(dst, (1_000_000_000 + m * 100, 1_000_000_000 + m * 100))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    foreach_batch_ingest_dedup(stream, corpus, sigp, ckpt).awaitTermination()
+
+    return TxTable(spark, corpus).read().select("doc_id").orderBy("doc_id")
+
+
 @register(
     "dedup_simhash",
     oracle=None,  # xxhash64 is Spark-specific — signatures aren't portable;

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "text_bm25_index_probe",
     "incremental_mv_join_refresh",
     "text_decontam_index_probe",
+    "stream_ingest_online_dedup",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "vocab_encode_documents",
     "editsim_source_labels",
     "text_unicode_nfc",
-    "udf_grouped_agg_mad",
 )
 
 

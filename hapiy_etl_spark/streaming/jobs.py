@@ -409,6 +409,110 @@ def tx_append_once(
     return True
 
 
+def foreach_batch_ingest_dedup(
+    stream: DataFrame,
+    corpus_path: str,
+    sig_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    portable: bool = True,
+):
+    """Streaming ingestion with ONLINE near-dedup — the front door of a
+    training-data pipeline: each micro-batch computes its MinHash
+    signatures once, drops documents that near-dup the CORPUS (band
+    join against the persisted signature index,
+    ``dedup.dedup_against_index`` — corpus text never rescanned) or a
+    LOWER-id document of the same batch (greedy keep-first; the exact
+    cluster pick is the batch pipeline's job), then appends the
+    surviving rows to the corpus TxTable and their signatures to the
+    index — both exactly-once via ``tx_append_once`` with the same
+    (run, epoch).
+
+    Crash consistency between the TWO tables hangs on commit ORDER:
+    the corpus commits FIRST. A replay after a crash between the
+    commits recomputes the same survivor set (the dedup decision reads
+    the signature index, which by that order cannot yet contain this
+    epoch's rows), skips the already-committed corpus append, and
+    fills in the missing signature append — self-healing. The reverse
+    order would poison the replay: the batch would band-collide with
+    its own stored signatures and drop every row. Both tables commit
+    every non-empty input batch (even when zero rows survive) so their
+    epoch bookkeeping stays aligned. Batch ids are assumed unique
+    within and across batches (ingestion ids); NULL-text documents
+    produce no signature, always survive, and add no index row."""
+    from hapiy_etl_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_signatures,
+    )
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    run_id = None
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal run_id
+        if batch.isEmpty():
+            return
+        if run_id is None:
+            run_id = _checkpoint_run_id(checkpoint)
+        spark = batch.sparkSession
+        kw = dict(
+            num_hashes=num_hashes,
+            band_size=band_size,
+            jaccard_threshold=jaccard_threshold,
+            portable=portable,
+        )
+        sigs = minhash_signatures(
+            # NULL-text docs are excluded from dedup entirely (the
+            # shingle kernel would otherwise give every one the same
+            # empty partial shingle, making all of them mutual dups)
+            batch.where(F.col(text_col).isNotNull()),
+            id_col,
+            text_col,
+            n,
+            num_hashes,
+            portable=portable,
+        ).persist()
+        try:
+            # batch-internal greedy keep-first: both directions come out
+            # of the self band-join; keeping new_id > dup_of drops the
+            # higher id of every colliding pair (and discards self-pairs)
+            drop = (
+                dedup_against_index(sigs, sigs, **kw)
+                .where(F.col("new_id") > F.col("dup_of"))
+                .select(F.col("new_id").alias("doc"))
+            )
+            sig_t = TxTable(spark, sig_path)
+            if sig_t.latest_version() > 0:
+                drop = drop.unionByName(
+                    dedup_against_index(sigs, sig_t.read(), **kw).select(
+                        F.col("new_id").alias("doc")
+                    )
+                )
+            drop = drop.distinct()
+            kept_sigs = sigs.join(drop, "doc", "left_anti")
+            # anti-join, not a semi-join on kept_sigs: NULL-text docs
+            # have no signature row yet must survive
+            survivors = batch.join(
+                drop.withColumnRenamed("doc", id_col), id_col, "left_anti"
+            )
+            tx_append_once(survivors, corpus_path, epoch_id, run_id=run_id)
+            tx_append_once(kept_sigs, sig_path, epoch_id, run_id=run_id)
+        finally:
+            sigs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_tx_append_with_mv(
     stream: DataFrame,
     path: str,

@@ -1974,3 +1974,68 @@ def test_incremental_join_mv_prunes_fact_history_by_delta_bounds(spark, tmp_path
     assert rep["mode"] == "incremental"
     assert not rep["scanned_fact_history"] and rep["fact_dirs_rescanned"] == 0
     assert view() == recompute()
+
+
+def test_streaming_ingest_online_dedup_exactly_once(spark, tmp_path):
+    """Streaming ingestion with online near-dedup (r9): each
+    micro-batch drops near-dups of the corpus (band join against the
+    persisted signature index — no corpus text rescan) and of
+    lower-id batch docs (greedy keep-first); survivors append
+    exactly-once to the corpus table and their signatures to the
+    index with aligned (run, epoch) bookkeeping; a NULL-text doc
+    survives without an index row; a restart with no new data is a
+    noop on both tables."""
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_ingest_dedup
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    corpus, sigp = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+
+    A = " ".join(f"a{i}" for i in range(30))
+    B = " ".join(f"b{i}" for i in range(30))
+    C = " ".join(f"c{i}" for i in range(30))
+
+    def near(text, tag):
+        toks = text.split()
+        toks[7] = tag
+        return " ".join(toks)
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        foreach_batch_ingest_dedup(
+            stream, corpus, sigp, ckpt
+        ).awaitTermination()
+
+    def corpus_ids():
+        return sorted(r.doc_id for r in TxTable(spark, corpus).read().collect())
+
+    def sig_ids():
+        return sorted(r.doc for r in TxTable(spark, sigp).read().collect())
+
+    # batch 1: doc 3 near-dups doc 1 within the batch -> greedy drop
+    write([(1, A), (2, B), (3, near(A, "x"))])
+    run()
+    assert corpus_ids() == [1, 2] and sig_ids() == [1, 2]
+
+    # batch 2: 4 near-dups the INDEX (doc 1), 7 near-dups 5 in-batch,
+    # 6 has NULL text (no signature, must survive)
+    write([(4, near(A, "y")), (5, C), (6, None), (7, near(C, "z"))])
+    run()
+    assert corpus_ids() == [1, 2, 5, 6]
+    assert sig_ids() == [1, 2, 5]  # NULL-text doc adds no index row
+
+    # the two tables' stream bookkeeping is aligned
+    ce, cr = TxTable(spark, corpus).last_stream_state()
+    se, sr = TxTable(spark, sigp).last_stream_state()
+    assert (ce, cr) == (se, sr) and ce is not None
+
+    # no new data: restart leaves both tables untouched
+    cv = TxTable(spark, corpus).latest_version()
+    sv = TxTable(spark, sigp).latest_version()
+    run()
+    assert TxTable(spark, corpus).latest_version() == cv
+    assert TxTable(spark, sigp).latest_version() == sv
