@@ -445,12 +445,6 @@ def foreach_batch_ingest_dedup(
     epoch bookkeeping stays aligned. Batch ids are assumed unique
     within and across batches (ingestion ids); NULL-text documents
     produce no signature, always survive, and add no index row."""
-    from hapiy_etl_spark.operators.dedup import (
-        dedup_against_index,
-        minhash_signatures,
-    )
-    from hapiy_etl_spark.operators.txstore import TxTable
-
     run_id = None
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
@@ -459,51 +453,20 @@ def foreach_batch_ingest_dedup(
             return
         if run_id is None:
             run_id = _checkpoint_run_id(checkpoint)
-        spark = batch.sparkSession
-        kw = dict(
+        ingest_dedup_batch(
+            batch,
+            corpus_path,
+            sig_path,
+            epoch_id,
+            run_id=run_id,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
             num_hashes=num_hashes,
             band_size=band_size,
             jaccard_threshold=jaccard_threshold,
             portable=portable,
         )
-        sigs = minhash_signatures(
-            # NULL-text docs are excluded from dedup entirely (the
-            # shingle kernel would otherwise give every one the same
-            # empty partial shingle, making all of them mutual dups)
-            batch.where(F.col(text_col).isNotNull()),
-            id_col,
-            text_col,
-            n,
-            num_hashes,
-            portable=portable,
-        ).persist()
-        try:
-            # batch-internal greedy keep-first: both directions come out
-            # of the self band-join; keeping new_id > dup_of drops the
-            # higher id of every colliding pair (and discards self-pairs)
-            drop = (
-                dedup_against_index(sigs, sigs, **kw)
-                .where(F.col("new_id") > F.col("dup_of"))
-                .select(F.col("new_id").alias("doc"))
-            )
-            sig_t = TxTable(spark, sig_path)
-            if sig_t.latest_version() > 0:
-                drop = drop.unionByName(
-                    dedup_against_index(sigs, sig_t.read(), **kw).select(
-                        F.col("new_id").alias("doc")
-                    )
-                )
-            drop = drop.distinct()
-            kept_sigs = sigs.join(drop, "doc", "left_anti")
-            # anti-join, not a semi-join on kept_sigs: NULL-text docs
-            # have no signature row yet must survive
-            survivors = batch.join(
-                drop.withColumnRenamed("doc", id_col), id_col, "left_anti"
-            )
-            tx_append_once(survivors, corpus_path, epoch_id, run_id=run_id)
-            tx_append_once(kept_sigs, sig_path, epoch_id, run_id=run_id)
-        finally:
-            sigs.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -511,6 +474,78 @@ def foreach_batch_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_dedup_batch(
+    batch: DataFrame,
+    corpus_path: str,
+    sig_path: str,
+    epoch_id: int,
+    run_id: str | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    portable: bool = True,
+) -> None:
+    """One micro-batch of the online-dedup ingest — the sink body of
+    ``foreach_batch_ingest_dedup``, factored out so batch callers (the
+    growth harness, backfills run outside a stream) exercise the exact
+    sink path with their own epoch bookkeeping."""
+    from hapiy_etl_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_signatures,
+    )
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    spark = batch.sparkSession
+    kw = dict(
+        num_hashes=num_hashes,
+        band_size=band_size,
+        jaccard_threshold=jaccard_threshold,
+        portable=portable,
+    )
+    sigs = minhash_signatures(
+        # NULL-text docs are excluded from dedup entirely (the
+        # shingle kernel would otherwise give every one the same
+        # empty partial shingle, making all of them mutual dups)
+        batch.where(F.col(text_col).isNotNull()),
+        id_col,
+        text_col,
+        n,
+        num_hashes,
+        portable=portable,
+    ).persist()
+    try:
+        # batch-internal greedy keep-first: both directions come out
+        # of the self band-join; keeping new_id > dup_of drops the
+        # higher id of every colliding pair (and discards self-pairs)
+        drop = (
+            dedup_against_index(sigs, sigs, **kw)
+            .where(F.col("new_id") > F.col("dup_of"))
+            .select(F.col("new_id").alias("doc"))
+        )
+        sig_t = TxTable(spark, sig_path)
+        if sig_t.latest_version() > 0:
+            drop = drop.unionByName(
+                dedup_against_index(sigs, sig_t.read(), **kw).select(
+                    F.col("new_id").alias("doc")
+                )
+            )
+        drop = drop.distinct()
+        kept_sigs = sigs.join(drop, "doc", "left_anti")
+        # anti-join, not a semi-join on kept_sigs: NULL-text docs
+        # have no signature row yet must survive
+        survivors = batch.join(
+            drop.withColumnRenamed("doc", id_col), id_col, "left_anti"
+        )
+        tx_append_once(survivors, corpus_path, epoch_id, run_id=run_id)
+        tx_append_once(kept_sigs, sig_path, epoch_id, run_id=run_id)
+    finally:
+        sigs.unpersist()
 
 
 def foreach_batch_tx_append_with_mv(
