@@ -126,6 +126,13 @@ SHOWCASE = [
     # r9: join-MV result read — one scan of the stored partials; the
     # delta-join cost lives at refresh time
     ("incremental_mv_join_refresh", ["FileScan", "Project"]),
+    # r9: index-served decontamination — the probed shingle postings
+    # FileScan broadcast-joined to the bench shingle set, one grouped
+    # count; no corpus re-tokenize on the train side
+    ("text_decontam_index_probe", ["FileScan", "BroadcastHashJoin", "HashAggregate"]),
+    # r9: streaming online-dedup — the returned frame is one scan of
+    # the corpus TxTable the stream committed exactly-once
+    ("stream_ingest_online_dedup", ["FileScan"]),
 ]
 
 
