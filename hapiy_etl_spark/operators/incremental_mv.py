@@ -480,24 +480,37 @@ class IncrementalJoinAggView(IncrementalAggView):
                 # delta key anyway (NULL keys never match an inner
                 # join, and min/max ignore them).
                 dd = self.dim._read_dirs(m_d, new_d, merge_schema=False)
-                bounds = dd.agg(
-                    *[
-                        f
-                        for k in self.join_keys
-                        for f in (
-                            F.min(k).alias(f"__lo_{k}"),
-                            F.max(k).alias(f"__hi_{k}"),
-                        )
-                    ]
-                ).first()
-                wr = {
-                    k: (bounds[f"__lo_{k}"], bounds[f"__hi_{k}"])
+                fact_stats = m_f.get("stats", {})
+                has_stats = any(
+                    k in fact_stats.get(d, {})
+                    for d in seen_f
                     for k in self.join_keys
-                }
-                if all(lo is not None or hi is not None for lo, hi in wr.values()):
-                    cand = stats_prune_dirs(m_f, sorted(seen_f), wr)
+                )
+                if has_stats:
+                    # only pay the bounds job when it can buy pruning
+                    bounds = dd.agg(
+                        *[
+                            f
+                            for k in self.join_keys
+                            for f in (
+                                F.min(k).alias(f"__lo_{k}"),
+                                F.max(k).alias(f"__hi_{k}"),
+                            )
+                        ]
+                    ).first()
+                    wr = {
+                        k: (bounds[f"__lo_{k}"], bounds[f"__hi_{k}"])
+                        for k in self.join_keys
+                    }
+                    if all(
+                        lo is not None or hi is not None
+                        for lo, hi in wr.values()
+                    ):
+                        cand = stats_prune_dirs(m_f, sorted(seen_f), wr)
+                    else:
+                        cand = []  # delta has no non-NULL key: joins nothing
                 else:
-                    cand = []  # delta has no non-NULL key: joins nothing
+                    cand = sorted(seen_f)
                 fact_dirs_rescanned = len(cand)
                 scanned_fact_history = bool(cand)
                 if cand:
@@ -515,7 +528,9 @@ class IncrementalJoinAggView(IncrementalAggView):
                 merged = self._merge_partials(
                     stored.unionByName(self._partials(rows))
                 )
-            else:  # pragma: no cover - version bump with no new dirs
+            else:
+                # no delta work: a version bump with no new dirs, or an
+                # all-NULL-key dim delta whose history term was skipped
                 merged = stored
             report_dirs = (len(new_f), len(new_d))
         else:

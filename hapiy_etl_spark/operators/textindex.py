@@ -161,6 +161,8 @@ def bm25_probe_index(
     summing the (tiny) meta table. Scores therefore match a full-corpus
     BM25 exactly, at bucket-read cost."""
     term_list = list(terms)
+    if not term_list:
+        raise ValueError("empty query-term list — nothing to probe")
     buckets = sorted({term_bucket_py(t, n_buckets) for t in term_list})
     p = reader(buckets) if callable(reader) else reader.where(
         F.col("tb").isin(buckets)
@@ -199,11 +201,15 @@ def shingle_postings_build(
     the document's total distinct-shingle count denormalized on (the
     ``dl``-on-the-posting trick again: a contamination RATIO needs no
     second corpus-wide table). Shingling (``dedup.shingles``: distinct,
-    short docs yield one partial shingle, NULL-text docs drop at
-    explode) matches the corpus decontamination query bit-for-bit, so
-    a probe against this index must reproduce the full-scan result."""
+    short docs yield one partial shingle) matches the corpus
+    decontamination query bit-for-bit, so a probe against this index
+    must reproduce the full-scan result. NULL-text docs are filtered
+    here: the shingle kernel would otherwise map each to the ``['']``
+    fallback shingle — one junk posting per doc that the DuckDB twins
+    (whose unnest drops NULL) would never see."""
     from hapiy_etl_spark.operators.dedup import shingles
 
+    docs = docs.where(F.col(text_col).isNotNull())
     sh = docs.select(
         F.col(doc_id).alias("__doc"),
         F.explode(shingles(F.col(text_col), k)).alias("__s"),
@@ -241,7 +247,11 @@ def decontam_probe_index(
     ``bm25_probe_index``. n_sh rides on each posting, so the ratio's
     denominator is exact even though only bench-matching rows
     survive the join."""
-    bench = bench.select(F.col("s").alias("shingle")).distinct()
+    bench = (
+        bench.where(F.col("s").isNotNull())
+        .select(F.col("s").alias("shingle"))
+        .distinct()
+    )
     buckets = sorted(
         r[0]
         for r in bench.select(
@@ -250,6 +260,11 @@ def decontam_probe_index(
         .distinct()
         .collect()
     )
+    if not buckets:
+        raise ValueError(
+            "bench shingle set is empty (or all-NULL) — nothing to "
+            "probe; an empty benchmark means no decontamination to run"
+        )
     p = reader(buckets) if callable(reader) else reader.where(
         F.col("tb").isin(buckets)
     )

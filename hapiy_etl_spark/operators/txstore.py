@@ -170,6 +170,19 @@ class TxTable:
     def _manifest(self, version: int) -> dict:
         p = self.path / "_tx" / f"v{version:08d}.json"
         if not p.exists():
+            latest = self.latest_version()
+            if 0 < version < latest:
+                # versions are dense, so a missing lower version EXISTED
+                # once — a vacuum aged it out. Same diagnosis the
+                # streaming source gives (sources/txtable_source.py),
+                # worded for the batch reader.
+                raise FileNotFoundError(
+                    f"version {version} at {self.path} was vacuumed "
+                    f"(latest is v{latest}) — this read predates the "
+                    "table's retention. Re-read from a retained "
+                    "version, and keep vacuum retention above the "
+                    "longest reader lag"
+                )
             raise FileNotFoundError(f"no version {version} at {self.path}")
         return json.loads(p.read_text())
 
@@ -314,17 +327,14 @@ class TxTable:
                 for k, vals in (where_in or {}).items():
                     if all(_point_excludes(d, k, val) for val in vals):
                         return False  # no listed value can be in d
-                for k, (lo, hi) in (where_range or {}).items():
-                    rng = stats.get(d, {}).get(k)
-                    if rng is None or rng[0] is None:
-                        continue
-                    if hi is not None and _meta_cmp(rng[0], hi) is False:
-                        return False  # dir min > hi
-                    if lo is not None and _meta_cmp(lo, rng[1]) is False:
-                        return False  # dir max < lo
                 return True
 
             dirs = [d for d in dirs if _keep(d)]
+            if where_range:
+                # the one interval-pruning implementation — shared with
+                # dir-subset callers (join-MV history pruning) so the
+                # two can never desynchronize
+                dirs = stats_prune_dirs(m, dirs, where_range)
         if not dirs:
             # every dir pruned: empty frame with the snapshot's schema
             full = self.read(v, merge_schema=merge_schema)

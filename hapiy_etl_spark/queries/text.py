@@ -1617,7 +1617,9 @@ _DECONTAM_ORACLE = """
 )
 def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    sh = t["documents"].select(
+    # NULL-text docs filtered to match the twin (its unnest drops them
+    # while shingles() maps NULL to the [''] fallback shingle)
+    sh = t["documents"].where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(D.shingles("text", 3)).alias("s")
     )
     bench = sh.where(F.col("doc_id") < 50).select("s").distinct()

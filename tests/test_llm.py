@@ -832,3 +832,48 @@ def test_ivf_index_reclusters_mixed_dirs_on_optimize(spark, planted_vectors, tmp
     total = len(dirs_read(idx.read()))
     assert touched < total  # cell-tight dirs: the inverted-file read
     assert touched <= 2  # is dir pruning again
+
+
+def test_decontam_probe_guards_empty_and_null_bench(spark, planted_docs, tmp_path):
+    """Review fixes (r9): an empty or all-NULL bench raises a clear
+    ValueError instead of crashing in the reader; NULL shingles are
+    filtered before bucketing; bm25_probe_index rejects an empty term
+    list the same way."""
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    idx = TxTable(spark, str(tmp_path / "p"))
+    TI.postings_append(
+        idx,
+        None,
+        TI.shingle_postings_build(planted_docs.select("doc_id", "text")),
+        None,
+    )
+    reader = lambda bs: idx.read(where_in={"tb": bs})  # noqa: E731
+    empty = spark.createDataFrame([], "s string")
+    with pytest.raises(ValueError, match="empty"):
+        TI.decontam_probe_index(reader, empty)
+    nulls = spark.createDataFrame([(None,)], "s string")
+    with pytest.raises(ValueError, match="empty"):
+        TI.decontam_probe_index(reader, nulls)
+    with pytest.raises(ValueError, match="empty"):
+        TI.bm25_probe_index(reader, None, [])
+    # a NULL mixed into a real bench is ignored, not fatal
+    toks = planted_docs.where(F.col("doc_id") == 0).first().text.split()
+    sh = " ".join(toks[:3])
+    mixed = spark.createDataFrame([(sh,), (None,)], "s string")
+    got = TI.decontam_probe_index(reader, mixed, threshold=0.01).collect()
+    assert {r.doc_id for r in got} >= {0, 100}
+
+
+def test_shingle_postings_build_drops_null_text(spark, tmp_path):
+    """NULL-text docs must contribute NO posting (the [''] fallback
+    shingle the kernel would otherwise emit is junk the DuckDB twins
+    never see)."""
+    from hapiy_etl_spark.operators import textindex as TI
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id long, text string"
+    )
+    p = TI.shingle_postings_build(docs)
+    assert {r.doc_id for r in p.select("doc_id").distinct().collect()} == {1}

@@ -2039,3 +2039,21 @@ def test_streaming_ingest_online_dedup_exactly_once(spark, tmp_path):
     run()
     assert TxTable(spark, corpus).latest_version() == cv
     assert TxTable(spark, sigp).latest_version() == sv
+
+
+def test_txstore_vacuumed_version_read_names_cause(spark, tmp_path):
+    """Batch-path twin of the stream's vacuumed-offset diagnosis (r9
+    review): reading a version below the retained window must name
+    vacuum and the recovery, not read as a bare file miss — and a
+    version ABOVE latest stays the plain 'no version' error."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+    t.vacuum(keep_last=1, min_age_s=0.0)
+    with pytest.raises(FileNotFoundError) as ei:
+        t.read(version=1)
+    msg = str(ei.value)
+    assert "vacuumed" in msg and "retention" in msg
+    with pytest.raises(FileNotFoundError) as ei2:
+        t.read(version=99)
+    assert "no version 99" in str(ei2.value)
