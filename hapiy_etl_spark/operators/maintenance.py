@@ -13,6 +13,29 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+def auto_compact(table, max_dirs: int = 16, **optimize_kw) -> int | None:
+    """Threshold compaction policy for a TxTable: OPTIMIZE when the
+    current snapshot has accumulated ``max_dirs`` or more data dirs,
+    else do nothing. Returns the new version when it compacted, None
+    when under threshold.
+
+    This is the missing half of every per-epoch streaming sink
+    (``foreach_batch_tx_append`` and family land one dir per
+    micro-batch): without a policy, reader planning cost and the
+    manifest grow O(epochs) forever. Safe to run mid-stream from the
+    sink itself — optimize commits are row-preserving, so the CDC
+    change stream delivers them as no-data micro-batches
+    (sources/txtable_source.py), replay-detection state carries
+    forward through the optimize commit (txstore.last_stream_state),
+    and pruning metadata survives as union stats/blooms. Forward
+    ``zorder_by=`` / ``partition_by=`` when the table relies on
+    clustering or a Hive layout — a bare optimize would flatten it
+    (TxTable.optimize documents the hazard)."""
+    if table.n_dirs() < max_dirs:
+        return None
+    return table.optimize(**optimize_kw)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -186,6 +186,14 @@ class TxTable:
             raise FileNotFoundError(f"no version {version} at {self.path}")
         return json.loads(p.read_text())
 
+    def n_dirs(self, version: int | None = None) -> int:
+        """Data-dir count of a snapshot — the small-files health metric
+        compaction policies key on (one dir lands per append/micro-
+        batch, so an always-on stream grows this without bound until
+        someone compacts). 0 for an empty table."""
+        v = self.latest_version() if version is None else version
+        return len(self._manifest(v)["dirs"]) if v else 0
+
     def history(self) -> list[dict]:
         """Manifests that still exist, oldest first — after a vacuum the
         retained window starts above version 1, so this globs rather

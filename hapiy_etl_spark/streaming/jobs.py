@@ -285,7 +285,12 @@ def foreach_batch_kmv_rollup(
     )
 
 
-def foreach_batch_tx_append(stream: DataFrame, path: str, checkpoint: str):
+def foreach_batch_tx_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    auto_compact_max_dirs: int | None = None,
+):
     """TRUE exactly-once streaming sink: each micro-batch appends one
     snapshot version to a TxTable with the epoch id in the manifest.
     A re-delivered batch (failure between sink success and offset
@@ -294,11 +299,23 @@ def foreach_batch_tx_append(stream: DataFrame, path: str, checkpoint: str):
     rows land exactly once even for append-only (non-keyed) data —
     stronger than the keyed-idempotence of foreach_batch_upsert, and
     the manifest commit is atomic so a crash mid-append leaves only an
-    unreferenced spool dir (vacuumed later), never partial data."""
+    unreferenced spool dir (vacuumed later), never partial data.
+
+    ``auto_compact_max_dirs`` bounds the small-files growth an
+    always-on stream otherwise suffers (one dir per epoch): after each
+    append, OPTIMIZE when the snapshot has that many dirs
+    (maintenance.auto_compact). Exactly-once is unaffected — replay
+    state carries through the optimize commit, and a replayed epoch
+    skips its append before the policy even runs."""
+    from hapiy_etl_spark.operators.maintenance import auto_compact
+    from hapiy_etl_spark.operators.txstore import TxTable
+
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         tx_append_once(batch, path, epoch_id, run_id=_checkpoint_run_id(checkpoint))
+        if auto_compact_max_dirs:
+            auto_compact(TxTable(batch.sparkSession, path), auto_compact_max_dirs)
 
     return (
         stream.writeStream.foreachBatch(_sink)

