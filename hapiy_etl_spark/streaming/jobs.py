@@ -438,6 +438,7 @@ def foreach_batch_ingest_dedup(
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     portable: bool = True,
+    auto_compact_max_dirs: int | None = None,
 ):
     """Streaming ingestion with ONLINE near-dedup — the front door of a
     training-data pipeline: each micro-batch computes its MinHash
@@ -461,7 +462,11 @@ def foreach_batch_ingest_dedup(
     every non-empty input batch (even when zero rows survive) so their
     epoch bookkeeping stays aligned. Batch ids are assumed unique
     within and across batches (ingestion ids); NULL-text documents
-    produce no signature, always survive, and add no index row."""
+    produce no signature, always survive, and add no index row.
+    ``auto_compact_max_dirs`` applies the small-files policy
+    (maintenance.auto_compact) to BOTH tables after the commits — the
+    signature index is read whole every batch, so its dir count is
+    this sink's hottest planning cost."""
     run_id = None
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
@@ -483,6 +488,7 @@ def foreach_batch_ingest_dedup(
             band_size=band_size,
             jaccard_threshold=jaccard_threshold,
             portable=portable,
+            auto_compact_max_dirs=auto_compact_max_dirs,
         )
 
     return (
@@ -507,6 +513,7 @@ def ingest_dedup_batch(
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     portable: bool = True,
+    auto_compact_max_dirs: int | None = None,
 ) -> None:
     """One micro-batch of the online-dedup ingest — the sink body of
     ``foreach_batch_ingest_dedup``, factored out so batch callers (the
@@ -561,6 +568,11 @@ def ingest_dedup_batch(
         )
         tx_append_once(survivors, corpus_path, epoch_id, run_id=run_id)
         tx_append_once(kept_sigs, sig_path, epoch_id, run_id=run_id)
+        if auto_compact_max_dirs:
+            from hapiy_etl_spark.operators.maintenance import auto_compact
+
+            auto_compact(TxTable(spark, corpus_path), auto_compact_max_dirs)
+            auto_compact(TxTable(spark, sig_path), auto_compact_max_dirs)
     finally:
         sigs.unpersist()
 

@@ -2102,3 +2102,39 @@ def test_streaming_sink_auto_compacts_small_files(spark, tmp_path):
     v = t.latest_version()
     run()
     assert TxTable(spark, store).latest_version() == v
+
+
+def test_ingest_dedup_auto_compacts_both_tables(spark, tmp_path):
+    """The small-files policy threaded through the online-dedup ingest
+    (r9): with auto_compact_max_dirs, BOTH the corpus table and the
+    signature index stay at a bounded dir count across many epochs,
+    dedup state survives the interleaved compactions (a text re-sent
+    AFTER an optimize is still dropped against the index), and the
+    surviving rows equal an uncompacted run's."""
+    from hapiy_etl_spark.streaming.jobs import ingest_dedup_batch
+
+    A = " ".join(f"w{i}" for i in range(30))
+
+    def rows_for(epoch):
+        if epoch == 5:  # re-sends epoch-1 text: must drop vs the index
+            return [(50 + epoch, A)]
+        return [(50 + epoch, " ".join(f"e{epoch}t{i}" for i in range(30)))]
+
+    def run(base, max_dirs):
+        c, s = str(base / "corpus"), str(base / "sigs")
+        for e in range(1, 8):
+            b = spark.createDataFrame(
+                rows_for(e) if e != 1 else [(1, A)], "doc_id long, text string"
+            )
+            ingest_dedup_batch(
+                b, c, s, epoch_id=e, run_id="r", auto_compact_max_dirs=max_dirs
+            )
+        return TxTable(spark, c), TxTable(spark, s)
+
+    c1, s1 = run(tmp_path / "plain", None)
+    c2, s2 = run(tmp_path / "policy", 3)
+    want = sorted(r.doc_id for r in c1.read().collect())
+    assert sorted(r.doc_id for r in c2.read().collect()) == want
+    assert 55 not in want  # the epoch-5 replayed text was deduped
+    assert c1.n_dirs() == 7 and s1.n_dirs() == 7  # one dir per epoch
+    assert c2.n_dirs() < 3 and s2.n_dirs() < 3  # bounded by the policy
