@@ -419,7 +419,7 @@ def _stream_dedup_oracle(
 ) -> str:
     """DuckDB twin of the STREAMING online-dedup pipeline
     (streaming/jobs.py foreach_batch_ingest_dedup): replay two
-    micro-batches (doc_id % 8 == 0 first, then % 8 == 1 — a quarter
+    micro-batches (doc_id % 16 == 0 first, then % 16 == 1 — a thin
     slice keeps the demo inside the bench budget at every sf) through
     the same portable-minhash collision predicate and the same greedy
     rules — a doc drops iff it collides with a LOWER-id doc of its own
@@ -450,7 +450,7 @@ def _stream_dedup_oracle(
     return f"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(text, '\\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND doc_id % 8 < 2
+        FROM documents WHERE text IS NOT NULL AND doc_id % 16 < 2
     ),
     sh AS (
         SELECT doc_id,
@@ -483,8 +483,8 @@ def _stream_dedup_oracle(
         JOIN comp cb ON cb.doc_id = id_b
         WHERE ({eq_sum}) / {float(n_hashes)} >= {thr}
     ),
-    b0 AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0),
-    b1 AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 1),
+    b0 AS (SELECT doc_id FROM documents WHERE doc_id % 16 = 0),
+    b1 AS (SELECT doc_id FROM documents WHERE doc_id % 16 = 1),
     surv0 AS (
         SELECT doc_id FROM b0 WHERE doc_id NOT IN (
             SELECT r.id_b FROM refined r
@@ -517,8 +517,8 @@ def _stream_dedup_oracle(
     oracle=_stream_dedup_oracle(),
     doc="STREAMING ingestion with online near-dedup, end-to-end and "
     "hash-checked (streaming/jobs.py foreach_batch_ingest_dedup, r9): "
-    "documents arrive as two micro-batches (doc_id % 8 == 0, then "
-    "% 8 == 1); each batch computes portable MinHash signatures once, "
+    "documents arrive as two micro-batches (doc_id % 16 == 0, then "
+    "% 16 == 1); each batch computes portable MinHash signatures once, "
     "drops docs colliding with the persisted signature index (corpus "
     "survivors only — text never rescanned) or with a lower-id doc of "
     "its own batch (greedy keep-first), then commits survivors to the "
@@ -558,7 +558,7 @@ def stream_ingest_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (base / "src").mkdir(parents=True, exist_ok=True)
     for m in range(2):
         stage = str(base / f"stage{m}")
-        docs.where(F.pmod("doc_id", F.lit(8)) == m).coalesce(1).write.mode(
+        docs.where(F.pmod("doc_id", F.lit(16)) == m).coalesce(1).write.mode(
             "overwrite"
         ).parquet(stage)
         part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))

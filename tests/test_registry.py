@@ -66,6 +66,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   the persisted index (10 queries x 4 broadcast centroids)
         "text_bm25_search",  # 1-row corpus-stats aggregate crossed in
         "text_bm25_query_table",  # same 1-row corpus-stats cross
+        "text_bm25_index_probe",  # same 1-row corpus-stats cross, fed
+        #   from the (tiny) meta table's sum instead of a corpus agg
         "agg_kmv_distinct_sketch",  # two 1-row sketch sides crossed
         "maintenance_zorder_key",  # 1-row min/max bounds aggregate crossed
         "q11_important_stock",  # 1-row total-value aggregate crossed
