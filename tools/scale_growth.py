@@ -295,13 +295,17 @@ def mv_main(n_batches: int) -> None:
 
 
 def joinmv_main(n_batches: int) -> None:
-    """Join-MV growth (r9): append disjoint lineitem slices to a fact
-    TxTable joined to the part dim, and after each append time (a) the
-    incremental join-view refresh and (b) a from-scratch recompute of
-    the same aggregate over the full join. Midway, append a dim batch
-    too — the F_old ⋈ ΔD term scans fact history ONCE, a bounded spike,
-    then refresh cost returns to batch-tracking. The scale claim:
-    refresh tracks the delta, recompute tracks the table."""
+    """Join-MV growth (r9): append KEY-RANGE-striped lineitem slices
+    (with pk stats) to a fact TxTable joined to the part dim, and
+    after each append time (a) the incremental join-view refresh and
+    (b) a from-scratch recompute of the same aggregate over the full
+    join. Midway, a held-back dim subset — confined to stripe 0's key
+    range — arrives late: the F_old ⋈ ΔD term prunes the consumed
+    fact history to the dirs intersecting the delta's key bounds
+    (stats_prune_dirs), so the late-dim spike reads ~1 dir, not the
+    whole history. Claims: refresh tracks the delta, recompute tracks
+    the table, and even the late-dim repair is bounded by key
+    locality, not corpus age."""
     import shutil
     import tempfile
 
@@ -318,10 +322,12 @@ def joinmv_main(n_batches: int) -> None:
     part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
         F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
     )
-    # split the dim so its second half arrives mid-run
-    dim_a = part.where(F.pmod("pk", F.lit(2)) == 0)
-    dim_b = part.where(F.pmod("pk", F.lit(2)) == 1)
-    batch_rows = li.count()
+    width = (part.agg(F.max("pk")).first()[0] + n_batches) // n_batches
+    # a few stripe-0 dim keys arrive LATE, mid-run
+    held = part.where(
+        (F.col("pk") < width) & (F.pmod("pk", F.lit(7)) == 3)
+    )
+    dim_a = part.join(held.select("pk"), "pk", "left_anti")
     base = tempfile.mkdtemp(prefix="joinmv_growth_")
     fact = TxTable(spark, f"{base}/fact")
     dim = TxTable(spark, f"{base}/dim")
@@ -332,9 +338,12 @@ def joinmv_main(n_batches: int) -> None:
     rows = []
     dim_batch_at = n_batches // 2 + 1
     for i in range(1, n_batches + 1):
-        fact.append(li)
+        stripe = li.where(
+            (F.col("pk") >= (i - 1) * width) & (F.col("pk") < i * width)
+        )
+        fact.append(stripe, stats_cols=["pk"])
         if i == dim_batch_at:
-            dim.append(dim_b)  # late dim: one bounded history scan
+            dim.append(held)  # late dim: bounded, PRUNED history repair
         t0 = time.perf_counter()
         rep = mv.refresh()
         t_refresh = time.perf_counter() - t0
@@ -350,10 +359,10 @@ def joinmv_main(n_batches: int) -> None:
                 "mode": rep["mode"],
                 "dim_appended": i == dim_batch_at,
                 "scanned_fact_history": rep.get("scanned_fact_history"),
+                "fact_dirs_rescanned": rep.get("fact_dirs_rescanned"),
+                "consumed_fact_dirs": i - 1,
                 "refresh_s": round(t_refresh, 2),
                 "recompute_s": round(t_recompute, 2),
-                "refresh_scans_rows": batch_rows * (i if i == dim_batch_at else 1),
-                "recompute_scans_rows": batch_rows * i,
             }
         )
         print(json.dumps(rows[-1]))
