@@ -2077,6 +2077,58 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from hapiy_etl_spark.functions import MD5_UNIFORM_SQL as _U_SQL
+
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_assignment",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+                   % {_N_SHARDS} AS shard,
+               {_U_SQL.format(col='doc_id')} AS u
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u, doc_id) AS pos
+    FROM a
+    ORDER BY shard, pos
+    """,
+    doc="Deterministic training-shard assignment + reproducible "
+    "training order — the last mile before the trainer reads the "
+    "corpus: every document gets a (shard, pos) from the portable md5 "
+    "kernels (the textindex bucket hash for the shard, md5_uniform "
+    "for the within-shard order), so shards are balanced by hash "
+    "uniformity, the global order is reproducible across engines, "
+    "partitionings, and reruns, and NO GLOBAL SORT ever happens — one "
+    "hash shuffle on the shard key plus an independent per-shard "
+    "window, the only shape that survives 100 TB (trainers consume "
+    "shards in parallel; a total order across shards buys nothing). "
+    "A new epoch's order is one seed-prefix away: hash "
+    "concat(epoch_tag, doc_id) instead of doc_id.",
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hapiy_etl_spark.functions import md5_uniform
+    from hapiy_etl_spark.operators.textindex import term_bucket
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    a = t["documents"].select(
+        "doc_id",
+        term_bucket(F.col("doc_id").cast("string"), _N_SHARDS).alias("shard"),
+        md5_uniform(F.col("doc_id")).alias("u"),
+    )
+    w = W.partitionBy("shard").orderBy(F.col("u").asc(), F.col("doc_id").asc())
+    return (
+        a.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+        .orderBy("shard", "pos")
+    )
+
+
 @register(
     "corpus_weighted_sample",
     oracle="""

@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "incremental_mv_join_refresh",
     "text_decontam_index_probe",
     "stream_ingest_online_dedup",
+    "corpus_shard_assignment",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "vocab_encode_documents",
     "editsim_source_labels",
-    "text_unicode_nfc",
 )
 
 

@@ -133,6 +133,9 @@ SHOWCASE = [
     # r9: streaming online-dedup — the returned frame is one scan of
     # the corpus TxTable the stream committed exactly-once
     ("stream_ingest_online_dedup", ["FileScan"]),
+    # r9: shard assignment — one hash exchange on the shard key + a
+    # per-shard window; no global sort anywhere in the plan
+    ("corpus_shard_assignment", ["Window", "Exchange"]),
 ]
 
 
