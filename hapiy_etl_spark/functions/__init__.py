@@ -35,3 +35,35 @@ MD5_UNIFORM_SQL = (
     "((('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 14))::BIGINT "
     "% 1000000 + 1) / 1000001.0)"
 )
+
+
+SIGN_BITS = 8  # 256 buckets; bump for denser corpora
+
+
+def sign_bucket(col: Column | str, bits: int = SIGN_BITS) -> Column:
+    """Deterministic sign-bucket LSH key for an embedding column: one
+    bit per leading dimension (1 when the component is > 0), packed
+    little-endian into an int — the 0-probe hyperplane-LSH special
+    case. Identical on any engine (pure comparisons, no hashing of
+    floats beyond their sign), so bucket assignments stored in an
+    index replay exactly in a DuckDB twin (sign_bucket_sql)."""
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = F.lit(0)
+    for i in range(bits):
+        bucket = bucket + F.when(
+            F.element_at(c, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def sign_bucket_sql(col: str, bits: int = SIGN_BITS) -> str:
+    """DuckDB twin of sign_bucket — same bit order, same strict-> 0
+    comparison (a 0.0 or NULL component contributes 0 in both)."""
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(bits)
+        )
+        + ")"
+    )

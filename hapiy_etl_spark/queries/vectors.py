@@ -291,13 +291,12 @@ def ann_pq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "rank")
 
 
-_SIGN_BITS = 8  # 256 buckets; bump for denser corpora
-
-
-def _sign_bucket_sql(col: str) -> str:
-    return "(" + " + ".join(
-        f"CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIGN_BITS)
-    ) + ")"
+# the sign-bucket kernel (Spark builder + DuckDB twin) lives in
+# hapiy_etl_spark/functions — one definition per dialect, shared with
+# the streaming semdedup sink
+from hapiy_etl_spark.functions import SIGN_BITS as _SIGN_BITS
+from hapiy_etl_spark.functions import sign_bucket as _sign_bucket
+from hapiy_etl_spark.functions import sign_bucket_sql as _sign_bucket_sql
 
 
 @register(
@@ -328,12 +327,9 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
 
-    bucket = F.lit(0)
-    for i in range(_SIGN_BITS):
-        bucket = bucket + F.when(
-            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", "embedding", _sign_bucket("embedding").alias("bucket")
+    )
 
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket"
@@ -391,12 +387,9 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    bucket = F.lit(0)
-    for i in range(_SIGN_BITS):
-        bucket = bucket + F.when(
-            F.element_at("embedding", i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", "embedding", _sign_bucket("embedding").alias("bucket")
+    )
     history = bucketed.where(F.pmod("vec_id", F.lit(4)) != 3)
     batch = bucketed.where(F.pmod("vec_id", F.lit(4)) == 3)
 
@@ -425,6 +418,103 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checked batch joins the index for the next arrival
     idx.append(batch, stats_cols=["bucket"])
     return out
+
+
+@register(
+    "stream_ingest_online_semdedup",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {_sign_bucket_sql("embedding")} AS bucket
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    ref AS (
+        SELECT a.vec_id AS id_a, x.vec_id AS id_b
+        FROM b a
+        JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+        WHERE list_cosine_similarity(
+                  a.embedding::DOUBLE[], x.embedding::DOUBLE[]) > 0.3
+    ),
+    b0 AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0),
+    b1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1),
+    surv0 AS (
+        SELECT vec_id FROM b0 WHERE vec_id NOT IN (
+            SELECT r.id_b FROM ref r
+            JOIN b0 a ON r.id_a = a.vec_id
+            JOIN b0 x ON r.id_b = x.vec_id
+            WHERE r.id_a < r.id_b
+        )
+    ),
+    surv1 AS (
+        SELECT vec_id FROM b1 WHERE vec_id NOT IN (
+            SELECT r.id_b FROM ref r
+            JOIN b1 a ON r.id_a = a.vec_id
+            JOIN b1 x ON r.id_b = x.vec_id
+            WHERE r.id_a < r.id_b
+            UNION
+            SELECT r.id_b FROM ref r
+            JOIN surv0 s ON r.id_a = s.vec_id
+            JOIN b1 x ON r.id_b = x.vec_id
+        )
+    )
+    SELECT vec_id FROM surv0
+    UNION ALL
+    SELECT vec_id FROM surv1
+    ORDER BY vec_id
+    """,
+    doc="STREAMING ingestion with ONLINE SEMANTIC dedup, end-to-end "
+    "and hash-checked (streaming/jobs.py foreach_batch_ingest_semdedup"
+    ", r9 — the embedding twin of stream_ingest_online_dedup): "
+    "vectors arrive as two micro-batches (vec_id % 2 == 0, then "
+    "% 2 == 1); each batch sign-buckets once, drops rows whose exact "
+    "cosine against a bucket-colliding index row (or a lower-id row "
+    "of its own batch) exceeds 0.3, and appends survivors — with "
+    "bucket keys and bucket stats — to the single index TxTable, "
+    "exactly-once. The DuckDB twin replays the whole stream: "
+    "batching, sign buckets, cosine refine, greedy keep-first, "
+    "survivor-only index growth. At 100 TB this is SemDedup at the "
+    "ingestion boundary as a STREAM: per-batch cost is the batch plus "
+    "its bucket collisions, never corpus size.",
+)
+def stream_ingest_online_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_ingest_semdedup
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", "embedding")
+
+    base = Path(tempfile.gettempdir()) / (
+        f"spark_graft_streamsem_demo_{spark.sparkContext.applicationId}"
+        f"_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, idxp = str(base / "src"), str(base / "ckpt"), str(base / "idx")
+
+    # both arrivals staged with ascending mtimes; maxFilesPerTrigger=1
+    # paces them as two ordered micro-batches in ONE stream run
+    (base / "src").mkdir(parents=True, exist_ok=True)
+    for m in range(2):
+        stage = str(base / f"stage{m}")
+        emb.where(F.pmod("vec_id", F.lit(2)) == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = str(base / "src" / f"b{m}.parquet")
+        shutil.copyfile(f"{stage}/{part}", dst)
+        os.utime(dst, (1_000_000_000 + m * 100, 1_000_000_000 + m * 100))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    foreach_batch_ingest_semdedup(stream, idxp, ckpt).awaitTermination()
+
+    return TxTable(spark, idxp).read().select("vec_id").orderBy("vec_id")
 
 
 @register(

@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "text_decontam_index_probe",
     "stream_ingest_online_dedup",
     "corpus_shard_assignment",
+    "stream_ingest_online_semdedup",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "text_quality",
     "text_lang_id",
     "vocab_encode_documents",
-    "editsim_source_labels",
 )
 
 

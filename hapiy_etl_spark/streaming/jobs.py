@@ -342,7 +342,11 @@ def _checkpoint_run_id(checkpoint: str) -> str | None:
 
 
 def tx_append_once(
-    batch: DataFrame, path: str, epoch_id: int, run_id: str | None = None
+    batch: DataFrame,
+    path: str,
+    epoch_id: int,
+    run_id: str | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> bool:
     """Commit one micro-batch to a TxTable iff this (run, epoch) hasn't
     already been committed. Returns True when it appended, False when
@@ -422,6 +426,7 @@ def tx_append_once(
     table.append(
         batch,
         meta={"epoch": epoch_id, **({"run": run_id} if run_id is not None else {})},
+        stats_cols=stats_cols,
     )
     return True
 
@@ -575,6 +580,135 @@ def ingest_dedup_batch(
             auto_compact(TxTable(spark, sig_path), auto_compact_max_dirs)
     finally:
         sigs.unpersist()
+
+
+def foreach_batch_ingest_semdedup(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    bits: int = 8,
+    auto_compact_max_dirs: int | None = None,
+):
+    """Streaming ingestion with ONLINE SEMANTIC dedup — the embedding
+    twin of ``foreach_batch_ingest_dedup``: each micro-batch sign-
+    buckets its vectors once (``functions.sign_bucket``, the
+    deterministic 0-probe hyperplane LSH), drops rows whose exact
+    cosine against a bucket-colliding INDEX row (or a LOWER-id row of
+    the same batch) exceeds ``threshold``, and appends the survivors —
+    with their bucket keys and bucket stats — to the index TxTable,
+    exactly-once via ``tx_append_once``.
+
+    One table serves as corpus AND index (the embedding rides every
+    row anyway), so there is no two-table crash window to order
+    around. Rows with a NULL vector are excluded from dedup, get a
+    NULL bucket (never equi-joins), and always survive — the NULL-text
+    rule's twin. ``auto_compact_max_dirs`` bounds the per-epoch
+    small-files growth; OPTIMIZE preserves bucket stats as union
+    bounds so probe pruning survives compaction."""
+    run_id = None
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal run_id
+        if batch.isEmpty():
+            return
+        if run_id is None:
+            run_id = _checkpoint_run_id(checkpoint)
+        ingest_semdedup_batch(
+            batch,
+            index_path,
+            epoch_id,
+            run_id=run_id,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            bits=bits,
+            auto_compact_max_dirs=auto_compact_max_dirs,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_semdedup_batch(
+    batch: DataFrame,
+    index_path: str,
+    epoch_id: int,
+    run_id: str | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    bits: int = 8,
+    auto_compact_max_dirs: int | None = None,
+) -> None:
+    """One micro-batch of the online semantic-dedup ingest — the sink
+    body of ``foreach_batch_ingest_semdedup``, factored out for batch
+    callers (backfills, growth harnesses) with their own epochs."""
+    from hapiy_etl_spark.functions import sign_bucket
+    from hapiy_etl_spark.operators.similarity import cosine
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    spark = batch.sparkSession
+    bucketed = batch.withColumn(
+        "bucket",
+        F.when(
+            F.col(vec_col).isNotNull(), sign_bucket(F.col(vec_col), bits)
+        ).otherwise(F.lit(None).cast("int")),
+    ).persist()
+    try:
+        b = bucketed.where(F.col("bucket").isNotNull()).select(
+            F.col(id_col).alias("__nid"),
+            F.col(vec_col).alias("__nv"),
+            "bucket",
+        )
+        sim_ok = cosine(F.col("__nv"), F.col("__dv")) > threshold
+        # batch-internal greedy keep-first on bucket collisions
+        drop = (
+            b.join(
+                b.select(
+                    F.col("__nid").alias("__did"),
+                    F.col("__nv").alias("__dv"),
+                    "bucket",
+                ),
+                "bucket",
+            )
+            .where((F.col("__nid") > F.col("__did")) & sim_ok)
+            .select(F.col("__nid").alias("__drop"))
+        )
+        idx = TxTable(spark, index_path)
+        if idx.latest_version() > 0:
+            stored = idx.read().select(
+                F.col(id_col).alias("__did"),
+                F.col(vec_col).alias("__dv"),
+                "bucket",
+            )
+            drop = drop.unionByName(
+                b.join(stored, "bucket")
+                .where(sim_ok)
+                .select(F.col("__nid").alias("__drop"))
+            )
+        survivors = bucketed.join(
+            drop.distinct().withColumnRenamed("__drop", id_col),
+            id_col,
+            "left_anti",
+        )
+        tx_append_once(
+            survivors, index_path, epoch_id, run_id=run_id,
+            stats_cols=["bucket"],
+        )
+        if auto_compact_max_dirs:
+            from hapiy_etl_spark.operators.maintenance import auto_compact
+
+            auto_compact(TxTable(spark, index_path), auto_compact_max_dirs)
+    finally:
+        bucketed.unpersist()
 
 
 def foreach_batch_tx_append_with_mv(

@@ -877,3 +877,59 @@ def test_shingle_postings_build_drops_null_text(spark, tmp_path):
     )
     p = TI.shingle_postings_build(docs)
     assert {r.doc_id for r in p.select("doc_id").distinct().collect()} == {1}
+
+
+def test_ingest_semdedup_drops_planted_and_keeps_null(spark, tmp_path):
+    """Online semantic-dedup ingest (r9, the embedding twin of the
+    MinHash sink): near-dup vectors of INDEXED rows drop at the next
+    batch (bucket collision + exact cosine refine), an in-batch pair
+    drops its higher id (greedy keep-first), a NULL-embedding row
+    survives with a NULL bucket (never equi-joins), and a replayed
+    epoch is a noop. Components are kept away from 0 so the planted
+    noise can't flip a sign bit."""
+    import random
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.streaming.jobs import ingest_semdedup_batch
+
+    rng = random.Random(11)
+
+    def vec():
+        return [rng.choice([-1, 1]) * rng.uniform(0.1, 1.0) for _ in range(16)]
+
+    def near(v):
+        return [x + rng.uniform(-0.01, 0.01) for x in v]
+
+    idxp = str(tmp_path / "idx")
+    vs = [vec() for _ in range(10)]
+    b1 = spark.createDataFrame(
+        [(i, vs[i]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    ingest_semdedup_batch(b1, idxp, 1, run_id="t")
+
+    fresh = vec()
+    b2 = spark.createDataFrame(
+        [
+            (100, near(vs[0])),  # near-dup of indexed 0 -> dropped
+            (101, near(vs[1])),  # near-dup of indexed 1 -> dropped
+            (102, fresh),  # new -> survives
+            (103, near(fresh)),  # in-batch near-dup of 102 -> dropped
+            (104, None),  # NULL embedding -> always survives
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ingest_semdedup_batch(b2, idxp, 2, run_id="t")
+
+    def ids():
+        return sorted(r.vec_id for r in TxTable(spark, idxp).read().collect())
+
+    got = ids()
+    assert [i for i in got if i >= 100] == [102, 104]
+    assert [i for i in got if i < 100] == list(range(10))
+    # NULL-embedding row carries a NULL bucket
+    nb = TxTable(spark, idxp).read().where(F.col("vec_id") == 104).first()
+    assert nb.bucket is None
+
+    # replayed epoch: exactly-once, nothing re-appends
+    ingest_semdedup_batch(b2, idxp, 2, run_id="t")
+    assert ids() == got

@@ -136,6 +136,9 @@ SHOWCASE = [
     # r9: shard assignment — one hash exchange on the shard key + a
     # per-shard window; no global sort anywhere in the plan
     ("corpus_shard_assignment", ["Window", "Exchange"]),
+    # r9: streaming semantic dedup — the returned frame is one scan of
+    # the single index TxTable the stream committed exactly-once
+    ("stream_ingest_online_semdedup", ["FileScan"]),
 ]
 
 
