@@ -2123,10 +2123,10 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_uniform(F.col("doc_id")).alias("u"),
     )
     w = W.partitionBy("shard").orderBy(F.col("u").asc(), F.col("doc_id").asc())
-    return (
-        a.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
-        .orderBy("shard", "pos")
-    )
+    # no presentation orderBy: the driver compare is order-insensitive,
+    # and a global sort here would falsify the no-global-sort claim the
+    # PLANS.md showcase exists to prove
+    return a.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
 
 
 @register(

@@ -294,7 +294,6 @@ def ann_pq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the sign-bucket kernel (Spark builder + DuckDB twin) lives in
 # hapiy_etl_spark/functions — one definition per dialect, shared with
 # the streaming semdedup sink
-from hapiy_etl_spark.functions import SIGN_BITS as _SIGN_BITS
 from hapiy_etl_spark.functions import sign_bucket as _sign_bucket
 from hapiy_etl_spark.functions import sign_bucket_sql as _sign_bucket_sql
 
@@ -473,8 +472,10 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly-once. The DuckDB twin replays the whole stream: "
     "batching, sign buckets, cosine refine, greedy keep-first, "
     "survivor-only index growth. At 100 TB this is SemDedup at the "
-    "ingestion boundary as a STREAM: per-batch cost is the batch plus "
-    "its bucket collisions, never corpus size.",
+    "ingestion boundary as a STREAM. Like the MinHash sink, the index "
+    "is read whole every batch (the bucket join's OUTPUT is bounded "
+    "by collisions; the scan is O(index)) — auto_compact bounds its "
+    "dir count, and bucket stats keep probe-side reads prunable.",
 )
 def stream_ingest_online_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

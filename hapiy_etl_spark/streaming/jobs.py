@@ -290,6 +290,7 @@ def foreach_batch_tx_append(
     path: str,
     checkpoint: str,
     auto_compact_max_dirs: int | None = None,
+    auto_compact_kw: dict | None = None,
 ):
     """TRUE exactly-once streaming sink: each micro-batch appends one
     snapshot version to a TxTable with the epoch id in the manifest.
@@ -304,18 +305,27 @@ def foreach_batch_tx_append(
     ``auto_compact_max_dirs`` bounds the small-files growth an
     always-on stream otherwise suffers (one dir per epoch): after each
     append, OPTIMIZE when the snapshot has that many dirs
-    (maintenance.auto_compact). Exactly-once is unaffected — replay
-    state carries through the optimize commit, and a replayed epoch
-    skips its append before the policy even runs."""
+    (maintenance.auto_compact); pass ``auto_compact_kw`` (zorder_by=,
+    partition_by=, ...) when the table relies on clustering or a Hive
+    layout — a bare optimize would flatten it. Exactly-once is
+    unaffected — replay state carries through the optimize commit, and
+    a replayed epoch skips BOTH its append and the policy (the policy
+    only runs when the append actually committed)."""
     from hapiy_etl_spark.operators.maintenance import auto_compact
     from hapiy_etl_spark.operators.txstore import TxTable
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        tx_append_once(batch, path, epoch_id, run_id=_checkpoint_run_id(checkpoint))
-        if auto_compact_max_dirs:
-            auto_compact(TxTable(batch.sparkSession, path), auto_compact_max_dirs)
+        appended = tx_append_once(
+            batch, path, epoch_id, run_id=_checkpoint_run_id(checkpoint)
+        )
+        if appended and auto_compact_max_dirs:
+            auto_compact(
+                TxTable(batch.sparkSession, path),
+                auto_compact_max_dirs,
+                **(auto_compact_kw or {}),
+            )
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -444,6 +454,7 @@ def foreach_batch_ingest_dedup(
     jaccard_threshold: float = 0.5,
     portable: bool = True,
     auto_compact_max_dirs: int | None = None,
+    auto_compact_kw: dict | None = None,
 ):
     """Streaming ingestion with ONLINE near-dedup — the front door of a
     training-data pipeline: each micro-batch computes its MinHash
@@ -494,6 +505,7 @@ def foreach_batch_ingest_dedup(
             jaccard_threshold=jaccard_threshold,
             portable=portable,
             auto_compact_max_dirs=auto_compact_max_dirs,
+            auto_compact_kw=auto_compact_kw,
         )
 
     return (
@@ -519,6 +531,7 @@ def ingest_dedup_batch(
     jaccard_threshold: float = 0.5,
     portable: bool = True,
     auto_compact_max_dirs: int | None = None,
+    auto_compact_kw: dict | None = None,
 ) -> None:
     """One micro-batch of the online-dedup ingest — the sink body of
     ``foreach_batch_ingest_dedup``, factored out so batch callers (the
@@ -571,13 +584,20 @@ def ingest_dedup_batch(
         survivors = batch.join(
             drop.withColumnRenamed("doc", id_col), id_col, "left_anti"
         )
-        tx_append_once(survivors, corpus_path, epoch_id, run_id=run_id)
-        tx_append_once(kept_sigs, sig_path, epoch_id, run_id=run_id)
-        if auto_compact_max_dirs:
+        appended_c = tx_append_once(
+            survivors, corpus_path, epoch_id, run_id=run_id
+        )
+        appended_s = tx_append_once(
+            kept_sigs, sig_path, epoch_id, run_id=run_id
+        )
+        # replay gate: a fully-replayed epoch commits nothing and must
+        # not advance either table with a policy optimize either
+        if (appended_c or appended_s) and auto_compact_max_dirs:
             from hapiy_etl_spark.operators.maintenance import auto_compact
 
-            auto_compact(TxTable(spark, corpus_path), auto_compact_max_dirs)
-            auto_compact(TxTable(spark, sig_path), auto_compact_max_dirs)
+            kw = auto_compact_kw or {}
+            auto_compact(TxTable(spark, corpus_path), auto_compact_max_dirs, **kw)
+            auto_compact(TxTable(spark, sig_path), auto_compact_max_dirs, **kw)
     finally:
         sigs.unpersist()
 
@@ -591,6 +611,7 @@ def foreach_batch_ingest_semdedup(
     threshold: float = 0.3,
     bits: int = 8,
     auto_compact_max_dirs: int | None = None,
+    auto_compact_kw: dict | None = None,
 ):
     """Streaming ingestion with ONLINE SEMANTIC dedup — the embedding
     twin of ``foreach_batch_ingest_dedup``: each micro-batch sign-
@@ -626,6 +647,7 @@ def foreach_batch_ingest_semdedup(
             threshold=threshold,
             bits=bits,
             auto_compact_max_dirs=auto_compact_max_dirs,
+            auto_compact_kw=auto_compact_kw,
         )
 
     return (
@@ -647,6 +669,7 @@ def ingest_semdedup_batch(
     threshold: float = 0.3,
     bits: int = 8,
     auto_compact_max_dirs: int | None = None,
+    auto_compact_kw: dict | None = None,
 ) -> None:
     """One micro-batch of the online semantic-dedup ingest — the sink
     body of ``foreach_batch_ingest_semdedup``, factored out for batch
@@ -699,14 +722,18 @@ def ingest_semdedup_batch(
             id_col,
             "left_anti",
         )
-        tx_append_once(
+        appended = tx_append_once(
             survivors, index_path, epoch_id, run_id=run_id,
             stats_cols=["bucket"],
         )
-        if auto_compact_max_dirs:
+        if appended and auto_compact_max_dirs:
             from hapiy_etl_spark.operators.maintenance import auto_compact
 
-            auto_compact(TxTable(spark, index_path), auto_compact_max_dirs)
+            auto_compact(
+                TxTable(spark, index_path),
+                auto_compact_max_dirs,
+                **(auto_compact_kw or {}),
+            )
     finally:
         bucketed.unpersist()
 

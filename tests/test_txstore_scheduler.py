@@ -2138,3 +2138,17 @@ def test_ingest_dedup_auto_compacts_both_tables(spark, tmp_path):
     assert 55 not in want  # the epoch-5 replayed text was deduped
     assert c1.n_dirs() == 7 and s1.n_dirs() == 7  # one dir per epoch
     assert c2.n_dirs() < 3 and s2.n_dirs() < 3  # bounded by the policy
+
+    # replayed epoch + policy on an OVER-threshold table: nothing
+    # appends, so nothing policy-compacts either (review fix — the
+    # optimize must not advance versions on a pure replay)
+    v1 = c1.latest_version()
+    ingest_dedup_batch(
+        spark.createDataFrame(rows_for(7), "doc_id long, text string"),
+        str(tmp_path / "plain" / "corpus"),
+        str(tmp_path / "plain" / "sigs"),
+        epoch_id=7,
+        run_id="r",
+        auto_compact_max_dirs=3,
+    )
+    assert c1.latest_version() == v1 and c1.n_dirs() == 7
