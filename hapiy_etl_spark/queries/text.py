@@ -2130,6 +2130,63 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shard_epoch_reshuffle",
+    oracle=f"""
+    WITH e AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+    a AS (
+        SELECT e.epoch, d.doc_id,
+               ('0x' || substr(md5('e' || CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+                   % {_N_SHARDS} AS shard,
+               {_U_SQL.format(col=(
+                   "'e' || CAST(e.epoch AS VARCHAR) || ':' "
+                   "|| CAST(d.doc_id AS VARCHAR)"))} AS u
+        FROM documents d CROSS JOIN e
+    )
+    SELECT epoch, doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                              ORDER BY u, doc_id) AS pos
+    FROM a
+    ORDER BY epoch, shard, pos
+    """,
+    doc="Epoch reshuffle — corpus_shard_assignment's seed-prefix trick "
+    "made concrete: hashing 'e<epoch>:' || doc_id instead of doc_id "
+    "gives every epoch an INDEPENDENT shard mix and within-shard "
+    "order from the same two portable kernels, with zero state (no "
+    "stored permutation, no RNG to checkpoint — re-deriving any "
+    "epoch's order is one hash away). Same scale shape: one hash "
+    "shuffle per epoch's shard key + a per-(epoch, shard) window, no "
+    "global sort; epochs here stack via unionByName purely for the "
+    "demo — production runs one epoch at a time.",
+)
+def corpus_shard_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from hapiy_etl_spark.functions import md5_uniform
+    from hapiy_etl_spark.operators.textindex import term_bucket
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+
+    def keyed(e: int):
+        tag = F.concat(F.lit(f"e{e}:"), F.col("doc_id").cast("string"))
+        return docs.select(
+            F.lit(e).alias("epoch"),
+            "doc_id",
+            term_bucket(tag, _N_SHARDS).alias("shard"),
+            md5_uniform(tag).alias("u"),
+        )
+
+    a = keyed(1).unionByName(keyed(2))
+    w = W.partitionBy("epoch", "shard").orderBy(
+        F.col("u").asc(), F.col("doc_id").asc()
+    )
+    return a.select(
+        "epoch", "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+@register(
     "corpus_weighted_sample",
     oracle="""
     WITH scored AS (

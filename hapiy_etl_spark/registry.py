@@ -71,6 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_ingest_online_dedup",
     "corpus_shard_assignment",
     "stream_ingest_online_semdedup",
+    "corpus_shard_epoch_reshuffle",
     "join_semi_anti",
     "join_outer_coalesce",
     "join_full_outer",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_quality",
     "text_lang_id",
-    "vocab_encode_documents",
 )
 
 
