@@ -396,14 +396,20 @@ def ivf_probe_index(
     probed-cell list into dir-level pruning
     (``lambda cells: t.read(where_in={"cell": cells})``). The
     probed-cell collect is bounded by n_centroids rows regardless of
-    query-set size."""
+    query-set size.
+
+    Probe cells rank by SQUARED L2 to the centroid — the SAME metric
+    the quantizer and ``ivf_index_assign`` place vectors with (ADVICE
+    r9: a cosine-ranked probe on non-normalized embeddings could probe
+    cells the assignment rule never chose, silently hurting recall;
+    the exact regime masks it because probe-all reads every cell)."""
     q = queries.select(F.col(query_id).alias("__qid"), F.col(vec).alias("__qv"))
     qc = (
         F.broadcast(q)
         .crossJoin(F.broadcast(centroids))
-        .select("__qid", "__qv", "cell", cosine(F.col("__qv"), F.col("centroid")).alias("__csim"))
+        .select("__qid", "__qv", "cell", l2sq(F.col("__qv"), F.col("centroid")).alias("__cd"))
     )
-    wq = W.partitionBy("__qid").orderBy(F.col("__csim").desc(), F.col("cell"))
+    wq = W.partitionBy("__qid").orderBy(F.col("__cd").asc(), F.col("cell"))
     probes = qc.withColumn("__pr", F.row_number().over(wq)).where(F.col("__pr") <= n_probe)
     cells = sorted(r[0] for r in probes.select("cell").distinct().collect())
     stored = assigned(cells) if callable(assigned) else assigned.where(

@@ -93,6 +93,33 @@ def postings_build(
     return postings, meta
 
 
+def recorded_n_buckets(index) -> int | None:
+    """The bucket count the index was BUILT with, read from its commit
+    history (newest append stamping one wins). ``postings_append``
+    stamps every append's manifest meta with ``n_buckets``, so a probe
+    can validate the caller's bucket arithmetic against the stored
+    layout instead of silently filtering postings into the wrong
+    buckets (ADVICE r9). Returns None for an index written before
+    stamping (or whose stamped manifests were all vacuumed) — then
+    validation is best-effort skipped."""
+    for m in reversed(index.history()):
+        nb = (m.get("meta") or {}).get("n_buckets")
+        if nb is not None:
+            return int(nb)
+    return None
+
+
+def _check_n_buckets(index, n_buckets: int, role: str) -> None:
+    rec = recorded_n_buckets(index)
+    if rec is not None and rec != n_buckets:
+        raise ValueError(
+            f"{role} with n_buckets={n_buckets} against an index built "
+            f"with n_buckets={rec} at {index.path} — bucket arithmetic "
+            "would disagree and postings would be filtered into the "
+            "wrong buckets; pass the index's own bucket count"
+        )
+
+
 def postings_append(
     index,
     meta_table,
@@ -107,6 +134,14 @@ def postings_append(
     shingle index rides ``n_sh`` on every row, so a contamination
     ratio needs no side table).
 
+    Every append stamps ``n_buckets`` into the commit's manifest meta
+    and REFUSES to append with a bucket count that disagrees with the
+    recorded one — the probe-side validation (``bm25_probe_index`` /
+    ``decontam_probe_index`` with ``index=``) reads the same stamp, so
+    build and probe can never silently use different bucket arithmetic
+    (ADVICE r9). ``n_buckets`` must match the value the postings were
+    BUILT with (``postings_build``/``shingle_postings_build``).
+
     ``split_buckets=True`` writes one dir per present term-bucket with
     tight per-dir ``tb`` stats — the layout that makes a probe's
     ``where_in={"tb": buckets}`` prune to exactly the probed buckets'
@@ -115,6 +150,8 @@ def postings_append(
     clustered OPTIMIZE re-sorts it into buckets); use it when append
     latency matters more than read amplification, the same trade the
     IVF index demo makes for its incremental batch."""
+    _check_n_buckets(index, n_buckets, "appending")
+    stamp = {"n_buckets": n_buckets}
     if split_buckets:
         # one pass to materialize the batch + learn its present buckets
         # (n_buckets tiny rows), then per-bucket writes cut from the
@@ -127,12 +164,14 @@ def postings_append(
             )
             for b in present:
                 index.append(
-                    postings.where(F.col("tb") == b), stats_cols=["tb"]
+                    postings.where(F.col("tb") == b),
+                    meta=stamp,
+                    stats_cols=["tb"],
                 )
         finally:
             postings.unpersist()
     else:
-        index.append(postings, stats_cols=["tb"])
+        index.append(postings, meta=stamp, stats_cols=["tb"])
     if meta_table is not None and meta is not None:
         meta_table.append(meta)
 
@@ -146,6 +185,7 @@ def bm25_probe_index(
     k1: float = 1.2,
     b: float = 0.75,
     n_buckets: int = N_BUCKETS,
+    index=None,
 ) -> DataFrame:
     """BM25 top-k over a persisted postings index, reading only the
     query terms' buckets.
@@ -159,10 +199,17 @@ def bm25_probe_index(
     slice itself — a bucket holds EVERY posting of its terms, so the
     slice-local count IS the corpus df — and corpus stats come from
     summing the (tiny) meta table. Scores therefore match a full-corpus
-    BM25 exactly, at bucket-read cost."""
+    BM25 exactly, at bucket-read cost.
+
+    Pass ``index=`` (the postings TxTable) to validate ``n_buckets``
+    against the bucket count stamped at append time — a probe with the
+    wrong count silently lands query terms in the wrong buckets and
+    returns wrong scores, not an error (ADVICE r9)."""
     term_list = list(terms)
     if not term_list:
         raise ValueError("empty query-term list — nothing to probe")
+    if index is not None:
+        _check_n_buckets(index, n_buckets, "probing")
     buckets = sorted({term_bucket_py(t, n_buckets) for t in term_list})
     p = reader(buckets) if callable(reader) else reader.where(
         F.col("tb").isin(buckets)
@@ -229,6 +276,7 @@ def decontam_probe_index(
     threshold: float = 0.2,
     doc_id: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    index=None,
 ) -> DataFrame:
     """Benchmark decontamination served from a persisted shingle index:
     flag indexed documents whose distinct-shingle overlap with the
@@ -246,7 +294,10 @@ def decontam_probe_index(
     document, one contaminated shard) does prune. ``reader`` as in
     ``bm25_probe_index``. n_sh rides on each posting, so the ratio's
     denominator is exact even though only bench-matching rows
-    survive the join."""
+    survive the join. ``index=`` validates ``n_buckets`` against the
+    count stamped at append time, as in ``bm25_probe_index``."""
+    if index is not None:
+        _check_n_buckets(index, n_buckets, "probing")
     bench = (
         bench.where(F.col("s").isNotNull())
         .select(F.col("s").alias("shingle"))

@@ -1518,7 +1518,7 @@ def text_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         reads.append((buckets, df))
         return df
 
-    out = TI.bm25_probe_index(reader, meta_t.read(), _BM25_TERMS, k=20)
+    out = TI.bm25_probe_index(reader, meta_t.read(), _BM25_TERMS, k=20, index=idx)
     qbuckets, probed = reads[-1]
     touched = dirs_read(probed)
     total = len(dirs_read(idx.read()))
@@ -1690,7 +1690,7 @@ def text_decontam_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(D2.shingles("text", 3)).alias("s")
     )
     out = TI.decontam_probe_index(
-        lambda bs: idx.read(where_in={"tb": bs}), bench, threshold=0.2
+        lambda bs: idx.read(where_in={"tb": bs}), bench, threshold=0.2, index=idx
     )
 
     # narrow-bench pruning: one "leaked" document's shingles probe a

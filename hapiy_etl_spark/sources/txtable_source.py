@@ -208,6 +208,23 @@ class TxChangesStreamReader(DataSourceStreamReader):
         parts = []
         for d, layout in new:
             dir_path = Path(self.table_path) / "data" / d
+            if not dir_path.exists():
+                # the span's manifests still exist but the appended dir
+                # is gone from disk: a later OPTIMIZE superseded it and
+                # a vacuum reclaimed it before this consumer drained the
+                # span. Globbing a missing dir would return [] and the
+                # batch would SILENTLY drop its rows — raise the same
+                # curated vacuumed-offset diagnosis the manifest miss
+                # gets (ADVICE r9).
+                raise FileNotFoundError(
+                    f"dir {d} appended in span v{sv}..v{ev} at "
+                    f"{self.table_path} was vacuumed before this stream "
+                    "drained it — this consumer's offset predates the "
+                    "table's retention. Resync from a snapshot read and "
+                    "restart from a fresh checkpoint (startingVersion), "
+                    "and keep vacuum retention above the stream's "
+                    "maximum expected lag"
+                )
             lost = [c for c in layout or [] if c not in stream_cols]
             if lost:
                 # the stream's schema is the NEWEST dir's recorded

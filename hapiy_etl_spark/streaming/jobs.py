@@ -834,10 +834,29 @@ def foreach_batch_tx_append_with_join_mv(
             run_id = _checkpoint_run_id(checkpoint)
         spark = batch.sparkSession
         tx_append_once(batch, path, epoch_id, run_id=run_id)
+        dim = TxTable(spark, dim_path)
+        if dim.latest_version() == 0:
+            # the dim hasn't been seeded yet: refresh() would raise
+            # AFTER the fact append already committed, killing the whole
+            # stream on its first micro-batch (ADVICE r9). The fact
+            # commit is durable and the view's refresh cursor lives in
+            # ITS manifest, so skipping here loses nothing — the first
+            # refresh after the dim lands consumes every earlier fact
+            # dir through the ordinary dir-diff.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "foreach_batch_tx_append_with_join_mv: dim table %s has "
+                "no commits yet — fact epoch %s appended, view refresh "
+                "deferred until the dim is seeded",
+                dim_path,
+                epoch_id,
+            )
+            return
         IncrementalJoinAggView(
             spark,
             TxTable(spark, path),
-            TxTable(spark, dim_path),
+            dim,
             view_path,
             join_keys,
             group_cols,

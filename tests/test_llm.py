@@ -933,3 +933,41 @@ def test_ingest_semdedup_drops_planted_and_keeps_null(spark, tmp_path):
     # replayed epoch: exactly-once, nothing re-appends
     ingest_semdedup_batch(b2, idxp, 2, run_id="t")
     assert ids() == got
+
+
+def test_text_index_records_and_validates_n_buckets(spark, planted_docs, tmp_path):
+    """ADVICE r9: the index never recorded the n_buckets it was built
+    with, so probing with a different bucket count silently filtered
+    postings into the wrong buckets — wrong df/scores, no error. Now
+    every append stamps n_buckets into the manifest meta; appends and
+    probes (with index=) that disagree raise instead."""
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    docs = planted_docs.select("doc_id", "text")
+    idx = TxTable(spark, str(tmp_path / "p"))
+    p, m = TI.postings_build(docs, n_buckets=4)
+    TI.postings_append(idx, None, p, None, n_buckets=4)
+    assert TI.recorded_n_buckets(idx) == 4
+
+    # appending with a disagreeing bucket count refuses
+    with pytest.raises(ValueError, match="n_buckets=8.*built.*n_buckets=4"):
+        TI.postings_append(idx, None, p, None, n_buckets=8)
+
+    # probing with the wrong count (the default 8) refuses too
+    reader = lambda bs: idx.read(where_in={"tb": bs})  # noqa: E731
+    with pytest.raises(ValueError, match="probing.*n_buckets=8"):
+        TI.bm25_probe_index(reader, None, ["hello"], index=idx)
+    with pytest.raises(ValueError, match="probing.*n_buckets=8"):
+        TI.decontam_probe_index(
+            reader, spark.createDataFrame([("a b c",)], "s string"), index=idx
+        )
+
+    # the matching count probes fine, and the stamp survives OPTIMIZE
+    # (manifest meta lives on the append commits, read newest-first)
+    idx.optimize()
+    assert TI.recorded_n_buckets(idx) == 4
+    got = TI.bm25_probe_index(
+        reader, m, ["hello"], n_buckets=4, index=idx
+    ).collect()
+    assert isinstance(got, list)

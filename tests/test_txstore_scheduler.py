@@ -2152,3 +2152,50 @@ def test_ingest_dedup_auto_compacts_both_tables(spark, tmp_path):
         auto_compact_max_dirs=3,
     )
     assert c1.latest_version() == v1 and c1.n_dirs() == 7
+
+
+def test_streaming_join_mv_survives_unseeded_dim(spark, tmp_path):
+    """ADVICE r9: the join-MV sink called refresh() unconditionally, so
+    the first micro-batch KILLED the stream when the dim table had no
+    commits yet — after the fact append already committed. The sink now
+    defers the refresh (fact commits stay durable, the view's cursor is
+    in its own manifest), and the first refresh after the dim lands
+    consumes every earlier fact dir through the ordinary dir-diff."""
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalJoinAggView
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append_with_join_mv
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "fact")
+    dimp = str(tmp_path / "dim")  # NOT seeded before the stream starts
+    view = str(tmp_path / "view")
+
+    def write(rows):
+        spark.createDataFrame(rows, "ck long, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("ck long, v double").parquet(src)
+        foreach_batch_tx_append_with_join_mv(
+            stream, store, ckpt, dimp, view, ["ck"], ["seg"], "v"
+        ).awaitTermination()
+
+    write([(1, 1.0), (2, 2.0)])
+    run()  # must not raise: fact appended, refresh deferred
+    assert TxTable(spark, store).latest_version() == 1
+    assert TxTable(spark, view).latest_version() == 0  # nothing to view yet
+
+    # dim lands; the next micro-batch refreshes and the PRE-dim fact
+    # rows surface through the full first materialization
+    TxTable(spark, dimp).append(
+        spark.createDataFrame([(1, "A"), (2, "B")], "ck long, seg string")
+    )
+    write([(2, 3.0)])
+    run()
+    mv = IncrementalJoinAggView(
+        spark, TxTable(spark, store), TxTable(spark, dimp), view,
+        ["ck"], ["seg"], "v",
+    )
+    got = {r.seg: (r.n, r.sum_value) for r in mv.result().collect()}
+    assert got == {"A": (1, 1.0), "B": (2, 5.0)}

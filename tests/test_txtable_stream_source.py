@@ -369,3 +369,34 @@ def test_txtable_change_stream_vacuumed_offset_fails_loudly(spark, tmp_path):
         _drain(spark, path, ckpt)
     msg = str(ei.value)
     assert "vacuumed" in msg and "snapshot" in msg and "retention" in msg
+
+
+def test_txtable_change_stream_missing_dir_names_vacuum(spark, tmp_path):
+    """ADVICE r9: the optimize-skip relies on pre-optimize append dirs
+    outliving the rewrite until the consumer drains. If retention (or
+    an external cleaner, or a vacuum that crashed between its manifest
+    and dir passes) removes a superseded dir while the span's manifests
+    still exist, globbing the missing dir would yield [] and the batch
+    would SILENTLY drop those rows — the source must instead raise the
+    curated vacuumed-offset resync diagnosis."""
+    import shutil
+
+    register(spark)
+    path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert _drain(spark, path, ckpt) == [(1, "a")]
+
+    # span: append (2,b) -> optimize supersedes its dir -> append (3,c)
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    appended = set(t._manifest(t.latest_version())["dirs"])
+    t.optimize()
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    gone = appended - set(t._manifest(t.latest_version())["dirs"])
+    for d in gone:  # simulate the dir reclaimed while manifests remain
+        shutil.rmtree(str(t.path / "data" / d))
+
+    with pytest.raises(Exception) as ei:
+        _drain(spark, path, ckpt)
+    msg = str(ei.value)
+    assert "vacuumed" in msg and "retention" in msg and "snapshot" in msg
