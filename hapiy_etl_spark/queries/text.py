@@ -528,7 +528,11 @@ def _stream_dedup_oracle(
     "survivor-only index growth — so the STREAMING path is "
     "hash-checked like the batch one. At 100 TB this is the front "
     "door of a training-data pipeline: per-batch cost tracks the "
-    "batch and its band collisions, never corpus size.",
+    "batch and its band collisions, never corpus size. r10: the "
+    "index stores band POSTINGS with a bb landing bucket, the "
+    "per-tick read prunes to the batch's present buckets "
+    "(where_in={'bb': ...}), and the sig compaction policy defaults "
+    "to cluster_by='bb' so pruning survives OPTIMIZE.",
 )
 def stream_ingest_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

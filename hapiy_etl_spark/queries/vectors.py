@@ -472,10 +472,11 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly-once. The DuckDB twin replays the whole stream: "
     "batching, sign buckets, cosine refine, greedy keep-first, "
     "survivor-only index growth. At 100 TB this is SemDedup at the "
-    "ingestion boundary as a STREAM. Like the MinHash sink, the index "
-    "is read whole every batch (the bucket join's OUTPUT is bounded "
-    "by collisions; the scan is O(index)) — auto_compact bounds its "
-    "dir count, and bucket stats keep probe-side reads prunable.",
+    "ingestion boundary as a STREAM. r10: the per-tick index read is "
+    "PRUNED to the batch's present sign buckets (where_in on per-dir "
+    "bucket stats), and the compaction policy defaults to "
+    "cluster_by='bucket' so pruning survives OPTIMIZE — per-tick cost "
+    "tracks the batch's bucket spread, not corpus age.",
 )
 def stream_ingest_online_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

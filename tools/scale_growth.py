@@ -19,13 +19,14 @@ Usage: python tools/scale_growth.py [k ...]          (default: 1 2 4 8)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def replicated(docs, k: int):
@@ -493,8 +494,47 @@ def streamdedup_main(n_batches: int) -> None:
     for i in range(1, n_batches + 1):
         b = batch_of(i)
         t0 = time.perf_counter()
-        ingest_dedup_batch(b, corpus, sigp, epoch_id=i, run_id="growth")
+        # bucket-tight clustered dirs (one per bb pair) expose the
+        # narrow-tick read fraction: a 1-doc tick probes <= n_bands=8
+        # of 16 buckets, so it must read about half the dirs and skip
+        # the rest. Production keeps n_dirs < max_dirs so compaction
+        # amortizes; this harness pins n_dirs high to measure reads.
+        ingest_dedup_batch(
+            b, corpus, sigp, epoch_id=i, run_id="growth",
+            auto_compact_max_dirs=4,
+            sig_compact_kw={"cluster_by": "bb", "n_dirs": 16},
+        )
         t_incr = time.perf_counter() - t0
+        # structural r10 metric: replicate the sink's pruned index read
+        # for THIS batch and count dirs touched vs dirs in the snapshot
+        sig_t = TxTable(spark, sigp)
+        bp = D.band_postings(
+            D.minhash_signatures(
+                b.where(F.col("text").isNotNull()), "doc_id", "text",
+                portable=True,
+            ),
+            portable=True,
+        )
+        present = sorted(r[0] for r in bp.select("bb").distinct().collect())
+        from hapiy_etl_spark.operators.txstore import dirs_read
+
+        dirs_touched = len(dirs_read(sig_t.read(where_in={"bb": present})))
+        # a NARROW tick (trickle ingestion, the common steady state):
+        # one document probes <= n_bands buckets — after the policy's
+        # bb-clustered compactions it must skip most of the index dirs
+        np_bp = D.band_postings(
+            D.minhash_signatures(
+                b.where(F.col("text").isNotNull()).limit(1),
+                "doc_id", "text", portable=True,
+            ),
+            portable=True,
+        )
+        np_present = sorted(
+            r[0] for r in np_bp.select("bb").distinct().collect()
+        )
+        narrow_touched = len(
+            dirs_read(sig_t.read(where_in={"bb": np_present}))
+        ) if np_present else 0
         t0 = time.perf_counter()
         # no-index baseline: re-signature ALL corpus text ingested so
         # far (union of surviving rows) and band-join the batch
@@ -521,6 +561,9 @@ def streamdedup_main(n_batches: int) -> None:
                 "incr_dedup_commit_s": round(t_incr, 2),
                 "fullscan_baseline_s": round(t_full, 2),
                 "index_sig_rows": idx_rows,
+                "index_dirs_total": sig_t.n_dirs(),
+                "index_dirs_read": dirs_touched,
+                "narrow_tick_dirs_read": narrow_touched,
                 # the structural contrast (wall clock at local scale is
                 # overhead-bound): the incremental path re-hashes only
                 # the BATCH text (+ reads the narrow sig index); the
