@@ -13,7 +13,13 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
-def auto_compact(table, max_dirs: int = 16, **optimize_kw) -> int | None:
+def auto_compact(
+    table,
+    max_dirs: int = 16,
+    vacuum_keep_last: int | None = None,
+    vacuum_min_age_s: float = 3600.0,
+    **optimize_kw,
+) -> int | None:
     """Threshold compaction policy for a TxTable: OPTIMIZE when the
     current snapshot has accumulated ``max_dirs`` or more data dirs,
     else do nothing. Returns the new version when it compacted, None
@@ -37,12 +43,31 @@ def auto_compact(table, max_dirs: int = 16, **optimize_kw) -> int | None:
     bucket-keyed INDEX (signature band buckets, sign buckets, IVF
     cells, term buckets) regains ``where_in`` dir pruning after the
     policy fires — the maintenance half of every pruned streaming-sink
-    read (VERDICT r9)."""
+    read (VERDICT r9).
+
+    ``vacuum_keep_last`` adds the RETENTION half (VERDICT r9 item 3):
+    compaction bounds the LIVE snapshot's dirs but copy-on-write
+    leaves every superseded dir on disk until a vacuum — an always-on
+    stream otherwise grows storage O(epochs) forever. When set, each
+    policy compaction is followed by ``table.vacuum(keep_last=...,
+    min_age_s=vacuum_min_age_s)``. Size the keep window ABOVE the
+    maximum version lag of any CDC consumer of the table: a consumer
+    inside the window resumes normally across the compaction (its
+    manifests and their dirs survive), one beyond it gets the loud
+    vacuumed-offset resync error instead of silent data loss
+    (sources/txtable_source.py) — never raw misses. ``min_age_s``
+    keeps the concurrency guard: in-flight writers spool data dirs
+    before their commit, so never reclaim anything younger than the
+    longest plausible write."""
     if table.n_dirs() < max_dirs:
         return None
     if "cluster_by" in optimize_kw:
-        return table.optimize_clustered(**optimize_kw)
-    return table.optimize(**optimize_kw)
+        v = table.optimize_clustered(**optimize_kw)
+    else:
+        v = table.optimize(**optimize_kw)
+    if vacuum_keep_last is not None:
+        table.vacuum(keep_last=vacuum_keep_last, min_age_s=vacuum_min_age_s)
+    return v
 
 
 def compact_parquet(

@@ -2303,3 +2303,95 @@ def test_online_semdedup_index_read_prunes_to_batch_buckets(spark, tmp_path):
     # and the pruned read still returns every row of that bucket
     full_n = idx.read().where(F.col("bucket") == one).count()
     assert pruned.count() == full_n
+
+
+def test_streaming_sink_retention_bounds_disk_and_keeps_cdc_resumable(
+    spark, tmp_path
+):
+    """VERDICT r9 item 3: auto_compact bounds the LIVE snapshot but
+    copy-on-write leaves superseded dirs on disk until a vacuum, so an
+    always-on stream grows storage O(epochs) forever. The policy's
+    vacuum_keep_last knob reclaims them after each compaction; a CDC
+    consumer lagging WITHIN the keep window stays resumable across the
+    compaction+vacuum, rows stay exactly-once, and on-disk dirs stay
+    bounded instead of one-per-epoch."""
+    from pathlib import Path
+
+    from hapiy_etl_spark.sources.txtable_source import register
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_tx_append
+
+    register(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cdc_ckpt = str(tmp_path / "cdc_ckpt")
+    store = str(tmp_path / "t")
+
+    def write(i):
+        spark.createDataFrame([(i, f"v{i}")], "k long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        foreach_batch_tx_append(
+            stream,
+            store,
+            ckpt,
+            auto_compact_max_dirs=3,
+            auto_compact_kw={
+                "vacuum_keep_last": 8,
+                "vacuum_min_age_s": 0.0,
+            },
+        ).awaitTermination()
+
+    def drain_cdc():
+        got = []
+        q = (
+            spark.readStream.format("txtable_changes")
+            .option("path", store)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, eid: got.extend(sorted(map(tuple, df.collect())))
+            )
+            .option("checkpointLocation", cdc_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    delivered = []
+    # interleave sink epochs with a CDC consumer lagging a few versions
+    # behind (one drain per 3 epochs — inside the keep_last=8 window,
+    # because each 3-epoch burst advances the table by <= 5 versions:
+    # 3 appends + up to 2 policy optimizes — and the drain catches up
+    # to latest before the next burst)
+    for burst in range(4):
+        for i in range(burst * 3, burst * 3 + 3):
+            write(i)
+        run()
+        delivered += drain_cdc()
+
+    # every row exactly once through BOTH the sink and the lagging CDC
+    want = [(i, f"v{i}") for i in range(12)]
+    t = TxTable(spark, store)
+    assert sorted(map(tuple, t.read().collect())) == want
+    assert sorted(delivered) == want
+
+    # live snapshot bounded by compaction AND disk bounded by retention:
+    # without vacuum, 12 epochs + their copy-on-write optimize outputs
+    # leave >= 12 data dirs on disk forever; with it, disk tracks the
+    # keep window (dirs referenced by the surviving <= 8 manifests),
+    # not stream age
+    on_disk = [p for p in (Path(store) / "data").iterdir() if p.is_dir()]
+    assert t.n_dirs() < 3
+    assert len(on_disk) < 12
+    # manifests below the keep window went with their dirs (vacuum
+    # fires WITH each compaction, so up to one burst's commits can
+    # accumulate on top of the keep window before the next one)
+    manifests = list((Path(store) / "_tx").glob("v*.json"))
+    assert len(manifests) <= 8 + 3
