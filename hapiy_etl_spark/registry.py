@@ -53,63 +53,63 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r9 window (tools/rotate_priority.py over CORRECTNESS_r01..r08, rerun
-# after each new registration): zero failures; new r9 queries front-load
-# as never-checked (changestream_optimize_exactly_once first), then
-# freshest-last backfill — the r8 window re-proved its 50, so the
-# stalest standing greens (r5-era join/scalar-fn/subquery/dedup rows)
+# r10 window (tools/rotate_priority.py over CORRECTNESS_r01..r09, rerun
+# after each new registration): zero failures; the new r10 query
+# front-loads as never-checked (cdc_index_maintenance first), then
+# freshest-last backfill — the r9 window re-proved its 50, so the
+# stalest standing greens (r5/r6-era aggregate/event/udf/ann rows)
 # rotate back in for fresh evidence.
 PRIORITY: tuple[str, ...] = (
-    "changestream_optimize_exactly_once",
-    "optimize_zorder_slice",
-    "dedup_incremental_index",
-    "ann_ivf_index_probe",
-    "semdedup_incremental",
-    "text_bm25_index_probe",
-    "incremental_mv_join_refresh",
-    "text_decontam_index_probe",
-    "stream_ingest_online_dedup",
-    "corpus_shard_assignment",
-    "stream_ingest_online_semdedup",
-    "corpus_shard_epoch_reshuffle",
-    "join_semi_anti",
-    "join_outer_coalesce",
-    "join_full_outer",
-    "q2_min_cost_per_group",
-    "topk_per_group",
-    "set_operations",
-    "theta_range_join",
-    "cross_join_dims",
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
-    "fn_array",
-    "fn_explode_wordcount",
-    "fn_json",
-    "fn_json_schema",
-    "fn_datetime_arith",
-    "fn_regexp_extract_all",
-    "fn_try_safe",
-    "fn_struct",
-    "fn_conditional",
-    "fn_hash",
-    "stat_chi2_independence",
-    "stat_ab_proportion_ztest",
-    "corpus_lang_drift_jsd",
-    "sample_stratified_rates",
-    "doc_source_entropy",
-    "subq_exists_priority",
-    "subq_correlated_avg_qty",
-    "subq_in_large_orders",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_native",
-    "dedup_simhash",
-    "dedup_pipeline_end_to_end",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
+    "cdc_index_maintenance",
+    "vocab_encode_documents",
+    "editsim_source_labels",
+    "text_unicode_nfc",
+    "udf_grouped_agg_mad",
+    "udtf_table_argument",
+    "ann_cosine_topk_numpy",
+    "agg_basic_stats",
+    "agg_corr_covar",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_first_last_ordered",
+    "agg_bitwise_boolean",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "agg_regression",
+    "agg_filter_clause",
+    "agg_kmv_distinct_sketch",
+    "agg_approx_top_k_freq",
+    "interval_overlap_sessions",
+    "events_cohort_retention",
+    "events_value_histogram",
+    "table_diff_snapshots",
+    "incremental_mv_refresh",
+    "constraints_quarantine",
+    "data_quality_report",
+    "text_pii_redaction",
+    "corpus_split_sample",
+    "sample_reservoir_per_group",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_ratio",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "q19_disjunctive_predicates",
+    "udf_pandas_vectorized",
+    "udf_grouped_map_zscore",
+    "udf_map_in_pandas",
+    "udtf_explode_ranges",
+    "fn_map",
+    "fn_map_explode",
+    "unpivot_stack",
+    "sample_deterministic",
+    "udtf_polymorphic_split",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 )
 
 

@@ -824,6 +824,88 @@ def ingest_semdedup_batch(
         bucketed.unpersist()
 
 
+def heal_index_from_changes(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    build_fn,
+    *,
+    stats_cols: Sequence[str] | None = None,
+    auto_compact_max_dirs: int | None = None,
+    compact_kw: dict | None = None,
+    max_versions_per_trigger: int | None = None,
+):
+    """DECOUPLED index maintenance — the production topology (VERDICT
+    r9 item 5): one job appends the corpus TxTable; this SEPARATE job
+    streams the corpus's change feed (sources/txtable_source.py,
+    offsets = snapshot versions in the engine checkpoint) and lands
+    each appended batch's derived index rows — ``build_fn(batch) ->
+    DataFrame`` (signature band postings, shingle/BM25 postings, IVF
+    assignments...) — into the index TxTable, exactly-once via
+    ``tx_append_once``. Contrast with the coupled online sinks
+    (``foreach_batch_ingest_dedup``), which compute ingest + index in
+    one foreachBatch: decoupling lets the corpus writer run at ingest
+    speed while indexing lags and catches up independently, restarts
+    from its own checkpoint, and can be added MONTHS after the corpus
+    existed (the first batch replays the whole table through the same
+    code path). Index content is a pure function of corpus content:
+    a healed index equals a one-shot build over the same corpus.
+
+    Exactly-once composes end to end: the change feed delivers each
+    corpus version once (engine-checkpointed offsets), a re-delivered
+    foreachBatch epoch is skipped by the index table's (run, epoch)
+    replay state, and a row-preserving corpus OPTIMIZE arrives as a
+    no-data micro-batch instead of killing the healer. A corpus vacuum
+    that outruns this job's lag raises the loud resync error — size
+    retention above the healer's lag. ``stats_cols``/``compact_kw``
+    keep the index dir-prunable exactly as the coupled sinks do;
+    ``max_versions_per_trigger`` bounds catch-up batches after a long
+    pause. Returns the StreamingQuery (AvailableNow)."""
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.sources import txtable_source
+
+    txtable_source.register(spark)
+    reader = spark.readStream.format("txtable_changes").option(
+        "path", corpus_path
+    )
+    if max_versions_per_trigger:
+        reader = reader.option(
+            "maxVersionsPerTrigger", str(max_versions_per_trigger)
+        )
+    stream = reader.load()
+    run_id = None
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal run_id
+        if batch.isEmpty():
+            return
+        if run_id is None:
+            run_id = _checkpoint_run_id(checkpoint)
+        appended = tx_append_once(
+            build_fn(batch),
+            index_path,
+            epoch_id,
+            run_id=run_id,
+            stats_cols=stats_cols,
+        )
+        if appended and auto_compact_max_dirs:
+            from hapiy_etl_spark.operators.maintenance import auto_compact
+
+            auto_compact(
+                TxTable(batch.sparkSession, index_path),
+                auto_compact_max_dirs,
+                **(compact_kw or {}),
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def foreach_batch_tx_append_with_mv(
     stream: DataFrame,
     path: str,

@@ -2395,3 +2395,75 @@ def test_streaming_sink_retention_bounds_disk_and_keeps_cdc_resumable(
     # accumulate on top of the keep window before the next one)
     manifests = list((Path(store) / "_tx").glob("v*.json"))
     assert len(manifests) <= 8 + 3
+
+
+def test_heal_index_from_changes_decoupled_parity(spark, tmp_path):
+    """VERDICT r9 item 5: the decoupled production topology — corpus
+    appended by one job, a SEPARATE healer job streaming the corpus's
+    change feed into the derived index. The healed index must equal a
+    one-shot build over the same corpus (bit-for-bit rows), catch up
+    across later corpus appends AND a row-preserving corpus OPTIMIZE,
+    and re-deliver nothing on a restart with no new commits."""
+    from hapiy_etl_spark.operators.textindex import shingle_postings_build
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    corpus_p = str(tmp_path / "corpus")
+    idx_p = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i):
+        return (i, " ".join(f"d{i}w{j}" for j in range(12)))
+
+    corpus = TxTable(spark, corpus_p)
+    corpus.append(
+        spark.createDataFrame([doc(1), doc(2)], "doc_id long, text string")
+    )
+    corpus.append(
+        spark.createDataFrame([doc(3)], "doc_id long, text string")
+    )
+
+    def heal():
+        # maxVersionsPerTrigger=1 → one micro-batch per corpus version
+        # (the healer replays the append GRAIN, not one blob); the
+        # Python streaming source runs one batch per AvailableNow run,
+        # so run once per corpus version — enough to drain any backlog
+        # (extra runs are exactly-once noops), the same pacing shape
+        # test_txtable_change_stream_max_versions_per_trigger pins
+        for _ in range(corpus.latest_version() + 1):
+            heal_index_from_changes(
+                spark, corpus_p, idx_p, ckpt,
+                lambda b: shingle_postings_build(b.select("doc_id", "text")),
+                stats_cols=["tb"],
+                max_versions_per_trigger=1,
+            ).awaitTermination()
+
+    def healed_rows():
+        return sorted(map(tuple, TxTable(spark, idx_p).read().collect()))
+
+    def oneshot_rows():
+        return sorted(
+            map(
+                tuple,
+                shingle_postings_build(corpus.read()).collect(),
+            )
+        )
+
+    heal()
+    assert healed_rows() == oneshot_rows()
+
+    # corpus keeps moving: another append, a row-preserving OPTIMIZE
+    # (no-data micro-batch for the healer), one more append
+    corpus.append(
+        spark.createDataFrame([doc(4)], "doc_id long, text string")
+    )
+    corpus.optimize()
+    corpus.append(
+        spark.createDataFrame([doc(5)], "doc_id long, text string")
+    )
+    heal()
+    assert healed_rows() == oneshot_rows()
+
+    # no new commits: the healer appends nothing (exactly-once end to end)
+    v = TxTable(spark, idx_p).latest_version()
+    heal()
+    assert TxTable(spark, idx_p).latest_version() == v
