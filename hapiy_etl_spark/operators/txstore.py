@@ -860,42 +860,44 @@ class TxTable:
         silently diverge). A pair whose probe is not provably
         type-consistent yields None (bloom skipped, never pruned on).
 
-        Probes are chunked at ~512 hash expressions per local job: a
-        1000-key where_in with k=5 would otherwise build one 5000-field
-        projection, which knocks the plan out of whole-stage codegen
-        and stresses the driver with a single enormous row (r8 advice,
-        txstore.py). Chunking keeps each job a small constant-width
-        select while staying O(1) driver round-trips per ~100 keys."""
+        Probes are DATA-parallel, not expression-parallel (r10; the r8
+        chunked-literal form kept each job small but still built ~4
+        Column objects per probe — a 1000-key where_in spent ~25 s of
+        pure py4j expression construction before any job ran): the
+        probe values become ROWS of one tiny local DataFrame per
+        recorded geometry, hashed by k constant column expressions —
+        O(1) expressions and O(geometries) driver round-trips no matter
+        how many keys are probed. The value column is created AT the
+        recorded type, so xxhash64 sees exactly the build-side
+        representation (same native-type contract as the cast-literal
+        form it replaces)."""
         from pyspark.sql import functions as F
 
         results: list[list[int] | None] = [None] * len(entries)
-        exprs, counts = [], {}
-        max_exprs = 512
-
-        def _flush():
-            if not exprs:
-                return
-            row = self.spark.range(1).select(*exprs).collect()[0]
-            for j, k in counts.items():
-                results[j] = [int(row[f"p_{j}_{i}"]) for i in range(k)]
-            exprs.clear()
-            counts.clear()
-
+        groups: dict[tuple, list[tuple[int, object]]] = {}
         for j, (bl, val) in enumerate(entries):
             if not self._bloom_probe_ok(bl, val):
                 continue
-            typ = bl.get("type", "")
-            bits = int(bl.get("bits", self.BLOOM_BITS))
-            k = int(bl.get("k", self.BLOOM_K))
-            if exprs and len(exprs) + k > max_exprs:
-                _flush()
-            lit = F.lit(val).cast(typ)
-            exprs += [
-                F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits)).alias(f"p_{j}_{i}")
-                for i in range(k)
-            ]
-            counts[j] = k
-        _flush()
+            key = (
+                bl.get("type", ""),
+                int(bl.get("bits", self.BLOOM_BITS)),
+                int(bl.get("k", self.BLOOM_K)),
+            )
+            groups.setdefault(key, []).append((j, val))
+        for (typ, bits, k), items in groups.items():
+            rows = self.spark.createDataFrame(
+                items, f"j bigint, v {typ}"
+            ).select(
+                "j",
+                *[
+                    F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(bits)).alias(
+                        f"p{i}"
+                    )
+                    for i in range(k)
+                ],
+            ).collect()
+            for r in rows:
+                results[int(r["j"])] = [int(r[f"p{i}"]) for i in range(k)]
         return results
 
     def _bloom_positions(self, bloom: dict, val) -> list[int] | None:

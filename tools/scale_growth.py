@@ -577,6 +577,70 @@ def streamdedup_main(n_batches: int) -> None:
     print(json.dumps({"streamdedup_growth": rows}))
 
 
+def batchfetch_main(n_batches: int) -> None:
+    """1000-key where_in fetch (VERDICT r9 item 4): the chunked bloom
+    probe (txstore._bloom_positions_many, ~512-expr chunks since r8)
+    must keep the DRIVER stable as the key list grows — bloom_batch_fetch
+    [O] only exercises a handful of keys. Build a bloomed table of
+    n_batches disjoint dirs, then fetch 10 / 100 / 1000 keys spread
+    across every batch in ONE where_in read each; record the read()
+    planning wall (where ALL bloom hashing happens, in one local job),
+    the fetch wall, and dirs read. The scale claim: planning wall grows
+    ~linearly in probe count (flat per chunk), never super-linearly,
+    and the driver never materializes one giant struct expression."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable, dirs_read
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_batchfetch")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    span = docs.agg(F.max("doc_id")).first()[0] + 1
+    lo = int(docs.agg(F.min("doc_id")).first()[0])
+    base = tempfile.mkdtemp(prefix="batchfetch_growth_")
+    t = TxTable(spark, f"{base}/t")
+    for i in range(n_batches):
+        t.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * span)),
+            bloom_cols=["doc_id"],
+            bloom_bits=131072,
+        )
+    rows = []
+    for n_keys in (10, 100, 1000):
+        # keys striped across every batch's range — the adversarial
+        # shape for pruning (every dir holds some), the realistic one
+        # for a training-data point-fetch (docs come from everywhere)
+        keys = [
+            lo + (j % n_batches) * span + (j * 37) % 1000
+            for j in range(n_keys)
+        ]
+        t0 = time.perf_counter()
+        df = t.read(where_in={"doc_id": keys})
+        t_plan = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fetched = df.count()
+        t_fetch = time.perf_counter() - t0
+        rows.append(
+            {
+                "n_keys": n_keys,
+                "plan_s": round(t_plan, 3),
+                "plan_ms_per_key": round(t_plan * 1000 / n_keys, 3),
+                "fetch_s": round(t_fetch, 2),
+                "rows_fetched": fetched,
+                "dirs_read": len(dirs_read(df)),
+                "total_dirs": t.n_dirs(),
+            }
+        )
+        print(json.dumps(rows[-1]))
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"batchfetch_growth": rows}))
+
+
 def stats_main(n_batches: int) -> None:
     """Manifest-stats growth: land n time-shifted copies of the sf0.1
     events table as stats-carrying appends (each batch a later 32-day
@@ -975,6 +1039,9 @@ def main() -> None:
         return
     if args and args[0] == "--bloom":
         bloom_main(int(args[1]) if args[1:] else 8)
+        sys.exit(0)
+    if args and args[0] == "--batchfetch":
+        batchfetch_main(int(args[1]) if args[1:] else 8)
         return
     if args and args[0] == "--mergebloom":
         mergebloom_main(int(args[1]) if args[1:] else 8)
