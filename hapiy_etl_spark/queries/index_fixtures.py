@@ -1,0 +1,147 @@
+"""Materialized-once persisted-index fixtures shared across probe
+queries (VERDICT r9 item 7, bench hygiene).
+
+The persisted-index probe queries (`text_bm25_index_probe`,
+`text_decontam_index_probe`, `ann_ivf_index_probe`) each demonstrate
+the same production posture: build/append the index ONCE, probe it
+forever. Building the index inside every timed query charged ~4-6 s of
+pure scenario setup to each — exactly the position-dependence the
+near-dup cluster artifact solved in r5 (queries/text.py:_NEARDUP_CACHE)
+— so the builds live here as session-cached artifacts: computed once
+per (application, sf_dir), rebuilt untimed by bench.py's per-rep
+prewarm, probe cost stays the timed number.
+
+Only IMMUTABLE-use fixtures belong here: every consumer must treat the
+returned tables as read-only (a query that appends to its index as part
+of its own demo — `dedup_incremental_index`, `semdedup_incremental` —
+keeps building its own). Layouts are bit-identical to the builds the
+queries previously inlined, so their in-query dir-pruning asserts and
+DuckDB twins are unchanged.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CACHE: dict[tuple, object] = {}
+
+
+def _base(spark: SparkSession, sf_dir: str, name: str) -> str:
+    return str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_{name}_fixture_{spark.sparkContext.applicationId}"
+        f"_{Path(sf_dir).name}"
+    )
+
+
+def index_fixtures_clear() -> None:
+    """Drop the cached index artifacts (bench per-rep isolation /
+    re-derivation after data changes). On-disk tables are removed so
+    the next builder call starts from scratch."""
+    for val in _CACHE.values():
+        for item in val if isinstance(val, tuple) else (val,):
+            if isinstance(item, str):
+                shutil.rmtree(item, ignore_errors=True)
+            elif isinstance(item, DataFrame):
+                try:
+                    item.unpersist()
+                except Exception:
+                    pass  # session may already be stopped
+    _CACHE.clear()
+
+
+def bm25_index(spark: SparkSession, sf_dir: str):
+    """(postings TxTable, meta TxTable) over the documents corpus:
+    history slice (doc_id % 4 != 3) landed one dir per term-bucket,
+    later batch (% 4 == 3) appended as one mixed dir — the exact
+    two-phase layout text_bm25_index_probe previously built inline."""
+    key = ("bm25", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    history = docs.where(F.pmod("doc_id", F.lit(4)) != 3)
+    batch = docs.where(F.pmod("doc_id", F.lit(4)) == 3)
+    base = _base(spark, sf_dir, "bm25idx")
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/postings")
+    meta_t = TxTable(spark, f"{base}/meta")
+    hp, hm = TI.postings_build(history)
+    TI.postings_append(idx, meta_t, hp, hm)  # one dir per bucket
+    bp, bm = TI.postings_build(batch)
+    # incremental append: one mixed dir, re-clustered at next OPTIMIZE
+    TI.postings_append(idx, meta_t, bp, bm, split_buckets=False)
+    _CACHE[key] = (idx, meta_t, base)
+    return idx, meta_t
+
+
+def shingle_index(spark: SparkSession, sf_dir: str):
+    """Shingle-postings TxTable over the TRAIN corpus (doc_id >= 50):
+    history split-bucketed, batch as one mixed dir — the exact layout
+    text_decontam_index_probe previously built inline."""
+    key = ("shingle", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    train = docs.where(F.col("doc_id") >= 50)
+    history = train.where(F.pmod("doc_id", F.lit(4)) != 3)
+    batch = train.where(F.pmod("doc_id", F.lit(4)) == 3)
+    base = _base(spark, sf_dir, "shingleidx")
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/shingle_postings")
+    TI.postings_append(idx, None, TI.shingle_postings_build(history), None)
+    TI.postings_append(
+        idx, None, TI.shingle_postings_build(batch), None, split_buckets=False
+    )
+    _CACHE[key] = (idx, base)
+    return idx
+
+
+def ivf_index(spark: SparkSession, sf_dir: str):
+    """(centroids DataFrame, inverted-file TxTable): quantizer trained
+    once on the history slice (vec_id % 4 != 3), one dir per cell with
+    cell stats, the remaining vectors batch-assigned (no retraining)
+    and appended as one mixed dir — the exact layout
+    ann_ivf_index_probe previously built inline (n_centroids=4)."""
+    key = ("ivf", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import similarity as S
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    history = emb.where(F.pmod("vec_id", F.lit(4)) != 3)
+    batch = emb.where(F.pmod("vec_id", F.lit(4)) == 3)
+    n_centroids = 4
+    cent, assigned = S.ivf_index_build(
+        history, "vec_id", n_centroids=n_centroids, train_fraction=0.5,
+        max_iter=2,  # exact regime: probe-all is brute force regardless
+        # of quantizer quality, so spend the minimum on Lloyd
+    )
+    base = _base(spark, sf_dir, "ivfidx")
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/idx")
+    for c in range(n_centroids):  # one dir per cell: tight cell stats
+        idx.append(assigned.where(F.col("cell") == c), stats_cols=["cell"])
+    # incremental append: later vectors join the index with NO retraining
+    idx.append(S.ivf_index_assign(cent, batch, "vec_id"), stats_cols=["cell"])
+    cent = cent.cache()
+    cent.count()
+    _CACHE[key] = (cent, idx, base)
+    return cent, idx
