@@ -113,12 +113,20 @@ class IncrementalAggView:
         quantiles: Sequence[float] = (0.5, 0.95, 0.99),
         rank_sketch: str = "loghist",
         kll_k: int = 2048,
+        topk_col: str | None = None,
+        topk_k: int = 5,
+        topk_track: int = 1024,
     ):
         if (value_col is None) == (value_cols is None):
             raise ValueError("pass exactly one of value_col / value_cols")
         if rank_sketch not in ("loghist", "kll"):
             raise ValueError(
                 f"rank_sketch must be 'loghist' or 'kll', got {rank_sketch!r}"
+            )
+        if topk_col is not None and topk_k > topk_track:
+            raise ValueError(
+                f"topk_k={topk_k} exceeds topk_track={topk_track} — the "
+                "sketch can never return more items than it tracks"
             )
         self.spark = spark
         self.source = source
@@ -138,6 +146,16 @@ class IncrementalAggView:
         # narrow-range distributions resolve beyond a 1.33x log bucket)
         self.rank_sketch = rank_sketch
         self.kll_k = kll_k
+        # heavy-hitter panel (r10): per-group approx-top-k sketch over
+        # topk_col — Spark's mergeable approx_top_k_accumulate/combine
+        # (JVM-side, parquet-serializable struct), EXACT while a
+        # group's distinct count stays ≤ topk_track, bounded-error
+        # frequent-items above. Finalized as a deterministic
+        # "item:count,..." string (count desc, item asc tie-break) so
+        # results are engine-comparable and oracle-hashable.
+        self.topk_col = topk_col
+        self.topk_k = topk_k
+        self.topk_track = topk_track
 
     def _names(self, c: str) -> tuple[str, str, str, str]:
         if self.legacy:
@@ -160,6 +178,15 @@ class IncrementalAggView:
                 # denominator while min/max/sum skip them (ADVICE r7)
                 F.count(v).alias(cnt),
             ]
+        if self.topk_col:
+            # mergeable heavy-hitter partial — a plain JVM aggregate,
+            # so it rides the same groupBy as the algebraic partials
+            aggs.append(
+                F.expr(
+                    f"approx_top_k_accumulate(`{self.topk_col}`, "
+                    f"{self.topk_track})"
+                ).alias("topk")
+            )
         parts = df.groupBy(*self.group_cols).agg(*aggs)
         if self.distinct_col:
             # KMV partial per group (operators/sketches.py:kmv_sketch —
@@ -217,6 +244,12 @@ class IncrementalAggView:
             )
         if self.histogram_col and self.rank_sketch != "kll":
             aggs.append(loghist_merge_agg("loghist").alias("loghist"))
+        if self.topk_col:
+            aggs.append(
+                F.expr(
+                    f"approx_top_k_combine(topk, {self.topk_track})"
+                ).alias("topk")
+            )
         merged = parts.groupBy(*self.group_cols).agg(*aggs)
         if self.histogram_col and self.rank_sketch == "kll":
             # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM
@@ -242,6 +275,8 @@ class IncrementalAggView:
             cols.add("kmv")
         if self.histogram_col:
             cols.add("kllrank" if self.rank_sketch == "kll" else "loghist")
+        if self.topk_col:
+            cols.add("topk")
         return cols
 
     # -- refresh cursor -----------------------------------------------------
@@ -355,6 +390,27 @@ class IncrementalAggView:
                     else loghist_quantile(F.col("loghist"), q)
                 )
                 cols.append(est.alias(f"approx_{label}_{self.histogram_col}"))
+        if self.topk_col:
+            # estimate EVERY tracked item, then re-rank DETERMINISTICALLY
+            # (count desc, item asc) and render "item:count,..." —
+            # approx_top_k_estimate's own top-k tie order is
+            # unspecified, which would make results (and oracle hashes)
+            # flap; in the exact regime (distinct ≤ topk_track) counts
+            # are exact so the string is fully reproducible
+            ranked = F.expr(
+                f"""array_join(transform(slice(array_sort(
+                        approx_top_k_estimate(topk, {self.topk_track}),
+                        (a, b) -> CASE
+                            WHEN a.count > b.count THEN -1
+                            WHEN a.count < b.count THEN 1
+                            WHEN a.item < b.item THEN -1
+                            WHEN a.item > b.item THEN 1
+                            ELSE 0 END
+                    ), 1, {self.topk_k}),
+                    t -> concat(cast(t.item AS string), ':',
+                                cast(t.count AS string))), ',')"""
+            )
+            cols.append(ranked.alias(f"top{self.topk_k}_{self.topk_col}"))
         return p.select(*cols)
 
 

@@ -1247,6 +1247,95 @@ def incremental_mv_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_mv_topk",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+    ),
+    r AS (
+        SELECT event_type, user_id, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY cnt DESC, user_id
+               ) AS rk
+        FROM c
+    ),
+    tk AS (
+        SELECT event_type,
+               string_agg(user_id || ':' || cnt, ',' ORDER BY rk)
+                   AS top3_user_id
+        FROM r WHERE rk <= 3 GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COALESCE(MIN(tk.top3_user_id), '') AS top3_user_id
+    FROM events e LEFT JOIN tk ON e.event_type = tk.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Heavy-hitter panel in the incremental materialized view "
+    "(operators/incremental_mv.py topk_col, r10): the metric panel "
+    "gains per-group TOP-K FREQUENT ITEMS — Spark's mergeable "
+    "approx_top_k sketch (JVM aggregate, parquet-serializable) rides "
+    "the same algebraic-partial machinery as the sums and the KMV "
+    "sketch, so 'which users dominate each event type' maintains "
+    "incrementally: each refresh accumulates only the newly-appended "
+    "dirs and combines with the stored sketch, never rescanning "
+    "history (exact top-k does not merge; the sketch does). Finalized "
+    "as a DETERMINISTIC 'item:count,...' string (count desc, item asc "
+    "— the sketch's own tie order is unspecified and would flap "
+    "hashes). In its exact regime here (distinct users per group ≤ "
+    "the 1M tracked slots) counts are exact, so the panel matches the "
+    "oracle's COUNT(*) ranking bit-for-bit; above capacity it "
+    "degrades to bounded-error frequent-items. At 100 TB this is the "
+    "trending/abuse dashboard maintained at append cost.",
+)
+def incremental_mv_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "event_type",
+        "value",
+        "user_id",
+        F.pmod(F.xxhash64("event_id"), F.lit(3)).alias("b"),
+    )
+    base = str(
+        Path(tempfile.gettempdir())
+        / f"spark_graft_mvtopk_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = TxTable(spark, f"{base}/src")
+    mv = IncrementalAggView(
+        spark,
+        src,
+        f"{base}/mv",
+        ["event_type"],
+        "value",
+        topk_col="user_id",
+        topk_k=3,
+        topk_track=1_000_000,
+    )
+    for i in range(3):
+        src.append(ev.where(F.col("b") == i).drop("b"))
+        report = mv.refresh()
+        expected = "full" if i == 0 else "incremental"
+        if report["mode"] != expected:  # pragma: no cover - invariant guard
+            raise AssertionError(f"refresh {i}: {report}")
+    return mv.result().orderBy("event_type")
+
+
+@register(
     "incremental_mv_quantiles",
     oracle="""
     WITH binned AS (

@@ -1751,6 +1751,150 @@ def cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curriculum_order",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               ROUND(n_chars * 1.0 /
+                     len(string_split_regex(trim(text), '\\s+')), 6) AS difficulty
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    bucketed AS (
+        SELECT doc_id, difficulty,
+               NTILE(4) OVER (ORDER BY difficulty, doc_id) AS stage
+        FROM scored
+    )
+    SELECT doc_id, difficulty, stage,
+           ROW_NUMBER() OVER (
+               PARTITION BY stage ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS curriculum_pos
+    FROM bucketed
+    ORDER BY stage, curriculum_pos
+    """,
+    doc="Curriculum data ordering (r10): documents ranked easy-to-hard "
+    "by a difficulty proxy (mean token length = n_chars / tokens), cut "
+    "into 4 curriculum stages (NTILE with a doc_id tie-break — fully "
+    "deterministic), then REPRODUCIBLY shuffled within each stage by "
+    "the portable md5 kernel — the order a curriculum-learning run "
+    "feeds batches in, derivable bit-for-bit by any engine from the "
+    "corpus alone (no RNG state to ship, the corpus_shard_assignment "
+    "property). Scale shape: one sort for the stage cut (range-"
+    "partitioned, what Spark sorts are), then per-stage windows over "
+    "the hash — at 100 TB the stage boundaries can come from "
+    "approx_percentile instead (boundary precision only moves a few "
+    "docs between adjacent stages; the within-stage shuffle is "
+    "unchanged).",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    scored = (
+        t["documents"]
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("n_chars")
+                / F.size(F.split(F.trim("text"), r"\s+")),
+                6,
+            ).alias("difficulty"),
+        )
+    )
+    stage_w = W.orderBy("difficulty", "doc_id")
+    bucketed = scored.withColumn("stage", F.ntile(4).over(stage_w))
+    pos_w = W.partitionBy("stage").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        bucketed.withColumn("curriculum_pos", F.row_number().over(pos_w))
+        .select("doc_id", "difficulty", "stage", "curriculum_pos")
+        .orderBy("stage", "curriculum_pos")
+    )
+
+
+@register(
+    "corpus_cross_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id % 4 AS shard, string_split_regex(text, '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh0 AS (
+        SELECT shard,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT shard, s FROM sh0),
+    sizes AS (SELECT shard, COUNT(*) AS n_sh FROM sh GROUP BY shard),
+    shared AS (
+        SELECT a.shard AS shard_a, b.shard AS shard_b, COUNT(*) AS shared_shingles
+        FROM sh a JOIN sh b ON a.s = b.s AND a.shard < b.shard
+        GROUP BY a.shard, b.shard
+    )
+    SELECT shard_a, shard_b, shared_shingles,
+           ROUND(shared_shingles * 1.0 /
+                 (sa.n_sh + sb.n_sh - shared_shingles), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.shard = shard_a
+    JOIN sizes sb ON sb.shard = shard_b
+    ORDER BY shard_a, shard_b
+    """,
+    doc="Cross-shard contamination matrix (r10): pairwise distinct-"
+    "shingle overlap between corpus shards (doc_id % 4 standing in "
+    "for source/crawl/vendor slices) — 'which slice leaked into "
+    "which', the audit a pipeline runs before attributing quality "
+    "wins to a data source or declaring eval shards independent. "
+    "Spark-first shape: ONE distinct (shard, shingle) projection "
+    "(narrow — shingles hash-join on strings), one self-equi-join on "
+    "shingle producing at most shards^2 rows per shingle (never "
+    "all-pairs over documents), Jaccard from broadcast per-shard "
+    "sizes. At 100 TB the same plan runs off the persisted shingle "
+    "postings index (tb-bucketed) instead of re-tokenizing — the "
+    "probe-side composition text_decontam_index_probe demonstrates.",
+)
+def corpus_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = (
+        t["documents"]
+        .where(F.col("text").isNotNull())
+        .select(
+            F.pmod("doc_id", F.lit(4)).alias("shard"),
+            F.explode(D.shingles("text", 3)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("shard").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("shard").alias("shard_a"), "s")
+    b = sh.select(F.col("shard").alias("shard_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .where(F.col("shard_a") < F.col("shard_b"))
+        .groupBy("shard_a", "shard_b")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    sa = sizes.select(F.col("shard").alias("shard_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("shard").alias("shard_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "shard_a")
+        .join(F.broadcast(sb), "shard_b")
+        .select(
+            "shard_a",
+            "shard_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles")
+                / (F.col("na") + F.col("nb") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("shard_a", "shard_b")
+    )
+
+
+@register(
     "dedup_exact_substring",
     oracle="""
     WITH toks AS (

@@ -61,6 +61,9 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # rotate back in for fresh evidence.
 PRIORITY: tuple[str, ...] = (
     "cdc_index_maintenance",
+    "incremental_mv_topk",
+    "corpus_curriculum_order",
+    "corpus_cross_contamination",
     "vocab_encode_documents",
     "editsim_source_labels",
     "text_unicode_nfc",
@@ -107,9 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "unpivot_stack",
     "sample_deterministic",
     "udtf_polymorphic_split",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
 )
 
 

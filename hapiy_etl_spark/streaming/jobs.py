@@ -919,6 +919,9 @@ def foreach_batch_tx_append_with_mv(
     kmv_k: int = 512,
     histogram_col: str | None = None,
     quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    topk_col: str | None = None,
+    topk_k: int = 5,
+    topk_track: int = 1024,
 ):
     """Streaming dynamic table: exactly-once micro-batch append to a
     TxTable (tx_append_once replay detection) followed by an
@@ -930,8 +933,10 @@ def foreach_batch_tx_append_with_mv(
     the composed form of the reference loop's sink plus the aggregate
     a consumer would otherwise recompute per tick at full-table cost.
     The multi-aggregate form (``value_cols`` + optional
-    ``distinct_col`` KMV sketch) streams a full metric panel — even the
-    distinct count maintains incrementally, because sketches merge."""
+    ``distinct_col`` KMV sketch, ``histogram_col`` quantiles,
+    ``topk_col`` heavy hitters) streams a full metric panel — even the
+    distinct count and the top-k maintain incrementally, because
+    sketches merge."""
     from hapiy_etl_spark.operators.incremental_mv import IncrementalAggView
     from hapiy_etl_spark.operators.txstore import TxTable
 
@@ -956,6 +961,9 @@ def foreach_batch_tx_append_with_mv(
             kmv_k=kmv_k,
             histogram_col=histogram_col,
             quantiles=quantiles,
+            topk_col=topk_col,
+            topk_k=topk_k,
+            topk_track=topk_track,
         ).refresh()
 
     return (
