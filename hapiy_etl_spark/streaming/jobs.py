@@ -606,17 +606,26 @@ def ingest_dedup_batch(
         )
         sig_t = TxTable(spark, sig_path)
         if sig_t.latest_version() > 0:
-            # ≤ n_band_buckets tiny rows: the ONLY driver round-trip,
-            # and what turns the index read into dir-level pruning
-            present = sorted(
-                r[0] for r in bp.select("bb").distinct().collect()
-            )
-            if present:
+            if sig_t.n_dirs() > 2:
+                # ≤ n_band_buckets tiny rows: the ONLY driver
+                # round-trip, and what turns the index read into
+                # dir-level pruning
+                present = sorted(
+                    r[0] for r in bp.select("bb").distinct().collect()
+                )
+                idx_rows = (
+                    sig_t.read(where_in={"bb": present})
+                    if present
+                    else None
+                )
+            else:
+                # 1-2 dirs: nothing worth skipping — the distinct-
+                # bucket collect would cost more than it prunes
+                idx_rows = sig_t.read()
+            if idx_rows is not None:
                 drop = drop.unionByName(
                     dedup_against_band_index(
-                        sigs,
-                        sig_t.read(where_in={"bb": present}),
-                        **mh_kw,
+                        sigs, idx_rows, **mh_kw
                     ).select(F.col("new_id").alias("doc"))
                 )
         drop = drop.distinct()
@@ -778,15 +787,26 @@ def ingest_semdedup_batch(
         )
         idx = TxTable(spark, index_path)
         if idx.latest_version() > 0:
-            # ≤ 2^bits tiny rows: the bucket list that prunes the index
-            # read to the batch's own buckets' dirs — exact, because
-            # dedup only ever joins on bucket equality (an all-NULL-
-            # vector batch has no buckets and skips the probe entirely)
-            present = sorted(
-                r[0] for r in b.select("bucket").distinct().collect()
-            )
-            if present:
-                stored = idx.read(where_in={"bucket": present}).select(
+            if idx.n_dirs() > 2:
+                # ≤ 2^bits tiny rows: the bucket list that prunes the
+                # index read to the batch's own buckets' dirs — exact,
+                # because dedup only ever joins on bucket equality (an
+                # all-NULL-vector batch has no buckets and skips the
+                # probe entirely)
+                present = sorted(
+                    r[0] for r in b.select("bucket").distinct().collect()
+                )
+                raw = (
+                    idx.read(where_in={"bucket": present})
+                    if present
+                    else None
+                )
+            else:
+                # 1-2 dirs: the distinct-bucket collect would cost more
+                # than it prunes
+                raw = idx.read()
+            if raw is not None:
+                stored = raw.select(
                     F.col(id_col).alias("__did"),
                     F.col(vec_col).alias("__dv"),
                     "bucket",

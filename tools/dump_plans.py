@@ -139,6 +139,20 @@ SHOWCASE = [
     # r9: streaming semantic dedup — the returned frame is one scan of
     # the single index TxTable the stream committed exactly-once
     ("stream_ingest_online_semdedup", ["FileScan"]),
+    # r10: healed-index decontamination — the probe reads the index the
+    # CDC healer job wrote; same FileScan + broadcast-join + grouped
+    # count shape as the coupled decontam probe
+    ("cdc_index_maintenance", ["FileScan", "BroadcastHashJoin", "HashAggregate"]),
+    # r10: heavy-hitter MV panel read — one scan of the stored partials
+    # with the sketch finalizer as pure column algebra (no Python eval)
+    ("incremental_mv_topk", ["FileScan", "Project"]),
+    # r10: cross-shard contamination — distinct (shard, shingle)
+    # projection self-joined on shingle as a hash equi-join (bounded by
+    # shards^2 per shingle), Jaccard from broadcast size sides
+    ("corpus_cross_contamination", ["HashAggregate", "BroadcastHashJoin"]),
+    # r10: curriculum order — one stage-cut sort + per-stage hash
+    # windows; no nested loops, no repeated corpus scans
+    ("corpus_curriculum_order", ["Window", "Exchange"]),
 ]
 
 
