@@ -280,24 +280,19 @@ N_BAND_BUCKETS = 16  # landing buckets for persisted band postings; only
 
 
 def band_bucket(band: Column, key: Column, n_buckets: int = N_BAND_BUCKETS) -> Column:
-    """Portable (band, key) → landing-bucket column: first 4 md5 hex
-    digits of "band,key" mod n_buckets — the same engine-portable
-    kernel the text index's term buckets use (textindex.term_bucket).
+    """Portable (band, key) → landing-bucket column: the text index's
+    term-bucket kernel (textindex.term_bucket — first 4 md5 hex digits
+    mod n_buckets) applied to the "band,key" concat. ONE shared
+    implementation (review r10): a drift between two copies of the
+    cross-engine kernel would be a silent pruning-correctness bug.
     Because the bucket is a pure function of the band JOIN KEY, an
     index row can only collide with a batch row that shares its
     bucket — which is what makes bucket-list pruning of a persisted
     signature index EXACT, never lossy."""
-    return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(",", band.cast("string"), key.cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("int"),
-        F.lit(n_buckets),
+    from hapiy_etl_spark.operators.textindex import term_bucket
+
+    return term_bucket(
+        F.concat_ws(",", band.cast("string"), key.cast("string")), n_buckets
     )
 
 

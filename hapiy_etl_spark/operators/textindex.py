@@ -93,20 +93,32 @@ def postings_build(
     return postings, meta
 
 
-def recorded_n_buckets(index) -> int | None:
-    """The bucket count the index was BUILT with, read from its commit
-    history (newest append stamping one wins). ``postings_append``
-    stamps every append's manifest meta with ``n_buckets``, so a probe
-    can validate the caller's bucket arithmetic against the stored
-    layout instead of silently filtering postings into the wrong
-    buckets (ADVICE r9). Returns None for an index written before
-    stamping (or whose stamped manifests were all vacuumed) — then
-    validation is best-effort skipped."""
-    for m in reversed(index.history()):
-        nb = (m.get("meta") or {}).get("n_buckets")
-        if nb is not None:
-            return int(nb)
+def recorded_stamp(index, key: str) -> int | None:
+    """Newest manifest-meta stamp ``key`` in the index's history, read
+    NEWEST-FIRST with an early exit — one manifest file per step, so a
+    stamped table answers in O(1) manifest reads no matter how many
+    versions it has accumulated (review r10: the history() form parsed
+    EVERY manifest on every append/probe — O(versions) each, O(n²)
+    over an index's lifetime). A manifest below the vacuum retention
+    window ends the walk (older ones are gone too). Returns None for a
+    table written before stamping — validation is best-effort skipped."""
+    for v in range(index.latest_version(), 0, -1):
+        try:
+            m = index._manifest(v)
+        except FileNotFoundError:
+            break  # vacuumed below retention: nothing older survives
+        val = (m.get("meta") or {}).get(key)
+        if val is not None:
+            return int(val)
     return None
+
+
+def recorded_n_buckets(index) -> int | None:
+    """The bucket count the index was BUILT with (``postings_append``
+    stamps every append's manifest meta), so a probe can validate the
+    caller's bucket arithmetic against the stored layout instead of
+    silently filtering postings into the wrong buckets (ADVICE r9)."""
+    return recorded_stamp(index, "n_buckets")
 
 
 def _check_n_buckets(index, n_buckets: int, role: str) -> None:

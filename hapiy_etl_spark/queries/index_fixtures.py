@@ -32,10 +32,17 @@ _CACHE: dict[tuple, object] = {}
 
 
 def _base(spark: SparkSession, sf_dir: str, name: str) -> str:
+    import hashlib
+
+    # the FULL sf_dir is hashed into the disk path (review r10): the
+    # cache keys on the full path, so basename-only disk naming would
+    # let two corpora with the same basename alias one on-disk fixture
+    # and silently serve each other's data
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
     return str(
         Path(tempfile.gettempdir())
         / f"spark_graft_{name}_fixture_{spark.sparkContext.applicationId}"
-        f"_{Path(sf_dir).name}"
+        f"_{Path(sf_dir).name}_{tag}"
     )
 
 

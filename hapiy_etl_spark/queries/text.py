@@ -545,9 +545,15 @@ def stream_ingest_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
 
+    import hashlib
+
+    # full-sf_dir hash in the path: the staged-source reuse is keyed by
+    # corpus identity, and a basename-only dir would alias two corpora
+    # sharing a basename (review r10)
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
     base = Path(tempfile.gettempdir()) / (
         f"spark_graft_streamdedup_demo_{spark.sparkContext.applicationId}"
-        f"_{Path(sf_dir).name}"
+        f"_{Path(sf_dir).name}_{tag}"
     )
     # the STATE dirs reset per run (the stream must replay from
     # scratch); the staged SOURCE files are a pure function of the

@@ -471,9 +471,14 @@ def stream_ingest_online_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select("vec_id", "embedding")
 
+    import hashlib
+
+    # full-sf_dir hash in the path — staged-source reuse must key on
+    # corpus identity, not basename (review r10)
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
     base = Path(tempfile.gettempdir()) / (
         f"spark_graft_streamsem_demo_{spark.sparkContext.applicationId}"
-        f"_{Path(sf_dir).name}"
+        f"_{Path(sf_dir).name}_{tag}"
     )
     # state resets per run; staged source files are a pure function of
     # the corpus — staged once per session (r10 bench hygiene)

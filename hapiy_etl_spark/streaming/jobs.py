@@ -357,6 +357,7 @@ def tx_append_once(
     epoch_id: int,
     run_id: str | None = None,
     stats_cols: Sequence[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> bool:
     """Commit one micro-batch to a TxTable iff this (run, epoch) hasn't
     already been committed. Returns True when it appended, False when
@@ -435,7 +436,13 @@ def tx_append_once(
             )
     table.append(
         batch,
-        meta={"epoch": epoch_id, **({"run": run_id} if run_id is not None else {})},
+        meta={
+            "epoch": epoch_id,
+            **({"run": run_id} if run_id is not None else {}),
+            # layout stamps (e.g. an index's bucket geometry) ride the
+            # same manifest meta so probes can validate against it
+            **(extra_meta or {}),
+        },
         stats_cols=stats_cols,
     )
     return True
@@ -453,6 +460,7 @@ def foreach_batch_ingest_dedup(
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     portable: bool = True,
+    n_band_buckets: int | None = None,
     auto_compact_max_dirs: int | None = None,
     corpus_compact_kw: dict | None = None,
     sig_compact_kw: dict | None = None,
@@ -522,6 +530,7 @@ def foreach_batch_ingest_dedup(
             band_size=band_size,
             jaccard_threshold=jaccard_threshold,
             portable=portable,
+            n_band_buckets=n_band_buckets,
             auto_compact_max_dirs=auto_compact_max_dirs,
             corpus_compact_kw=corpus_compact_kw,
             sig_compact_kw=sig_compact_kw,
@@ -606,6 +615,43 @@ def ingest_dedup_batch(
         )
         sig_t = TxTable(spark, sig_path)
         if sig_t.latest_version() > 0:
+            from hapiy_etl_spark.operators.textindex import recorded_stamp
+
+            # geometry validation (review r10): a mismatched bucket
+            # modulus, band layout, or key kind never ERRORS on its own
+            # — batch band/bucket values simply stop matching stored
+            # ones and true duplicates are silently admitted. Every
+            # append stamps its geometry; disagreeing callers fail loud.
+            geom = {
+                "n_band_buckets": n_band_buckets,
+                "num_hashes": num_hashes,
+                "band_size": band_size,
+                "portable": int(portable),
+            }
+            rec = None
+            for gk, want in geom.items():
+                rec_k = recorded_stamp(sig_t, gk)
+                if gk == "n_band_buckets":
+                    rec = rec_k
+                if rec_k is not None and rec_k != int(want):
+                    raise ValueError(
+                        f"deduping with {gk}={want} against a signature "
+                        f"index built with {gk}={rec_k} at {sig_path} — "
+                        "band/bucket arithmetic would disagree and "
+                        "collisions would be silently missed; pass the "
+                        "index's own geometry"
+                    )
+            if rec is None and "bb" not in sig_t.read().columns:
+                raise RuntimeError(
+                    f"signature index at {sig_path} uses the pre-r10 "
+                    "(doc, sig) layout — the online-dedup sink now "
+                    "lands band postings (bb, band, key, doc, sig). "
+                    "Rebuild the index from the corpus (one "
+                    "minhash_signatures + band_postings pass over "
+                    "surviving text, or replay via "
+                    "heal_index_from_changes) before resuming the "
+                    "stream"
+                )
             if sig_t.n_dirs() > 2:
                 # ≤ n_band_buckets tiny rows: the ONLY driver
                 # round-trip, and what turns the index read into
@@ -641,6 +687,13 @@ def ingest_dedup_batch(
         appended_s = tx_append_once(
             kept_bands, sig_path, epoch_id, run_id=run_id,
             stats_cols=["bb"],
+            # geometry stamp: later batches/probes validate against it
+            extra_meta={
+                "n_band_buckets": n_band_buckets,
+                "num_hashes": num_hashes,
+                "band_size": band_size,
+                "portable": int(portable),
+            },
         )
         # replay gate: a fully-replayed epoch commits nothing and must
         # not advance either table with a policy optimize either
@@ -787,6 +840,20 @@ def ingest_semdedup_batch(
         )
         idx = TxTable(spark, index_path)
         if idx.latest_version() > 0:
+            from hapiy_etl_spark.operators.textindex import recorded_stamp
+
+            rec_bits = recorded_stamp(idx, "bits")
+            if rec_bits is not None and rec_bits != bits:
+                # stored bucket values were computed at the recorded
+                # hyperplane count — a different bits silently stops
+                # bucket collisions from matching (review r10)
+                raise ValueError(
+                    f"deduping with bits={bits} against an index whose "
+                    f"buckets were computed with bits={rec_bits} at "
+                    f"{index_path} — sign buckets would disagree and "
+                    "near-duplicates would be silently admitted; pass "
+                    "the index's own bits"
+                )
             if idx.n_dirs() > 2:
                 # ≤ 2^bits tiny rows: the bucket list that prunes the
                 # index read to the batch's own buckets' dirs — exact,
@@ -824,6 +891,7 @@ def ingest_semdedup_batch(
         appended = tx_append_once(
             survivors, index_path, epoch_id, run_id=run_id,
             stats_cols=["bucket"],
+            extra_meta={"bits": bits},
         )
         if appended and auto_compact_max_dirs:
             from hapiy_etl_spark.operators.maintenance import auto_compact

@@ -2519,3 +2519,72 @@ def test_incremental_mv_topk_panel(spark, tmp_path):
             spark, src, str(tmp_path / "mv3"), ["g"], "v",
             topk_col="u", topk_k=100, topk_track=10,
         )
+
+
+def test_online_dedup_index_geometry_validated(spark, tmp_path):
+    """Review r10: a mismatched bucket modulus / band layout / key kind
+    never errors on its own — batch band values simply stop matching
+    stored ones and true duplicates are silently admitted. Every sig
+    append stamps its geometry; disagreeing callers fail loud, and a
+    pre-r10 (doc, sig)-layout index raises the migration error instead
+    of an unresolved-column crash mid-join."""
+    from hapiy_etl_spark.operators.dedup import minhash_signatures
+    from hapiy_etl_spark.streaming.jobs import ingest_dedup_batch
+
+    c, s = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    b1 = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    ingest_dedup_batch(b1, c, s, epoch_id=1, run_id="r")
+
+    b2 = spark.createDataFrame(
+        [(2, " ".join(f"b{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_band_buckets=64.*built.*16"):
+        ingest_dedup_batch(b2, c, s, epoch_id=2, run_id="r", n_band_buckets=64)
+    with pytest.raises(ValueError, match="band_size=4.*built.*band_size=2"):
+        ingest_dedup_batch(b2, c, s, epoch_id=2, run_id="r", band_size=4)
+    with pytest.raises(ValueError, match="portable=0.*portable=1"):
+        ingest_dedup_batch(b2, c, s, epoch_id=2, run_id="r", portable=False)
+    # the matching geometry proceeds
+    ingest_dedup_batch(b2, c, s, epoch_id=2, run_id="r")
+
+    # pre-r10 layout: an index of bare (doc, sig) rows names the
+    # migration path instead of crashing on a missing column
+    legacy = str(tmp_path / "legacy_sigs")
+    TxTable(spark, legacy).append(
+        minhash_signatures(b1, "doc_id", "text", 3, 16, portable=True)
+    )
+    with pytest.raises(RuntimeError, match="pre-r10.*Rebuild"):
+        ingest_dedup_batch(b2, str(tmp_path / "c2"), legacy, epoch_id=1, run_id="r")
+
+
+def test_online_semdedup_index_bits_validated(spark, tmp_path):
+    """The embedding twin of the geometry stamp: stored buckets were
+    computed at the recorded hyperplane count — a different bits
+    silently stops collisions from matching, so it must raise."""
+    from hapiy_etl_spark.streaming.jobs import ingest_semdedup_batch
+
+    idxp = str(tmp_path / "idx")
+    b1 = spark.createDataFrame(
+        [(1, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    ingest_semdedup_batch(b1, idxp, 1, run_id="t")
+    b2 = spark.createDataFrame(
+        [(2, [-0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="bits=4.*bits=8"):
+        ingest_semdedup_batch(b2, idxp, 2, run_id="t", bits=4)
+    ingest_semdedup_batch(b2, idxp, 2, run_id="t")  # matching bits: fine
+
+
+def test_index_fixture_paths_distinguish_same_basename(spark):
+    """Review r10: the fixture cache keys on the FULL sf_dir but the
+    disk path once used only the basename — two corpora named sf1
+    would alias one on-disk fixture and silently serve each other's
+    data. The path now carries a full-path hash."""
+    from hapiy_etl_spark.queries.index_fixtures import _base
+
+    a = _base(spark, "/data/a/sf1", "bm25idx")
+    b = _base(spark, "/data/b/sf1", "bm25idx")
+    assert a != b

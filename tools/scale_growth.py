@@ -578,16 +578,20 @@ def streamdedup_main(n_batches: int) -> None:
 
 
 def batchfetch_main(n_batches: int) -> None:
-    """1000-key where_in fetch (VERDICT r9 item 4): the chunked bloom
-    probe (txstore._bloom_positions_many, ~512-expr chunks since r8)
-    must keep the DRIVER stable as the key list grows — bloom_batch_fetch
-    [O] only exercises a handful of keys. Build a bloomed table of
-    n_batches disjoint dirs, then fetch 10 / 100 / 1000 keys spread
-    across every batch in ONE where_in read each; record the read()
-    planning wall (where ALL bloom hashing happens, in one local job),
-    the fetch wall, and dirs read. The scale claim: planning wall grows
-    ~linearly in probe count (flat per chunk), never super-linearly,
-    and the driver never materializes one giant struct expression."""
+    """1000-key where_in fetch (VERDICT r9 item 4): the DATA-parallel
+    bloom probe (txstore._bloom_positions_many, r10 — probe values as
+    ROWS of one tiny local DataFrame per recorded bloom geometry,
+    hashed by k constant expressions) must keep the DRIVER stable as
+    the key list grows — bloom_batch_fetch [O] only exercises a
+    handful of keys, and the r8 expression-parallel form this replaced
+    spent ~25 s of pure py4j Column construction at 1000 keys. Build a
+    bloomed table of n_batches disjoint dirs, then fetch 10 / 100 /
+    1000 keys spread across every batch in ONE where_in read each;
+    record the read() planning wall (O(1) expressions, O(geometries)
+    driver round-trips), the fetch wall, and dirs read. The scale
+    claim: per-key planning cost FALLS with batch size (the fixed
+    round-trip amortizes) and the driver never builds per-value
+    expressions."""
     import shutil
     import tempfile
 
