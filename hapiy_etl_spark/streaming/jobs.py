@@ -675,7 +675,13 @@ def ingest_dedup_batch(
                     ).select(F.col("new_id").alias("doc"))
                 )
         drop = drop.distinct()
-        kept_bands = bp.join(drop, "doc", "left_anti")
+        # re-select after the anti-join: joining on "doc" moves it
+        # first, and the index must keep band_postings' canonical
+        # (bb, band, key, doc, sig) layout so a healer-built index is
+        # bit-identical (review r10 follow-up)
+        kept_bands = bp.join(drop, "doc", "left_anti").select(
+            "bb", "band", "key", "doc", "sig"
+        )
         # anti-join, not a semi-join on kept_bands: NULL-text docs
         # have no signature row yet must survive
         survivors = batch.join(

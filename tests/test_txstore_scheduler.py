@@ -2588,3 +2588,120 @@ def test_index_fixture_paths_distinguish_same_basename(spark):
     a = _base(spark, "/data/a/sf1", "bm25idx")
     b = _base(spark, "/data/b/sf1", "bm25idx")
     assert a != b
+
+
+def test_online_dedup_sink_with_retention_stays_correct_and_bounded(
+    spark, tmp_path
+):
+    """Retention composed into the ONLINE dedup sink (r11 candidate,
+    landed r10): vacuum_keep_last rides the per-table compact kwargs,
+    so an always-on ingest keeps BOTH tables' disk bounded while dedup
+    state stays correct — a text re-sent after compactions AND vacuums
+    is still dropped against the index, and geometry stamps survive in
+    the retained manifests."""
+    from pathlib import Path
+
+    from hapiy_etl_spark.streaming.jobs import ingest_dedup_batch
+
+    A = " ".join(f"w{i}" for i in range(30))
+    c, s = str(tmp_path / "corpus"), str(tmp_path / "sigs")
+    kw = dict(
+        auto_compact_max_dirs=3,
+        corpus_compact_kw={"vacuum_keep_last": 6, "vacuum_min_age_s": 0.0},
+        sig_compact_kw={
+            "cluster_by": "bb", "n_dirs": 1,
+            "vacuum_keep_last": 6, "vacuum_min_age_s": 0.0,
+        },
+    )
+    for e in range(1, 10):
+        text = A if e in (1, 8) else " ".join(
+            f"e{e}t{i}" for i in range(30)
+        )  # epoch 8 re-sends epoch-1 text under a new id
+        b = spark.createDataFrame(
+            [(e * 100, text)], "doc_id long, text string"
+        )
+        ingest_dedup_batch(b, c, s, epoch_id=e, run_id="r", **kw)
+
+    kept = sorted(r.doc_id for r in TxTable(spark, c).read().collect())
+    assert 100 in kept and 800 not in kept  # dedup survived the vacuums
+    assert len(kept) == 8
+    for path in (c, s):
+        on_disk = [p for p in (Path(path) / "data").iterdir() if p.is_dir()]
+        manifests = list((Path(path) / "_tx").glob("v*.json"))
+        # 9 epochs x (append + periodic optimize) would leave ~14+ dirs
+        # and 14+ manifests without retention
+        assert len(on_disk) < 12 and len(manifests) <= 9, path
+    # the retained window still carries the geometry stamps
+    from hapiy_etl_spark.operators.textindex import recorded_stamp
+
+    assert recorded_stamp(TxTable(spark, s), "n_band_buckets") == 16
+
+
+def test_heal_band_postings_index_matches_coupled_sink(spark, tmp_path):
+    """Decoupled healer for the MinHash signature index (r11 candidate,
+    landed r10): a corpus written by a plain exactly-once job, with the
+    band-postings index healed from its change feed, must dedup a new
+    batch IDENTICALLY to the index the coupled online sink maintains —
+    index content is a pure function of corpus content."""
+    from hapiy_etl_spark.operators.dedup import (
+        band_postings,
+        dedup_against_band_index,
+        minhash_signatures,
+    )
+    from hapiy_etl_spark.streaming.jobs import (
+        heal_index_from_changes,
+        ingest_dedup_batch,
+    )
+
+    def doc(i, tag):
+        return (i, " ".join(f"{tag}{i}w{j}" for j in range(20)))
+
+    # coupled topology: the online sink maintains corpus + index
+    c1, s1 = str(tmp_path / "c1"), str(tmp_path / "s1")
+    for e in range(1, 4):
+        b = spark.createDataFrame(
+            [doc(e * 10 + k, f"e{e}") for k in range(2)],
+            "doc_id long, text string",
+        )
+        ingest_dedup_batch(b, c1, s1, epoch_id=e, run_id="r")
+
+    # decoupled topology: plain corpus appends + a healer job deriving
+    # the SAME band-postings layout from the change feed
+    c2, s2 = str(tmp_path / "c2"), str(tmp_path / "s2")
+    corpus2 = TxTable(spark, c2)
+    for e in range(1, 4):
+        corpus2.append(
+            spark.createDataFrame(
+                [doc(e * 10 + k, f"e{e}") for k in range(2)],
+                "doc_id long, text string",
+            )
+        )
+    heal_index_from_changes(
+        spark, c2, s2, str(tmp_path / "ckpt"),
+        lambda b: band_postings(
+            minhash_signatures(
+                b.where(F.col("text").isNotNull()),
+                "doc_id", "text", 3, 16, portable=True,
+            ),
+            portable=True,
+        ),
+        stats_cols=["bb"],
+    ).awaitTermination()
+
+    # identical index content...
+    rows1 = sorted(map(tuple, TxTable(spark, s1).read().collect()))
+    rows2 = sorted(map(tuple, TxTable(spark, s2).read().collect()))
+    assert rows1 == rows2
+    # ...and identical dedup verdicts for a new batch (one near-dup of
+    # a stored doc, one fresh)
+    probe = spark.createDataFrame(
+        [doc(11, "e1"), doc(99, "fresh")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(probe, "doc_id", "text", 3, 16, portable=True)
+    v1 = sorted(map(tuple, dedup_against_band_index(
+        sigs, TxTable(spark, s1).read(), portable=True
+    ).collect()))
+    v2 = sorted(map(tuple, dedup_against_band_index(
+        sigs, TxTable(spark, s2).read(), portable=True
+    ).collect()))
+    assert v1 == v2 and any(r[0] == 11 for r in v1)
