@@ -1766,6 +1766,137 @@ def cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_vocab_growth",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    first_seen AS (
+        SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    sliced AS (
+        SELECT CAST(FLOOR(first_doc * 4.0 / (m + 1)) AS INT) + 1 AS slice,
+               COUNT(*) AS new_types
+        FROM first_seen, mx
+        GROUP BY 1
+    ),
+    occ AS (
+        SELECT CAST(FLOOR(doc_id * 4.0 / (m + 1)) AS INT) + 1 AS slice,
+               COUNT(*) AS slice_tokens
+        FROM toks, mx
+        GROUP BY 1
+    )
+    SELECT s.slice, s.new_types,
+           CAST(SUM(s.new_types) OVER (ORDER BY s.slice) AS BIGINT)
+               AS vocab_size,
+           ROUND(SUM(s.new_types) OVER (ORDER BY s.slice) * 1.0 /
+                 SUM(o.slice_tokens) OVER (ORDER BY s.slice), 6)
+               AS type_token_ratio
+    FROM sliced s JOIN occ o ON s.slice = o.slice
+    ORDER BY s.slice
+    """,
+    doc="Vocabulary growth curve (Heaps' law, r10): distinct token "
+    "types accumulated across 4 cumulative corpus slices plus the "
+    "running type/token ratio — the saturation audit that tells a "
+    "data pipeline when MORE of the same source stops adding lexical "
+    "diversity (a flattening curve means dedup/source-mixing work, "
+    "not more crawl). Spark-first shape: cumulative distinct needs NO "
+    "per-slice rescan — one groupBy finds each type's FIRST document, "
+    "a histogram of first-occurrence slices + a running-sum window "
+    "gives every prefix's exact distinct count from ONE corpus pass "
+    "(k scans with COUNT(DISTINCT) each is the naive form this "
+    "avoids; the same first-occurrence trick is how you'd compute it "
+    "over 100 TB).",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    mx = docs.agg(F.max("doc_id")).first()[0]  # 1-row scalar agg
+    toks = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    slice_of = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * 4.0 / F.lit(mx + 1)).cast("int") + 1
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    sliced = first_seen.groupBy(slice_of("first_doc").alias("slice")).agg(
+        F.count("*").alias("new_types")
+    )
+    occ = toks.groupBy(slice_of("doc_id").alias("slice")).agg(
+        F.count("*").alias("slice_tokens")
+    )
+    w = W.orderBy("slice").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        sliced.join(occ, "slice")
+        .select(
+            "slice",
+            "new_types",
+            F.sum("new_types").over(w).alias("vocab_size"),
+            F.round(
+                F.sum("new_types").over(w) / F.sum("slice_tokens").over(w), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("slice")
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT digest) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT digest) AS n_dupes,
+           ROUND((COUNT(*) - COUNT(DISTINCT digest)) * 1.0 / COUNT(*), 6)
+               AS dup_rate
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source exact-duplicate rate (r10): how much each ingest "
+    "source contributes in duplicates — the attribution report a "
+    "pipeline reads before paying for more of a source (a crawl with "
+    "a 30% dup rate is cheaper to dedup than to re-buy). Same "
+    "normalized-md5 digest kernel as dedup_exact; the shuffle carries "
+    "16-byte digests per source group, never document text.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = (
+        t["documents"]
+        .where(F.col("text").isNotNull())
+        .select("source", F.md5(D.normalized_text("text")).alias("digest"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dupes"),
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "corpus_curriculum_order",
     oracle="""
     WITH scored AS (

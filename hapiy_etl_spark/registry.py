@@ -64,6 +64,8 @@ PRIORITY: tuple[str, ...] = (
     "incremental_mv_topk",
     "corpus_curriculum_order",
     "corpus_cross_contamination",
+    "corpus_vocab_growth",
+    "dedup_rate_by_source",
     "vocab_encode_documents",
     "editsim_source_labels",
     "text_unicode_nfc",
@@ -108,8 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "fn_map",
     "fn_map_explode",
     "unpivot_stack",
-    "sample_deterministic",
-    "udtf_polymorphic_split",
 )
 
 
