@@ -153,6 +153,12 @@ SHOWCASE = [
     # r10: curriculum order — one stage-cut sort + per-stage hash
     # windows; no nested loops, no repeated corpus scans
     ("corpus_curriculum_order", ["Window", "Exchange"]),
+    # r10: Heaps-law curve — cumulative distinct via ONE first-
+    # occurrence aggregate + running-sum window, never k rescans
+    ("corpus_vocab_growth", ["HashAggregate", "Window"]),
+    # r10: per-source dup rate — a two-phase distinct aggregate over
+    # 16-byte digests, no text on the shuffle
+    ("dedup_rate_by_source", ["HashAggregate", "Exchange"]),
 ]
 
 
