@@ -176,7 +176,7 @@ def zorder_sort(df, cols: list[str], bits: int = 16, num_partitions: int | None 
     )
 
 
-def assign_contiguous_ids(df, id_col: str = "row_id", order_within: str | None = None):
+def assign_contiguous_ids(df, id_col: str = "row_id", order_within=None):
     """Assign contiguous ids 0..n-1 at scale (the zipWithIndex shape,
     DataFrame-native): per-partition counts roll up to offsets on the
     driver (one row per partition — a bounded collect), each row's id
@@ -190,9 +190,15 @@ def assign_contiguous_ids(df, id_col: str = "row_id", order_within: str | None =
     reproducible across different partitionings (partition assignment
     is layout-dependent). For ids that must be stable across reruns and
     engines, key on content instead (md5/xxhash64 of a natural key —
-    the sample_deterministic pattern). ``order_within`` pins the
-    within-partition order to a column (deterministic given a layout);
-    default is the partition's physical row order.
+    the sample_deterministic pattern) — OR feed a
+    ``repartitionByRange(...)`` of the frame on a total order and pass
+    the same order as ``order_within``: range partition i sorts wholly
+    before partition i+1, so pid-ordered offsets + within-partition
+    row_number reproduce the global ``row_number() OVER (ORDER BY ...)``
+    exactly, without its single-reducer window. ``order_within`` pins
+    the within-partition order to a column, a Column expression, or a
+    list of them (deterministic given a layout); default is the
+    partition's physical row order.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -222,8 +228,15 @@ def assign_contiguous_ids(df, id_col: str = "row_id", order_within: str | None =
     off_df = spark.createDataFrame(
         [(p, o) for p, o in offsets.items()], "__pid int, __off long"
     )
-    order = F.col(order_within) if order_within else F.monotonically_increasing_id()
-    w = W.partitionBy("__pid").orderBy(order)
+    if order_within is None:
+        order = [F.monotonically_increasing_id()]
+    elif isinstance(order_within, (list, tuple)):
+        order = [F.col(o) if isinstance(o, str) else o for o in order_within]
+    elif isinstance(order_within, str):
+        order = [F.col(order_within)]
+    else:
+        order = [order_within]
+    w = W.partitionBy("__pid").orderBy(*order)
     return (
         with_pid.withColumn("__local", F.row_number().over(w))
         .join(F.broadcast(off_df), "__pid")

@@ -93,24 +93,46 @@ def postings_build(
     return postings, meta
 
 
+_STAMP_CACHE: dict[tuple[str, int, str], int | None] = {}
+
+
 def recorded_stamp(index, key: str) -> int | None:
     """Newest manifest-meta stamp ``key`` in the index's history, read
     NEWEST-FIRST with an early exit — one manifest file per step, so a
     stamped table answers in O(1) manifest reads no matter how many
     versions it has accumulated (review r10: the history() form parsed
     EVERY manifest on every append/probe — O(versions) each, O(n²)
-    over an index's lifetime). A manifest below the vacuum retention
+    over an index's lifetime). Since r11, TxTable._commit carries
+    GEOMETRY_STAMP_KEYS forward, so any table stamped after the
+    upgrade answers at the FIRST (newest) manifest. For legacy
+    unstamped histories — where the walk is genuinely O(versions), and
+    callers re-walk per geometry key per micro-batch/probe (ADVICE
+    r10) — the result is memoized per (table path, latest_version,
+    key): manifests are immutable per version and a new append bumps
+    latest_version, so the cache can never serve a stale answer (a
+    vacuum that deletes a stamped manifest without a new commit keeps
+    the recorded value alive in cache, which is the value the index
+    was in fact built with). A manifest below the vacuum retention
     window ends the walk (older ones are gone too). Returns None for a
     table written before stamping — validation is best-effort skipped."""
-    for v in range(index.latest_version(), 0, -1):
+    latest = index.latest_version()
+    ck = (str(index.path), latest, key)
+    if ck in _STAMP_CACHE:
+        return _STAMP_CACHE[ck]
+    out = None
+    for v in range(latest, 0, -1):
         try:
             m = index._manifest(v)
         except FileNotFoundError:
             break  # vacuumed below retention: nothing older survives
         val = (m.get("meta") or {}).get(key)
         if val is not None:
-            return int(val)
-    return None
+            out = int(val)
+            break
+    if len(_STAMP_CACHE) > 4096:  # bounded: local-session scratch only
+        _STAMP_CACHE.clear()
+    _STAMP_CACHE[ck] = out
+    return out
 
 
 def recorded_n_buckets(index) -> int | None:

@@ -39,6 +39,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hapiy_etl_spark.operators.upsert import upsert_by_key
 
+# Index-geometry manifest-meta keys (bucket moduli, band layout, sign
+# bits) that build/probe validation reads via
+# textindex.recorded_stamp. _commit carries the parent's newest values
+# forward into every commit that doesn't set its own, exactly like the
+# epoch/run replay state — so a stamp survives optimize+vacuum and the
+# NEWEST manifest always answers the lookup (ADVICE r10).
+GEOMETRY_STAMP_KEYS = (
+    "n_buckets",
+    "n_band_buckets",
+    "num_hashes",
+    "band_size",
+    "portable",
+    "bits",
+)
+
 
 def _epoch_us(v) -> int:
     """Datetime → integer epoch microseconds (ordering-preserving,
@@ -193,6 +208,25 @@ class TxTable:
         someone compacts). 0 for an empty table."""
         v = self.latest_version() if version is None else version
         return len(self._manifest(v)["dirs"]) if v else 0
+
+    def recorded_columns(self, version: int | None = None) -> list[str] | None:
+        """Column names of the snapshot's NEWEST dir from the manifest's
+        recorded per-dir schemas — a layout check that costs one JSON
+        read instead of constructing a multi-dir DataFrame (parquet
+        footer reads across every dir) just to look at ``.columns``
+        (ADVICE r10). Returns None when the table is empty or the dir
+        predates schema recording (fall back to ``read().columns``)."""
+        v = self.latest_version() if version is None else version
+        if not v:
+            return None
+        m = self._manifest(v)
+        dirs = m.get("dirs") or []
+        if not dirs:
+            return None
+        sch = (m.get("schemas") or {}).get(dirs[-1])
+        if not sch:
+            return None
+        return [f["name"] for f in sch.get("fields", [])]
 
     def history(self) -> list[dict]:
         """Manifests that still exist, oldest first — after a vacuum the
@@ -529,18 +563,27 @@ class TxTable:
     ) -> int:
         """Atomically create manifest parent+1; raise on a lost race.
 
-        Streaming replay state (``epoch``/``run`` meta keys) is carried
-        forward from the parent into every commit that does not set its
-        own — so optimize/merge/restore/delete cannot strand the
-        exactly-once detection behind manifests that vacuum may drop."""
+        Streaming replay state (``epoch``/``run`` meta keys) and index
+        geometry stamps (``GEOMETRY_STAMP_KEYS``) are carried forward
+        from the parent into every commit that does not set its own —
+        so optimize/merge/restore/delete cannot strand the exactly-once
+        detection OR the build/probe geometry validation behind
+        manifests that vacuum may drop (ADVICE r10: an aggressive
+        ``vacuum_keep_last`` after a stamp-less optimize deleted every
+        stamped append manifest and validation silently disabled).
+        Carry-forward also makes ``recorded_stamp`` O(1) on any table
+        whose history ever stamped: the NEWEST manifest always answers."""
         version = parent + 1
         meta = dict(meta) if meta else {}
-        if "epoch" not in meta and parent:
+        if parent:
             pm = self._manifest(parent).get("meta") or {}
-            if "epoch" in pm:
+            if "epoch" not in meta and "epoch" in pm:
                 meta["epoch"] = pm["epoch"]
                 if "run" in pm:
                     meta["run"] = pm["run"]
+            for k in GEOMETRY_STAMP_KEYS:
+                if k not in meta and k in pm:
+                    meta[k] = pm[k]
         manifest = {
             "version": version,
             "parent": parent,

@@ -556,9 +556,26 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_equidepth_histogram",
     oracle="""
-    WITH binned AS (
-        SELECT value, ntile(8) OVER (ORDER BY value, event_id) AS bin
+    WITH cuts AS (
+        SELECT quantile_disc(value, 0.125) AS b1,
+               quantile_disc(value, 0.250) AS b2,
+               quantile_disc(value, 0.375) AS b3,
+               quantile_disc(value, 0.500) AS b4,
+               quantile_disc(value, 0.625) AS b5,
+               quantile_disc(value, 0.750) AS b6,
+               quantile_disc(value, 0.875) AS b7
         FROM events
+    ),
+    binned AS (
+        SELECT value,
+               1 + CASE WHEN value > b1 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b2 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b3 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b4 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b5 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b6 THEN 1 ELSE 0 END
+                 + CASE WHEN value > b7 THEN 1 ELSE 0 END AS bin
+        FROM events, cuts
     )
     SELECT bin,
            COUNT(*) AS n,
@@ -568,24 +585,38 @@ def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bin
     ORDER BY bin
     """,
-    doc="Equi-depth (quantile) histogram via ntile(8): every bin holds "
-    "~the same row count and the [lo, hi] bounds trace the empirical "
-    "distribution — the optimizer-statistics / skew-diagnosis "
-    "complement to the fixed-width width_bucket histogram. "
-    "Deterministic tie-break on event_id keeps both engines aligned on "
-    "duplicate values. SCALE NOTE: a global-order ntile funnels through "
-    "one window partition — exact and fine at oracle scale; at 100 TB "
-    "compute approx percentile boundaries (agg_percentile_approx) and "
-    "assign bins by range comparison instead (no global sort).",
+    doc="Equi-depth (quantile) histogram (rebuilt scale-safe r11): "
+    "every bin holds ~the same row count and the [lo, hi] bounds trace "
+    "the empirical distribution — the optimizer-statistics / "
+    "skew-diagnosis complement to the fixed-width width_bucket "
+    "histogram. Bin edges are EXACT percentile_disc boundaries (data "
+    "elements, no interpolation — both engines pick the same stored "
+    "double) assigned by range comparison, replacing the r10 global "
+    "NTILE whose single window partition funneled the whole table "
+    "through one reducer. Plan: a 1-row percentile aggregate broadcast "
+    "back onto the scan + a groupBy — two passes, zero windows, fully "
+    "parallel. Ties at an edge collapse into the lower bin "
+    "(deterministically, both engines), so bins are near-equal rather "
+    "than exactly-equal depth — the correct trade at 100 TB.",
 )
 def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     t = load_tables(spark, sf_dir, ("events",))
-    w = W.orderBy("value", "event_id")
+    e = t["events"]
+    qs = [i / 8 for i in range(1, 8)]
+    cuts = e.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)").alias(
+                f"b{i}"
+            )
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bin_expr = F.lit(1)
+    for i in range(1, 8):
+        bin_expr = bin_expr + (F.col("value") > F.col(f"b{i}")).cast("int")
     return (
-        t["events"]
-        .select("value", F.ntile(8).over(w).alias("bin"))
+        e.crossJoin(F.broadcast(cuts))
+        .select("value", bin_expr.alias("bin"))
         .groupBy("bin")
         .agg(
             F.count("*").alias("n"),

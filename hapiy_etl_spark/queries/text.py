@@ -937,25 +937,28 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Tokenizer-prep kernel: build a frequency-ranked vocab (word → "
     "contiguous id), then encode each document as its ordered id "
     "sequence — posexplode + broadcast vocab join + order-restoring "
-    "sort_array(struct(pos,id)).",
+    "sort_array(struct(pos,id)). Token ids come from "
+    "repartitionByRange(freq DESC, t) + assign_contiguous_ids (range "
+    "partition i sorts wholly before i+1, so pid offsets + local "
+    "row_number reproduce the global ROW_NUMBER exactly) — the r11 "
+    "swap off the vocab-grain single-partition window.",
 )
 def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from hapiy_etl_spark.operators.maintenance import assign_contiguous_ids
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "t")
     )
-    vocab = (
+    vocab_order = [F.col("freq").desc(), F.col("t")]
+    vocab = assign_contiguous_ids(
         tok.groupBy("t")
         .agg(F.count("*").alias("freq"))
-        .withColumn(
-            "token_id",
-            F.row_number().over(W.orderBy(F.col("freq").desc(), F.col("t"))) - 1,
-        )
-        .select("t", "token_id")
-    )
+        .repartitionByRange(*vocab_order),
+        id_col="token_id",
+        order_within=vocab_order,
+    ).select("t", "token_id")
     # collect_list is order-nondeterministic — restore order by sorting
     # (pos, id) structs, then projecting the id
     encoded = (
@@ -1905,31 +1908,43 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                      len(string_split_regex(trim(text), '\\s+')), 6) AS difficulty
         FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ),
+    cuts AS (
+        SELECT quantile_disc(difficulty, 0.25) AS b1,
+               quantile_disc(difficulty, 0.50) AS b2,
+               quantile_disc(difficulty, 0.75) AS b3
+        FROM scored
+    ),
     bucketed AS (
         SELECT doc_id, difficulty,
-               NTILE(4) OVER (ORDER BY difficulty, doc_id) AS stage
-        FROM scored
+               1 + CASE WHEN difficulty > b1 THEN 1 ELSE 0 END
+                 + CASE WHEN difficulty > b2 THEN 1 ELSE 0 END
+                 + CASE WHEN difficulty > b3 THEN 1 ELSE 0 END AS stage
+        FROM scored, cuts
     )
     SELECT doc_id, difficulty, stage,
-           ROW_NUMBER() OVER (
+           CAST(ROW_NUMBER() OVER (
                PARTITION BY stage ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-           ) AS curriculum_pos
+           ) AS BIGINT) AS curriculum_pos
     FROM bucketed
     ORDER BY stage, curriculum_pos
     """,
-    doc="Curriculum data ordering (r10): documents ranked easy-to-hard "
-    "by a difficulty proxy (mean token length = n_chars / tokens), cut "
-    "into 4 curriculum stages (NTILE with a doc_id tie-break — fully "
-    "deterministic), then REPRODUCIBLY shuffled within each stage by "
-    "the portable md5 kernel — the order a curriculum-learning run "
-    "feeds batches in, derivable bit-for-bit by any engine from the "
-    "corpus alone (no RNG state to ship, the corpus_shard_assignment "
-    "property). Scale shape: one sort for the stage cut (range-"
-    "partitioned, what Spark sorts are), then per-stage windows over "
-    "the hash — at 100 TB the stage boundaries can come from "
-    "approx_percentile instead (boundary precision only moves a few "
-    "docs between adjacent stages; the within-stage shuffle is "
-    "unchanged).",
+    doc="Curriculum data ordering (r10, rebuilt scale-safe r11): "
+    "documents ranked easy-to-hard by a difficulty proxy (mean token "
+    "length = n_chars / tokens), cut into 4 curriculum stages by EXACT "
+    "percentile_disc boundaries + range comparison (ties at a boundary "
+    "fall into the lower stage — deterministic, both engines agree on "
+    "the exact stored doubles since difficulty is pre-rounded), then "
+    "REPRODUCIBLY shuffled within each stage by the portable md5 "
+    "kernel. Scale shape (replacing r10's global-order NTILE, which "
+    "planned as ONE window partition): the stage cut is a 1-row "
+    "percentile aggregate broadcast back onto the scan — no global "
+    "sort; within-stage positions come from (stage, 2-hex-char hash "
+    "prefix) windows (4x256 partitions) plus per-bucket offsets from a "
+    "tiny counts aggregate — because the bucket is a PREFIX of the "
+    "sort key, bucket-major order equals the global md5 order, so the "
+    "composed position is bit-identical to the oracle's per-stage "
+    "ROW_NUMBER while no task ever sees more than ~1/1024 of the "
+    "corpus.",
 )
 def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1947,14 +1962,52 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("difficulty"),
         )
     )
-    stage_w = W.orderBy("difficulty", "doc_id")
-    bucketed = scored.withColumn("stage", F.ntile(4).over(stage_w))
-    pos_w = W.partitionBy("stage").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    cuts = scored.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY difficulty)"
+            ).alias(f"b{i}")
+            for i, q in enumerate((0.25, 0.50, 0.75), start=1)
+        ]
+    )
+    bucketed = (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "difficulty",
+            (
+                F.lit(1)
+                + (F.col("difficulty") > F.col("b1")).cast("int")
+                + (F.col("difficulty") > F.col("b2")).cast("int")
+                + (F.col("difficulty") > F.col("b3")).cast("int")
+            ).alias("stage"),
+        )
+        .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("hb", F.substring("h", 1, 2))
+    )
+    # hb is a prefix of h, so ordering by (hb, h) == ordering by h:
+    # within-bucket row_number + bucket offsets reproduce the per-stage
+    # global row_number without any single-partition window.
+    local = bucketed.withColumn(
+        "lpos",
+        F.row_number().over(W.partitionBy("stage", "hb").orderBy("h", "doc_id")),
+    )
+    counts = bucketed.groupBy("stage", "hb").agg(F.count("*").alias("n"))
+    offsets = counts.select(
+        "stage",
+        "hb",
+        (F.sum("n").over(W.partitionBy("stage").orderBy("hb")) - F.col("n")).alias(
+            "off"
+        ),
     )
     return (
-        bucketed.withColumn("curriculum_pos", F.row_number().over(pos_w))
-        .select("doc_id", "difficulty", "stage", "curriculum_pos")
+        local.join(F.broadcast(offsets), ["stage", "hb"])
+        .select(
+            "doc_id",
+            "difficulty",
+            "stage",
+            (F.col("off") + F.col("lpos")).cast("long").alias("curriculum_pos"),
+        )
         .orderBy("stage", "curriculum_pos")
     )
 

@@ -53,63 +53,67 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r10 window (tools/rotate_priority.py over CORRECTNESS_r01..r09, rerun
-# after each new registration): zero failures; the new r10 query
-# front-loads as never-checked (cdc_index_maintenance first), then
-# freshest-last backfill — the r9 window re-proved its 50, so the
-# stalest standing greens (r5/r6-era aggregate/event/udf/ann rows)
-# rotate back in for fresh evidence.
+# r11 window (tools/rotate_priority.py over CORRECTNESS_r01..r10, then
+# hand-front-loaded): zero failures, zero unchecked — so the front of
+# the window is the MATERIALLY CHANGED set: the two online-dedup sinks
+# whose index schema + pruned read path were rewritten in r10 but whose
+# last driver rows are r9 vintage (VERDICT r10 item 1), plus the three
+# queries rebuilt scale-safe THIS round (curriculum stage cut and
+# equi-depth bins off the global NTILE onto percentile_disc boundaries;
+# vocab token ids off the global row_number onto the range-partitioned
+# assign_contiguous_ids kernel). Backfill is stalest-green-first
+# (r5/r6-era ann/window/agg rows).
 PRIORITY: tuple[str, ...] = (
-    "cdc_index_maintenance",
-    "incremental_mv_topk",
+    "stream_ingest_online_dedup",
+    "stream_ingest_online_semdedup",
     "corpus_curriculum_order",
-    "corpus_cross_contamination",
-    "corpus_vocab_growth",
-    "dedup_rate_by_source",
+    "events_equidepth_histogram",
     "vocab_encode_documents",
-    "editsim_source_labels",
-    "text_unicode_nfc",
-    "udf_grouped_agg_mad",
-    "udtf_table_argument",
-    "ann_cosine_topk_numpy",
-    "agg_basic_stats",
-    "agg_corr_covar",
-    "agg_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_first_last_ordered",
-    "agg_bitwise_boolean",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "agg_regression",
-    "agg_filter_clause",
-    "agg_kmv_distinct_sketch",
-    "agg_approx_top_k_freq",
-    "interval_overlap_sessions",
-    "events_cohort_retention",
-    "events_value_histogram",
-    "table_diff_snapshots",
-    "incremental_mv_refresh",
-    "constraints_quarantine",
-    "data_quality_report",
-    "text_pii_redaction",
-    "corpus_split_sample",
-    "sample_reservoir_per_group",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_ratio",
-    "q7_nation_pair_volume",
-    "q9_profit_by_nation_year",
-    "q19_disjunctive_predicates",
-    "udf_pandas_vectorized",
-    "udf_grouped_map_zscore",
-    "udf_map_in_pandas",
-    "udtf_explode_ranges",
-    "fn_map",
-    "fn_map_explode",
-    "unpivot_stack",
+    "sample_deterministic",
+    "udtf_polymorphic_split",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_neardup",
+    "embedding_stats",
+    "ann_pq_topk",
+    "window_ranking",
+    "window_analytic",
+    "window_frames_running",
+    "window_sessionize",
+    "agg_bitmap_distinct",
+    "agg_listagg_disc",
+    "agg_winsorized_stats",
+    "incremental_agg_merge",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "asof_join_events",
+    "watermark_read",
+    "incremental_since",
+    "resample_ffill",
+    "sort_null_ordering",
+    "upsert_merge",
+    "events_funnel_multistep",
+    "events_frequent_users",
+    "events_redact_props",
+    "incremental_mv_multi",
+    "incremental_mv_quantiles",
+    "merge_pruned_upsert",
+    "stats_pruned_time_slice",
+    "graph_pagerank_trade",
+    "join_skew_salted",
+    "maintenance_zorder_key",
+    "subq_lateral_topn",
+    "text_fingerprint",
+    "text_sequence_pack",
+    "dedup_cluster_assign",
+    "text_bigram_logprob",
+    "text_bm25_search",
+    "text_bm25_query_table",
+    "dedup_incremental_batch",
+    "text_decontamination",
+    "dedup_exact_substring",
 )
 
 

@@ -641,7 +641,15 @@ def ingest_dedup_batch(
                         "collisions would be silently missed; pass the "
                         "index's own geometry"
                     )
-            if rec is None and "bb" not in sig_t.read().columns:
+            # layout check from the manifest's recorded newest-dir
+            # schema — one JSON read, not a multi-dir DataFrame built
+            # per unstamped tick just to inspect .columns (ADVICE r10)
+            cols = (
+                sig_t.recorded_columns() or sig_t.read().columns
+                if rec is None
+                else None
+            )
+            if rec is None and "bb" not in cols:
                 raise RuntimeError(
                     f"signature index at {sig_path} uses the pre-r10 "
                     "(doc, sig) layout — the online-dedup sink now "
@@ -926,6 +934,7 @@ def heal_index_from_changes(
     build_fn,
     *,
     stats_cols: Sequence[str] | None = None,
+    extra_meta: dict | None = None,
     auto_compact_max_dirs: int | None = None,
     compact_kw: dict | None = None,
     max_versions_per_trigger: int | None = None,
@@ -954,8 +963,12 @@ def heal_index_from_changes(
     that outruns this job's lag raises the loud resync error — size
     retention above the healer's lag. ``stats_cols``/``compact_kw``
     keep the index dir-prunable exactly as the coupled sinks do;
-    ``max_versions_per_trigger`` bounds catch-up batches after a long
-    pause. Returns the StreamingQuery (AvailableNow)."""
+    ``extra_meta`` stamps the built index's geometry (bucket modulus,
+    band layout, bits) into every healed append's manifest meta, so a
+    healer-built index enforces the same build/probe validation as a
+    coupled-sink-built one — pass the geometry ``build_fn`` closes
+    over; ``max_versions_per_trigger`` bounds catch-up batches after a
+    long pause. Returns the StreamingQuery (AvailableNow)."""
     from hapiy_etl_spark.operators.txstore import TxTable
     from hapiy_etl_spark.sources import txtable_source
 
@@ -982,6 +995,11 @@ def heal_index_from_changes(
             epoch_id,
             run_id=run_id,
             stats_cols=stats_cols,
+            # geometry stamps (ADVICE r10): healed indexes must carry
+            # the same manifest-meta stamps as the coupled sinks, or a
+            # later direct append/probe bypasses validation and can
+            # record a DISAGREEING geometry as the authoritative newest
+            extra_meta=extra_meta,
         )
         if appended and auto_compact_max_dirs:
             from hapiy_etl_spark.operators.maintenance import auto_compact

@@ -84,6 +84,10 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   |day buckets| (5x7 category table), plus the 1-row total
         "corpus_lang_drift_jsd",  # 1-row totals aggregate crossed into
         #   the per-language probability table
+        "corpus_curriculum_order",  # 1-row percentile_disc stage-cut
+        #   aggregate broadcast back onto the scan (r11 scale-safe form)
+        "events_equidepth_histogram",  # 1-row percentile_disc bin-edge
+        #   aggregate broadcast back onto the scan (r11 scale-safe form)
     }
     offenders = []
     for q in all_queries().values():
@@ -93,3 +97,39 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         ):
             offenders.append(q.name)
     assert not offenders, f"all-pairs join plans in: {offenders}"
+
+
+def test_no_registered_query_plans_global_window(spark, sf_dir):
+    """Scale invariant (r11, after the curriculum miss): no registered
+    query may ship a Window with an EMPTY partition spec over
+    non-aggregated data — Spark plans that as ONE window partition,
+    i.e. the whole input through a single reducer. Post-aggregate
+    global windows over provably tiny frames are allowlisted
+    explicitly; the list should only shrink."""
+    # global windows sanctioned because their input is already an
+    # aggregate orders of magnitude smaller than the data
+    POST_AGGREGATE_OK = {
+        "customer_rfm_segmentation",  # NTILE over customer-grain RFM
+        #   aggregates (|customers| rows, not line items) — swap to
+        #   percentile_disc boundaries if customer count ever explodes
+        "revenue_pareto_curve",  # decile NTILE + cumulative sum over
+        #   customer-grain revenue aggregates, then 10-row deciles
+        "corpus_vocab_growth",  # running sum over the 4-row slice
+        #   aggregate — bounded by the slice modulus, never data-sized
+    }
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    offenders = []
+    for q in all_queries().values():
+        if q.name in POST_AGGREGATE_OK:
+            continue
+        opt = q.fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        for node in walk(opt):
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                offenders.append(q.name)
+                break
+    assert not offenders, f"single-partition (global) Window plans in: {offenders}"

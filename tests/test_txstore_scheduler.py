@@ -2705,3 +2705,80 @@ def test_heal_band_postings_index_matches_coupled_sink(spark, tmp_path):
         sigs, TxTable(spark, s2).read(), portable=True
     ).collect()))
     assert v1 == v2 and any(r[0] == 11 for r in v1)
+
+
+def test_geometry_stamp_carried_through_optimize_and_vacuum(spark, tmp_path):
+    """ADVICE r10: optimize commits used to carry no meta, so an
+    aggressive vacuum could delete every stamped append manifest and
+    geometry validation silently disabled. _commit now carries
+    GEOMETRY_STAMP_KEYS forward like epoch/run: the stamp survives
+    optimize + vacuum(keep_last=1), and the NEWEST manifest answers
+    recorded_stamp directly (O(1), no history walk)."""
+    from hapiy_etl_spark.operators.textindex import recorded_stamp
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        meta={"n_buckets": 64, "bits": 8},
+    )
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.optimize()
+    t.vacuum(keep_last=1, min_age_s=0.0)
+    # only the optimize manifest survives — and it carries the stamps
+    newest = t._manifest(t.latest_version())
+    assert (newest.get("meta") or {}).get("n_buckets") == 64
+    assert (newest.get("meta") or {}).get("bits") == 8
+    assert recorded_stamp(t, "n_buckets") == 64
+    assert recorded_stamp(t, "bits") == 8
+    # a later append that stamps its own value stays authoritative
+    t.append(
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        meta={"n_buckets": 64, "bits": 8},
+    )
+    assert recorded_stamp(t, "n_buckets") == 64
+
+
+def test_recorded_columns_from_manifest(spark, tmp_path):
+    """ADVICE r10: layout checks (the pre-r10 online-dedup migration
+    probe) answer from the manifest's recorded newest-dir schema — one
+    JSON read — instead of constructing a multi-dir reader."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert t.recorded_columns() is None  # empty table
+    t.append(spark.createDataFrame([(1, "a")], "doc long, sig string"))
+    assert t.recorded_columns() == ["doc", "sig"]
+    t.append(
+        spark.createDataFrame(
+            [(0, 1, 2, "x")], "bb int, band int, doc long, sig string"
+        )
+    )
+    assert t.recorded_columns() == ["bb", "band", "doc", "sig"]
+
+
+def test_heal_index_extra_meta_stamps_geometry(spark, tmp_path):
+    """ADVICE r10: healer-built indexes carry the same geometry stamps
+    as coupled-sink-built ones, so later direct appends/probes validate
+    instead of silently bypassing (or overwriting) the stamp."""
+    from hapiy_etl_spark.operators.textindex import (
+        recorded_stamp,
+        shingle_postings_build,
+    )
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    corpus_p = str(tmp_path / "corpus")
+    idx_p = str(tmp_path / "idx")
+    corpus = TxTable(spark, corpus_p)
+    corpus.append(
+        spark.createDataFrame(
+            [(1, "w1 w2 w3 w4 w5")], "doc_id long, text string"
+        )
+    )
+    heal_index_from_changes(
+        spark,
+        corpus_p,
+        idx_p,
+        str(tmp_path / "ckpt"),
+        lambda b: shingle_postings_build(b.select("doc_id", "text")),
+        stats_cols=["tb"],
+        extra_meta={"n_buckets": 512},
+    ).awaitTermination()
+    assert recorded_stamp(TxTable(spark, idx_p), "n_buckets") == 512
