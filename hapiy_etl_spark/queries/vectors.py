@@ -220,6 +220,84 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_ivf_index_maintenance",
+    oracle=_EXACT_TOPK_ORACLE,
+    doc="DECOUPLED IVF index maintenance, end-to-end and hash-checked "
+    "(r11 — VERDICT r10 item 3, generalizing the shingle-postings "
+    "healer of cdc_index_maintenance to the vector index family): the "
+    "embedding corpus lands in a TxTable as two plain appends by ONE "
+    "job; the coarse quantizer is trained ONCE up front on the history "
+    "slice and frozen (the production IVF posture — re-train only on "
+    "drift); a SEPARATE healer job streams the corpus's change feed "
+    "and lands each appended batch's cell assignments "
+    "(operators/similarity.py ivf_index_assign — broadcast centroids, "
+    "squared-L2 argmin, no retraining) into the index table "
+    "exactly-once with per-append cell stats. A probe-all "
+    "(n_probe == n_centroids) search served from the HEALED index must "
+    "then reproduce the brute-force cosine ranking bit-for-bit against "
+    "the DuckDB twin — index content is a pure function of corpus "
+    "content + frozen quantizer, so healed == one-shot. The "
+    "approximate regime's dir pruning stays covered by "
+    "ann_ivf_index_probe; healer-vs-one-shot row parity by pytest.",
+)
+def cdc_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    n_centroids = 4
+    # quantizer: fit once on the history slice, minimum Lloyd spend —
+    # probe-all is exact regardless of quantizer quality
+    cent, _ = S.ivf_index_build(
+        emb.where(F.pmod("vec_id", F.lit(4)) != 3),
+        "vec_id",
+        n_centroids=n_centroids,
+        train_fraction=0.5,
+        max_iter=2,
+    )
+    cent = cent.cache()
+
+    base = Path(tempfile.gettempdir()) / (
+        f"spark_graft_cdcivf_demo_{spark.sparkContext.applicationId}"
+        f"_{Path(sf_dir).name}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = TxTable(spark, str(base / "corpus"))
+    # the INGEST job: two plain appends, no index logic anywhere near it
+    corpus.append(emb.where(F.pmod("vec_id", F.lit(4)) != 3))
+    corpus.append(emb.where(F.pmod("vec_id", F.lit(4)) == 3))
+
+    # the HEALER job: change feed -> frozen-quantizer cell assignments
+    heal_index_from_changes(
+        spark,
+        str(base / "corpus"),
+        str(base / "idx"),
+        str(base / "ckpt"),
+        lambda b: S.ivf_index_assign(
+            cent, b.select("vec_id", "embedding"), "vec_id"
+        ),
+        stats_cols=["cell"],
+    ).awaitTermination()
+
+    idx = TxTable(spark, str(base / "idx"))
+    queries = emb.where(F.col("vec_id") < 10)
+    return S.ivf_probe_index(
+        queries,
+        cent,
+        lambda cells: idx.read(where_in={"cell": cells}),
+        "vec_id",
+        "vec_id",
+        k=3,
+        n_probe=n_centroids,
+    ).orderBy("vec_id", "rank")
+
+
+@register(
     "ann_pq_exact_regime",
     oracle="""
     WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
