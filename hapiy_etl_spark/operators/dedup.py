@@ -276,7 +276,38 @@ def minhash_bands(
 
 N_BAND_BUCKETS = 16  # landing buckets for persisted band postings; only
 # needs to spread (band, key) space enough that a batch's present
-# buckets are a small fraction of the index's dirs
+# buckets are a small fraction of the index's dirs. Demo-scale default:
+# size real indexes with suggest_band_bucket_geometry at creation (the
+# modulus is stamped and immutable once rows land).
+
+
+def suggest_band_bucket_geometry(
+    expected_docs: int,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    target_postings_per_bucket: int = 4_000_000,
+) -> int:
+    """Pick ``n_band_buckets`` for a NEW signature index from its
+    expected corpus size (VERDICT r10 item 4). The bucket modulus is
+    part of every stored ``bb`` value, stamped in the manifest and
+    IMMUTABLE once rows land (a change would orphan every stored
+    posting) — so unlike the cluster dir count
+    (maintenance.sized_cluster_dirs, which adapts per compaction),
+    this must be chosen up front from a capacity estimate.
+
+    The index holds ``expected_docs × n_bands`` postings; the rule
+    gives the power of two keeping a bucket near
+    ``target_postings_per_bucket`` rows (a trickle tick reads
+    ``≤ n_bands`` buckets, so the target bounds its read in ROWS at
+    full capacity), clamped to [16, 65536]. A 2× estimate error moves
+    per-bucket size 2× — shrug-grade; re-shard only on 100×. Examples
+    at the defaults (8 bands): 1M docs → 16; 100M → 256; 10B → 32768."""
+    n_bands = max(1, num_hashes // band_size)
+    need = max(1, (int(expected_docs) * n_bands) // max(1, target_postings_per_bucket))
+    n = 16
+    while n < need and n < 65536:
+        n <<= 1
+    return n
 
 
 def band_bucket(band: Column, key: Column, n_buckets: int = N_BAND_BUCKETS) -> Column:

@@ -70,6 +70,40 @@ def auto_compact(
     return v
 
 
+def sized_cluster_dirs(
+    index_rows: int,
+    n_buckets: int,
+    max_dirs: int,
+    target_rows_per_dir: int = 4_000_000,
+    floor: int | None = None,
+) -> int:
+    """Clustered-compaction dir count for a bucket-keyed index, derived
+    from its CURRENT size (VERDICT r10 item 4 — the sinks used to pin
+    ``max_dirs // 2`` forever, so production had to hand-tune).
+
+    The rule: enough dirs that each holds ~``target_rows_per_dir``
+    rows, growing with the index until ONE DIR PER BUCKET
+    (``n_buckets``) — past that point more dirs cannot improve bucket
+    pruning (a single bucket would span dirs and every probe of it
+    reads them all), so the count pins there and dirs grow in bytes
+    instead. A trickle tick probing ``n_bands`` buckets therefore
+    reads ≤ ``min(n_dirs, n_bands)`` dirs at EVERY index size —
+    constant, not constant-fraction (the growth harness's
+    ``narrow_tick_dirs_read`` column pins this).
+
+    ``floor`` (default ``max_dirs // 2``, the pre-r11 behavior) keeps
+    early compactions from collapsing a small index into one dir and
+    losing pruning before the rows-based term kicks in. The result is
+    always < ``max_dirs`` so the compaction policy cannot re-fire
+    every tick (O(index) write amplification), and callers should size
+    ``max_dirs > n_buckets`` when they want the one-dir-per-bucket
+    steady state to be reachable."""
+    if floor is None:
+        floor = max(1, max_dirs // 2)
+    by_rows = max(1, -(-int(index_rows) // max(1, int(target_rows_per_dir))))
+    return max(1, min(max(floor, by_rows), n_buckets, max_dirs - 1))
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -152,3 +152,77 @@ def ivf_index(spark: SparkSession, sf_dir: str):
     cent.count()
     _CACHE[key] = (cent, idx, base)
     return cent, idx
+
+
+def flagship_state(spark: SparkSession, sf_dir: str):
+    """(corpus TxTable, mv TxTable, shingle-index TxTable): the full
+    production topology of flagship_pipeline_e2e, materialized once per
+    session — two ordered micro-batches through the online-dedup sink
+    body (exactly-once corpus + band-postings commits, policy
+    compaction with retention), per-epoch incremental-MV partials from
+    the batch change feed (the epoch-2 span crosses the corpus OPTIMIZE
+    and takes the keyed fallback), and a shingle-postings index HEALED
+    from the corpus change feed by a decoupled streaming job added
+    after ingest finished. Immutable-use: the query only reads the
+    audit frame off these tables; every build step is deterministic in
+    the corpus, so rep 1's tables equal rep N's."""
+    key = ("flagship", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1], hit[2]
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.streaming.jobs import (
+        heal_index_from_changes,
+        ingest_dedup_batch,
+        tx_append_once,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = _base(spark, sf_dir, "flagship")
+    shutil.rmtree(base, ignore_errors=True)
+    corpus_p, sig_p = f"{base}/corpus", f"{base}/sigs"
+    mv_p, idx_p = f"{base}/mv", f"{base}/idx"
+
+    corpus_t = TxTable(spark, corpus_p)
+    for i, m in enumerate((0, 1)):
+        batch = docs.where(F.pmod("doc_id", F.lit(16)) == m)
+        v_before = corpus_t.latest_version()
+        ingest_dedup_batch(
+            batch,
+            corpus_p,
+            sig_p,
+            epoch_id=i + 1,
+            run_id="flagship",
+            auto_compact_max_dirs=2,
+            corpus_compact_kw={
+                "vacuum_keep_last": 4,
+                "vacuum_min_age_s": 0.0,
+            },
+        )
+        delta = corpus_t.changes(v_before, keys=["doc_id"])
+        partial = delta.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.size(F.split("text", r"\s+")),
+                ).otherwise(F.lit(0))
+            ).alias("sum_tokens"),
+        )
+        tx_append_once(partial, mv_p, i + 1, run_id="flagship_mv")
+
+    heal_index_from_changes(
+        spark,
+        corpus_p,
+        idx_p,
+        f"{base}/ckpt",
+        lambda b: TI.shingle_postings_build(b.select("doc_id", "text")),
+        stats_cols=["tb"],
+        extra_meta={"n_buckets": TI.N_BUCKETS},
+    ).awaitTermination()
+
+    out = (corpus_t, TxTable(spark, mv_p), TxTable(spark, idx_p), base)
+    _CACHE[key] = out
+    return out[0], out[1], out[2]

@@ -414,18 +414,27 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _stream_dedup_oracle(
-    n_hashes: int = 16, band_size: int = 2, seed: int = 42, thr: float = 0.5
+def _stream_dedup_replay_ctes(
+    n_hashes: int = 16,
+    band_size: int = 2,
+    seed: int = 42,
+    thr: float = 0.5,
+    tok_lt: int = 2,
 ) -> str:
-    """DuckDB twin of the STREAMING online-dedup pipeline
-    (streaming/jobs.py foreach_batch_ingest_dedup): replay two
-    micro-batches (doc_id % 16 == 0 first, then % 16 == 1 — a thin
-    slice keeps the demo inside the bench budget at every sf) through
-    the same portable-minhash collision predicate and the same greedy
-    rules — a doc drops iff it collides with a LOWER-id doc of its own
-    batch, or with a SURVIVOR of an earlier batch (the signature
-    index only ever holds survivors). NULL-text docs carry no
-    signature, so they never collide and always survive."""
+    """The WITH-body of the STREAMING online-dedup replay
+    (streaming/jobs.py foreach_batch_ingest_dedup): two micro-batches
+    (doc_id % 16 == 0 first, then % 16 == 1 — a thin slice keeps the
+    demo inside the bench budget at every sf) through the same
+    portable-minhash collision predicate and the same greedy rules — a
+    doc drops iff it collides with a LOWER-id doc of its own batch, or
+    with a SURVIVOR of an earlier batch (the signature index only ever
+    holds survivors). NULL-text docs carry no signature, so they never
+    collide and always survive. Exposes CTEs ``sh`` (distinct
+    (doc, 3-shingle) rows over slices doc_id % 16 < ``tok_lt`` — the
+    flagship twin widens this to cover its bench slice) and
+    ``surv0``/``surv1`` (per-batch survivor ids); signatures/collisions
+    are always computed over the two INGESTED slices only, whatever
+    ``tok_lt`` admits into ``sh``."""
     from hapiy_etl_spark.operators.dedup import _MERSENNE31, _hash_params
 
     params = _hash_params(n_hashes, seed)
@@ -447,10 +456,9 @@ def _stream_dedup_oracle(
         f"CASE WHEN ca.m{i} = cb.m{i} THEN 1 ELSE 0 END"
         for i in range(n_hashes)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, string_split_regex(text, '\\s+') AS t
-        FROM documents WHERE text IS NOT NULL AND doc_id % 16 < 2
+        FROM documents WHERE text IS NOT NULL AND doc_id % 16 < {tok_lt}
     ),
     sh AS (
         SELECT doc_id,
@@ -462,7 +470,7 @@ def _stream_dedup_oracle(
     h AS (
         SELECT doc_id,
                ('0x' || substr(md5(s), 1, 14))::BIGINT % {_MERSENNE31} AS hh
-        FROM sh
+        FROM sh WHERE doc_id % 16 < 2
     ),
     comp AS (
         SELECT doc_id,
@@ -504,7 +512,17 @@ def _stream_dedup_oracle(
             JOIN surv0 s ON r.id_a = s.doc_id
             JOIN b1 b ON r.id_b = b.doc_id
         )
-    )
+    )"""
+
+
+def _stream_dedup_oracle(
+    n_hashes: int = 16, band_size: int = 2, seed: int = 42, thr: float = 0.5
+) -> str:
+    """DuckDB twin of the STREAMING online-dedup pipeline — see
+    :func:`_stream_dedup_replay_ctes` for the replay semantics."""
+    ctes = _stream_dedup_replay_ctes(n_hashes, band_size, seed, thr)
+    return f"""
+    WITH {ctes}
     SELECT doc_id FROM surv0
     UNION ALL
     SELECT doc_id FROM surv1
@@ -592,6 +610,158 @@ def stream_ingest_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreach_batch_ingest_dedup(stream, corpus, sigp, ckpt).awaitTermination()
 
     return TxTable(spark, corpus).read().select("doc_id").orderBy("doc_id")
+
+
+def _flagship_oracle() -> str:
+    """DuckDB twin of the FULL production topology chained end-to-end:
+    two-batch online-dedup ingest (the stream replay kernel), the
+    incremental-MV per-source panel over survivors, and benchmark
+    decontamination of the surviving corpus — one audit frame."""
+    ctes = _stream_dedup_replay_ctes(tok_lt=3)
+    return f"""
+    WITH {ctes},
+    surv AS (
+        SELECT doc_id FROM surv0 UNION ALL SELECT doc_id FROM surv1
+    ),
+    svdocs AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN surv USING (doc_id)
+    ),
+    mv AS (
+        SELECT source,
+               COUNT(*) AS n_survivors,
+               CAST(SUM(CASE WHEN text IS NOT NULL
+                    THEN len(string_split_regex(text, '\\s+'))
+                    ELSE 0 END) AS BIGINT) AS sum_tokens
+        FROM svdocs GROUP BY source
+    ),
+    ing AS (
+        SELECT source, COUNT(*) AS n_ingested
+        FROM documents WHERE doc_id % 16 < 2 GROUP BY source
+    ),
+    benchsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 16 = 2),
+    trainsh AS (SELECT t.doc_id, t.s FROM sh t JOIN surv USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM trainsh GROUP BY doc_id),
+    contaminated AS (
+        SELECT t.doc_id
+        FROM trainsh t
+        JOIN benchsh b ON t.s = b.s
+        JOIN sizes sz ON sz.doc_id = t.doc_id
+        GROUP BY t.doc_id, sz.n_sh
+        HAVING COUNT(*) * 1.0 / sz.n_sh >= 0.2
+    ),
+    cont AS (
+        SELECT source, COUNT(*) AS n_contaminated
+        FROM svdocs JOIN contaminated USING (doc_id) GROUP BY source
+    )
+    SELECT i.source,
+           i.n_ingested,
+           COALESCE(mv.n_survivors, 0) AS n_survivors,
+           COALESCE(mv.sum_tokens, 0) AS sum_tokens,
+           COALESCE(cont.n_contaminated, 0) AS n_contaminated
+    FROM ing i
+    LEFT JOIN mv ON mv.source = i.source
+    LEFT JOIN cont ON cont.source = i.source
+    ORDER BY i.source
+    """
+
+
+@register(
+    "flagship_pipeline_e2e",
+    oracle=_flagship_oracle(),
+    doc="THE FLAGSHIP COMPOSITION (r11 — VERDICT r10 item 7): the full "
+    "production training-data topology chained end-to-end in one "
+    "hash-checked scenario. (1) INGEST: two ordered document batches "
+    "run the exact online-dedup sink body (streaming/jobs.py "
+    "ingest_dedup_batch — portable MinHash, greedy keep-first vs "
+    "batch + persisted band-postings index, exactly-once corpus/index "
+    "commits) with the small-files policy ON (auto_compact_max_dirs=2 "
+    "— the corpus takes a row-preserving OPTIMIZE and a retention "
+    "vacuum mid-scenario; the signature index a bb-clustered rewrite "
+    "at the auto-derived dir count). (2) INCREMENTAL MV: after each "
+    "epoch, the corpus's batch change feed (TxTable.changes — the "
+    "epoch-2 span crosses the OPTIMIZE and takes the keyed fallback) "
+    "lands a per-source (n_docs, sum_tokens) PARTIAL exactly-once "
+    "into an MV TxTable; the served panel merges partials by SUM, "
+    "never rescanning the corpus. (3) DECOUPLED INDEX: a healer "
+    "streams the corpus change feed into a shingle-postings index "
+    "(heal_index_from_changes — added AFTER ingest finished, so its "
+    "first batch replays the whole table: the add-an-index-months-"
+    "later path), stamped with its bucket geometry. (4) DECONTAM: an "
+    "eval slice probes the HEALED index (bucket-pruned read, corpus "
+    "text never rescanned). The audit frame joins all of it per "
+    "source; the DuckDB twin replays every stage from the documents "
+    "table alone. Each stage is individually [O]-proven elsewhere "
+    "(stream_ingest_online_dedup, incremental_mv_*, "
+    "cdc_index_maintenance) — this row proves the COMPOSITION. The "
+    "topology materializes once per session "
+    "(index_fixtures.flagship_state, rebuilt untimed per bench rep): "
+    "production builds these tables a single time and reads them "
+    "forever, so the timed number is the audit-frame read.",
+)
+def flagship_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.queries.index_fixtures import flagship_state
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+
+    # the topology (ingest + compaction/retention + MV partials +
+    # healer) materializes once per session — index_fixtures pattern:
+    # in production these tables are built a single time and read
+    # forever, so the timed number is the AUDIT-FRAME read, not the
+    # scenario construction (rebuilt untimed per bench rep)
+    corpus_t, mv_t, idx = flagship_state(spark, sf_dir)
+
+    # decontamination of the SURVIVING corpus against the eval slice,
+    # served from the healed index (bucket-pruned read)
+    bench = (
+        docs.where(
+            (F.pmod("doc_id", F.lit(16)) == 2) & F.col("text").isNotNull()
+        )
+        .select(F.explode(D.shingles("text", 3)).alias("s"))
+        .distinct()
+    )
+    contaminated = TI.decontam_probe_index(
+        lambda bs: idx.read(where_in={"tb": bs}),
+        bench,
+        threshold=0.2,
+        index=idx,
+    ).select("doc_id")
+
+    zero = F.lit(0).cast("long")
+    ing = (
+        docs.where(F.pmod("doc_id", F.lit(16)) < 2)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_ingested"))
+    )
+    mv = (
+        mv_t.read()
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_survivors"),
+            F.sum("sum_tokens").alias("sum_tokens"),
+        )
+    )
+    cont = (
+        corpus_t.read()
+        .select("doc_id", "source")
+        .join(contaminated, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        ing.join(mv, "source", "left")
+        .join(cont, "source", "left")
+        .select(
+            "source",
+            "n_ingested",
+            F.coalesce("n_survivors", zero).alias("n_survivors"),
+            F.coalesce("sum_tokens", zero).alias("sum_tokens"),
+            F.coalesce("n_contaminated", zero).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

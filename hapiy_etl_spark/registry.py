@@ -64,6 +64,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # assign_contiguous_ids kernel). Backfill is stalest-green-first
 # (r5/r6-era ann/window/agg rows).
 PRIORITY: tuple[str, ...] = (
+    "flagship_pipeline_e2e",
     "cdc_ivf_index_maintenance",
     "stream_ingest_online_dedup",
     "stream_ingest_online_semdedup",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "text_bm25_query_table",
     "dedup_incremental_batch",
-    "text_decontamination",
 )
 
 

@@ -482,12 +482,17 @@ def foreach_batch_ingest_dedup(
     whole index (VERDICT r9's per-tick O(corpus) scan): per-tick read
     cost tracks the batch's bucket spread × per-bucket postings, not
     corpus age. Pruning is exact — a colliding pair shares (band, key)
-    and therefore its bucket. Sizing at corpus scale: a trickle tick
-    probes ≤ |batch| × n_bands buckets, so its read fraction is about
-    n_bands/N of the index — raise ``n_band_buckets`` (256–1024) and
-    the clustered ``n_dirs`` to match, and the steady-state tick reads
-    a constant small slice no matter how old the corpus is; the
-    demo-scale default (16) only buys ~2× for 8-band signatures.
+    and therefore its bucket. Sizing at corpus scale (r11): pick
+    ``n_band_buckets`` AT INDEX CREATION with
+    ``dedup.suggest_band_bucket_geometry`` (expected docs →
+    power-of-two modulus; stamped and immutable once rows land), and
+    let the policy's default clustered ``n_dirs`` derive itself per
+    compaction from the index's current row count
+    (``maintenance.sized_cluster_dirs`` — grows until one dir per
+    bucket, then pins): a trickle tick probing n_bands buckets then
+    reads ≤ n_bands dirs at EVERY corpus age — constant, not
+    constant-fraction. The demo-scale default (16) only buys ~2× for
+    8-band signatures.
 
     Crash consistency between the TWO tables hangs on commit ORDER:
     the corpus commits FIRST. A replay after a crash between the
@@ -720,14 +725,24 @@ def ingest_dedup_batch(
                 **(corpus_compact_kw or {}),
             )
             if sig_compact_kw is None:
-                # clustered rewrite must land UNDER the threshold or
-                # the policy reclusters every tick (O(index) write
-                # amplification); half keeps it amortized — every
-                # max_dirs/2 epochs — while the clustered dirs keep
-                # their bb-tight stats for the pruned per-tick read
+                # derived dir count (VERDICT r10 item 4): grows with
+                # index rows until one dir per bucket, always lands
+                # UNDER the threshold so the policy stays amortized —
+                # every ~max_dirs/2 epochs — while the clustered dirs
+                # keep their bb-tight stats for the pruned per-tick
+                # read. The count() is marginal next to the clustered
+                # rewrite the policy is about to do anyway.
+                from hapiy_etl_spark.operators.maintenance import (
+                    sized_cluster_dirs,
+                )
+
                 sig_compact_kw = {
                     "cluster_by": "bb",
-                    "n_dirs": max(1, auto_compact_max_dirs // 2),
+                    "n_dirs": sized_cluster_dirs(
+                        TxTable(spark, sig_path).read().count(),
+                        n_band_buckets,
+                        auto_compact_max_dirs,
+                    ),
                 }
             auto_compact(
                 TxTable(spark, sig_path),
@@ -911,11 +926,21 @@ def ingest_semdedup_batch(
             from hapiy_etl_spark.operators.maintenance import auto_compact
 
             if compact_kw is None:
-                # land under the threshold (amortized policy) while
-                # keeping bucket-tight dirs for the pruned per-tick read
+                # derived dir count (VERDICT r10 item 4): grows with
+                # index rows until one dir per sign bucket (2^bits),
+                # always under the threshold (amortized policy), dirs
+                # bucket-tight for the pruned per-tick read
+                from hapiy_etl_spark.operators.maintenance import (
+                    sized_cluster_dirs,
+                )
+
                 compact_kw = {
                     "cluster_by": "bucket",
-                    "n_dirs": max(1, auto_compact_max_dirs // 2),
+                    "n_dirs": sized_cluster_dirs(
+                        idx.read().count(),
+                        1 << bits,
+                        auto_compact_max_dirs,
+                    ),
                 }
             auto_compact(
                 TxTable(spark, index_path),

@@ -494,15 +494,29 @@ def streamdedup_main(n_batches: int) -> None:
     for i in range(1, n_batches + 1):
         b = batch_of(i)
         t0 = time.perf_counter()
-        # bucket-tight clustered dirs (one per bb pair) expose the
-        # narrow-tick read fraction: a 1-doc tick probes <= n_bands=8
-        # of 16 buckets, so it must read about half the dirs and skip
-        # the rest. Production keeps n_dirs < max_dirs so compaction
-        # amortizes; this harness pins n_dirs high to measure reads.
+        # drive the REAL dir-sizing policy (r11): the clustered dir
+        # count derives from the index's current rows via
+        # maintenance.sized_cluster_dirs, exactly like the sink's
+        # None-default — with a toy target_rows_per_dir so the rule's
+        # growth (floor → rows-derived → pinned at one-dir-per-bucket)
+        # happens inside the harness's ~10 batches instead of at TB
+        # scale. Claims: derived n_dirs grows with the index, pins at
+        # n_band_buckets=16, and the NARROW tick's dirs-read stays
+        # constant (<= n_bands=8) while index rows grow ~10x.
+        from hapiy_etl_spark.operators.maintenance import sized_cluster_dirs
+
+        idx_rows_now = (
+            TxTable(spark, sigp).read().count()
+            if TxTable(spark, sigp).latest_version() > 0
+            else 0
+        )
+        derived_dirs = sized_cluster_dirs(
+            idx_rows_now, 16, 32, target_rows_per_dir=1500, floor=2
+        )
         ingest_dedup_batch(
             b, corpus, sigp, epoch_id=i, run_id="growth",
             auto_compact_max_dirs=4,
-            sig_compact_kw={"cluster_by": "bb", "n_dirs": 16},
+            sig_compact_kw={"cluster_by": "bb", "n_dirs": derived_dirs},
         )
         t_incr = time.perf_counter() - t0
         # structural r10 metric: replicate the sink's pruned index read
@@ -564,6 +578,7 @@ def streamdedup_main(n_batches: int) -> None:
                 "index_dirs_total": sig_t.n_dirs(),
                 "index_dirs_read": dirs_touched,
                 "narrow_tick_dirs_read": narrow_touched,
+                "policy_derived_n_dirs": derived_dirs,
                 # the structural contrast (wall clock at local scale is
                 # overhead-bound): the incremental path re-hashes only
                 # the BATCH text (+ reads the narrow sig index); the
