@@ -1152,6 +1152,65 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    freq AS (SELECT t, COUNT(*) AS freq FROM tok GROUP BY t),
+    ranked AS (
+        SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, t) AS r
+        FROM freq
+    ),
+    tot AS (SELECT SUM(freq) AS n FROM freq)
+    SELECT ks.k,
+           CAST(SUM(CASE WHEN r <= ks.k THEN freq ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           ROUND(SUM(CASE WHEN r <= ks.k THEN freq ELSE 0 END) * 1.0
+                 / MAX(tot.n), 6) AS coverage
+    FROM ranked, (VALUES (10), (100), (1000)) ks(k), tot
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """,
+    doc="Vocabulary coverage curve (r11): fraction of all token "
+    "OCCURRENCES covered by the top-K most frequent types, for "
+    "K in (10, 100, 1000) — the tokenizer-sizing audit (where the "
+    "curve flattens is where a bigger vocab stops paying; the "
+    "complement of corpus_vocab_growth's type-count curve). Scale "
+    "shape: one freq groupBy, then the top-maxK slice via "
+    "orderBy+limit — Spark plans that as TakeOrdered (each partition "
+    "keeps K rows, the driver merges K·partitions, never a global "
+    "sort shuffle) — and the cumulative sums run driver-side over the "
+    "collected ≤1000 rows (bounded, like the probe-bucket lists). No "
+    "vocab-grain window anywhere.",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    tok = (
+        t["documents"]
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+    )
+    freq = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    total = freq.agg(F.sum("freq")).collect()[0][0]  # 1-row scalar agg
+    ks = (10, 100, 1000)
+    top = [
+        r["freq"]
+        for r in freq.orderBy(F.col("freq").desc(), "t")
+        .limit(max(ks))
+        .collect()
+    ]
+    rows = []
+    for k in ks:
+        covered = sum(top[:k])
+        rows.append((k, covered, round(covered / total, 6)))
+    return spark.createDataFrame(
+        rows, "k int, covered_tokens long, coverage double"
+    ).orderBy("k")
+
+
+@register(
     "data_quality_report",
     oracle="""
     SELECT 'lineitem_rows' AS check_name, COUNT(*) AS value FROM lineitem

@@ -66,6 +66,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 PRIORITY: tuple[str, ...] = (
     "flagship_pipeline_e2e",
     "cdc_ivf_index_maintenance",
+    "vocab_coverage_curve",
     "stream_ingest_online_dedup",
     "stream_ingest_online_semdedup",
     "corpus_curriculum_order",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "text_bigram_logprob",
     "text_bm25_search",
     "text_bm25_query_table",
-    "dedup_incremental_batch",
 )
 
 
