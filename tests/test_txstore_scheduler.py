@@ -2992,3 +2992,63 @@ def test_online_dedup_auto_sized_compaction(spark, tmp_path):
     )
     corpus_rows = TxTable(spark, corpus_p).read()
     assert corpus_rows.where(F.col("doc_id") >= 900).count() == 0
+
+
+def test_heal_semdedup_embedding_index_matches_oneshot(spark, tmp_path):
+    """Healer coverage for the LAST index family (r11): a sign-bucketed
+    embedding index healed from the corpus change feed equals the
+    one-shot bucketing of the whole corpus (the bucket key is a pure
+    per-row function, so batch grain cannot change it), carries the
+    bits geometry stamp, and serves the same bucket-pruned semantic
+    probe. With this, every persisted-index family — MinHash band
+    postings, shingle postings, BM25 postings+meta, IVF assignments,
+    sign-bucket embeddings — has healer parity evidence."""
+    from hapiy_etl_spark.functions import sign_bucket
+    from hapiy_etl_spark.operators.textindex import recorded_stamp
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    bits = 4
+    emb = spark.createDataFrame(
+        [
+            (i, [(-1.0) ** (i >> b & 1) * (0.1 + b) for b in range(6)])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus_p = str(tmp_path / "corpus")
+    corpus = TxTable(spark, corpus_p)
+    corpus.append(emb.where(F.col("vec_id") < 12))
+    corpus.append(emb.where(F.col("vec_id") >= 12))
+
+    def build(b):
+        return b.select("vec_id", "embedding").withColumn(
+            "bucket", sign_bucket("embedding", bits)
+        )
+
+    heal_index_from_changes(
+        spark,
+        corpus_p,
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+        build,
+        stats_cols=["bucket"],
+        extra_meta={"bits": bits},
+    ).awaitTermination()
+
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    healed = sorted(map(tuple, idx.read().collect()))
+    oneshot = sorted(map(tuple, build(emb).collect()))
+    assert healed == oneshot and len(healed) == 20
+    assert recorded_stamp(idx, "bits") == bits
+    # bucket-pruned probe: one bucket's where_in read returns exactly
+    # that bucket's rows
+    b0 = oneshot[0][2]
+    got = sorted(
+        r[0]
+        for r in idx.read(where_in={"bucket": [b0]})
+        .where(F.col("bucket") == b0)
+        .select("vec_id")
+        .collect()
+    )
+    want = sorted(r[0] for r in build(emb).where(F.col("bucket") == b0).select("vec_id").collect())
+    assert got == want

@@ -150,15 +150,31 @@ SHOWCASE = [
     # projection self-joined on shingle as a hash equi-join (bounded by
     # shards^2 per shingle), Jaccard from broadcast size sides
     ("corpus_cross_contamination", ["HashAggregate", "BroadcastHashJoin"]),
-    # r10: curriculum order — one stage-cut sort + per-stage hash
-    # windows; no nested loops, no repeated corpus scans
-    ("corpus_curriculum_order", ["Window", "Exchange"]),
+    # r11 rebuild (VERDICT r10's weak): curriculum order — the stage
+    # cut is a 1-row percentile_disc aggregate broadcast back onto the
+    # scan (BroadcastNestedLoopJoin of one row), within-stage positions
+    # from (stage, md5-prefix bucket) windows — every Window node
+    # carries a non-empty partition spec (lint-enforced)
+    ("corpus_curriculum_order", ["Window", "BroadcastNestedLoopJoin"]),
     # r10: Heaps-law curve — cumulative distinct via ONE first-
     # occurrence aggregate + running-sum window, never k rescans
     ("corpus_vocab_growth", ["HashAggregate", "Window"]),
     # r10: per-source dup rate — a two-phase distinct aggregate over
     # 16-byte digests, no text on the shuffle
     ("dedup_rate_by_source", ["HashAggregate", "Exchange"]),
+    # r11 rebuild: equi-depth histogram — percentile_disc bin edges
+    # broadcast onto the scan + range-comparison bins; ZERO Window
+    # nodes where the r10 form funneled the table through one reducer
+    ("events_equidepth_histogram", ["HashAggregate", "BroadcastNestedLoopJoin"]),
+    # r11: healed-IVF probe — broadcast centroids/queries against the
+    # healer-written inverted file, per-query top-k window
+    ("cdc_ivf_index_maintenance", ["BroadcastHashJoin", "Window"]),
+    # r11: the flagship audit frame — MV-partial merge + decontam-probe
+    # joins off the session-fixture topology tables
+    ("flagship_pipeline_e2e", ["FileScan", "HashAggregate", "BroadcastHashJoin"]),
+    # r11: vocab coverage — freq aggregate + TakeOrdered top-K (no
+    # global sort shuffle), curve assembled from the bounded slice
+    ("vocab_coverage_curve", ["LocalTableScan"]),
 ]
 
 
