@@ -112,7 +112,12 @@ def recorded_stamp(index, key: str) -> int | None:
     latest_version, so the cache can never serve a stale answer (a
     vacuum that deletes a stamped manifest without a new commit keeps
     the recorded value alive in cache, which is the value the index
-    was in fact built with). A manifest below the vacuum retention
+    was in fact built with). The one way to defeat the memo is
+    deleting a table and rebuilding a DIFFERENT one at the same path
+    to the same version count within one session — that violates the
+    immutable-manifest premise everywhere, and the failure mode is a
+    loud refused-append, never a silent pass. A manifest below the
+    vacuum retention
     window ends the walk (older ones are gone too). Returns None for a
     table written before stamping — validation is best-effort skipped."""
     latest = index.latest_version()

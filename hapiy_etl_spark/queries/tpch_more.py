@@ -910,18 +910,36 @@ def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rfm AS (
         SELECT o_custkey,
-               MAX(o_orderdate) AS last_order,
+               (MAX(o_orderdate) - DATE '1970-01-01') AS last_order_d,
                COUNT(*) AS frequency,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS monetary
         FROM orders GROUP BY o_custkey
     ),
-    scored AS (
-        SELECT o_custkey, last_order, frequency, monetary,
-               NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
-               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
-               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+    cuts AS (
+        SELECT quantile_disc(last_order_d, 0.75) AS r1,
+               quantile_disc(last_order_d, 0.50) AS r2,
+               quantile_disc(last_order_d, 0.25) AS r3,
+               quantile_disc(frequency, 0.75) AS f1,
+               quantile_disc(frequency, 0.50) AS f2,
+               quantile_disc(frequency, 0.25) AS f3,
+               quantile_disc(monetary, 0.75) AS m1,
+               quantile_disc(monetary, 0.50) AS m2,
+               quantile_disc(monetary, 0.25) AS m3
         FROM rfm
+    ),
+    scored AS (
+        SELECT monetary,
+               1 + CASE WHEN last_order_d < r1 THEN 1 ELSE 0 END
+                 + CASE WHEN last_order_d < r2 THEN 1 ELSE 0 END
+                 + CASE WHEN last_order_d < r3 THEN 1 ELSE 0 END AS r_quartile,
+               1 + CASE WHEN frequency < f1 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency < f2 THEN 1 ELSE 0 END
+                 + CASE WHEN frequency < f3 THEN 1 ELSE 0 END AS f_quartile,
+               1 + CASE WHEN monetary < m1 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary < m2 THEN 1 ELSE 0 END
+                 + CASE WHEN monetary < m3 THEN 1 ELSE 0 END AS m_quartile
+        FROM rfm, cuts
     )
     SELECT r_quartile, f_quartile, m_quartile,
            COUNT(*) AS n_customers,
@@ -932,40 +950,56 @@ def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r_quartile, f_quartile, m_quartile
     """,
     doc="RFM customer segmentation (recency/frequency/monetary "
-    "quartiles): one aggregate to customer grain, three global NTILE "
-    "windows with deterministic tiebreaks, rolled up to the 4x4x4 "
-    "segment grid. The global windows run on the small customer-grain "
-    "aggregate (|customers| rows), never the fact table — the "
-    "aggregate-first discipline that keeps global ordering feasible "
-    "at scale.",
+    "quartiles): one aggregate to customer grain, then VALUE-BOUNDARY "
+    "quartiles — exact percentile_disc cuts on each dimension "
+    "broadcast back (quartile 1 = at or above the 75th percentile; "
+    "ties share a segment, which is the semantically right RFM "
+    "behavior — r10's NTILE split equal values across quartiles by an "
+    "arbitrary id tie-break), rolled up to the 4x4x4 segment grid. "
+    "Rebuilt r11 off the global NTILE windows: the plan is two "
+    "aggregates and a 1-row broadcast cross — no window, no global "
+    "sort, fact-to-customer-grain first as before. Recency quantiles "
+    "run on epoch days (both engines compare the same integers).",
 )
 def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     t = load_tables(spark, sf_dir, ("orders",))
     rfm = (
         t["orders"]
         .groupBy("o_custkey")
         .agg(
-            F.max("o_orderdate").alias("last_order"),
+            F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .alias("last_order_d"),
             F.count("*").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("monetary"),
         )
     )
-    scored = rfm.select(
-        "o_custkey",
+    cuts = rfm.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})"
+            ).alias(f"{tag}{i}")
+            for col, tag in (
+                ("last_order_d", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for i, q in enumerate((0.75, 0.50, 0.25), start=1)
+        ]
+    )
+
+    def quartile(col: str, tag: str):
+        e = F.lit(1)
+        for i in range(1, 4):
+            e = e + (F.col(col) < F.col(f"{tag}{i}")).cast("int")
+        return e.alias(f"{tag}_quartile")
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
         "monetary",
-        F.ntile(4)
-        .over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
-        .alias("m_quartile"),
+        quartile("last_order_d", "r"),
+        quartile("frequency", "f"),
+        quartile("monetary", "m"),
     )
     return (
         scored.groupBy("r_quartile", "f_quartile", "m_quartile")

@@ -88,6 +88,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   aggregate broadcast back onto the scan (r11 scale-safe form)
         "events_equidepth_histogram",  # 1-row percentile_disc bin-edge
         #   aggregate broadcast back onto the scan (r11 scale-safe form)
+        "customer_rfm_segmentation",  # 1-row percentile_disc quartile
+        #   cuts crossed onto the customer-grain aggregate (r11 form)
     }
     offenders = []
     for q in all_queries().values():
@@ -109,9 +111,6 @@ def test_no_registered_query_plans_global_window(spark, sf_dir):
     # global windows sanctioned because their input is already an
     # aggregate orders of magnitude smaller than the data
     POST_AGGREGATE_OK = {
-        "customer_rfm_segmentation",  # NTILE over customer-grain RFM
-        #   aggregates (|customers| rows, not line items) — swap to
-        #   percentile_disc boundaries if customer count ever explodes
         "revenue_pareto_curve",  # decile NTILE + cumulative sum over
         #   customer-grain revenue aggregates, then 10-row deciles
         "corpus_vocab_growth",  # running sum over the 4-row slice
