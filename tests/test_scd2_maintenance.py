@@ -279,6 +279,39 @@ def test_assign_contiguous_ids_dense_unique(spark, sf_dir):
             assert "__pid" in ln, ln
 
 
+def test_assign_contiguous_ids_range_partitioned_equals_global_rank(spark, sf_dir):
+    """r11 (the vocab_encode swap): repartitionByRange on a total order
+    + assign_contiguous_ids with the same multi-column order_within
+    reproduces the global ``row_number() OVER (ORDER BY ...) - 1``
+    exactly — range partition i sorts wholly before partition i+1, so
+    pid-ordered offsets + within-partition row_number compose to the
+    global rank without its single-reducer window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.maintenance import assign_contiguous_ids
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("freq"))
+    )
+    order = [F.col("freq").desc(), F.col("o_orderpriority")]
+    got = {
+        r["o_orderpriority"]: r["rid"]
+        for r in assign_contiguous_ids(
+            df.repartitionByRange(4, *order), "rid", order_within=order
+        ).collect()
+    }
+    want = {
+        r["o_orderpriority"]: r["rid"]
+        for r in df.withColumn(
+            "rid", F.row_number().over(W.orderBy(*order)) - 1
+        ).collect()
+    }
+    assert got == want and len(got) > 1
+
+
 def test_loghist_sketch_merge_exact_and_quantile_bounds(spark):
     """The DDSketch-style log-histogram: (1) merging per-part sketches
     equals the sketch of the union BIT-FOR-BIT (integer counts — the
