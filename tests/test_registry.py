@@ -64,6 +64,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "ann_ivf_exact_regime",  # same bounded probe-cell cross (10 x 4)
         "ann_ivf_index_probe",  # same bounded probe-cell cross against
         #   the persisted index (10 queries x 4 broadcast centroids)
+        "cdc_ivf_index_maintenance",  # same bounded probe-cell cross
+        #   against the HEALER-built inverted file (r11)
         "text_bm25_search",  # 1-row corpus-stats aggregate crossed in
         "text_bm25_query_table",  # same 1-row corpus-stats cross
         "text_bm25_index_probe",  # same 1-row corpus-stats cross, fed

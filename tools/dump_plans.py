@@ -174,7 +174,7 @@ SHOWCASE = [
     ("flagship_pipeline_e2e", ["FileScan", "HashAggregate", "BroadcastHashJoin"]),
     # r11: vocab coverage — freq aggregate + TakeOrdered top-K (no
     # global sort shuffle), curve assembled from the bounded slice
-    ("vocab_coverage_curve", ["LocalTableScan"]),
+    ("vocab_coverage_curve", ["Scan ExistingRDD"]),
 ]
 
 
