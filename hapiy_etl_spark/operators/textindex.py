@@ -96,6 +96,14 @@ def postings_build(
 _STAMP_CACHE: dict[tuple[str, int, str], int | None] = {}
 
 
+def stamp_cache_clear() -> None:
+    """Drop the recorded-stamp memo — call whenever on-disk tables may
+    have been DELETED AND REBUILT at the same paths within this session
+    (the one write pattern that violates the immutable-manifest premise
+    the memo rests on; `index_fixtures_clear` does this per bench rep)."""
+    _STAMP_CACHE.clear()
+
+
 def recorded_stamp(index, key: str) -> int | None:
     """Newest manifest-meta stamp ``key`` in the index's history, read
     NEWEST-FIRST with an early exit — one manifest file per step, so a
@@ -115,9 +123,9 @@ def recorded_stamp(index, key: str) -> int | None:
     was in fact built with). The one way to defeat the memo is
     deleting a table and rebuilding a DIFFERENT one at the same path
     to the same version count within one session — that violates the
-    immutable-manifest premise everywhere, and the failure mode is a
-    loud refused-append, never a silent pass. A manifest below the
-    vacuum retention
+    immutable-manifest premise everywhere; call ``stamp_cache_clear``
+    after any such rebuild (``index_fixtures_clear`` does). A manifest
+    below the vacuum retention
     window ends the walk (older ones are gone too). Returns None for a
     table written before stamping — validation is best-effort skipped."""
     latest = index.latest_version()

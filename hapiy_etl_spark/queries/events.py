@@ -613,7 +613,13 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bin_expr = F.lit(1)
     for i in range(1, 8):
-        bin_expr = bin_expr + (F.col("value") > F.col(f"b{i}")).cast("int")
+        # when/otherwise, not a boolean cast: CASE semantics send a
+        # NULL comparison to 0 in BOTH engines (a cast would give a
+        # NULL bin in Spark only — a latent twin-divergence if the
+        # regenerated testdata ever grows NULL values; review r11)
+        bin_expr = bin_expr + F.when(
+            F.col("value") > F.col(f"b{i}"), F.lit(1)
+        ).otherwise(F.lit(0))
     return (
         e.crossJoin(F.broadcast(cuts))
         .select("value", bin_expr.alias("bin"))

@@ -49,7 +49,12 @@ def _base(spark: SparkSession, sf_dir: str, name: str) -> str:
 def index_fixtures_clear() -> None:
     """Drop the cached index artifacts (bench per-rep isolation /
     re-derivation after data changes). On-disk tables are removed so
-    the next builder call starts from scratch."""
+    the next builder call starts from scratch — which also invalidates
+    the recorded-stamp memo (review r11: a rebuild at the same path to
+    the same version count could otherwise serve a stale geometry)."""
+    from hapiy_etl_spark.operators.textindex import stamp_cache_clear
+
+    stamp_cache_clear()
     for val in _CACHE.values():
         for item in val if isinstance(val, tuple) else (val,):
             if isinstance(item, str):

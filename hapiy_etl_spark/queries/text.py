@@ -1192,15 +1192,21 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").isNotNull() & (F.trim("text") != ""))
         .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
     )
-    freq = tok.groupBy("t").agg(F.count("*").alias("freq"))
-    total = freq.agg(F.sum("freq")).collect()[0][0]  # 1-row scalar agg
-    ks = (10, 100, 1000)
-    top = [
-        r["freq"]
-        for r in freq.orderBy(F.col("freq").desc(), "t")
-        .limit(max(ks))
-        .collect()
-    ]
+    # persist across the two actions (review r11): the total agg and
+    # the top-K collect would otherwise each re-run the full
+    # explode+groupBy corpus pipeline
+    freq = tok.groupBy("t").agg(F.count("*").alias("freq")).persist()
+    try:
+        total = freq.agg(F.sum("freq")).collect()[0][0]  # 1-row scalar agg
+        ks = (10, 100, 1000)
+        top = [
+            r["freq"]
+            for r in freq.orderBy(F.col("freq").desc(), "t")
+            .limit(max(ks))
+            .collect()
+        ]
+    finally:
+        freq.unpersist()
     rows = []
     for k in ks:
         covered = sum(top[:k])
@@ -2205,10 +2211,14 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "difficulty",
             (
+                # when/otherwise mirrors the oracle's CASE NULL
+                # semantics (a NULL difficulty lands in stage 1 on
+                # both engines; a boolean cast would NULL the stage
+                # in Spark only — review r11)
                 F.lit(1)
-                + (F.col("difficulty") > F.col("b1")).cast("int")
-                + (F.col("difficulty") > F.col("b2")).cast("int")
-                + (F.col("difficulty") > F.col("b3")).cast("int")
+                + F.when(F.col("difficulty") > F.col("b1"), 1).otherwise(0)
+                + F.when(F.col("difficulty") > F.col("b2"), 1).otherwise(0)
+                + F.when(F.col("difficulty") > F.col("b3"), 1).otherwise(0)
             ).alias("stage"),
         )
         .withColumn("h", F.md5(F.col("doc_id").cast("string")))

@@ -990,9 +990,12 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def quartile(col: str, tag: str):
+        # when/otherwise mirrors the oracle's CASE NULL semantics
+        # (a NULL dimension lands in quartile 1 on both engines;
+        # a boolean cast would NULL it in Spark only — review r11)
         e = F.lit(1)
         for i in range(1, 4):
-            e = e + (F.col(col) < F.col(f"{tag}{i}")).cast("int")
+            e = e + F.when(F.col(col) < F.col(f"{tag}{i}"), 1).otherwise(0)
         return e.alias(f"{tag}_quartile")
 
     scored = rfm.crossJoin(F.broadcast(cuts)).select(

@@ -495,28 +495,32 @@ def streamdedup_main(n_batches: int) -> None:
         b = batch_of(i)
         t0 = time.perf_counter()
         # drive the REAL dir-sizing policy (r11): the clustered dir
-        # count derives from the index's current rows via
-        # maintenance.sized_cluster_dirs, exactly like the sink's
-        # None-default — with a toy target_rows_per_dir so the rule's
+        # count derives from the index's POST-append rows via
+        # maintenance.sized_cluster_dirs, same inputs and order as the
+        # sink's None-default (append → derive → compact; review r11
+        # caught a pre-append derivation that lagged the shipped rule
+        # by one batch) — with a toy target_rows_per_dir so the rule's
         # growth (floor → rows-derived → pinned at one-dir-per-bucket)
         # happens inside the harness's ~10 batches instead of at TB
         # scale. Claims: derived n_dirs grows with the index, pins at
         # n_band_buckets=16, and the NARROW tick's dirs-read stays
         # constant (<= n_bands=8) while index rows grow ~10x.
-        from hapiy_etl_spark.operators.maintenance import sized_cluster_dirs
+        from hapiy_etl_spark.operators.maintenance import (
+            auto_compact,
+            sized_cluster_dirs,
+        )
 
-        idx_rows_now = (
-            TxTable(spark, sigp).read().count()
-            if TxTable(spark, sigp).latest_version() > 0
-            else 0
-        )
-        derived_dirs = sized_cluster_dirs(
-            idx_rows_now, 16, 32, target_rows_per_dir=1500, floor=2
-        )
         ingest_dedup_batch(
             b, corpus, sigp, epoch_id=i, run_id="growth",
-            auto_compact_max_dirs=4,
-            sig_compact_kw={"cluster_by": "bb", "n_dirs": derived_dirs},
+        )
+        auto_compact(TxTable(spark, corpus), 4)
+        derived_dirs = sized_cluster_dirs(
+            TxTable(spark, sigp).read().count(),
+            16, 32, target_rows_per_dir=1500, floor=2,
+        )
+        auto_compact(
+            TxTable(spark, sigp), 4,
+            cluster_by="bb", n_dirs=derived_dirs,
         )
         t_incr = time.perf_counter() - t0
         # structural r10 metric: replicate the sink's pruned index read
