@@ -280,8 +280,8 @@ def cdc_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.pmod("vec_id", F.lit(4)) != 3),
         "vec_id",
         n_centroids=n_centroids,
-        train_fraction=0.5,
-        max_iter=2,
+        max_iter=1,  # probe-all is exact regardless of quantizer
+        # quality: spend the single Lloyd step on the 150-vector slice
     )
     cent = cent.cache()
 
