@@ -104,6 +104,66 @@ def sized_cluster_dirs(
     return max(1, min(max(floor, by_rows), n_buckets, max_dirs - 1))
 
 
+def prefix_bucketed_row_number(
+    df,
+    partition_cols: Sequence[str],
+    hash_col,
+    tiebreak_cols: Sequence[str],
+    out_col: str = "pos",
+    prefix_len: int = 2,
+):
+    """``row_number() OVER (PARTITION BY partition_cols ORDER BY
+    hash_col, tiebreak_cols)`` computed WITHOUT a per-partition global
+    sort — the scale-safe global-rank kernel factored out of the r11
+    curriculum rewrite.
+
+    Spark plans a window partitioned only by a low-cardinality column
+    (a curriculum stage, a split label, a shard id) as ONE task per
+    partition value — the whole slice through a single reducer. This
+    kernel instead buckets every row by the first ``prefix_len`` hex
+    chars of ``hash_col``; because the bucket is a PREFIX of the sort
+    key, ordering by (bucket, hash) equals ordering by hash, so
+    within-bucket row_numbers plus per-bucket offsets compose to a
+    position bit-identical to the global window's while no task ever
+    sees more than ~1/16^prefix_len of a partition. Offsets come from
+    a (partition, bucket) count aggregate — at most
+    |partitions| x 16^prefix_len tiny rows — ranked by a window over
+    that AGGREGATE (never the data) and broadcast back.
+
+    ``hash_col`` must be a lowercase-hex string column (md5/sha) so
+    prefix order equals value order; positions are 1-based like
+    ``row_number``. Requires ties on (hash, tiebreak) to be broken by
+    ``tiebreak_cols`` (pass the row's unique key)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    pc = list(partition_cols)
+    tb = list(tiebreak_cols)
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    hb = F.substring(h, 1, prefix_len)
+    keyed = df.withColumn("__pbh", h).withColumn("__pbb", hb)
+    local = keyed.withColumn(
+        "__pblpos",
+        F.row_number().over(
+            W.partitionBy(*pc, "__pbb").orderBy("__pbh", *tb)
+        ),
+    )
+    counts = keyed.groupBy(*pc, "__pbb").agg(F.count("*").alias("__pbn"))
+    offsets = counts.select(
+        *pc,
+        "__pbb",
+        (
+            F.sum("__pbn").over(W.partitionBy(*pc).orderBy("__pbb"))
+            - F.col("__pbn")
+        ).alias("__pboff"),
+    )
+    return (
+        local.join(F.broadcast(offsets), pc + ["__pbb"])
+        .withColumn(out_col, (F.col("__pboff") + F.col("__pblpos")).cast("long"))
+        .drop("__pbh", "__pbb", "__pblpos", "__pboff")
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -2182,8 +2182,6 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus.",
 )
 def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     t = load_tables(spark, sf_dir, ("documents",))
     scored = (
         t["documents"]
@@ -2222,31 +2220,19 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stage"),
         )
         .withColumn("h", F.md5(F.col("doc_id").cast("string")))
-        .withColumn("hb", F.substring("h", 1, 2))
     )
-    # hb is a prefix of h, so ordering by (hb, h) == ordering by h:
-    # within-bucket row_number + bucket offsets reproduce the per-stage
-    # global row_number without any single-partition window.
-    local = bucketed.withColumn(
-        "lpos",
-        F.row_number().over(W.partitionBy("stage", "hb").orderBy("h", "doc_id")),
+    # the scale-safe global-rank kernel (operators/maintenance.py):
+    # md5-prefix buckets + per-bucket offsets reproduce the per-stage
+    # global row_number without any single-partition window
+    from hapiy_etl_spark.operators.maintenance import (
+        prefix_bucketed_row_number,
     )
-    counts = bucketed.groupBy("stage", "hb").agg(F.count("*").alias("n"))
-    offsets = counts.select(
-        "stage",
-        "hb",
-        (F.sum("n").over(W.partitionBy("stage").orderBy("hb")) - F.col("n")).alias(
-            "off"
-        ),
-    )
+
     return (
-        local.join(F.broadcast(offsets), ["stage", "hb"])
-        .select(
-            "doc_id",
-            "difficulty",
-            "stage",
-            (F.col("off") + F.col("lpos")).cast("long").alias("curriculum_pos"),
+        prefix_bucketed_row_number(
+            bucketed, ["stage"], "h", ["doc_id"], out_col="curriculum_pos"
         )
+        .select("doc_id", "difficulty", "stage", "curriculum_pos")
         .orderBy("stage", "curriculum_pos")
     )
 

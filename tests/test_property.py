@@ -589,3 +589,56 @@ def test_kll_weight_exactly_conserved_over_random_op_sequences(ops, k):
             counts[i] = counts[i] + counts[j]
         for s, c in zip(pool, counts):
             assert weight(s) == c, (op, s["levels"], c)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # partition value
+            st.integers(min_value=0, max_value=10**6),  # unique-ish key
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    prefix_len=st.integers(min_value=1, max_value=2),
+)
+def test_prefix_bucketed_row_number_matches_global_window(
+    spark, rows, prefix_len
+):
+    """The scale-safe global-rank kernel (r11, factored out of the
+    curriculum rebuild) is BIT-IDENTICAL to the single-reducer window
+    it replaces — `row_number() OVER (PARTITION BY p ORDER BY md5(k),
+    k)` — for arbitrary partition shapes, hash-prefix collisions,
+    empty-bucket gaps, and both prefix widths, because the bucket is a
+    prefix of the sort key."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.maintenance import (
+        prefix_bucketed_row_number,
+    )
+
+    # dedupe (p, k): row_number ties on duplicate keys are arbitrary
+    rows = sorted(set(rows))
+    df = spark.createDataFrame(rows, "p int, k long").withColumn(
+        "h", F.md5(F.col("k").cast("string"))
+    )
+    got = {
+        (r["p"], r["k"]): r["pos"]
+        for r in prefix_bucketed_row_number(
+            df, ["p"], "h", ["k"], prefix_len=prefix_len
+        ).collect()
+    }
+    want = {
+        (r["p"], r["k"]): r["pos"]
+        for r in df.withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("p").orderBy("h", "k")),
+        ).collect()
+    }
+    assert got == want
