@@ -765,6 +765,185 @@ def flagship_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               len(string_split_regex(text, '\\s+')) AS n_toks
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id >= 50
+    ),
+    feat AS (
+        SELECT doc_id, text, n_toks,
+            ROUND(
+                least(len(list_filter(string_split_regex(text, '\\s+'),
+                          t -> t IN {_SW_SQL})) * 1.0
+                      / greatest(len(string_split_regex(text, '\\s+')), 1)
+                      * 5, 1.0) * 0.4
+                + (1 - least(
+                      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      * 1.0 / greatest(length(text), 1) * 5, 1.0)) * 0.3
+                + (CASE WHEN list_aggregate(list_transform(
+                            string_split_regex(text, '\\s+'),
+                            t -> length(t)), 'sum') * 1.0
+                        / greatest(len(string_split_regex(text, '\\s+')), 1)
+                        BETWEEN 3 AND 10
+                   THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+        FROM base
+    ),
+    qual AS (SELECT doc_id, text, n_toks FROM feat WHERE quality >= 0.7),
+    dd AS (
+        SELECT doc_id, text, n_toks FROM (
+            SELECT doc_id, text, n_toks,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')))
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM qual
+        ) WHERE rn = 1
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 50),
+    ddsh AS (SELECT h.doc_id, h.s FROM sh h JOIN dd USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ddsh GROUP BY doc_id),
+    contaminated AS (
+        SELECT t.doc_id
+        FROM ddsh t JOIN bench b ON t.s = b.s
+        JOIN sizes sz ON sz.doc_id = t.doc_id
+        GROUP BY t.doc_id, sz.n_sh
+        HAVING COUNT(*) * 1.0 / sz.n_sh >= 0.2
+    ),
+    clean AS (
+        SELECT * FROM dd
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    tagged AS (
+        SELECT n_toks,
+               CASE WHEN substr(md5(text), 32, 1) < 'c' THEN 'train'
+                    WHEN substr(md5(text), 32, 1) < 'e' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean
+    )
+    SELECT 'a1_ingest' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM base
+    UNION ALL
+    SELECT 'a2_quality', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM qual
+    UNION ALL
+    SELECT 'a3_dedup', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM dd
+    UNION ALL
+    SELECT 'a4_decontam', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM clean
+    UNION ALL
+    SELECT 'b_' || split, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+    FROM tagged GROUP BY split
+    ORDER BY stage
+    """,
+    doc="BATCH CURATION FUNNEL (r11) — the batch twin of "
+    "flagship_pipeline_e2e: the standard pretraining curation chain as "
+    "ONE hash-checked report. Stages: usable text (doc_id >= 50; the "
+    "< 50 slice is the eval suite) → C4/Gopher quality gate "
+    "(composite score ≥ 0.7 — the rounded textstats.quality_score, so "
+    "the threshold comparison is seam-free) → exact dedup "
+    "(normalized-text md5, keep-lowest-id; 16-byte digests on the "
+    "shuffle) → benchmark decontamination (3-shingle overlap ≥ 0.2 vs "
+    "the eval slice — broadcast bench shingles, corpus never pairs "
+    "with itself) → leakage-free content-hash train/val/test split "
+    "(last md5 nibble: a near-copy that survived dedup still lands in "
+    "ONE split). Output: per-stage (n_docs, n_tokens) funnel rows plus "
+    "per-split totals — the acceptance report a 100 TB curation run "
+    "publishes. Every stage reuses the individually-[O]-proven kernel "
+    "(text_quality, dedup_exact, text_decontamination, "
+    "corpus_split_sample); this row proves the COMPOSITION, stage "
+    "interfaces included.",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators import textstats as TSS
+    from hapiy_etl_spark.operators.dedup import normalized_text
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    base = (
+        docs.where(
+            F.col("text").isNotNull()
+            & (F.trim("text") != "")
+            & (F.col("doc_id") >= 50)
+        )
+        .select(
+            "doc_id", "text", F.size(F.split("text", r"\s+")).alias("n_toks")
+        )
+    )
+    qual = base.where(TSS.quality_score("text") >= 0.7)
+    # exact dedup: digest groupBy (16-byte keys on the shuffle), keep
+    # the lowest id, join back — the dedup_exact kernel
+    keep = (
+        qual.select(F.md5(normalized_text("text")).alias("__digest"), "doc_id")
+        .groupBy("__digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dd = qual.join(keep, "doc_id")
+    # decontamination vs the eval slice, broadcast bench shingles
+    sh_all = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(D.shingles("text", 3)).alias("s")
+    )
+    bench = (
+        sh_all.where(F.col("doc_id") < 50).select("s").distinct()
+    )
+    ddsh = sh_all.join(dd.select("doc_id"), "doc_id")
+    sizes = ddsh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    contaminated = (
+        ddsh.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .join(sizes, "doc_id")
+        .where(F.col("n_hits") / F.col("n_sh") >= 0.2)
+        .select("doc_id")
+    )
+    clean = dd.join(contaminated, "doc_id", "left_anti")
+    nib = F.substring(F.md5("text"), 32, 1)
+    tagged = clean.select(
+        "n_toks",
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    splits = tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    ).select(
+        F.concat(F.lit("b_"), F.col("split")).alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    return (
+        stage(base, "a1_ingest")
+        .unionByName(stage(qual, "a2_quality"))
+        .unionByName(stage(dd, "a3_dedup"))
+        .unionByName(stage(clean, "a4_decontam"))
+        .unionByName(splits)
+        .orderBy("stage")
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # xxhash64 is Spark-specific — signatures aren't portable;
     # behavior verified on planted near-dups in tests/test_llm.py
