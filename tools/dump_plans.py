@@ -175,6 +175,10 @@ SHOWCASE = [
     # r11: vocab coverage — freq aggregate + TakeOrdered top-K (no
     # global sort shuffle), curve assembled from the bounded slice
     ("vocab_coverage_curve", ["Scan ExistingRDD"]),
+    # r11: the batch curation funnel — every stage a hash join or
+    # aggregate (digest dedup join, broadcast bench shingles), unioned
+    # 1-row stage counts; no window, no nested loop anywhere
+    ("corpus_curation_funnel", ["HashAggregate", "BroadcastHashJoin", "Union"]),
 ]
 
 
