@@ -133,14 +133,20 @@ def prefix_bucketed_row_number(
     ``hash_col`` must be a lowercase-hex string column (md5/sha) so
     prefix order equals value order; positions are 1-based like
     ``row_number``. Requires ties on (hash, tiebreak) to be broken by
-    ``tiebreak_cols`` (pass the row's unique key)."""
+    ``tiebreak_cols`` (pass the row's unique key). NULL hashes (md5 of
+    a NULL input) keep the window's NULLS-FIRST semantics: they land
+    in a dedicated ''-bucket that sorts before every hex bucket (a
+    non-null prefix is ≥1 char, so the bucket is unambiguous), rather
+    than silently dropping out of the offsets equi-join (review r11)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     pc = list(partition_cols)
     tb = list(tiebreak_cols)
     h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
-    hb = F.substring(h, 1, prefix_len)
+    hb = F.when(h.isNull(), F.lit("")).otherwise(
+        F.substring(h, 1, prefix_len)
+    )
     keyed = df.withColumn("__pbh", h).withColumn("__pbb", hb)
     local = keyed.withColumn(
         "__pblpos",

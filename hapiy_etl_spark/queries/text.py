@@ -836,15 +836,19 @@ def flagship_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM clean
     )
     SELECT 'a1_ingest' AS stage, COUNT(*) AS n_docs,
-           CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM base
+           CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM base
     UNION ALL
-    SELECT 'a2_quality', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM qual
+    SELECT 'a2_quality', COUNT(*),
+           CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM qual
     UNION ALL
-    SELECT 'a3_dedup', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM dd
+    SELECT 'a3_dedup', COUNT(*),
+           CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM dd
     UNION ALL
-    SELECT 'a4_decontam', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM clean
+    SELECT 'a4_decontam', COUNT(*),
+           CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM clean
     UNION ALL
-    SELECT 'b_' || split, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+    SELECT 'b_' || split, COUNT(*),
+           CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
     FROM tagged GROUP BY split
     ORDER BY stage
     """,
@@ -868,7 +872,7 @@ def flagship_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hapiy_etl_spark.operators import textstats as TSS
-    from hapiy_etl_spark.operators.dedup import normalized_text
+    from hapiy_etl_spark.operators.dedup import exact_dedup
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
@@ -883,15 +887,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qual = base.where(TSS.quality_score("text") >= 0.7)
-    # exact dedup: digest groupBy (16-byte keys on the shuffle), keep
-    # the lowest id, join back — the dedup_exact kernel
-    keep = (
-        qual.select(F.md5(normalized_text("text")).alias("__digest"), "doc_id")
-        .groupBy("__digest")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    dd = qual.join(keep, "doc_id")
+    # the canonical exact-dedup kernel (digest groupBy, keep-lowest-id,
+    # join back) — reused, not copied, so the normalization can never
+    # drift from dedup_exact's (review r11)
+    dd = exact_dedup(qual, "text", "doc_id").drop("dup_count")
     # decontamination vs the eval slice, broadcast bench shingles
     sh_all = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(D.shingles("text", 3)).alias("s")

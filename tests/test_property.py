@@ -625,8 +625,12 @@ def test_prefix_bucketed_row_number_matches_global_window(
 
     # dedupe (p, k): row_number ties on duplicate keys are arbitrary
     rows = sorted(set(rows))
+    # every 7th key gets a NULL hash (md5-of-NULL in real callers):
+    # the kernel must keep those rows with the window's NULLS-FIRST
+    # placement, not drop them in the offsets equi-join (review r11)
     df = spark.createDataFrame(rows, "p int, k long").withColumn(
-        "h", F.md5(F.col("k").cast("string"))
+        "h",
+        F.when(F.col("k") % 7 != 3, F.md5(F.col("k").cast("string"))),
     )
     got = {
         (r["p"], r["k"]): r["pos"]

@@ -1038,11 +1038,13 @@ def zorder_main(n_batches: int) -> None:
 
 
 def soak_main(seconds: int) -> None:
-    """Continuous-trigger soak of the online-dedup ingest (r11): a REAL
-    always-on stream (processingTime trigger, not the demos'
-    availableNow) fed by a file source that a writer thread keeps
-    appending to — every 3rd wave re-sends the previous wave's text
-    under fresh ids. Claims after N seconds of wall-clock: (a) rows
+    """Always-on soak of the online-dedup ingest (r11): a paced writer
+    thread keeps appending waves to a file source while the sink
+    drains through LOOPED availableNow runs resuming one engine
+    checkpoint (restart-resume between runs — exactly-once composes
+    across them; the wrapper pins availableNow for its [O] demos, so
+    a loop-of-runs is the periodic-trigger stand-in here). Every 3rd
+    wave re-sends the previous wave's text under fresh ids. Claims after N seconds of wall-clock: (a) rows
     exactly-once (corpus == expected survivors, replays dropped),
     (b) disk BOUNDED (retention vacuum composed into the sink keeps
     both tables' dirs and superseded data from growing O(epochs)),
@@ -1066,6 +1068,11 @@ def soak_main(seconds: int) -> None:
         .where(F.col("text").isNotNull() & (F.col("doc_id") % 8 == 0))
     )
     n_docs = docs.count()
+    # wave id stride must clear the slice's MAX id, not its row count:
+    # a sparse or NULL-text fixture shrinks n_docs while ids stay
+    # large, and overlapping wave windows would read as false
+    # exactly-once failures (review r11)
+    stride = 8 * (int(docs.agg(F.max("doc_id")).first()[0]) // 8 + 1)
     base = tempfile.mkdtemp(prefix="streamdedup_soak_")
     src = f"{base}/src"
     stop = threading.Event()
@@ -1082,7 +1089,7 @@ def soak_main(seconds: int) -> None:
             i = wave_n[0] + 1
             tag = i if i % 3 != 0 else i - 1
             batch = docs.select(
-                (F.col("doc_id") + F.lit(i * n_docs * 8)).alias("doc_id"),
+                (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
                 F.regexp_replace(
                     F.col("text"), F.lit(r"(\S+)"), F.lit(f"w{tag}$1")
                 ).alias("text"),
@@ -1116,24 +1123,20 @@ def soak_main(seconds: int) -> None:
             "vacuum_min_age_s": 0.0,
         },
     )
-    # swap the demo trigger for a real periodic one: the wrapper
-    # hardcodes availableNow for the [O] demos, so rebuild the query
-    # with processingTime by stopping and re-starting from the same
-    # checkpoint would lose the in-flight batch — instead just let the
-    # availableNow run drain and LOOP it, which at a 1 Hz writer is
-    # behaviorally a periodic trigger with restart-resume between runs
-    # (each run resumes the engine checkpoint; exactly-once composes).
     t0 = time.time()
     durations: list[float] = []
     run_commits: list[int] = []
     runs = 0
     corpus_probe = TxTable(spark, f"{base}/corpus")
+    v_pre = 0  # q above started against fresh tables; later v_pre is
+    # read BEFORE each restart so no commit escapes its run's count
     while time.time() - t0 < seconds:
         tq0 = time.time()
-        v_pre = corpus_probe.latest_version()
         q.awaitTermination()
         durations.append(round(time.time() - tq0, 2))
-        run_commits.append(corpus_probe.latest_version() - v_pre)
+        v_now = corpus_probe.latest_version()
+        run_commits.append(v_now - v_pre)
+        v_pre = v_now
         runs += 1
         q = foreach_batch_ingest_dedup(
             stream,
@@ -1155,7 +1158,9 @@ def soak_main(seconds: int) -> None:
     # writer stops FIRST, then the final drains so the expected-count
     # arithmetic sees a fully-processed backlog
     stop.set()
-    t.join(timeout=10)
+    t.join()  # no timeout: a still-alive writer appending after the
+    # final drain would read as a false exactly-once failure
+    assert not t.is_alive()
     q.awaitTermination()
     foreach_batch_ingest_dedup(
         stream,
@@ -1184,14 +1189,18 @@ def soak_main(seconds: int) -> None:
     # exactly zero
     import pathlib
 
-    def wave_count(i: int) -> int:
-        lo, hi = i * n_docs * 8, (i + 1) * n_docs * 8
-        return got.where(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).count()
-
-    s = wave_count(1)
-    per_wave = {i: wave_count(i) for i in range(1, waves + 1)}
+    # one grouped aggregate gives every wave's count (review r11: the
+    # per-wave count-job form re-scanned the corpus once per wave)
+    per_wave = {i: 0 for i in range(1, waves + 1)}
+    for r in (
+        got.groupBy(
+            F.floor(F.col("doc_id") / F.lit(stride)).cast("int").alias("w")
+        )
+        .count()
+        .collect()
+    ):
+        per_wave[int(r["w"])] = int(r["count"])
+    s = per_wave[1]
     ok = all(
         (c == 0) if i % 3 == 0 else (c == s) for i, c in per_wave.items()
     )
