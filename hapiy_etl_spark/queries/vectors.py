@@ -612,6 +612,75 @@ def stream_ingest_online_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "class_balanced_subset",
+    oracle="""
+    WITH counts AS (
+        SELECT label, COUNT(*) AS n_before FROM embeddings GROUP BY label
+    ),
+    kmin AS (SELECT MIN(n_before) AS k FROM counts),
+    ranked AS (
+        SELECT label, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS r
+        FROM embeddings
+    ),
+    kept AS (
+        SELECT label, vec_id FROM ranked, kmin WHERE r <= kmin.k
+    )
+    SELECT c.label,
+           c.n_before,
+           COUNT(k.vec_id) AS n_after,
+           CAST(SUM(k.vec_id) AS BIGINT) AS kept_id_sum
+    FROM counts c JOIN kept k ON k.label = c.label
+    GROUP BY c.label, c.n_before
+    ORDER BY c.label
+    """,
+    doc="Class-balanced deterministic downsample (r11): per-label keep "
+    "the first min-class-count rows in portable md5 order — the "
+    "rebalancing step before training on a skewed label distribution, "
+    "reproducible bit-for-bit by any engine from the data alone (no "
+    "RNG; the corpus_shard_assignment property). Per-label before/"
+    "after counts plus the kept-id checksum, so the oracle pins the "
+    "exact SUBSET, not just its size. Plan: one grouped count, a "
+    "1-row min broadcast back, one per-label window (partition spec "
+    "non-empty — |labels| partitions, never a global sort). At 100 TB "
+    "swap the exact per-label rank for sample_reservoir_per_group's "
+    "salted bottom-k when a single label outgrows a task.",
+)
+def class_balanced_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_before"))
+    kmin = counts.agg(F.min("n_before").alias("k"))
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number()
+        .over(
+            W.partitionBy("label").orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            )
+        )
+        .alias("r"),
+    )
+    kept = ranked.crossJoin(F.broadcast(kmin)).where(F.col("r") <= F.col("k"))
+    return (
+        counts.join(kept.select("label", "vec_id"), "label")
+        .groupBy("label", "n_before")
+        .agg(
+            F.count("vec_id").alias("n_after"),
+            F.sum("vec_id").cast("long").alias("kept_id_sum"),
+        )
+        .select("label", "n_before", "n_after", "kept_id_sum")
+        .orderBy("label")
+    )
+
+
+@register(
     "embedding_stats",
     oracle="""
     SELECT label,

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "cdc_ivf_index_maintenance",
     "vocab_coverage_curve",
     "corpus_curation_funnel",
+    "class_balanced_subset",
     "customer_rfm_segmentation",
     "stream_ingest_online_dedup",
     "stream_ingest_online_semdedup",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_sequence_pack",
     "dedup_cluster_assign",
-    "text_bigram_logprob",
 )
 
 

@@ -92,6 +92,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   aggregate broadcast back onto the scan (r11 scale-safe form)
         "customer_rfm_segmentation",  # 1-row percentile_disc quartile
         #   cuts crossed onto the customer-grain aggregate (r11 form)
+        "class_balanced_subset",  # 1-row min-class-count aggregate
+        #   crossed onto the per-label ranked rows (r11)
     }
     offenders = []
     for q in all_queries().values():
