@@ -1395,6 +1395,59 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "context_length_fit",
+    oracle="""
+    WITH lens AS (
+        SELECT len(string_split_regex(trim(text), '\\s+')) AS n_toks
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    grid AS (SELECT * FROM (VALUES (32), (64), (128)) g(context_len))
+    SELECT g.context_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_toks <= g.context_len THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fit,
+           ROUND(SUM(CASE WHEN n_toks <= g.context_len THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS frac_fit,
+           CAST(SUM(greatest(n_toks - g.context_len, 0)) AS BIGINT)
+               AS tokens_truncated
+    FROM lens, grid g
+    GROUP BY g.context_len
+    ORDER BY g.context_len
+    """,
+    doc="Context-length fit curve (r11): for each candidate training "
+    "context length, the fraction of documents that fit whole and the "
+    "token mass a hard truncation would discard — the audit that picks "
+    "the context length (and decides between truncation and the "
+    "sequence-packing path text_sequence_pack implements) before a "
+    "training run. Plan: one token-count scan crossed with a 3-row "
+    "broadcast length grid (the cross_join_dims sanctioned shape), one "
+    "grouped aggregate — conditional sums, no windows, no second scan.",
+)
+def context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    lens = (
+        t["documents"]
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"))
+    )
+    grid = spark.createDataFrame([(32,), (64,), (128,)], "context_len int")
+    fit = F.when(F.col("n_toks") <= F.col("context_len"), 1).otherwise(0)
+    return (
+        lens.crossJoin(F.broadcast(grid))
+        .groupBy("context_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(fit).alias("n_fit"),
+            F.round(F.sum(fit) / F.count("*"), 6).alias("frac_fit"),
+            F.sum(F.greatest(F.col("n_toks") - F.col("context_len"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_truncated"),
+        )
+        .orderBy("context_len")
+    )
+
+
+@register(
     "data_quality_report",
     oracle="""
     SELECT 'lineitem_rows' AS check_name, COUNT(*) AS value FROM lineitem

@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "vocab_coverage_curve",
     "corpus_curation_funnel",
     "class_balanced_subset",
+    "context_length_fit",
     "customer_rfm_segmentation",
     "stream_ingest_online_dedup",
     "stream_ingest_online_semdedup",
@@ -113,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "subq_lateral_topn",
     "text_fingerprint",
     "text_sequence_pack",
-    "dedup_cluster_assign",
 )
 
 

@@ -94,6 +94,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   cuts crossed onto the customer-grain aggregate (r11 form)
         "class_balanced_subset",  # 1-row min-class-count aggregate
         #   crossed onto the per-label ranked rows (r11)
+        "context_length_fit",  # 3-row length grid crossed onto the
+        #   token-count scan (the cross_join_dims sanctioned shape, r11)
     }
     offenders = []
     for q in all_queries().values():
