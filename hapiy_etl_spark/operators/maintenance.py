@@ -94,14 +94,23 @@ def sized_cluster_dirs(
     ``floor`` (default ``max_dirs // 2``, the pre-r11 behavior) keeps
     early compactions from collapsing a small index into one dir and
     losing pruning before the rows-based term kicks in. The result is
-    always < ``max_dirs`` so the compaction policy cannot re-fire
-    every tick (O(index) write amplification), and callers should size
-    ``max_dirs > n_buckets`` when they want the one-dir-per-bucket
-    steady state to be reachable."""
+    capped at ``max_dirs - max(1, max_dirs // 4)`` — a quarter-headroom
+    below the fire threshold, not just one dir (ADVICE r11): landing at
+    ``max_dirs - 1`` would mean a SINGLE append puts the table back at
+    the ``>= max_dirs`` threshold and the full O(index) clustered
+    rewrite re-fires on EVERY tick. With quarter headroom the policy
+    keeps its amortized every-``max_dirs/4``-epochs cadence even when
+    the rows term saturates. Callers should size ``max_dirs >
+    n_buckets`` when they want the one-dir-per-bucket steady state to
+    be reachable, and ``max_dirs`` must be >= 2 (a threshold of 1
+    cannot leave any post-compaction headroom)."""
+    if max_dirs < 2:
+        raise ValueError(f"max_dirs must be >= 2, got {max_dirs}")
+    cap = max_dirs - max(1, max_dirs // 4)
     if floor is None:
         floor = max(1, max_dirs // 2)
     by_rows = max(1, -(-int(index_rows) // max(1, int(target_rows_per_dir))))
-    return max(1, min(max(floor, by_rows), n_buckets, max_dirs - 1))
+    return max(1, min(max(floor, by_rows), n_buckets, cap))
 
 
 def prefix_bucketed_row_number(
@@ -137,7 +146,11 @@ def prefix_bucketed_row_number(
     a NULL input) keep the window's NULLS-FIRST semantics: they land
     in a dedicated ''-bucket that sorts before every hex bucket (a
     non-null prefix is ≥1 char, so the bucket is unambiguous), rather
-    than silently dropping out of the offsets equi-join (review r11)."""
+    than silently dropping out of the offsets equi-join (review r11).
+    NULL values in ``partition_cols`` likewise keep window semantics —
+    a window treats a NULL partition value as its own group — via
+    null-safe (``<=>``) join conditions on the offsets join (ADVICE
+    r11: a plain equi-join silently dropped those rows)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -163,8 +176,17 @@ def prefix_bucketed_row_number(
             - F.col("__pbn")
         ).alias("__pboff"),
     )
+    # Null-safe conditions so NULL partition values join to their own
+    # offsets group instead of dropping (an equi-join's NULL != NULL);
+    # aliased sides + a condition list keeps the join unambiguous.
+    lh, rh = local.alias("__pbl"), F.broadcast(offsets).alias("__pbr")
+    cond = [
+        F.col(f"__pbl.{c}").eqNullSafe(F.col(f"__pbr.{c}"))
+        for c in pc + ["__pbb"]
+    ]
     return (
-        local.join(F.broadcast(offsets), pc + ["__pbb"])
+        lh.join(rh, cond)
+        .select("__pbl.*", F.col("__pbr.__pboff"))
         .withColumn(out_col, (F.col("__pboff") + F.col("__pblpos")).cast("long"))
         .drop("__pbh", "__pbb", "__pblpos", "__pboff")
     )

@@ -104,6 +104,19 @@ def stamp_cache_clear() -> None:
     _STAMP_CACHE.clear()
 
 
+def stamp_cache_drop(path_prefix: str) -> None:
+    """Drop memoized stamps for every table path under ``path_prefix``
+    — the precise invalidation for a SELF-RESETTING demo/scenario query
+    that rmtrees and rebuilds its tables at a session-stable path
+    (ADVICE r11: those rebuilds used to rely on the rebuild being
+    deterministic with identical geometry rather than honoring the
+    memo's documented delete-and-rebuild contract). Other fixtures'
+    cached stamps survive, unlike ``stamp_cache_clear``."""
+    pref = str(path_prefix)
+    for k in [k for k in _STAMP_CACHE if k[0].startswith(pref)]:
+        del _STAMP_CACHE[k]
+
+
 def recorded_stamp(index, key: str) -> int | None:
     """Newest manifest-meta stamp ``key`` in the index's history, read
     NEWEST-FIRST with an early exit — one manifest file per step, so a
@@ -124,7 +137,9 @@ def recorded_stamp(index, key: str) -> int | None:
     deleting a table and rebuilding a DIFFERENT one at the same path
     to the same version count within one session — that violates the
     immutable-manifest premise everywhere; call ``stamp_cache_clear``
-    after any such rebuild (``index_fixtures_clear`` does). A manifest
+    (or the path-scoped ``stamp_cache_drop``) after any such rebuild —
+    ``index_fixtures_clear`` and every self-resetting demo query's
+    rmtree do (ADVICE r11). A manifest
     below the vacuum retention
     window ends the walk (older ones are gone too). Returns None for a
     table written before stamping — validation is best-effort skipped."""

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hapiy_etl_spark.io import load_tables
 from hapiy_etl_spark.operators import dedup as D
+from hapiy_etl_spark.operators import textindex
 from hapiy_etl_spark.operators import textstats as TS
 from hapiy_etl_spark.registry import register
 
@@ -392,6 +393,7 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         / f"spark_graft_dedupidx_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     idx = TxTable(spark, f"{base}/idx")
     # history lands as two index appends (any batching works — the
     # signature table is a plain append-only TxTable)
@@ -579,6 +581,7 @@ def stream_ingest_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce(1) writes were ~1.5 s of per-run setup)
     for d in ("ckpt", "corpus", "sigs"):
         shutil.rmtree(base / d, ignore_errors=True)
+        textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     src, ckpt = str(base / "src"), str(base / "ckpt")
     corpus, sigp = str(base / "corpus"), str(base / "sigs")
 
@@ -2210,6 +2213,7 @@ def cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     corpus = TxTable(spark, str(base / "corpus"))
     # the INGEST job: two plain appends, no index logic anywhere near it
     corpus.append(train.where(F.pmod("doc_id", F.lit(4)) != 3))
@@ -3640,6 +3644,7 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / f"spark_graft_bloom_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     src = TxTable(spark, f"{base}/src")
     bucketed = docs.withColumn("b", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
     # size the geometry to the corpus: ~20 bits per expected key per
@@ -3719,6 +3724,7 @@ def bloom_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / f"spark_graft_bloomm_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     src = TxTable(spark, f"{base}/src")
     # RANGE-disjoint thirds (row_number over doc_id): the merge batch's
     # key range then overlaps exactly one dir and the prune carries the
@@ -3813,6 +3819,7 @@ def bloom_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         / f"spark_graft_bloomf_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     src = TxTable(spark, f"{base}/src")
     n_docs = docs.count()
     bits = 1 << max(15, (n_docs * 20 // 3).bit_length())
@@ -3876,6 +3883,7 @@ def changestream_optimize_exactly_once(
         / f"spark_graft_cdc_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     src = TxTable(spark, f"{base}/src")
     _reg_cdc(spark)
     thirds = docs.withColumn(

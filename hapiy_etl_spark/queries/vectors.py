@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hapiy_etl_spark.io import load_tables
 from hapiy_etl_spark.operators import similarity as S
+from hapiy_etl_spark.operators import textindex
 from hapiy_etl_spark.registry import register
 
 
@@ -290,6 +291,7 @@ def cdc_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     corpus = TxTable(spark, str(base / "corpus"))
     # the INGEST job: two plain appends, no index logic anywhere near it
     corpus.append(emb.where(F.pmod("vec_id", F.lit(4)) != 3))
@@ -479,6 +481,7 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         / f"spark_graft_semidx_demo_{spark.sparkContext.applicationId}_{Path(sf_dir).name}"
     )
     shutil.rmtree(base, ignore_errors=True)
+    textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     idx = TxTable(spark, f"{base}/idx")
     idx.append(history, stats_cols=["bucket"])
 
@@ -585,6 +588,7 @@ def stream_ingest_online_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame
     # the corpus — staged once per session (r10 bench hygiene)
     for d in ("ckpt", "idx"):
         shutil.rmtree(base / d, ignore_errors=True)
+        textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     src, ckpt, idxp = str(base / "src"), str(base / "ckpt"), str(base / "idx")
 
     # both arrivals staged with ascending mtimes; maxFilesPerTrigger=1

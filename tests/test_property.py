@@ -599,7 +599,10 @@ def test_kll_weight_exactly_conserved_over_random_op_sequences(ops, k):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=3),  # partition value
+            # partition value, incl. NULL: a window treats a NULL
+            # partition value as its own group, so the kernel's offsets
+            # join must be null-safe or those rows drop (ADVICE r11)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
             st.integers(min_value=0, max_value=10**6),  # unique-ish key
         ),
         min_size=1,
@@ -624,7 +627,8 @@ def test_prefix_bucketed_row_number_matches_global_window(
     )
 
     # dedupe (p, k): row_number ties on duplicate keys are arbitrary
-    rows = sorted(set(rows))
+    # (sort key maps the NULL partition to -1: None is unorderable)
+    rows = sorted(set(rows), key=lambda t: (-1 if t[0] is None else t[0], t[1]))
     # every 7th key gets a NULL hash (md5-of-NULL in real callers):
     # the kernel must keep those rows with the window's NULLS-FIRST
     # placement, not drop them in the offsets equi-join (review r11)

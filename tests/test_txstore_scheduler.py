@@ -2738,6 +2738,44 @@ def test_geometry_stamp_carried_through_optimize_and_vacuum(spark, tmp_path):
     assert recorded_stamp(t, "n_buckets") == 64
 
 
+def test_stamp_cache_drop_scopes_to_path_prefix(spark, tmp_path):
+    """ADVICE r11: a self-resetting demo query that rmtrees + rebuilds
+    its tables at a session-stable path must invalidate the stamp memo
+    for THAT subtree — stamp_cache_drop — instead of relying on the
+    rebuild being byte-identical. Other paths' memo entries survive."""
+    from hapiy_etl_spark.operators.textindex import (
+        recorded_stamp,
+        stamp_cache_drop,
+    )
+
+    base = tmp_path / "demo"
+    other = TxTable(spark, str(tmp_path / "other"))
+    other.append(
+        spark.createDataFrame([(1,)], "k long"), meta={"n_buckets": 32}
+    )
+    assert recorded_stamp(other, "n_buckets") == 32  # memoized
+
+    def build(nb):
+        t = TxTable(spark, str(base / "idx"))
+        t.append(spark.createDataFrame([(1,)], "k long"), meta={"n_buckets": nb})
+        return t
+
+    import shutil
+
+    t = build(64)
+    assert recorded_stamp(t, "n_buckets") == 64
+    # same-path rebuild with DIFFERENT geometry: without the drop the
+    # memo would keep serving 64 for (path, v=1)
+    shutil.rmtree(base, ignore_errors=True)
+    stamp_cache_drop(str(base))
+    t2 = build(128)
+    assert recorded_stamp(t2, "n_buckets") == 128
+    # the unrelated table's cached stamp was untouched
+    from hapiy_etl_spark.operators import textindex as TI
+
+    assert (str(other.path), other.latest_version(), "n_buckets") in TI._STAMP_CACHE
+
+
 def test_recorded_columns_from_manifest(spark, tmp_path):
     """ADVICE r10: layout checks (the pre-r10 online-dedup migration
     probe) answer from the manifest's recorded newest-dir schema — one
@@ -2939,8 +2977,16 @@ def test_sized_cluster_dirs_and_bucket_geometry_rules():
     assert sized_cluster_dirs(400_000_000, 1024, 2048, floor=8) == 100
     # ...pins at one dir per bucket (more cannot improve pruning)...
     assert sized_cluster_dirs(40_000_000_000, 1024, 2048, floor=8) == 1024
-    # ...and always lands under max_dirs so the policy stays amortized
-    assert sized_cluster_dirs(10**12, 4096, 16) == 15
+    # ...and lands with quarter-headroom under max_dirs so the policy
+    # stays amortized even when the rows term saturates (ADVICE r11:
+    # max_dirs-1 would re-fire the full rewrite on every single append)
+    assert sized_cluster_dirs(10**12, 4096, 16) == 12
+    assert sized_cluster_dirs(10**12, 4096, 16) <= 16 - 16 // 4
+    # degenerate threshold: no headroom is representable below 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sized_cluster_dirs(100, 16, 1)
     # monotone in rows (no oscillation as the index grows)
     prev = 0
     for rows in (0, 10**6, 10**7, 10**8, 10**9, 10**10):
