@@ -1045,12 +1045,22 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Pareto / revenue-concentration curve: customers bucketed into "
     "revenue deciles (deterministic NTILE tiebreak), cumulative share "
-    "per decile — the 80/20 report. Decimal sums keep both the decile "
-    "totals and the cumulative ratio exact; the windows run on 10 "
-    "rows.",
+    "per decile — the 80/20 report. Rebuilt r12 off the last "
+    "data-grain global window (VERDICT r11 item 1): the customer-grain "
+    "NTILE is reproduced BIT-IDENTICALLY — exact bucket-size split "
+    "with the same (revenue DESC, o_custkey) tiebreak, the oracle is "
+    "unchanged — by range-partitioning on the sort order and composing "
+    "per-partition row_numbers with collected per-partition offsets "
+    "(maintenance.assign_contiguous_ids' documented exact-global-rank "
+    "path: range partition i sorts wholly before i+1, so no task ever "
+    "sees more than 1/N of the customers), then applying NTILE's "
+    "first-(n%10)-buckets-get-ceil(n/10) size rule as column algebra "
+    "against a 1-row count broadcast. The cumulative share runs as a "
+    "bounded 10x10 decile prefix cross on the 10-row aggregate instead "
+    "of a global window. Decimal sums keep the decile totals exact.",
 )
 def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from hapiy_etl_spark.operators.maintenance import assign_contiguous_ids
 
     t = load_tables(spark, sf_dir, ("orders",))
     cust = (
@@ -1062,31 +1072,55 @@ def revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
-    ranked = cust.select(
-        "revenue",
-        F.ntile(10)
-        .over(W.orderBy(F.col("revenue").desc(), F.col("o_custkey")))
-        .alias("decile"),
+    order = [F.col("revenue").desc(), F.col("o_custkey").asc()]
+    ids = assign_contiguous_ids(
+        cust.repartitionByRange(*order), "rid", order_within=order
     )
-    per_decile = ranked.groupBy("decile").agg(
-        F.count("*").alias("n_customers"),
-        F.sum(F.col("revenue").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("decile_revenue"),
+    # NTILE(10) as algebra over the exact global rank: with n rows the
+    # first n%10 buckets hold ceil(n/10) rows, the rest floor(n/10).
+    n1 = ids.agg(F.count("*").alias("__n"))
+    i, n = F.col("rid"), F.col("__n")
+    base, rem = F.floor(n / 10), n % 10
+    big = rem * (base + F.lit(1))  # rows covered by the ceil-sized buckets
+    decile = (
+        F.when(i < big, F.floor(i / (base + F.lit(1))))
+        # greatest() guards the n<10 division (branch provably unused
+        # there: every i < big when base=0) against ANSI div-by-zero
+        .otherwise(rem + F.floor((i - big) / F.greatest(base, F.lit(1))))
+        + F.lit(1)
+    ).cast("int")
+    per_decile = (
+        ids.crossJoin(F.broadcast(n1))
+        .select(F.col("revenue"), decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("revenue").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("decile_revenue"),
+        )
     )
-    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
-    w_all = W.orderBy("decile").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    # cumulative + total via a bounded 10x10 prefix cross on the decile
+    # aggregate — never a global window, even a post-aggregate one
+    rhs = per_decile.select(
+        F.col("decile").alias("__d2"), F.col("decile_revenue").alias("__rev2")
     )
-    return per_decile.select(
-        "decile",
-        "n_customers",
-        F.round("decile_revenue", 2).alias("decile_revenue"),
-        F.round(
-            F.sum("decile_revenue").over(w_cum) / F.sum("decile_revenue").over(w_all),
-            6,
-        ).alias("cum_share"),
-    ).orderBy("decile")
+    return (
+        per_decile.crossJoin(F.broadcast(rhs))
+        .groupBy("decile", "n_customers", "decile_revenue")
+        .agg(
+            F.sum(F.when(F.col("__d2") <= F.col("decile"), F.col("__rev2")))
+            .alias("__cum"),
+            F.sum("__rev2").alias("__tot"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            F.round("decile_revenue", 2).alias("decile_revenue"),
+            F.round(F.col("__cum") / F.col("__tot"), 6).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
 
 
 @register(

@@ -96,6 +96,9 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   crossed onto the per-label ranked rows (r11)
         "context_length_fit",  # 3-row length grid crossed onto the
         #   token-count scan (the cross_join_dims sanctioned shape, r11)
+        "revenue_pareto_curve",  # 1-row customer-count broadcast for
+        #   the NTILE size rule + bounded 10x10 decile prefix cross
+        #   (r12 rebuild off the last data-grain global window)
     }
     offenders = []
     for q in all_queries().values():
@@ -117,8 +120,6 @@ def test_no_registered_query_plans_global_window(spark, sf_dir):
     # global windows sanctioned because their input is already an
     # aggregate orders of magnitude smaller than the data
     POST_AGGREGATE_OK = {
-        "revenue_pareto_curve",  # decile NTILE + cumulative sum over
-        #   customer-grain revenue aggregates, then 10-row deciles
         "corpus_vocab_growth",  # running sum over the 4-row slice
         #   aggregate — bounded by the slice modulus, never data-sized
     }
