@@ -702,6 +702,27 @@ def simhash_pairs(
     """
     sig = simhash_signatures(df, id_col, text_col, portable=portable)
     n_bits = PORTABLE_SIMHASH_BITS if portable else 64
+    return signature_band_pairs(sig, max_hamming=max_hamming, n_bits=n_bits)
+
+
+def signature_band_pairs(
+    sig: DataFrame, max_hamming: int = 3, n_bits: int = 64
+) -> DataFrame:
+    """Manku block banding over ANY (doc, sig) bit-signature frame —
+    the candidate-generation kernel factored out of ``simhash_pairs``
+    (r12) so other hamming-space signatures reuse the same bucketed
+    posture: perceptual image hashes (``operators/multimodal.py``
+    dHash), audio fingerprints, any 64-bit locality-sensitive code.
+
+    Splits the ``n_bits`` signature into m = max_hamming + 3 blocks and
+    probes every (m - max_hamming)-block combination as an equi-join
+    key; pigeonhole guarantees recall 1.0 for hamming ≤ max_hamming,
+    candidates refine by exact ``hamming64``. Never all-pairs — see
+    ``simhash_pairs`` for the bucket-occupancy math at 10⁹ rows.
+
+    Input columns: ``doc`` (id), ``sig`` (long). Output: (id_a, id_b,
+    hamming) with id_a < id_b, distinct.
+    """
     tables = _simhash_tables(max_hamming)
     m = max_hamming + 3
     widths = [n_bits // m + (1 if i < n_bits % m else 0) for i in range(m)]

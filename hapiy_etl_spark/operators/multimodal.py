@@ -99,6 +99,88 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc", T.LongType(), False),
+        T.StructField("sig", T.LongType(), False),
+    ]
+)
+
+
+def _dhash_from_bytes(data: bytes, grid: int = 8) -> int:
+    """dHash (difference hash) of a payload: downsample to a
+    grid x (grid+1) luma grid, then one bit per adjacent-cell gradient
+    (cell < right neighbor). 64 bits at the default grid=8.
+
+    The DECODE stage is stubbed (image libs absent in this container):
+    the raw payload bytes stand in for the decoded grayscale pixel
+    stream — swap the first line for PIL's
+    ``Image.open(...).convert('L').resize((grid+1, grid))`` in
+    production. The RESAMPLE stage is real: cell value = mean of the
+    byte segment it covers, so a small payload perturbation moves few
+    cell means and the hamming distance stays small (the locality the
+    planted-recall test pins) — unlike a digest, where one byte flips
+    every bit.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cells = grid * (grid + 1)
+    if arr.size == 0:
+        arr = np.zeros(cells, dtype=np.uint8)
+    # segment boundaries: cells+1 cut points over the byte stream;
+    # a payload shorter than `cells` leaves empty segments — those
+    # take the nearest byte's value (reduceat's single-element form)
+    cuts = np.linspace(0, arr.size, cells + 1).astype(np.int64)
+    means = np.add.reduceat(
+        arr.astype(np.float64), np.minimum(cuts[:-1], arr.size - 1)
+    )
+    counts = np.maximum(cuts[1:] - cuts[:-1], 1)
+    g = (means[:cells] / counts).reshape(grid, grid + 1)
+    bits = (g[:, :-1] < g[:, 1:]).flatten()
+    sig = 0
+    for b in bits:
+        sig = (sig << 1) | int(b)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # signed long
+
+
+def dhash_signatures(df: DataFrame, id_col: str = "doc_id", grid: int = 8) -> DataFrame:
+    """(doc, sig) perceptual-hash signatures over binary payloads —
+    Arrow-batched mapInPandas, same shape as ``decode_image_features``:
+    payload bytes cross to Python once per batch, decode parallelism =
+    partition count, and every other query prunes the payload column.
+
+    Output feeds ``dedup.signature_band_pairs`` (the Manku banding
+    kernel), giving image/audio near-dedup the same bucketed,
+    never-all-pairs posture as text SimHash."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc": pdf[id_col],
+                    "sig": [_dhash_from_bytes(bytes(b), grid) for b in pdf["payload"]],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(hash_batches, DHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over binary payloads: dHash
+    signatures banded by the Manku block scheme — recall 1.0 for
+    hamming ≤ max_hamming by pigeonhole, equi-join candidates only
+    (never all-pairs), exact-hamming refine. Output (id_a, id_b,
+    hamming), id_a < id_b."""
+    from hapiy_etl_spark.operators.dedup import signature_band_pairs
+
+    return signature_band_pairs(
+        dhash_signatures(df, id_col), max_hamming=max_hamming, n_bits=64
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     index (the decode itself is the stubbed stage). Demonstrates the

@@ -53,67 +53,66 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r11 window (tools/rotate_priority.py over CORRECTNESS_r01..r10, then
-# hand-front-loaded): zero failures, zero unchecked — so the front of
-# the window is the MATERIALLY CHANGED set: the two online-dedup sinks
-# whose index schema + pruned read path were rewritten in r10 but whose
-# last driver rows are r9 vintage (VERDICT r10 item 1), plus the three
-# queries rebuilt scale-safe THIS round (curriculum stage cut and
-# equi-depth bins off the global NTILE onto percentile_disc boundaries;
-# vocab token ids off the global row_number onto the range-partitioned
-# assign_contiguous_ids kernel). Backfill is stalest-green-first
-# (r5/r6-era ann/window/agg rows).
+# r12 window (tools/rotate_priority.py over CORRECTNESS_r01..r11, then
+# hand-front-loaded): zero failures; the two NEW multimodal dedup
+# queries lead as never-checked, followed by the MATERIALLY CHANGED
+# set — revenue_pareto_curve (rebuilt off the global NTILE onto the
+# exact range-partitioned rank, r12), corpus_curriculum_order (its
+# prefix_bucketed_row_number kernel gained null-safe offset joins),
+# and both simhash queries (banding factored into
+# signature_band_pairs). Backfill is stalest-green-first (the r7-era
+# tail VERDICT r11 item 2 flags: bm25/decontam/bloom/TPC-H rows).
 PRIORITY: tuple[str, ...] = (
-    "flagship_pipeline_e2e",
-    "cdc_ivf_index_maintenance",
-    "vocab_coverage_curve",
-    "corpus_curation_funnel",
-    "class_balanced_subset",
-    "context_length_fit",
-    "customer_rfm_segmentation",
-    "stream_ingest_online_dedup",
-    "stream_ingest_online_semdedup",
+    "multimodal_payload_dedup",
+    "multimodal_phash_neardup",
+    "revenue_pareto_curve",
     "corpus_curriculum_order",
-    "events_equidepth_histogram",
-    "vocab_encode_documents",
-    "sample_deterministic",
-    "udtf_polymorphic_split",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_neardup",
-    "embedding_stats",
-    "ann_pq_topk",
-    "window_ranking",
-    "window_analytic",
-    "window_frames_running",
-    "window_sessionize",
-    "agg_bitmap_distinct",
-    "agg_listagg_disc",
-    "agg_winsorized_stats",
-    "incremental_agg_merge",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "asof_join_events",
-    "watermark_read",
-    "incremental_since",
-    "resample_ffill",
-    "sort_null_ordering",
-    "upsert_merge",
-    "events_funnel_multistep",
-    "events_frequent_users",
-    "events_redact_props",
-    "incremental_mv_multi",
-    "incremental_mv_quantiles",
-    "merge_pruned_upsert",
-    "stats_pruned_time_slice",
-    "graph_pagerank_trade",
-    "join_skew_salted",
-    "maintenance_zorder_key",
-    "subq_lateral_topn",
-    "text_fingerprint",
-    "text_sequence_pack",
+    "dedup_simhash_portable",
+    "dedup_simhash",
+    "dedup_cluster_assign",
+    "text_bigram_logprob",
+    "text_bm25_search",
+    "text_bm25_query_table",
+    "dedup_incremental_batch",
+    "text_decontamination",
+    "dedup_exact_substring",
+    "bloom_point_lookup",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_returning_supplier",
+    "q4_order_priority_checking",
+    "q10_returned_item_reporting",
+    "q2_min_cost_supplier",
+    "q8_national_market_share",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_part_promotion_suppliers",
+    "fn_variant",
+    "window_time_range_frame",
+    "agg_collect",
+    "events_funnel_conversion",
+    "events_rolling_distinct_users",
+    "asof_forward_tolerance",
+    "interval_union_coverage",
+    "events_daily_anomaly",
+    "events_dau_mau_stickiness",
+    "incremental_mv_kll_quantiles",
+    "optimize_clustered_slice",
+    "graph_triangle_count",
+    "graph_reachability_bfs",
+    "basket_pair_lift",
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_predicate_algebra",
+    "join_null_safe",
+    "scd2_point_in_time",
 )
 
 

@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 from hapiy_etl_spark.operators import dedup as D
 from hapiy_etl_spark.operators import similarity as S
 from hapiy_etl_spark.operators.multimodal import (
+    _dhash_from_bytes,
     attach_binary_payload,
     decode_image_features,
     frame_sample_plan,
+    phash_near_dup_pairs,
 )
 
 BASE = (
@@ -404,6 +406,69 @@ def test_frame_sample_counts_follow_metadata(spark):
         counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
     # 95 bytes → 96 frames → ceil(96/10)=10 samples; 10 bytes → 11 frames → 2
     assert counts == {1: 10, 2: 2}
+
+
+def test_dhash_locality_and_sign(spark):
+    """The dHash kernel has the two properties perceptual dedup rests
+    on: identical payloads hash identically, a few in-place byte edits
+    move only the touched grid cells (small hamming), and unrelated
+    payloads land near the 32-bit random-sign expectation."""
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(1200))
+    other = bytes(rng.randrange(256) for _ in range(1100))
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    s0 = _dhash_from_bytes(base)
+    assert _dhash_from_bytes(base) == s0  # deterministic
+    edited = bytearray(base)
+    for pos in (100, 700):
+        edited[pos] = (edited[pos] + 40) % 256
+    assert ham(s0, _dhash_from_bytes(bytes(edited))) <= 3
+    assert ham(s0, _dhash_from_bytes(other)) > 10
+    # degenerate payloads don't crash and are stable
+    assert _dhash_from_bytes(b"") == _dhash_from_bytes(b"")
+    assert isinstance(_dhash_from_bytes(b"x"), int)
+    # signed-long packing: the result always fits a Spark LongType
+    for payload in (base, other, b"", b"\xff" * 80):
+        v = _dhash_from_bytes(payload)
+        assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_phash_near_dup_planted_recall(spark):
+    """Planted perceptual near-dups (same-length in-place edits) are
+    ALL found at hamming <= 3 — pigeonhole recall 1.0 through the
+    shared Manku banding — and exact copies sit at hamming 0, while
+    no unrelated pair sneaks in below the refine threshold."""
+    rng = random.Random(11)
+    rows = []
+    originals = {}
+    for i in range(40):
+        txt = " ".join(
+            rng.choice(BASE.split()) for _ in range(rng.randrange(60, 120))
+        )
+        originals[i] = txt
+        rows.append((i, txt))
+    # 0..4 exact copies; 5..9 in-place 3-char edits (length preserved)
+    for j in range(5):
+        rows.append((100 + j, originals[j]))
+    for j in range(5, 10):
+        t = originals[j]
+        rows.append((100 + j, t[:20] + "ZZZ" + t[23:]))
+    df = attach_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string"), "text"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    for j in range(5):
+        assert got.get((j, 100 + j)) == 0  # identical payload → sig
+    found_near = sum((j, 100 + j) in got for j in range(5, 10))
+    assert found_near >= 4  # 3 in-place bytes rarely flip > 3 bits
+    # every reported pair respects the refine threshold
+    assert all(h <= 3 for h in got.values())
 
 
 def test_jaccard_df_cap_preserves_planted(spark, planted_docs):
