@@ -1397,6 +1397,59 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def _bpe_word_types(docs: DataFrame) -> DataFrame:
+    """(word, cnt) whitespace-token type table — the BPE training input."""
+    return (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_BPE_N_MERGES = 6
+
+_BPE_CORPUS_CTE = """tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    types AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+        WHERE word <> '' GROUP BY word
+    )"""
+
+
+def _bpe_oracle() -> str:
+    from hapiy_etl_spark.operators.bpe import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(_BPE_N_MERGES, _BPE_CORPUS_CTE)
+
+
+@register(
+    "vocab_bpe_train",
+    oracle=_bpe_oracle(),
+    doc="BPE subword vocabulary trainer (Sennrich-style, r12): learn "
+    "the first 6 merges over the corpus's whitespace-token TYPE table "
+    "(pair counting is bounded by vocabulary, never corpus size) as "
+    "bounded rounds of distributed pair-count aggregate -> "
+    "deterministic top-1 (TakeOrdered) -> 1-row broadcast cross "
+    "applying the merge as a literal separator-wrapped replace, with "
+    "lineage truncated every few rounds (the pagerank pattern). The "
+    "DuckDB twin replays the IDENTICAL merge chain as generated "
+    "chained CTEs — replace() shares the leftmost non-overlapping "
+    "scan, so both engines learn byte-identical merge sequences. "
+    "Output: the ordered merges table a tokenizer ships.",
+)
+def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.bpe import bpe_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return bpe_train(_bpe_word_types(t["documents"]), _BPE_N_MERGES).orderBy(
+        "merge_rank"
+    )
+
+
 @register(
     "context_length_fit",
     oracle="""

@@ -65,6 +65,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 PRIORITY: tuple[str, ...] = (
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
+    "vocab_bpe_train",
     "revenue_pareto_curve",
     "corpus_curriculum_order",
     "dedup_simhash_portable",
@@ -112,7 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "filter_predicate_algebra",
     "join_null_safe",
-    "scd2_point_in_time",
 )
 
 

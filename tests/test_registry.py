@@ -99,6 +99,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "revenue_pareto_curve",  # 1-row customer-count broadcast for
         #   the NTILE size rule + bounded 10x10 decile prefix cross
         #   (r12 rebuild off the last data-grain global window)
+        "vocab_bpe_train",  # one 1-row best-pair broadcast cross per
+        #   merge round (the BPE apply step, r12)
     }
     offenders = []
     for q in all_queries().values():

@@ -107,3 +107,73 @@ def test_shingle_set_parity(spark, tricky_df):
         """
     )
     assert got == want, {k: (got.get(k), want.get(k)) for k in got if got.get(k) != want.get(k)}
+
+
+def test_bpe_train_learns_planted_merges_and_roundtrips(spark):
+    """The BPE trainer (operators/bpe.py) learns the planted dominant
+    pairs in frequency order, segmentation is leftmost-greedy, and
+    decode(encode(word)) == word for every word — subword boundaries
+    never lose or reorder characters."""
+    from hapiy_etl_spark.operators.bpe import bpe_segment, bpe_train
+
+    # 'abab' dominates -> (a,b) first, then (ab,ab); 'xy' next
+    words = spark.createDataFrame(
+        [("abab", 50), ("xy", 30), ("aaab", 7), ("qrs", 2)],
+        "word string, cnt long",
+    )
+    merges = bpe_train(words, n_merges=3)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    # round 1: (a,b) appears 2x per 'abab' (50) = 100 + 1x 'aaab' (7)
+    assert got[0] == (1, "a", "b", 107)
+    # round 2: (ab,ab) 1x per 'abab' = 50 — beats (x,y)=30 and (a,a)
+    assert got[1] == (2, "ab", "ab", 50)
+    assert got[2][0] == 3
+
+    # leftmost-greedy: 'aaab' under merge (a,b) -> a,a,ab; and 'aaa'
+    # under a hypothetical (a,a) merges the FIRST two only
+    seg = bpe_segment(
+        spark.createDataFrame(
+            [("abab",), ("aaab",), ("xy",), ("qrs",), ("a",)],
+            "word string",
+        ),
+        "word",
+        merges,
+    )
+    segs = {r["word"]: list(r["subwords"]) for r in seg.collect()}
+    assert segs["abab"] == ["abab"]
+    assert segs["aaab"] == ["a", "a", "ab"]
+    assert segs["qrs"] == ["q", "r", "s"]
+    assert segs["a"] == ["a"]
+    # decode == concat(subwords) == original word, for every word
+    for w, s in segs.items():
+        assert "".join(s) == w
+
+
+def test_bpe_overlap_semantics_match_reference(spark):
+    """Overlapping-run edge: merge (a,a) applied to 'aaaa' must pair
+    leftmost non-overlapping — (aa)(aa) — and 'aaa' -> (aa)(a); the
+    separator-wrapped replace() kernel reproduces the reference
+    algorithm exactly."""
+    from hapiy_etl_spark.operators.bpe import bpe_segment, bpe_train
+
+    words = spark.createDataFrame([("aaaa", 10), ("aaa", 1)], "word string, cnt long")
+    merges = bpe_train(words, n_merges=2)
+    got = [(r["lhs"], r["rhs"]) for r in merges.orderBy("merge_rank").collect()]
+    # 'aaaa' has 3 adjacent (a,a) + 'aaa' has 2 -> count 32; round 2
+    # merges (aa,aa) from 'aaaa' (10) vs (aa,a) from 'aaa' (1)
+    assert got[0] == ("a", "a")
+    assert got[1] == ("aa", "aa")
+    segs = {
+        r["word"]: list(r["subwords"])
+        for r in bpe_segment(
+            spark.createDataFrame([("aaaa",), ("aaa",), ("aaaaa",)], "word string"),
+            "word",
+            merges,
+        ).collect()
+    }
+    assert segs["aaaa"] == ["aaaa"]
+    assert segs["aaa"] == ["aa", "a"]
+    assert segs["aaaaa"] == ["aaaa", "a"]
