@@ -132,6 +132,7 @@ def main() -> None:
             from hapiy_etl_spark.queries.graph import copurchase_edges
             from hapiy_etl_spark.queries.index_fixtures import (
                 bm25_index,
+                flagship_semantic_state,
                 flagship_state,
                 ivf_index,
                 shingle_index,
@@ -151,6 +152,9 @@ def main() -> None:
                 # partials + healed shingle index) is a one-time build
                 # every rep's timed query reads the audit frame off
                 ("flagship_state", flagship_state),
+                # the embedding-side flagship (semdedup ingest + frozen
+                # quantizer + healed IVF, r12) — same one-time posture
+                ("flagship_semantic_state", flagship_semantic_state),
             ):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir)

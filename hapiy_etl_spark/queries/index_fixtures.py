@@ -231,3 +231,88 @@ def flagship_state(spark: SparkSession, sf_dir: str):
     out = (corpus_t, TxTable(spark, mv_p), TxTable(spark, idx_p), base)
     _CACHE[key] = out
     return out[0], out[1], out[2]
+
+
+def flagship_semantic_state(spark: SparkSession, sf_dir: str):
+    """(survivors TxTable, centroids DataFrame, IVF TxTable): the
+    EMBEDDING-side flagship topology (VERDICT r11 item 5 — the
+    semantic twin of ``flagship_state``), materialized once per
+    session: (1) vectors arrive as two ordered micro-batches through
+    the ONLINE SEMANTIC dedup sink (sign-bucketed cosine refine,
+    exactly-once survivor appends, compaction policy ON with the
+    bucket-clustered rewrite so pruning survives OPTIMIZE); (2) a
+    coarse quantizer trains ONCE on the first arrival's survivors and
+    freezes (the production IVF posture); (3) a DECOUPLED healer
+    streams the survivor table's change feed — which crosses the
+    policy OPTIMIZE as no-data batches — into the IVF index
+    exactly-once with per-append cell stats. Immutable-use: consumers
+    only probe; every stage is deterministic in the corpus."""
+    key = ("flagship_sem", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1], hit[2]
+    import os
+
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import similarity as S
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.streaming.jobs import (
+        foreach_batch_ingest_semdedup,
+        heal_index_from_changes,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    base = _base(spark, sf_dir, "flagshipsem")
+    shutil.rmtree(base, ignore_errors=True)
+    corpus_p, ivf_p = f"{base}/corpus", f"{base}/ivf"
+
+    # two arrivals staged with ascending mtimes; maxFilesPerTrigger=1
+    # paces them as two ordered micro-batches in ONE stream run
+    Path(base, "src").mkdir(parents=True, exist_ok=True)
+    for m in range(2):
+        stage = f"{base}/stage{m}"
+        emb.where(F.pmod("vec_id", F.lit(2)) == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = f"{base}/src/b{m}.parquet"
+        shutil.copyfile(f"{stage}/{part}", dst)
+        os.utime(dst, (1_000_000_000 + m * 100, 1_000_000_000 + m * 100))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    foreach_batch_ingest_semdedup(
+        stream, corpus_p, f"{base}/ckpt", auto_compact_max_dirs=2
+    ).awaitTermination()
+    corpus_t = TxTable(spark, corpus_p)
+
+    # frozen quantizer: fit once on the FIRST arrival's survivors —
+    # probe-all reads every cell, so ranking is exact regardless of
+    # quantizer quality; spend the minimum Lloyd budget
+    cent, _ = S.ivf_index_build(
+        corpus_t.read().where(F.pmod("vec_id", F.lit(2)) == 0),
+        "vec_id",
+        n_centroids=4,
+        max_iter=1,
+    )
+    cent = cent.cache()
+    cent.count()
+
+    heal_index_from_changes(
+        spark,
+        corpus_p,
+        ivf_p,
+        f"{base}/healckpt",
+        lambda b: S.ivf_index_assign(
+            cent, b.select("vec_id", "embedding"), "vec_id"
+        ),
+        stats_cols=["cell"],
+    ).awaitTermination()
+
+    out = (corpus_t, cent, TxTable(spark, ivf_p), base)
+    _CACHE[key] = out
+    return out[0], out[1], out[2]

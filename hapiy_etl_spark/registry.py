@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "vocab_bpe_train",
+    "flagship_semantic_e2e",
     "revenue_pareto_curve",
     "corpus_curriculum_order",
     "dedup_simhash_portable",
@@ -112,7 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "filter_predicate_algebra",
-    "join_null_safe",
 )
 
 

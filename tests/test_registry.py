@@ -101,6 +101,9 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   (r12 rebuild off the last data-grain global window)
         "vocab_bpe_train",  # one 1-row best-pair broadcast cross per
         #   merge round (the BPE apply step, r12)
+        "flagship_semantic_e2e",  # bounded probe-cell cross: 10
+        #   queries x 4 broadcast centroids against the healed IVF
+        #   (same shape as cdc_ivf_index_maintenance, r12)
     }
     offenders = []
     for q in all_queries().values():
