@@ -147,12 +147,9 @@ def bpe_segment(df: DataFrame, word_col: str, merges: DataFrame):
     return df.withColumn("subwords", toks)
 
 
-def bpe_train_oracle_sql(n_merges: int, corpus_cte: str) -> str:
-    """The DuckDB twin: replay the identical merge chain as chained
-    CTEs — per round, pair counts via a list comprehension over the
-    split symbol string, deterministic top-1, 1-row-cross replace.
-    ``corpus_cte`` must define a (word, cnt) relation named ``types``.
-    """
+def _bpe_merge_ctes(n_merges: int) -> tuple[list[str], list[str]]:
+    """(stage CTEs, per-round final SELECTs) for the DuckDB merge-chain
+    replay — shared by the train and encode oracles."""
     ss = "chr(31)"
     sep2 = f"{ss} || {ss}"
     stages = [
@@ -199,6 +196,16 @@ def bpe_train_oracle_sql(n_merges: int, corpus_cte: str) -> str:
             f"SELECT {k} AS merge_rank, left_sym AS lhs, right_sym AS rhs,"
             f" left_sym || right_sym AS merged, pair_count FROM m{k}"
         )
+    return stages, finals
+
+
+def bpe_train_oracle_sql(n_merges: int, corpus_cte: str) -> str:
+    """The DuckDB twin of ``bpe_train``: replay the identical merge
+    chain as chained CTEs — per round, pair counts via a list
+    comprehension over the split symbol string, deterministic top-1,
+    1-row-cross replace. ``corpus_cte`` must define a (word, cnt)
+    relation named ``types``."""
+    stages, finals = _bpe_merge_ctes(n_merges)
     return (
         "WITH "
         + corpus_cte
@@ -207,4 +214,52 @@ def bpe_train_oracle_sql(n_merges: int, corpus_cte: str) -> str:
         + "\n    "
         + "\n    UNION ALL ".join(finals)
         + "\n    ORDER BY merge_rank"
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int, corpus_cte: str, enc_cte: str
+) -> str:
+    """The DuckDB twin of ``bpe_segment`` over a document set: learn
+    the merge chain (same CTEs as the train oracle), then apply all
+    ``n_merges`` replaces IN RANK ORDER to every (doc_id, pos, word)
+    row of ``enc_cte`` (a relation named ``enc``) and emit each doc's
+    flattened subword sequence. The nested-replace expression
+    references the per-round 1-row merge CTEs via a cross join —
+    innermost replace = merge 1, matching ``bpe_segment``'s fold."""
+    ss = "chr(31)"
+    sep2 = f"{ss} || {ss}"
+    stages, _ = _bpe_merge_ctes(n_merges)
+    expr = f"regexp_replace(word, '(.)', {ss} || '\\1' || {ss}, 'g')"
+    for k in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr},\n               "
+            f"{ss} || g{k}.left_sym || {sep2} || g{k}.right_sym || {ss},\n"
+            f"               {ss} || g{k}.left_sym || g{k}.right_sym || {ss})"
+        )
+    joins = ", ".join(f"m{k} AS g{k}" for k in range(1, n_merges + 1))
+    return (
+        "WITH "
+        + corpus_cte
+        + ",\n    "
+        + ",\n    ".join(stages)
+        + f""",
+    {enc_cte},
+    applied AS (
+        SELECT doc_id, pos,
+               {expr} AS s
+        FROM enc, {joins}
+    ),
+    subs AS (
+        SELECT doc_id, pos,
+               string_split(substr(s, 2, length(s) - 2), {sep2}) AS ls
+        FROM applied
+    )
+    SELECT doc_id,
+           array_to_string(flatten(list(ls ORDER BY pos)), '|')
+               AS subword_seq,
+           CAST(SUM(len(ls)) AS BIGINT) AS n_subwords
+    FROM subs
+    GROUP BY doc_id
+    ORDER BY doc_id"""
     )

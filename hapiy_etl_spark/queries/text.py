@@ -1450,6 +1450,74 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ENC_CTE = """enc AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word,
+               generate_subscripts(
+                   string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id < 40
+    )"""
+
+
+def _bpe_encode_oracle() -> str:
+    from hapiy_etl_spark.operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(_BPE_N_MERGES, _BPE_CORPUS_CTE, _BPE_ENC_CTE)
+
+
+@register(
+    "vocab_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE ENCODE over the learned vocabulary (r12, the consumer "
+    "half of vocab_bpe_train): train the 6-merge table, then segment "
+    "a document slice — per word, apply the merges in rank order as "
+    "the same separator-wrapped literal replaces (operators/bpe.py "
+    "bpe_segment: merges are bounded tokenizer metadata, collected "
+    "once and folded into the column expression — no per-round "
+    "shuffle), flatten each doc's subwords back in word order, and "
+    "emit the serialized subword sequence + count. The DuckDB twin "
+    "learns the same chain and applies the same nested replaces, so "
+    "the hash pins trainer AND encoder end-to-end. decode==concat "
+    "identity is pytest-pinned (tests/test_tokenizer_seams.py).",
+)
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.bpe import bpe_segment, bpe_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    merges = bpe_train(_bpe_word_types(docs), _BPE_N_MERGES)
+    tok = (
+        docs.where(
+            F.col("text").isNotNull()
+            & (F.trim("text") != "")
+            & (F.col("doc_id") < 40)
+        )
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    seg = bpe_segment(tok, "word", merges)
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "subwords"))),
+                        lambda s: s.getField("subwords"),
+                    )
+                ),
+                "|",
+            ).alias("subword_seq"),
+            F.sum(F.size("subwords")).cast("long").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "context_length_fit",
     oracle="""

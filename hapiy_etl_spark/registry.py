@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "vocab_bpe_train",
+    "vocab_bpe_encode",
     "flagship_semantic_e2e",
     "revenue_pareto_curve",
     "corpus_curriculum_order",
@@ -112,7 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "filter_predicate_algebra",
 )
 
 

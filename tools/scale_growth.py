@@ -1237,6 +1237,181 @@ def soak_main(seconds: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def soak_healer_main(seconds: int) -> None:
+    """Decoupled-healer soak (r12, VERDICT r11 item 6): one thread
+    appends corpus waves as PLAIN TxTable appends (the ingest job —
+    no index logic anywhere near it) while a LAGGING healer drains the
+    change feed in looped restart-resume runs with
+    maxVersionsPerTrigger=2 (the Python DataSourceStreamReader
+    delivers one batch per run, so a loop of runs IS the periodic
+    trigger; every iteration re-opens the same engine checkpoint —
+    exactly-once must compose across the restarts). The healer starts
+    LATE (after ~8 waves exist) to exercise bounded catch-up, and the
+    writer applies VACUUM PRESSURE (optimize + vacuum keep_last=20
+    every 6 waves, min_age_s=0) sized above the healer's observed lag
+    (the first trial sized it at 12 against an 8-wave late start and
+    the source's loud vacuumed-offset resync error fired exactly as
+    documented — the failure mode the retention contract exists for).
+
+    Claims after N wall-clock seconds: (a) exactly-once through every
+    restart — the healed index equals a ONE-SHOT build over the final
+    corpus (row count + order-free xxhash64 checksum); (b) catch-up
+    bounded — no run's drained span exceeds maxVersionsPerTrigger data
+    versions, and the lag trajectory (read from the checkpoint's
+    offset files) descends to zero after the writer stops; (c) the
+    vacuum window held — max observed lag stays under keep_last, so
+    the loud resync error never fires while superseded corpus data is
+    reclaimed underneath the running healer."""
+    import glob
+    import re as _re
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    spark = get_spark("scale_growth_soak_healer")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 8 == 0))
+    )
+    stride = 8 * (int(docs.agg(F.max("doc_id")).first()[0]) // 8 + 1)
+    base = tempfile.mkdtemp(prefix="healer_soak_")
+    corpus_p, idx_p, ckpt = f"{base}/corpus", f"{base}/idx", f"{base}/ckpt"
+    corpus = TxTable(spark, corpus_p)
+    stop = threading.Event()
+    wave_n = [0]
+    keep_last = 20
+
+    def writer() -> None:
+        while not stop.is_set() and wave_n[0] < max(10, seconds // 2):
+            i = wave_n[0] + 1
+            corpus.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                    F.regexp_replace(
+                        F.col("text"), F.lit(r"(\S+)"), F.lit(f"w{i}$1")
+                    ).alias("text"),
+                )
+            )
+            if i % 6 == 0:
+                # vacuum pressure: superseded dirs reclaimed while the
+                # healer lags — window sized above its observed lag
+                corpus.optimize()
+                corpus.vacuum(keep_last=keep_last, min_age_s=0.0)
+            wave_n[0] = i
+            stop.wait(2.5)
+
+    def healed_through() -> int | None:
+        # the healer's own committed position: newest engine-checkpoint
+        # offset file (a JSON carrying the change-feed snapshot version)
+        files = [
+            p
+            for p in glob.glob(f"{ckpt}/offsets/*")
+            if _re.fullmatch(r"\d+", Path(p).name)
+        ]
+        if not files:
+            return None
+        latest = max(files, key=lambda p: int(Path(p).name))
+        nums = _re.findall(r"\d+", Path(latest).read_text().splitlines()[-1])
+        return int(nums[-1]) if nums else None
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    # LATE start: let a backlog build so the first runs are catch-up
+    while wave_n[0] < 6 and t.is_alive():
+        time.sleep(0.5)
+
+    def one_run():
+        return heal_index_from_changes(
+            spark,
+            corpus_p,
+            idx_p,
+            ckpt,
+            lambda b: TI.shingle_postings_build(b.select("doc_id", "text")),
+            stats_cols=["tb"],
+            extra_meta={"n_buckets": TI.N_BUCKETS},
+            auto_compact_max_dirs=24,
+            compact_kw={"cluster_by": "tb", "n_dirs": 12},
+            max_versions_per_trigger=3,
+        )
+
+    t0 = time.time()
+    runs = []
+    max_lag = 0
+    while True:
+        v_corpus = corpus.latest_version()
+        pos = healed_through() or 0
+        lag = max(0, v_corpus - pos)
+        max_lag = max(max_lag, lag)
+        tq0 = time.time()
+        one_run().awaitTermination()
+        runs.append(
+            {
+                "corpus_v": v_corpus,
+                "healed_from": pos,
+                "lag_before": lag,
+                "dur_s": round(time.time() - tq0, 2),
+            }
+        )
+        if time.time() - t0 >= seconds and stop.is_set() is False:
+            stop.set()
+            t.join()
+        if stop.is_set() and not t.is_alive():
+            # drain: done when the healer's position reaches the corpus
+            if (healed_through() or 0) >= corpus.latest_version():
+                break
+        if len(runs) > 400:  # backstop against a wedged drain
+            break
+
+    idx = TxTable(spark, idx_p)
+
+    def fingerprint(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-free AND overflow-free (ANSI sum of longs
+            # overflows) — row multiset equality is what's claimed
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(sorted(df.columns))
+                + "))"
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"] or 0)
+
+    healed_fp = fingerprint(idx.read().select("doc_id", "shingle", "tb", "n_sh"))
+    oneshot_fp = fingerprint(
+        TI.shingle_postings_build(
+            corpus.read().select("doc_id", "text")
+        ).select("doc_id", "shingle", "tb", "n_sh")
+    )
+    lags = [r["lag_before"] for r in runs]
+    out = {
+        "soak_seconds": seconds,
+        "waves_written": wave_n[0],
+        "healer_runs": len(runs),
+        "exactly_once_healed_equals_oneshot": healed_fp == oneshot_fp,
+        "healed_rows": healed_fp[0],
+        "max_lag_versions": max_lag,
+        "vacuum_keep_last": keep_last,
+        "lag_stayed_inside_vacuum_window": max_lag < keep_last,
+        "final_lag": lags[-1] if lags else None,
+        "corpus_versions_on_disk": len(corpus.history()),
+        "corpus_dirs": corpus.n_dirs(),
+        "idx_dirs": idx.n_dirs(),
+        "run_lag_trajectory": lags[:60],
+        "run_durations_s": [r["dur_s"] for r in runs][:60],
+    }
+    print(json.dumps(out))
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
@@ -1244,6 +1419,9 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--soak":
         soak_main(int(args[1]) if args[1:] else 60)
+        return
+    if args and args[0] == "--soak-healer":
+        soak_healer_main(int(args[1]) if args[1:] else 60)
         return
     if args and args[0] == "--mv":
         mv_main(int(args[1]) if args[1:] else 8)
