@@ -47,7 +47,7 @@ def wrap_symbols(word) -> "F.Column":
 
 
 def _adjacent_pairs(types: DataFrame) -> DataFrame:
-    """(s, cnt) -> (left, right, pair_count): adjacent symbol pairs of
+    """(s, cnt) -> (lhs, rhs, pair_count): adjacent symbol pairs of
     every type's current segmentation, weighted by the type count."""
     syms = F.split(
         F.substring(F.col("s"), 2, F.length("s") - 2), SEP + SEP

@@ -179,6 +179,30 @@ SHOWCASE = [
     # aggregate (digest dedup join, broadcast bench shingles), unioned
     # 1-row stage counts; no window, no nested loop anywhere
     ("corpus_curation_funnel", ["HashAggregate", "BroadcastHashJoin", "Union"]),
+    # r12 rebuild (VERDICT r11's last weak): Pareto deciles — exact
+    # global rank from a RANGE exchange + per-pid window (non-empty
+    # partition spec), NTILE size rule against a 1-row count broadcast,
+    # cumulative share as a bounded 10x10 decile cross; no Window with
+    # an empty partition spec anywhere (lint-enforced)
+    ("revenue_pareto_curve", ["Window", "BroadcastNestedLoopJoin", "HashAggregate"]),
+    # r12: exact multimodal dedup — a two-phase aggregate over 32-byte
+    # payload digests; payload bytes never ride the shuffle
+    ("multimodal_payload_dedup", ["HashAggregate", "Exchange"]),
+    # r12: perceptual near-dedup — Arrow-batched dHash (MapInPandas),
+    # then the shared Manku banding as a hash equi-join; never a
+    # nested-loop pair enumeration
+    ("multimodal_phash_neardup", ["MapInPandas", "Join", "NestedLoop"]),
+    # r12: BPE trainer — the returned merges frame is a union of
+    # checkpointed 1-row argmax results (each round's pair-count
+    # aggregate + TakeOrdered ran at build time, lineage truncated)
+    ("vocab_bpe_train", ["Union", "Scan ExistingRDD"]),
+    # r12: BPE encode — posexplode + the merge fold as pure column
+    # algebra (replace chain), one grouped collect per doc
+    ("vocab_bpe_encode", ["Generate", "ObjectHashAggregate"]),
+    # r12: the embedding-side flagship — probe-all read off the
+    # healer-written inverted file (FileScan of the session-fixture
+    # table), broadcast centroid/query sides, per-query top-k window
+    ("flagship_semantic_e2e", ["FileScan", "BroadcastHashJoin", "Window"]),
 ]
 
 
