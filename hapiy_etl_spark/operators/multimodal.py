@@ -181,6 +181,90 @@ def phash_near_dup_pairs(
     )
 
 
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("sig", T.LongType(), False),
+    ]
+)
+
+
+def frame_dhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 8, grid: int = 8
+) -> DataFrame:
+    """One dHash per FRAME of a video payload: the payload byte stream
+    splits into ``n_frames`` equal slices (the decode stub — production
+    swaps ffmpeg keyframe extraction; the per-frame resample + gradient
+    hash is real) and each slice hashes independently. Arrow-batched
+    mapInPandas, same shape as ``dhash_signatures``.
+
+    Output (doc, frame_idx, sig) feeds video-level near-dup voting:
+    frame signatures band through the shared Manku kernel, so a pair of
+    videos sharing >= K near-identical frames surfaces from equi-joins
+    only — never an all-pairs video comparison."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, idxs, sigs = [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(b)
+                step = max(1, -(-len(data) // n_frames))
+                for f in range(n_frames):
+                    docs.append(i)
+                    idxs.append(f)
+                    sigs.append(
+                        _dhash_from_bytes(data[f * step : (f + 1) * step], grid)
+                    )
+            yield pd.DataFrame({"doc": docs, "frame_idx": idxs, "sig": sigs})
+
+    return df.select(id_col, "payload").mapInPandas(
+        hash_batches, FRAME_DHASH_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    max_hamming: int = 3,
+    min_matching_frames: int = 6,
+) -> DataFrame:
+    """Video-level perceptual near-dup: dHash every frame slice, find
+    near-identical frame pairs AT THE SAME frame index through the
+    shared Manku banding (recall 1.0 for hamming <= max_hamming), then
+    vote — two videos pair when >= ``min_matching_frames`` of their
+    aligned frames match. Survives per-frame re-encoding noise the
+    exact frame-digest regime (multimodal_frame_dedup) cannot.
+
+    Scale posture: every join is an equi-join on (band, key, frame
+    alignment); the vote is one grouped count. A production corpus
+    adds a posting-frequency cap on hot frame signatures (black/intro
+    frames — the df_cap move from n-gram Jaccard)."""
+    from hapiy_etl_spark.operators.dedup import signature_band_pairs
+
+    sigs = frame_dhash_signatures(df, id_col, n_frames=n_frames)
+    # composite id <doc, frame>: banding pairs frames; same-index
+    # alignment and video identity recover from the composite
+    composite = sigs.select(
+        (F.col("doc") * n_frames + F.col("frame_idx")).alias("doc"),
+        "sig",
+    )
+    fp = signature_band_pairs(composite, max_hamming=max_hamming, n_bits=64)
+    va, fa = F.floor(F.col("id_a") / n_frames), F.col("id_a") % n_frames
+    vb, fb = F.floor(F.col("id_b") / n_frames), F.col("id_b") % n_frames
+    return (
+        fp.where((va != vb) & (fa == fb))
+        .select(
+            F.least(va, vb).cast("long").alias("vid_a"),
+            F.greatest(va, vb).cast("long").alias("vid_b"),
+        )
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count("*").alias("n_matching_frames"))
+        .where(F.col("n_matching_frames") >= min_matching_frames)
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     index (the decode itself is the stubbed stage). Demonstrates the

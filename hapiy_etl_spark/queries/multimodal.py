@@ -13,6 +13,7 @@ from hapiy_etl_spark.operators.multimodal import (
     decode_image_features,
     frame_sample_plan,
     phash_near_dup_pairs,
+    video_near_dup_pairs,
 )
 from hapiy_etl_spark.registry import register
 
@@ -161,6 +162,135 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hamming while unrelated payloads sit near 32 (random-sign "
     "gradients).",
 )
+@register(
+    "multimodal_frame_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 11 = 0
+        UNION ALL
+        SELECT doc_id + 200000,
+               substr(text, 1, 4) || 'QQQQ' || substr(text, 9)
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % 13 = 0 AND length(text) >= 200
+    ),
+    frames AS (
+        SELECT doc_id, fi,
+               sha256(substr(text, fi * flen + 1, flen)) AS digest
+        FROM (
+            SELECT doc_id, text,
+                   CAST(ceil(length(text) / 8.0) AS INT) AS flen
+            FROM corpus
+        ), UNNEST(generate_series(0, 7)) AS t(fi)
+        WHERE substr(text, fi * flen + 1, flen) <> ''
+    )
+    SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
+           COUNT(*) AS n_matching_frames
+    FROM frames a
+    JOIN frames b ON a.fi = b.fi AND a.digest = b.digest
+                 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 6
+    ORDER BY vid_a, vid_b
+    """,
+    doc="Video-level EXACT frame dedup — the exact-regime [O] twin of "
+    "multimodal_video_phash: each payload's byte stream splits into 8 "
+    "frame slices (the decode stub for keyframe extraction), frames "
+    "digest to 32 bytes, and two videos pair when >= 6 SAME-INDEX "
+    "frames are byte-identical. The corpus plants an exact re-upload "
+    "slice (8/8 frames match) and a one-frame-corrupted slice (7/8 — "
+    "a 4-byte splice inside frame 0). The shuffle carries (frame_idx, "
+    "digest) pairs only — at 100 TB video dedup is a digest-join "
+    "problem, payload bytes never move.",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    corrupted = F.concat(
+        F.substring("text", 1, 4), F.lit("QQQQ"), F.expr("substring(text, 9)")
+    )
+    corpus = (
+        docs.unionAll(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.where(
+                (F.col("doc_id") % 13 == 0) & (F.length("text") >= 200)
+            ).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                corrupted.alias("text"),
+            )
+        )
+    )
+    frames = (
+        corpus.withColumn(
+            "flen", F.ceil(F.length("text") / 8).cast("int")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("fi"),
+            "text",
+            "flen",
+        )
+        .withColumn("frame", F.expr("substring(text, fi * flen + 1, flen)"))
+        .where(F.col("frame") != "")
+        .select("doc_id", "fi", F.sha2("frame", 256).alias("digest"))
+    )
+    a = frames.alias("a")
+    b = frames.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fi") == F.col("b.fi"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("vid_a"), F.col("b.doc_id").alias("vid_b")
+        )
+        .agg(F.count("*").alias("n_matching_frames"))
+        .where(F.col("n_matching_frames") >= 6)
+        .orderBy("vid_a", "vid_b")
+    )
+
+
+@register(
+    "multimodal_video_phash",
+    doc="Video-level PERCEPTUAL near-dup (rows-only: frame dHash is "
+    "not SQL-expressible; exact-regime [O] twin is "
+    "multimodal_frame_dedup): every frame slice dHashes, frame "
+    "signatures band through the shared Manku kernel with SAME-INDEX "
+    "alignment, and two videos pair when >= 6 aligned frames sit "
+    "within hamming 3. The planted slice sparsely re-encodes EVERY "
+    "frame (q->Q case flips — a few bytes per frame), so exact frame "
+    "digests all differ while the perceptual vote still pairs it with "
+    "its original — the regime gap this operator exists for. Never "
+    "all-pairs: banding equi-joins + one grouped vote "
+    "(operators/multimodal.py video_near_dup_pairs).",
+)
+def multimodal_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    planted = docs.where(
+        (F.col("doc_id") % 9 == 0) & (F.length("text") >= 300)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.translate("text", "q", "Q").alias("text"),
+    )
+    corpus = attach_binary_payload(docs.unionAll(planted), "text")
+    return video_near_dup_pairs(
+        corpus, "doc_id", n_frames=8, max_hamming=3, min_matching_frames=6
+    ).orderBy("vid_a", "vid_b")
+
+
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"].select("doc_id", "text")

@@ -65,6 +65,8 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 PRIORITY: tuple[str, ...] = (
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
+    "multimodal_frame_dedup",
+    "multimodal_video_phash",
     "vocab_bpe_train",
     "vocab_bpe_encode",
     "flagship_semantic_e2e",
@@ -111,8 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
 )
 
 

@@ -17,6 +17,7 @@ from hapiy_etl_spark.operators.multimodal import (
     decode_image_features,
     frame_sample_plan,
     phash_near_dup_pairs,
+    video_near_dup_pairs,
 )
 
 BASE = (
@@ -469,6 +470,49 @@ def test_phash_near_dup_planted_recall(spark):
     assert found_near >= 4  # 3 in-place bytes rarely flip > 3 bits
     # every reported pair respects the refine threshold
     assert all(h <= 3 for h in got.values())
+
+
+def test_video_phash_catches_what_exact_frames_miss(spark):
+    """The regime gap video_near_dup_pairs exists for: a copy whose
+    EVERY frame is sparsely re-encoded (1 byte changed per frame)
+    shares ZERO exact frame digests with its original, yet the
+    perceptual vote still pairs them — while an unrelated video never
+    clears the frame-vote threshold."""
+    rng = random.Random(13)
+
+    def vid(n=800):
+        return bytes(rng.randrange(256) for _ in range(n))
+
+    base = vid()
+    # re-encode: one byte nudged inside each of the 8 frame slices
+    step = -(-len(base) // 8)
+    enc = bytearray(base)
+    for f in range(8):
+        p = f * step + 3
+        enc[p] = (enc[p] + 10) % 256
+    rows = [(1, base), (2, bytes(enc)), (3, vid()), (4, base)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {
+        (r.vid_a, r.vid_b): r.n_matching_frames
+        for r in video_near_dup_pairs(
+            df, "doc_id", n_frames=8, max_hamming=3, min_matching_frames=6
+        ).collect()
+    }
+    assert got.get((1, 2), 0) >= 6  # perceptual: re-encoded copy pairs
+    assert got.get((1, 4)) == 8  # byte-identical copy: all frames
+    assert (1, 3) not in got and (2, 3) not in got  # unrelated never
+
+    # the exact regime misses the re-encoded pair entirely: no frame
+    # slice of doc 2 is byte-identical to doc 1's
+    import hashlib
+
+    d1 = {hashlib.sha256(base[f * step : (f + 1) * step]).digest() for f in range(8)}
+    d2 = {
+        hashlib.sha256(bytes(enc)[f * step : (f + 1) * step]).digest()
+        for f in range(8)
+    }
+    assert not d1 & d2
 
 
 def test_jaccard_df_cap_preserves_planted(spark, planted_docs):

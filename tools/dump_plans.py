@@ -203,6 +203,13 @@ SHOWCASE = [
     # healer-written inverted file (FileScan of the session-fixture
     # table), broadcast centroid/query sides, per-query top-k window
     ("flagship_semantic_e2e", ["FileScan", "BroadcastHashJoin", "Window"]),
+    # r12: video exact-frame dedup — frames digest and self-join as a
+    # hash equi-join on (frame_idx, digest); payload bytes stay out of
+    # the shuffle, the vote is one grouped count
+    ("multimodal_frame_dedup", ["HashAggregate", "Join", "NestedLoop"]),
+    # r12: video perceptual near-dup — per-frame dHash (MapInPandas)
+    # through the shared banding equi-join + one grouped frame vote
+    ("multimodal_video_phash", ["MapInPandas", "Join", "NestedLoop"]),
 ]
 
 
