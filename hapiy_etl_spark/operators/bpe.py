@@ -217,6 +217,24 @@ def bpe_train_oracle_sql(n_merges: int, corpus_cte: str) -> str:
     )
 
 
+def bpe_apply_expr_sql(n_merges: int) -> tuple[str, str]:
+    """(nested-replace SQL expression over a column named ``word``,
+    cross-join clause) applying merges 1..n in rank order — innermost
+    replace = merge 1, matching ``bpe_segment``'s fold. Shared by the
+    encode and fertility oracles."""
+    ss = "chr(31)"
+    sep2 = f"{ss} || {ss}"
+    expr = f"regexp_replace(word, '(.)', {ss} || '\\1' || {ss}, 'g')"
+    for k in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr},\n               "
+            f"{ss} || g{k}.left_sym || {sep2} || g{k}.right_sym || {ss},\n"
+            f"               {ss} || g{k}.left_sym || g{k}.right_sym || {ss})"
+        )
+    joins = ", ".join(f"m{k} AS g{k}" for k in range(1, n_merges + 1))
+    return expr, joins
+
+
 def bpe_encode_oracle_sql(
     n_merges: int, corpus_cte: str, enc_cte: str
 ) -> str:
@@ -230,14 +248,7 @@ def bpe_encode_oracle_sql(
     ss = "chr(31)"
     sep2 = f"{ss} || {ss}"
     stages, _ = _bpe_merge_ctes(n_merges)
-    expr = f"regexp_replace(word, '(.)', {ss} || '\\1' || {ss}, 'g')"
-    for k in range(1, n_merges + 1):
-        expr = (
-            f"replace({expr},\n               "
-            f"{ss} || g{k}.left_sym || {sep2} || g{k}.right_sym || {ss},\n"
-            f"               {ss} || g{k}.left_sym || g{k}.right_sym || {ss})"
-        )
-    joins = ", ".join(f"m{k} AS g{k}" for k in range(1, n_merges + 1))
+    expr, joins = bpe_apply_expr_sql(n_merges)
     return (
         "WITH "
         + corpus_cte

@@ -1215,6 +1215,109 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t,
+               generate_subscripts(
+                   string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    base AS (
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT t) AS n_distinct
+        FROM tok GROUP BY doc_id
+    ),
+    big AS (
+        SELECT a.doc_id, a.t || ' ' || b.t AS bg
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bigc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+    ),
+    bigtop AS (
+        SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_bg
+        FROM bigc GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           n_tokens,
+           ROUND(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_word_frac,
+           ROUND(COALESCE(top_c * 1.0 / total_bg, 0.0), 6)
+               AS top_bigram_frac,
+           CASE WHEN (1.0 - n_distinct * 1.0 / n_tokens) <= 0.85
+                 AND COALESCE(top_c * 1.0 / total_bg, 0.0) <= 0.18
+                THEN 1 ELSE 0 END AS keep
+    FROM base LEFT JOIN bigtop ON base.doc_id = bigtop.doc_id
+    ORDER BY base.doc_id
+    """,
+    doc="Repetition filters (the Gopher repetition-rule family adapted "
+    "to single-line docs): per-doc duplicate-word fraction and "
+    "top-bigram mass fraction, plus the keep verdict at the paper-ish "
+    "thresholds — boilerplate and degenerate-loop text scores high on "
+    "both and drops before training. Plan: one tokenize pass feeds a "
+    "per-doc count/distinct aggregate AND a self-aligned bigram "
+    "aggregate (adjacent pairs via arrays_zip, never a positional "
+    "self-join on Spark's side); the per-doc max is a grouped MAX, no "
+    "window. At 100 TB this is two grouped aggregates over the token "
+    "stream.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = (
+        t["documents"]
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", toks.alias("toks"), bigrams.alias("bgs"))
+    )
+    words = base.select("doc_id", F.explode("toks").alias("t")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct"),
+    )
+    bigtop = (
+        base.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_bg"))
+    )
+    dup = F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6)
+    top = F.round(
+        F.coalesce(F.col("top_c") / F.col("total_bg"), F.lit(0.0)), 6
+    )
+    return (
+        words.join(bigtop, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup.alias("dup_word_frac"),
+            top.alias("top_bigram_frac"),
+            F.when(
+                ((1.0 - F.col("n_distinct") / F.col("n_tokens")) <= 0.85)
+                & (
+                    F.coalesce(F.col("top_c") / F.col("total_bg"), F.lit(0.0))
+                    <= 0.18
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _lang_hits_sql(lang: str) -> str:
     ws = "(" + ", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS[lang]) + ")"
     return f"len(list_filter(string_split_regex(text, '\\s+'), t -> t IN {ws}))"
@@ -1515,6 +1618,89 @@ def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size("subwords")).cast("long").alias("n_subwords"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    from hapiy_etl_spark.operators.bpe import (
+        _bpe_merge_ctes,
+        bpe_apply_expr_sql,
+    )
+
+    stages, _ = _bpe_merge_ctes(_BPE_N_MERGES)
+    expr, joins = bpe_apply_expr_sql(_BPE_N_MERGES)
+    return (
+        "WITH "
+        + _BPE_CORPUS_CTE
+        + ",\n    "
+        + ",\n    ".join(stages)
+        + f""",
+    segd AS (
+        SELECT word,
+               len(string_split(substr(s, 2, length(s) - 2),
+                                chr(31) || chr(31))) AS n_sub,
+               length(word) AS n_chars
+        FROM (SELECT word, {expr} AS s FROM types, {joins})
+    ),
+    langtok AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(n_sub) * 1.0 / COUNT(*), 6) AS fertility,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_sub), 6) AS chars_per_subword
+    FROM langtok JOIN segd USING (word)
+    WHERE word <> ''
+    GROUP BY lang
+    ORDER BY lang"""
+    )
+
+
+@register(
+    "vocab_fertility_audit",
+    oracle=_bpe_fertility_oracle(),
+    doc="Tokenizer fertility audit over the learned BPE (r12): per "
+    "language, subwords-per-word (fertility — the metric multilingual "
+    "tokenizer work optimizes; a lang with high fertility pays more "
+    "sequence length per word) and chars-per-subword (compression). "
+    "The segmentation runs ONCE on the word-TYPE table (vocabulary-"
+    "bounded) and joins back to the language-tagged token stream — at "
+    "100 TB the heavy side is one hash join keyed on the word, never "
+    "a re-segmentation per occurrence. DuckDB twin replays the merge "
+    "chain and the same type-grain segmentation.",
+)
+def vocab_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.bpe import bpe_segment, bpe_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    merges = bpe_train(_bpe_word_types(docs), _BPE_N_MERGES)
+    types = _bpe_word_types(docs).select("word")
+    segd = bpe_segment(types, "word", merges).select(
+        "word",
+        F.size("subwords").alias("n_sub"),
+        F.length("word").alias("n_chars"),
+    )
+    langtok = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        langtok.join(segd, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("n_sub") / F.count("*"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_sub"), 6).alias(
+                "chars_per_subword"
+            ),
+        )
+        .orderBy("lang")
     )
 
 

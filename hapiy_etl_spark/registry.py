@@ -54,14 +54,16 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
 # r12 window (tools/rotate_priority.py over CORRECTNESS_r01..r11, then
-# hand-front-loaded): zero failures; the two NEW multimodal dedup
-# queries lead as never-checked, followed by the MATERIALLY CHANGED
-# set — revenue_pareto_curve (rebuilt off the global NTILE onto the
-# exact range-partitioned rank, r12), corpus_curriculum_order (its
-# prefix_bucketed_row_number kernel gained null-safe offset joins),
-# and both simhash queries (banding factored into
+# hand-front-loaded): zero failures; the TEN queries registered this
+# round lead as never-checked (multimodal payload/phash/frame/video
+# dedup, BPE train/encode/fertility, repetition stats, the semantic
+# flagship), then the MATERIALLY CHANGED set — revenue_pareto_curve
+# (rebuilt off the global NTILE onto the exact range-partitioned
+# rank), corpus_curriculum_order (null-safe offset joins in its
+# kernel), both simhash queries (banding factored into
 # signature_band_pairs). Backfill is stalest-green-first (the r7-era
-# tail VERDICT r11 item 2 flags: bm25/decontam/bloom/TPC-H rows).
+# tail VERDICT r11 item 2 flags) — 10 of those 23 displaced by the
+# new registrations roll to the r13 window.
 PRIORITY: tuple[str, ...] = (
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
@@ -69,6 +71,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_video_phash",
     "vocab_bpe_train",
     "vocab_bpe_encode",
+    "vocab_fertility_audit",
+    "text_repetition_stats",
     "flagship_semantic_e2e",
     "revenue_pareto_curve",
     "corpus_curriculum_order",
@@ -111,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "basket_pair_lift",
     "multimodal_metadata",
     "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "q1_pricing_summary",
 )
 
 
