@@ -2022,6 +2022,114 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_survivorship",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    members AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars, d.source
+        FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM members
+    ),
+    agg AS (
+        SELECT cluster_id,
+               COUNT(*) AS n_members,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        FROM members GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, r.doc_id AS canonical_doc_id,
+           a.n_members, a.n_sources, a.total_chars, a.sources
+    FROM agg a JOIN ranked r ON r.cluster_id = a.cluster_id AND r.rk = 1
+    ORDER BY a.cluster_id
+    """,
+    doc="Survivorship over duplicate clusters — the step AFTER cluster "
+    "assignment in a production dedup pipeline: per near-dup cluster, "
+    "elect one canonical document (longest text wins, doc_id breaks "
+    "ties — a deterministic quality proxy) and merge member metadata "
+    "(member count, distinct sources, combined chars, sorted source "
+    "list) so provenance survives the collapse. Reuses the session's "
+    "cached cluster artifact (neardup_clusters — candidate generation "
+    "paid once per corpus); the election window is cluster-grain "
+    "(bounded near-clique sizes), never data-grain. Oracle replays the "
+    "exact transitive-closure components then the same election in SQL.",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    members = neardup_clusters(spark, sf_dir).join(
+        t["documents"].select("doc_id", "n_chars", "source"), "doc_id"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    canonical = (
+        members.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"))
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+    )
+    return (
+        agg.join(canonical, "cluster_id")
+        .select(
+            "cluster_id", "canonical_doc_id", "n_members",
+            "n_sources", "total_chars", "sources",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
     "text_bigram_logprob",
     oracle="""
     WITH tok AS (

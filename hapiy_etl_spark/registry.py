@@ -65,6 +65,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # tail VERDICT r11 item 2 flags) — 10 of those 23 displaced by the
 # new registrations roll to the r13 window.
 PRIORITY: tuple[str, ...] = (
+    "dedup_survivorship",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

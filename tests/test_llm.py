@@ -1107,3 +1107,38 @@ def test_curation_funnel_invariants(spark, sf_dir):
     # their DROPPING behavior is pinned by the oracle gate at sf0.01,
     # where both stages shed docs)
     assert rows["a2_quality"][0] < rows["a1_ingest"][0]
+
+
+def test_survivorship_canonical_is_longest_member(spark, sf_dir):
+    """Survivorship election invariants on the real corpus: the canonical
+    doc is a member of its own cluster with the cluster-max n_chars
+    (lowest doc_id on ties), and merged metadata is consistent."""
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.queries.text import neardup_clusters
+    from hapiy_etl_spark.registry import all_queries
+
+    surv = {
+        r.cluster_id: r
+        for r in all_queries()["dedup_survivorship"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_tables(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in neardup_clusters(spark, sf_dir).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(surv) == set(members)
+    for cid, row in surv.items():
+        mem = members[cid]
+        assert row.canonical_doc_id in mem
+        best = max(docs[d] for d in mem)
+        assert docs[row.canonical_doc_id] == best
+        assert row.canonical_doc_id == min(
+            d for d in mem if docs[d] == best
+        )  # tie-break: lowest id
+        assert row.n_members == len(mem) >= 2
+        assert row.total_chars == sum(docs[d] for d in mem)
+        assert row.sources == ",".join(sorted(row.sources.split(",")))
