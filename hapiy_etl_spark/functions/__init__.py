@@ -37,6 +37,29 @@ MD5_UNIFORM_SQL = (
 )
 
 
+def srp_matrix(k: int, d: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for sparse-random-projection /
+    Johnson-Lindenstrauss: sign(r, j) = +1 when the first hex nibble of
+    md5("r:j") is < 8. Derived from a hash, not an RNG, so every engine,
+    rerun, and oracle twin materializes the identical matrix — it is a
+    shared CONSTANT (like a stopword list), broadcast into codegen on
+    the Spark side and inlined as literals into the DuckDB SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{r}:{j}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for j in range(d)
+        ]
+        for r in range(k)
+    ]
+
+
+def srp_row_sql(row: list[float]) -> str:
+    """One projection row as a DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[]"
+
+
 SIGN_BITS = 8  # 256 buckets; bump for denser corpora
 
 

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hapiy_etl_spark.functions import sign_bucket_sql as _sign_bucket_sql
+from hapiy_etl_spark.functions import srp_matrix as _srp_matrix
+from hapiy_etl_spark.functions import srp_row_sql as _srp_row_sql
 from hapiy_etl_spark.io import load_tables
 from hapiy_etl_spark.operators import similarity as S
 from hapiy_etl_spark.operators import textindex
@@ -964,6 +966,89 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter("qv", lambda v: v == 0)).cast("long").alias("n_at_zero"),
             F.size(F.filter("qv", lambda v: v == 255)).cast("long").alias("n_at_max"),
             F.size("qv").cast("long").alias("dim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# Johnson-Lindenstrauss sparse-random-projection constants: a k x d ±1
+# sign matrix derived from md5 (functions.srp_matrix), shared verbatim
+# by the Spark plan (broadcast literals in codegen) and the DuckDB twin
+# (inlined DOUBLE[] literals) — deterministic, no RNG.
+_SRP_K, _SRP_DIM = 8, 64
+_SRP = _srp_matrix(_SRP_K, _SRP_DIM)
+_SRP_Y = ",\n               ".join(
+    f"list_dot_product(e, {_srp_row_sql(_SRP[r])}) / sqrt({_SRP_K}.0) AS y{r}"
+    for r in range(_SRP_K)
+)
+_SRP_SQNORM = " + ".join(f"y{r} * y{r}" for r in range(_SRP_K))
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+        SELECT vec_id, e,
+               {_SRP_Y}
+        FROM d
+    )
+    SELECT vec_id,
+           ROUND(y0, 6) AS p1, ROUND(y1, 6) AS p2,
+           ROUND(y2, 6) AS p3, ROUND(y3, 6) AS p4,
+           ROUND({_SRP_SQNORM}, 6) AS proj_sq_norm,
+           ROUND(list_dot_product(e, e), 6) AS orig_sq_norm,
+           ROUND(({_SRP_SQNORM}) / list_dot_product(e, e), 4) AS norm_ratio
+    FROM p ORDER BY vec_id
+    """,
+    doc="Johnson-Lindenstrauss dimensionality reduction via sparse "
+    "random projection: project d=64 embeddings onto k=8 ±1 "
+    "hyperplanes (y_r = <e, s_r>/sqrt(k)), the standard pre-shrink "
+    "before LSH banding / coarse quantization at 100 TB scale (8x "
+    "less shuffle per downstream join). The sign matrix is an "
+    "md5-derived CONSTANT (functions.srp_matrix) so the projection is "
+    "reproducible across engines and reruns — the oracle twin inlines "
+    "the identical matrix as literals and must match the projected "
+    "components, the projected squared norm, and the JL norm ratio "
+    "bit-for-bit after rounding. Pure column algebra: zip_with + "
+    "aggregate folds inside whole-stage codegen, zero shuffles before "
+    "the output sort.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    e = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dot_lit(row: list[float]):
+        arr = F.array(*[F.lit(v) for v in row])
+        return F.aggregate(
+            F.zip_with(F.col("e"), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    df = t["embeddings"].select("vec_id", e.alias("e"))
+    proj = df.select(
+        "vec_id",
+        "e",
+        *[
+            (dot_lit(_SRP[r]) / F.sqrt(F.lit(float(_SRP_K)))).alias(f"y{r}")
+            for r in range(_SRP_K)
+        ],
+    )
+    sq = sum(F.col(f"y{r}") * F.col(f"y{r}") for r in range(_SRP_K))
+    orig = F.aggregate(
+        F.zip_with("e", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        proj.select(
+            "vec_id",
+            F.round("y0", 6).alias("p1"),
+            F.round("y1", 6).alias("p2"),
+            F.round("y2", 6).alias("p3"),
+            F.round("y3", 6).alias("p4"),
+            F.round(sq, 6).alias("proj_sq_norm"),
+            F.round(orig, 6).alias("orig_sq_norm"),
+            F.round(sq / orig, 4).alias("norm_ratio"),
         )
         .orderBy("vec_id")
     )

@@ -66,6 +66,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # new registrations roll to the r13 window.
 PRIORITY: tuple[str, ...] = (
     "dedup_survivorship",
+    "embedding_random_projection",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

@@ -1142,3 +1142,22 @@ def test_survivorship_canonical_is_longest_member(spark, sf_dir):
         assert row.n_members == len(mem) >= 2
         assert row.total_chars == sum(docs[d] for d in mem)
         assert row.sources == ",".join(sorted(row.sources.split(",")))
+
+
+def test_srp_projection_preserves_norms_in_expectation(spark, sf_dir):
+    """JL contract: with a ±1/sqrt(k) sign projection, E[||y||^2] =
+    ||e||^2 — the corpus-mean norm ratio must sit near 1, and the
+    md5-derived matrix must be deterministic and roughly sign-balanced."""
+    from hapiy_etl_spark.functions import srp_matrix
+    from hapiy_etl_spark.registry import all_queries
+
+    m = srp_matrix(8, 64)
+    assert m == srp_matrix(8, 64)  # deterministic, no RNG
+    flat = [v for row in m for v in row]
+    assert set(flat) == {1.0, -1.0}
+    assert 0.35 < flat.count(1.0) / len(flat) < 0.65  # unbiased-ish hash
+
+    rows = all_queries()["embedding_random_projection"].fn(spark, sf_dir).collect()
+    ratios = [r.norm_ratio for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean  # JL unbiasedness at corpus scale
