@@ -1215,6 +1215,147 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cramer's-rule solution of the 3x3 ridge normal equations, written ONCE
+# as SQL expression text shared verbatim by Spark (F.expr) and DuckDB —
+# identical expression trees over identical doubles are bitwise-identical
+# IEEE arithmetic, so the only cross-engine seam (aggregation order) is
+# removed by the quantized-DECIMAL sums feeding aa..rr.
+#   A = [[aa,bb,cc],[bb,dd,ee],[cc,ee,ff]] (X'X + lambda*I, intercept first)
+#   rhs = [pp,qq,rr] (X'y)
+_PROBE_DET = "(aa*(dd*ff - ee*ee) - bb*(bb*ff - cc*ee) + cc*(bb*ee - cc*dd))"
+_PROBE_B = (
+    "(pp*(dd*ff - ee*ee) - bb*(qq*ff - ee*rr) + cc*(qq*ee - dd*rr))",
+    "(aa*(qq*ff - ee*rr) - pp*(bb*ff - cc*ee) + cc*(bb*rr - cc*qq))",
+    "(aa*(dd*rr - ee*qq) - bb*(bb*rr - cc*qq) + pp*(bb*ee - cc*dd))",
+)
+
+
+@register(
+    "quality_linear_probe",
+    oracle=f"""
+    WITH feat AS (
+        SELECT
+            ROUND(list_aggregate(list_transform(string_split_regex(text, '\\s+'),
+                                                t -> length(t)), 'sum') * 1.0
+                / greatest(len(string_split_regex(text, '\\s+')), 1), 4) AS x1,
+            ROUND(len(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t IN {_SW_SQL})) * 1.0
+                / greatest(len(string_split_regex(text, '\\s+')), 1), 4) AS x2,
+            ROUND(
+                least(len(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t IN {_SW_SQL})) * 1.0
+                      / greatest(len(string_split_regex(text, '\\s+')), 1) * 5, 1.0) * 0.4
+                + (1 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                             / greatest(length(text), 1) * 5, 1.0)) * 0.3
+                + (CASE WHEN list_aggregate(list_transform(string_split_regex(text, '\\s+'),
+                                                           t -> length(t)), 'sum') * 1.0
+                             / greatest(len(string_split_regex(text, '\\s+')), 1)
+                             BETWEEN 3 AND 10
+                        THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS y
+        FROM documents
+    ),
+    sums AS (
+        SELECT COUNT(*) AS n_docs,
+               COUNT(*)::DOUBLE + 1.0 AS aa,
+               CAST(SUM(CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS bb,
+               CAST(SUM(CAST(x2 AS DECIMAL(18,4))) AS DOUBLE) AS cc,
+               CAST(SUM(CAST(ROUND(x1*x1, 8) AS DECIMAL(28,8))) AS DOUBLE) + 1.0 AS dd,
+               CAST(SUM(CAST(ROUND(x1*x2, 8) AS DECIMAL(28,8))) AS DOUBLE) AS ee,
+               CAST(SUM(CAST(ROUND(x2*x2, 8) AS DECIMAL(28,8))) AS DOUBLE) + 1.0 AS ff,
+               CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS pp,
+               CAST(SUM(CAST(ROUND(x1*y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS qq,
+               CAST(SUM(CAST(ROUND(x2*y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS rr,
+               CAST(SUM(CAST(ROUND(y*y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS syy
+        FROM feat
+    ),
+    model AS (
+        SELECT *,
+               {_PROBE_B[0]} / {_PROBE_DET} AS c0,
+               {_PROBE_B[1]} / {_PROBE_DET} AS c1,
+               {_PROBE_B[2]} / {_PROBE_DET} AS c2
+        FROM sums
+    ),
+    err AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                   (y - (c0 + c1*x1 + c2*x2)) * (y - (c0 + c1*x1 + c2*x2)), 8)
+               AS DECIMAL(28,8))) AS DOUBLE) AS sse
+        FROM feat, model
+    )
+    SELECT n_docs,
+           ROUND(c0, 6) AS b_intercept,
+           ROUND(c1, 6) AS b_toklen,
+           ROUND(c2, 6) AS b_stopword,
+           ROUND(1 - sse / (syy - pp*pp / n_docs), 4) AS r2,
+           ROUND(sqrt(sse / n_docs), 4) AS rmse
+    FROM model, err
+    """,
+    doc="Distributed closed-form model training — distill the composite "
+    "C4/Gopher quality heuristic into a 2-feature linear scorer: ridge "
+    "regression (lambda=1) of the quality score on avg token length + "
+    "stopword ratio, solved exactly via the 3x3 normal equations in ONE "
+    "aggregation pass (the 9 Gram sums), coefficients broadcast back "
+    "for the residual/R2 pass. The 100 TB shape of cheap model "
+    "fitting: map-side partial Gram sums, a 1-row reduce, one more "
+    "scan — no iteration, no driver-side matrix library. Cross-engine "
+    "exactness: every float summand is quantized to DECIMAL before SUM "
+    "(order-independent), and the Cramer solve is one expression "
+    "template (_PROBE_DET/_PROBE_B) parsed by BOTH engines, so "
+    "identical IEEE trees produce bit-identical coefficients.",
+)
+def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    feats = t["documents"].select(
+        F.round(TS.avg_token_len("text"), 4).alias("x1"),
+        F.round(TS.stopword_ratio("text"), 4).alias("x2"),
+        TS.quality_score("text").alias("y"),
+    )
+
+    def qsum(col, scale: int):
+        """Order-independent exact sum: quantize each summand to DECIMAL."""
+        return F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    sums = feats.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*").cast("double") + F.lit(1.0)).alias("aa"),
+        qsum(x1, 4).alias("bb"),
+        qsum(x2, 4).alias("cc"),
+        (qsum(x1 * x1, 8) + F.lit(1.0)).alias("dd"),
+        qsum(x1 * x2, 8).alias("ee"),
+        (qsum(x2 * x2, 8) + F.lit(1.0)).alias("ff"),
+        qsum(y, 6).alias("pp"),
+        qsum(x1 * y, 8).alias("qq"),
+        qsum(x2 * y, 8).alias("rr"),
+        qsum(y * y, 8).alias("syy"),
+    )
+    model = sums.select(
+        "*",
+        F.expr(f"{_PROBE_B[0]} / {_PROBE_DET}").alias("c0"),
+        F.expr(f"{_PROBE_B[1]} / {_PROBE_DET}").alias("c1"),
+        F.expr(f"{_PROBE_B[2]} / {_PROBE_DET}").alias("c2"),
+    )
+    resid = y - (F.col("c0") + F.col("c1") * x1 + F.col("c2") * x2)
+    err = (
+        feats.crossJoin(F.broadcast(model))
+        .agg(
+            F.sum(F.round(resid * resid, 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("sse")
+        )
+    )
+    return model.crossJoin(err).select(
+        "n_docs",
+        F.round("c0", 6).alias("b_intercept"),
+        F.round("c1", 6).alias("b_toklen"),
+        F.round("c2", 6).alias("b_stopword"),
+        F.round(
+            F.lit(1.0) - F.col("sse") / (F.col("syy") - F.col("pp") * F.col("pp") / F.col("n_docs")),
+            4,
+        ).alias("r2"),
+        F.round(F.sqrt(F.col("sse") / F.col("n_docs")), 4).alias("rmse"),
+    )
+
+
 @register(
     "text_repetition_stats",
     oracle="""

@@ -67,6 +67,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 PRIORITY: tuple[str, ...] = (
     "dedup_survivorship",
     "embedding_random_projection",
+    "quality_linear_probe",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

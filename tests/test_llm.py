@@ -1161,3 +1161,32 @@ def test_srp_projection_preserves_norms_in_expectation(spark, sf_dir):
     ratios = [r.norm_ratio for r in rows]
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.2, mean  # JL unbiasedness at corpus scale
+
+
+def test_quality_probe_matches_numpy_ridge(spark, sf_dir):
+    """The one-pass Cramer solve must agree with an independent dense
+    ridge solver (numpy lstsq on the regularized normal equations) on
+    the same feature matrix, and the fit must explain real variance."""
+    import numpy as np
+
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import textstats as TS
+    from hapiy_etl_spark.registry import all_queries
+
+    row = all_queries()["quality_linear_probe"].fn(spark, sf_dir).collect()[0]
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = docs.select(
+        F.round(TS.avg_token_len("text"), 4).alias("x1"),
+        F.round(TS.stopword_ratio("text"), 4).alias("x2"),
+        TS.quality_score("text").alias("y"),
+    ).collect()
+    X = np.array([[1.0, r.x1, r.x2] for r in feats])
+    y = np.array([r.y for r in feats])
+    A = X.T @ X + np.eye(3)
+    c = np.linalg.solve(A, X.T @ y)
+    assert abs(row.b_intercept - c[0]) < 1e-4
+    assert abs(row.b_toklen - c[1]) < 1e-4
+    assert abs(row.b_stopword - c[2]) < 1e-4
+    assert 0.0 < row.r2 <= 1.0 and row.rmse > 0.0
+    assert row.n_docs == len(feats)
