@@ -27,19 +27,16 @@ def time_spine(df: DataFrame, key: str, ts: str, step_seconds: int) -> DataFrame
     ).select(key, F.timestamp_seconds("__epoch").alias("grid_ts"))
 
 
-def resample_ffill(
+def slot_grid(
     df: DataFrame, key: str, ts: str, value: str, step_seconds: int
 ) -> DataFrame:
-    """Resample each key's series onto a regular grid, carrying the last
-    observation forward (step-function semantics).
-
-    Grid slot t gets the latest observation with ts <= t+step-1 within
-    the slot, else the previous slot's carried value; leading slots
-    before the first observation stay null.
-    """
+    """The shared resample scaffold: one row per (key, grid_ts) over the
+    key's observed span, with ``slot_value`` = the slot's latest
+    observation (max ts wins, value desc as tiebreak) or null for gap
+    slots. One shuffle for the per-slot pick, one for the spine join —
+    both on the group key, so downstream window fills ride the same
+    partitioning."""
     slot = (F.col(ts).cast("long") / step_seconds).cast("long") * step_seconds
-    # last observation within each slot (deterministic: max ts wins,
-    # value as tiebreak for equal timestamps)
     per_slot = (
         df.select(key, slot.alias("__epoch"), F.col(ts).alias("__ts"), F.col(value).alias("__v"))
         .withColumn(
@@ -52,16 +49,82 @@ def resample_ffill(
         .select(key, "__epoch", F.col("__v").alias("slot_value"))
     )
     spine = time_spine(df, key, ts, step_seconds)
-    joined = spine.join(
+    return spine.join(
         per_slot,
         (spine[key] == per_slot[key]) & (spine.grid_ts.cast("long") == per_slot.__epoch),
         "left",
     ).select(spine[key], "grid_ts", "slot_value")
+
+
+def resample_ffill(
+    df: DataFrame, key: str, ts: str, value: str, step_seconds: int
+) -> DataFrame:
+    """Resample each key's series onto a regular grid, carrying the last
+    observation forward (step-function semantics).
+
+    Grid slot t gets the latest observation with ts <= t+step-1 within
+    the slot, else the previous slot's carried value; leading slots
+    before the first observation stay null.
+    """
+    joined = slot_grid(df, key, ts, value, step_seconds)
     ffill = W.partitionBy(key).orderBy("grid_ts").rowsBetween(W.unboundedPreceding, W.currentRow)
     return joined.select(
         key,
         "grid_ts",
         F.last("slot_value", ignorenulls=True).over(ffill).alias("value_ffill"),
+    )
+
+
+def resample_interpolate(
+    df: DataFrame, key: str, ts: str, value: str, step_seconds: int
+) -> DataFrame:
+    """Resample onto a regular grid with LINEAR interpolation across
+    interior gaps: a gap slot between two observed slots gets
+    prev + (next - prev) * (t - t_prev) / (t_next - t_prev); slots after
+    the last observation carry it forward (no extrapolation); slots
+    before the first observation stay null. ``is_observed`` marks real
+    slots vs filled ones.
+
+    Two symmetric window passes over the same key partitioning (last
+    non-null looking back, first non-null looking ahead) — no self-join,
+    no per-key collect; the interpolation itself is scan-local column
+    arithmetic.
+    """
+    joined = slot_grid(df, key, ts, value, step_seconds)
+    ep = F.col("grid_ts").cast("long")
+    w_prev = (
+        W.partitionBy(key).orderBy("grid_ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy(key).orderBy("grid_ts").rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    observed_ep = F.when(F.col("slot_value").isNotNull(), ep)
+    marked = joined.select(
+        key,
+        "grid_ts",
+        "slot_value",
+        ep.alias("__ep"),
+        F.last("slot_value", ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(observed_ep, ignorenulls=True).over(w_prev).alias("__pe"),
+        F.first("slot_value", ignorenulls=True).over(w_next).alias("__nv"),
+        F.first(observed_ep, ignorenulls=True).over(w_next).alias("__ne"),
+    )
+    interp = (
+        F.when(F.col("slot_value").isNotNull(), F.col("slot_value"))
+        .when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (F.col("__ep") - F.col("__pe"))
+            / (F.col("__ne") - F.col("__pe")),
+        )
+        .when(F.col("__pv").isNotNull(), F.col("__pv"))
+    )
+    return marked.select(
+        key,
+        "grid_ts",
+        interp.alias("value_interp"),
+        F.col("slot_value").isNotNull().alias("is_observed"),
     )
 
 

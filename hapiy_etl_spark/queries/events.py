@@ -251,6 +251,83 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_interpolate",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 100),
+    bounds AS (
+        SELECT user_id,
+               (floor(epoch(MIN(ts)))::BIGINT // 3600) * 3600 AS lo,
+               (floor(epoch(MAX(ts)))::BIGINT // 3600) * 3600 AS hi
+        FROM ev GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS ep FROM bounds
+    ),
+    slotted AS (
+        SELECT user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600 AS ep, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, (floor(epoch(ts))::BIGINT // 3600) * 3600
+                                  ORDER BY ts DESC, value DESC) AS rn
+        FROM ev
+    ),
+    s1 AS (SELECT user_id, ep, value FROM slotted WHERE rn = 1),
+    g AS (
+        SELECT sp.user_id, sp.ep, s1.value AS v
+        FROM spine sp LEFT JOIN s1 ON s1.user_id = sp.user_id AND s1.ep = sp.ep
+    ),
+    f AS (
+        SELECT user_id, ep, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+                   OVER w_prev AS pe,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+                   OVER w_next AS ne
+        FROM g
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY ep
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY user_id ORDER BY ep
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           to_timestamp(ep)::TIMESTAMP AS grid_ts,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL
+                            THEN pv + (nv - pv) * (ep - pe) / (ne - pe)
+                       WHEN pv IS NOT NULL THEN pv
+                  END) * 10000 + 0.5) / 10000.0 AS value_interp,
+           (v IS NOT NULL) AS is_observed
+    FROM f
+    ORDER BY user_id, grid_ts
+    """,
+    doc="Time-series resample to a 1h grid + LINEAR interpolation across "
+    "interior gaps (tail forward-filled, head left null) — the "
+    "companion gap-fill to resample_ffill for continuous signals. Two "
+    "symmetric ignore-nulls window passes on one key partitioning (last "
+    "observation looking back, first looking ahead), then scan-local "
+    "weighting — no self-join, scales as one shuffle per key regardless "
+    "of gap length. Identical interpolation expression text in both "
+    "engines keeps the float arithmetic bitwise-aligned; the output is "
+    "quantized with tie-stable floor(x*1e4 + 0.5) because interpolation "
+    "weights like 0.375 land EXACTLY on decimal ROUND boundaries, where "
+    "Spark (HALF_UP on shortest decimal) and DuckDB (scaled-double) "
+    "disagree (the quantize_int8 lesson applied to gap-fill).",
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.timeseries import resample_interpolate as ri
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].where(F.col("user_id") < 100)
+    out = ri(ev, key="user_id", ts="ts", value="value", step_seconds=3600)
+    quant = F.floor(F.col("value_interp") * 10000 + F.lit(0.5)) / 10000.0
+    return out.select(
+        "user_id",
+        "grid_ts",
+        quant.alias("value_interp"),
+        "is_observed",
+    ).orderBy("user_id", "grid_ts")
+
+
+@register(
     "sort_null_ordering",
     oracle="""
     SELECT event_id,

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_survivorship",
     "embedding_random_projection",
     "quality_linear_probe",
+    "resample_interpolate",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

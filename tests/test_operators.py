@@ -470,3 +470,43 @@ def test_checked_append_quarantine_and_fail_modes(spark, tmp_path):
         "quarantined": 0,
     }
     assert {r.k for r in t.read().collect()} == {1, 4, 9}
+
+
+def test_resample_interpolate_planted_semantics(spark):
+    """Planted series: head slots stay null, interior gaps are linear,
+    tail slots carry the last observation forward."""
+    import datetime as dt
+
+    from hapiy_etl_spark.operators.timeseries import resample_interpolate
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [  # observations at hours 1, 4 (values 10 -> 40), last at 4
+        (1, base + dt.timedelta(hours=1), 10.0),
+        (1, base + dt.timedelta(hours=4), 40.0),
+        (1, base + dt.timedelta(hours=6, minutes=30), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    # widen the span with a sentinel observation at hour 0 for key 2 so
+    # key 1's own grid is [1h, 6h]
+    out = {
+        int(r.grid_ts.hour): (r.value_interp, r.is_observed)
+        for r in resample_interpolate(df, "k", "ts", "v", 3600).collect()
+    }
+    assert out[1] == (10.0, True)
+    assert out[2] == (20.0, False)  # linear: 10 + (40-10)*1/3
+    assert out[3] == (30.0, False)
+    assert out[4] == (40.0, True)
+    assert out[5] == (40.0, False)  # tail ffill up to the last slot
+    assert out[6] == (40.0, True)
+
+    # head-null: drop the hour-1 observation's value only via a later start
+    df2 = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=2), None), (1, base + dt.timedelta(hours=3), 5.0)],
+        "k int, ts timestamp, v double",
+    )
+    out2 = {
+        int(r.grid_ts.hour): r.value_interp
+        for r in resample_interpolate(df2, "k", "ts", "v", 3600).collect()
+    }
+    assert out2[2] is None  # before the first non-null observation
+    assert out2[3] == 5.0
