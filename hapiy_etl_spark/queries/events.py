@@ -386,6 +386,63 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trending_topk",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT day, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY day
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+        FROM daily
+    ),
+    with_delta AS (
+        SELECT day, event_type, n_events, rnk,
+               lag(rnk) OVER (PARTITION BY event_type ORDER BY day) - rnk
+                   AS rank_delta
+        FROM ranked
+    )
+    SELECT day, event_type, n_events, rnk, rank_delta
+    FROM with_delta WHERE rnk <= 3
+    ORDER BY day, rnk
+    """,
+    doc="Trending leaderboard: per-day top-3 event types by volume with "
+    "the day-over-day rank movement (positive = rising). Two windows, "
+    "both post-aggregate grain: the daily rank partitions by day over a "
+    "handful of types, the movement lag partitions by type over days — "
+    "the raw event scan collapses to (day, type) cardinality in the "
+    "first map-side-combined aggregate, so the window state is "
+    "negligible at any corpus size. The delta is computed on the FULL "
+    "daily ranking before the top-3 cut (a type falling out of the "
+    "top 3 still yields the right movement for those that remain).",
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = (
+        t["events"]
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    ranked = daily.withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("day").orderBy(F.col("n_events").desc(), "event_type"))
+        .cast("long"),
+    )
+    delta = (
+        F.lag("rnk").over(W.partitionBy("event_type").orderBy("day")) - F.col("rnk")
+    ).alias("rank_delta")
+    return (
+        ranked.select("day", "event_type", "n_events", "rnk", delta)
+        .where(F.col("rnk") <= 3)
+        .orderBy("day", "rnk")
+    )
+
+
+@register(
     "events_funnel_conversion",
     oracle="""
     WITH signups AS (

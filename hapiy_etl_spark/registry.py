@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_random_projection",
     "quality_linear_probe",
     "resample_interpolate",
+    "events_trending_topk",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",
