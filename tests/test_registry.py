@@ -104,6 +104,9 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "flagship_semantic_e2e",  # bounded probe-cell cross: 10
         #   queries x 4 broadcast centroids against the healed IVF
         #   (same shape as cdc_ivf_index_maintenance, r12)
+        "quality_linear_probe",  # two 1-row crosses: the fitted-model
+        #   row broadcast onto the residual scan, then model x SSE row
+        #   into the single output row (r12)
     }
     offenders = []
     for q in all_queries().values():
