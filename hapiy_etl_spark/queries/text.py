@@ -3964,6 +3964,83 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_token_budget_plan",
+    oracle="""
+    WITH toks AS (
+        SELECT source, len(string_split_regex(text, '\\s+')) AS nt FROM documents
+    ),
+    avail AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS av FROM toks GROUP BY source),
+    tot AS (SELECT CAST(SUM(av) AS BIGINT) AS total FROM avail),
+    sq AS (
+        SELECT source, av, total, sqrt(av * 1.0 / total) AS s
+        FROM avail, tot
+    ),
+    den AS (
+        SELECT CAST(SUM(CAST(ROUND(s, 8) AS DECIMAL(18,8))) AS DOUBLE) AS ssum
+        FROM sq
+    ),
+    plan AS (
+        SELECT source, av, total, ROUND(s, 8) / ssum AS w
+        FROM sq, den
+    )
+    SELECT source,
+           av AS available_tokens,
+           ROUND(w, 6) AS mix_weight,
+           CAST(floor(w * (2 * total)) AS BIGINT) AS target_tokens,
+           ROUND(w * (2 * total) / av, 4) AS epochs,
+           (w * (2 * total) / av) > 4.0 AS capped,
+           CAST(floor(w * (2 * total)) AS BIGINT)
+               - least(CAST(floor(w * (2 * total)) AS BIGINT), 4 * av)
+               AS shortfall_tokens
+    FROM plan ORDER BY source
+    """,
+    doc="Training-mix budget planner — the ops artifact AFTER the "
+    "temperature rule picks weights: per source, available tokens, the "
+    "temperature-flattened mixture weight (sqrt-share, properly "
+    "normalized — the alpha=0.5 sibling of corpus_mix_temperature's "
+    "keep-rate form), the token TARGET under a 2x-corpus training "
+    "budget, the implied epoch count (oversampling factor), and the "
+    "shortfall once the standard <=4-epoch repeat cap binds — the "
+    "table that tells you which sources cannot fill their quota and "
+    "how much budget must be re-homed. One tokenize scan + a source "
+    "aggregate; totals and the weight denominator are 1-row broadcast "
+    "crosses. Cross-engine: sqrt is IEEE-correctly-rounded (identical "
+    "bits in both engines, unlike pow/ln), and the weight denominator "
+    "sums 8-decimal-quantized DECIMALs so source order cannot perturb "
+    "it.",
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    avail = (
+        t["documents"]
+        .select("source", F.size(F.split("text", r"\s+")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("av"))
+    )
+    tot = avail.agg(F.sum("av").cast("long").alias("total"))
+    sq = avail.crossJoin(F.broadcast(tot)).select(
+        "source", "av", "total", F.sqrt(F.col("av") * 1.0 / F.col("total")).alias("s")
+    )
+    den = sq.agg(
+        F.sum(F.round("s", 8).cast("decimal(18,8)")).cast("double").alias("ssum")
+    )
+    plan = sq.crossJoin(F.broadcast(den)).select(
+        "source", "av", "total", (F.round("s", 8) / F.col("ssum")).alias("w")
+    )
+    target = F.floor(F.col("w") * (2 * F.col("total"))).cast("long")
+    epochs_raw = F.col("w") * (2 * F.col("total")) / F.col("av")
+    return plan.select(
+        "source",
+        F.col("av").alias("available_tokens"),
+        F.round("w", 6).alias("mix_weight"),
+        target.alias("target_tokens"),
+        F.round(epochs_raw, 4).alias("epochs"),
+        (epochs_raw > 4.0).alias("capped"),
+        (target - F.least(target, 4 * F.col("av"))).alias("shortfall_tokens"),
+    ).orderBy("source")
+
+
+@register(
     "doc_novelty_score",
     oracle="""
     WITH tok AS (

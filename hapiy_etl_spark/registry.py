@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "quality_linear_probe",
     "resample_interpolate",
     "events_trending_topk",
+    "corpus_token_budget_plan",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

@@ -1190,3 +1190,22 @@ def test_quality_probe_matches_numpy_ridge(spark, sf_dir):
     assert abs(row.b_stopword - c[2]) < 1e-4
     assert 0.0 < row.r2 <= 1.0 and row.rmse > 0.0
     assert row.n_docs == len(feats)
+
+
+def test_token_budget_plan_conserves_budget(spark, sf_dir):
+    """Planner invariants: weights sum to 1, targets exhaust the 2x
+    budget (up to per-source floor()), epochs == target/available, and
+    shortfall only appears on capped sources."""
+    from hapiy_etl_spark.registry import all_queries
+
+    rows = all_queries()["corpus_token_budget_plan"].fn(spark, sf_dir).collect()
+    total_avail = sum(r.available_tokens for r in rows)
+    budget = 2 * total_avail
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    tgt = sum(r.target_tokens for r in rows)
+    assert budget - len(rows) <= tgt <= budget  # floor() loses < 1/source
+    for r in rows:
+        assert abs(r.epochs - r.target_tokens / r.available_tokens) < 1e-3
+        assert (r.shortfall_tokens > 0) == r.capped or r.shortfall_tokens == 0
+        if r.capped:
+            assert r.target_tokens - r.shortfall_tokens == 4 * r.available_tokens

@@ -107,6 +107,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "quality_linear_probe",  # two 1-row crosses: the fitted-model
         #   row broadcast onto the residual scan, then model x SSE row
         #   into the single output row (r12)
+        "corpus_token_budget_plan",  # two 1-row crosses: corpus total,
+        #   then the quantized weight denominator (r12)
     }
     offenders = []
     for q in all_queries().values():
