@@ -132,6 +132,7 @@ def main() -> None:
             from hapiy_etl_spark.queries.graph import copurchase_edges
             from hapiy_etl_spark.queries.index_fixtures import (
                 bm25_index,
+                erasure_state,
                 flagship_semantic_state,
                 flagship_state,
                 ivf_index,
@@ -155,6 +156,9 @@ def main() -> None:
                 # the embedding-side flagship (semdedup ingest + frozen
                 # quantizer + healed IVF, r12) — same one-time posture
                 ("flagship_semantic_state", flagship_semantic_state),
+                # the right-to-be-forgotten scenario (r12): corpus +
+                # co-erased shingle index; the timed query is the audit
+                ("erasure_state", erasure_state),
             ):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir)

@@ -189,6 +189,7 @@ def postings_append(
     meta: DataFrame | None,
     n_buckets: int = N_BUCKETS,
     split_buckets: bool = True,
+    bloom_key: str | None = None,
 ) -> None:
     """Land one batch's postings + meta row in the index TxTables.
     ``meta_table``/``meta`` may be None for index layouts that carry
@@ -212,8 +213,16 @@ def postings_append(
     clustered OPTIMIZE re-sorts it into buckets); use it when append
     latency matters more than read amplification, the same trade the
     IVF index demo makes for its incremental batch."""
+    # ``bloom_key`` (e.g. the doc-id column) additionally records a
+    # per-dir Bloom on that column: postings are clustered by term
+    # bucket, so a document's rows scatter across every dir and
+    # id-range stats never prune an ERASURE (TxTable.delete_keys) —
+    # the bloom is what lets a takedown of a few documents skip the
+    # dirs that provably hold none of their postings. Opt-in: it costs
+    # one read-back scan of each new dir at append time.
     _check_n_buckets(index, n_buckets, "appending")
     stamp = {"n_buckets": n_buckets}
+    bloom = [bloom_key] if bloom_key else None
     if split_buckets:
         # one pass to materialize the batch + learn its present buckets
         # (n_buckets tiny rows), then per-bucket writes cut from the
@@ -229,11 +238,12 @@ def postings_append(
                     postings.where(F.col("tb") == b),
                     meta=stamp,
                     stats_cols=["tb"],
+                    bloom_cols=bloom,
                 )
         finally:
             postings.unpersist()
     else:
-        index.append(postings, meta=stamp, stats_cols=["tb"])
+        index.append(postings, meta=stamp, stats_cols=["tb"], bloom_cols=bloom)
     if meta_table is not None and meta is not None:
         meta_table.append(meta)
 

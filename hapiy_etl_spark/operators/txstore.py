@@ -1317,6 +1317,136 @@ class TxTable:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"delete lost {max_retries} races at {self.path}")
 
+    def delete_keys(
+        self,
+        keys,
+        on: str,
+        max_retries: int = 5,
+        max_keys: int = 100_000,
+    ) -> int:
+        """Transactional anti-join DELETE of an explicit key set — the
+        right-to-be-forgotten / takedown primitive: erase these ids
+        from a 100 TB table (and, called on each derived index, from
+        its postings) without a full-table condition scan.
+
+        ``keys`` is a sequence of values or a 1-column DataFrame
+        (collected driver-side, capped at ``max_keys`` — an erasure
+        batch is a request queue of thousands of ids, never data-sized;
+        bigger sweeps belong to ``delete_where``). Dir pruning mirrors
+        ``read(where_in=...)``: a dir is rewritten only when at least
+        one key survives its partition spec, min/max stats, AND Bloom
+        checks (append with ``stats_cols``/``bloom_cols`` on the key
+        column to make this bite) — erasing one document from an
+        id-ordered corpus rewrites ~one dir, and dirs the metadata
+        proves clean are carried forward byte-untouched, stats/blooms
+        and all. Row filtering is a broadcast LEFT ANTI join, which
+        keeps NULL-key rows (SQL semantics: NULL never equals an
+        erasure id). If every dir is provably clean the call commits
+        NOTHING and returns the current version — an idempotent retry
+        of an already-applied erasure is free."""
+        from pyspark.sql import functions as F
+
+        if isinstance(keys, DataFrame):
+            rows = keys.limit(max_keys + 1).collect()
+            vals = [r[0] for r in rows]
+        else:
+            vals = list(keys)
+        if len(vals) > max_keys:
+            raise ValueError(
+                f"{len(vals)}+ erasure keys exceeds max_keys={max_keys} — "
+                "an erasure batch is a bounded request queue; stage a "
+                "condition and use delete_where for data-sized sweeps"
+            )
+        if not vals:
+            raise ValueError("empty key set — nothing to erase")
+        if any(v is None for v in vals):
+            raise ValueError(
+                "None in erasure keys — NULL never matches a row key; "
+                "filter nulls out explicitly"
+            )
+        keys_df = self.spark.createDataFrame([(v,) for v in vals], [on]).distinct()
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent == 0:
+                return 0
+            m = self._manifest(parent)
+            specs = m.get("partitions") or {}
+            stats = m.get("stats") or {}
+            blooms = m.get("blooms") or {}
+            # hash every (value, recorded bloom geometry) pair once, in
+            # one local job (the read(where_in=) probe pattern)
+            probes, seen = [], set()
+            for d in m["dirs"]:
+                bl = blooms.get(d, {}).get(on)
+                if bl is not None:
+                    for v in vals:
+                        pk = (v, bl["type"], bl.get("bits"), bl.get("k"))
+                        if pk not in seen:
+                            seen.add(pk)
+                            probes.append((pk, bl))
+            pos_map = dict(
+                zip(
+                    [pk for pk, _ in probes],
+                    self._bloom_positions_many([(bl, pk[0]) for pk, bl in probes]),
+                )
+            )
+
+            def _maybe_contains(d: str, v) -> bool:
+                spec_val = specs.get(d, {}).get(on)
+                if spec_val is not None and _meta_eq(spec_val, v) is False:
+                    return False
+                rng = stats.get(d, {}).get(on)
+                if rng is not None and rng[0] is not None:
+                    if _meta_cmp(rng[0], v) is False or _meta_cmp(v, rng[1]) is False:
+                        return False
+                bl = blooms.get(d, {}).get(on)
+                if bl is not None:
+                    pos = pos_map.get((v, bl["type"], bl.get("bits"), bl.get("k")))
+                    if pos is not None and not self._bloom_test(bl["b64"], pos):
+                        return False
+                return True
+
+            touched = [
+                d for d in m["dirs"] if any(_maybe_contains(d, v) for v in vals)
+            ]
+            if not touched:
+                return parent  # metadata proves nothing matches: no commit
+            untouched = [d for d in m["dirs"] if d not in set(touched)]
+            base = self._read_dirs(m, touched, merge_schema=False)
+            # a name-join reorders the key column to the front — restore
+            # the stored column order so rewritten dirs keep the schema
+            survivors = base.join(F.broadcast(keys_df), on, "left_anti").select(
+                *base.columns
+            )
+            d = self._write_data_dir(survivors)
+            parts, layouts, schemas, stats_map, blooms_map = self._dir_maps(
+                m, untouched
+            )
+            schemas[d] = survivors.schema.jsonValue()
+            # conservative carry for the rewritten dir, exactly as
+            # delete_where: union of the touched dirs' ranges/blooms
+            # bounds the surviving subset
+            shared = self._union_stats(m.get("stats") or {}, touched)
+            if shared:
+                stats_map[d] = shared
+            bloom_u = self._union_blooms(m.get("blooms") or {}, touched)
+            if bloom_u:
+                blooms_map[d] = bloom_u
+            try:
+                return self._commit(
+                    parent,
+                    untouched + [d],
+                    "delete",
+                    partitions=parts or None,
+                    layouts=layouts or None,
+                    schemas=schemas,
+                    stats=stats_map or None,
+                    blooms=blooms_map or None,
+                )
+            except ConcurrentCommitError:
+                shutil.rmtree(self.path / "data" / d, ignore_errors=True)
+        raise ConcurrentCommitError(f"delete_keys lost {max_retries} races at {self.path}")
+
     def restore(self, version: int) -> int:
         """Roll the table back to an earlier snapshot AS A NEW COMMIT
         (lakehouse RESTORE semantics): history is append-only, so the

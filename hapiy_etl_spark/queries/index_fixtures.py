@@ -316,3 +316,49 @@ def flagship_semantic_state(spark: SparkSession, sf_dir: str):
     out = (corpus_t, cent, TxTable(spark, ivf_p), base)
     _CACHE[key] = out
     return out[0], out[1], out[2]
+
+
+def erasure_state(spark: SparkSession, sf_dir: str):
+    """(corpus TxTable, shingle-postings TxTable) AFTER a
+    right-to-be-forgotten batch: the corpus lands in three id-ranged
+    dirs (doc_id stats + blooms), the index is built with
+    ``bloom_key="doc_id"`` so postings carry per-dir doc-id blooms,
+    then every ``src3`` document is erased from BOTH tables via
+    ``TxTable.delete_keys`` — the provenance-takedown scenario
+    (license retraction / GDPR request) ``corpus_erasure_audit``
+    audits. Materialized once per (application, sf_dir); consumers
+    treat both tables as read-only."""
+    key = ("erasure", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = _base(spark, sf_dir, "erasure")
+    shutil.rmtree(base, ignore_errors=True)
+    TI.stamp_cache_drop(base)  # same-path rebuild: honor the memo contract
+
+    corpus = TxTable(spark, f"{base}/corpus")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    for lo_c, hi_c in ((None, cut1), (cut1, cut2), (cut2, None)):
+        part = docs
+        if lo_c is not None:
+            part = part.where(F.col("doc_id") > lo_c)
+        if hi_c is not None:
+            part = part.where(F.col("doc_id") <= hi_c)
+        corpus.append(part, stats_cols=["doc_id"], bloom_cols=["doc_id"])
+
+    idx = TxTable(spark, f"{base}/shingle_postings")
+    TI.postings_append(
+        idx, None, TI.shingle_postings_build(docs), None, bloom_key="doc_id"
+    )
+
+    victims = docs.where(F.col("source") == "src3").select("doc_id")
+    corpus.delete_keys(victims, on="doc_id")
+    idx.delete_keys(victims, on="doc_id")
+    _CACHE[key] = (corpus, idx, base)
+    return corpus, idx

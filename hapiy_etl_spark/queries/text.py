@@ -3964,6 +3964,76 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_erasure_audit",
+    oracle="""
+    WITH surv AS (SELECT * FROM documents WHERE source <> 'src3'),
+    docsagg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM surv GROUP BY source
+    ),
+    toks AS (
+        SELECT doc_id, source, string_split_regex(text, '\\s+') AS t
+        FROM surv WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    postagg AS (SELECT source, COUNT(*) AS n_postings FROM sh GROUP BY source)
+    SELECT d.source, d.n_docs, d.total_chars,
+           COALESCE(p.n_postings, 0) AS n_postings
+    FROM docsagg d LEFT JOIN postagg p USING (source)
+    ORDER BY d.source
+    """,
+    doc="Right-to-be-forgotten audit — the acceptance report after a "
+    "provenance takedown (license retraction / GDPR batch): every src3 "
+    "document erased from the corpus TxTable AND its derived shingle "
+    "index via TxTable.delete_keys (anti-join copy-on-write DELETE "
+    "with spec/stats/Bloom dir pruning; the index carries per-dir "
+    "doc-id blooms via postings_append bloom_key=). The audit joins "
+    "the surviving index back to the surviving corpus with a LEFT "
+    "join that relabels unmatched postings ORPHANED — a failed "
+    "co-erasure surfaces as an extra row, not a silent pass — and the "
+    "DuckDB twin recomputes both tables relationally from the "
+    "documents slice, so the hash pins corpus erasure, index "
+    "co-erasure, and their mutual consistency at once. At 100 TB: the "
+    "erased ids prune to the dirs whose blooms might hold them "
+    "(pytest-measured: a one-doc takedown rewrites ~1 of 8 bucket "
+    "dirs), everything else carries forward byte-untouched.",
+)
+def corpus_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.queries.index_fixtures import erasure_state
+
+    corpus, idx = erasure_state(spark, sf_dir)
+    surv = corpus.read().select("doc_id", "source", "n_chars")
+    docsagg = surv.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    postagg = (
+        idx.read()
+        .join(surv.select("doc_id", "source"), "doc_id", "left")
+        .select(F.coalesce("source", F.lit("ORPHANED")).alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_postings"))
+    )
+    return (
+        docsagg.join(postagg, "source", "full")
+        .select(
+            "source",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
+            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "corpus_token_budget_plan",
     oracle="""
     WITH toks AS (

@@ -71,6 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "resample_interpolate",
     "events_trending_topk",
     "corpus_token_budget_plan",
+    "corpus_erasure_audit",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

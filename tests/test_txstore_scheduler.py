@@ -3098,3 +3098,107 @@ def test_heal_semdedup_embedding_index_matches_oneshot(spark, tmp_path):
     )
     want = sorted(r[0] for r in build(emb).where(F.col("bucket") == b0).select("vec_id").collect())
     assert got == want
+
+
+def test_txstore_delete_keys_bloom_pruned_erasure(spark, tmp_path):
+    """The right-to-be-forgotten primitive: an explicit-id delete
+    rewrites ONLY dirs whose stats/blooms might contain a key, keeps
+    NULL-key rows, matches a plain filter row-for-row, and a retry of
+    an applied erasure (or an erase of absent ids) commits nothing."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200):  # three id-ranged dirs with stats + blooms
+        rows = [(lo + i, f"doc{lo + i}") for i in range(100)]
+        t.append(
+            spark.createDataFrame(rows, "doc_id long, body string"),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+    v0 = t.latest_version()
+    dirs0 = t._manifest(v0)["dirs"]
+
+    v1 = t.delete_keys([5, 7], on="doc_id")
+    assert v1 > v0
+    dirs1 = t._manifest(v1)["dirs"]
+    # only the [0,99] dir rewritten; the other two id ranges carried
+    # forward byte-untouched (same dir names, stats and blooms intact)
+    assert len(set(dirs0) & set(dirs1)) == 2
+    got = {r.doc_id for r in t.read().select("doc_id").collect()}
+    assert 5 not in got and 7 not in got and 6 in got and 105 in got
+    assert t.read().count() == 300 - 2
+
+    # absent ids: every dir provably clean (the rewritten dir carries
+    # the union stats/blooms of its parents) -> no commit at all
+    assert t.delete_keys([9999], on="doc_id") == v1
+    # DataFrame form + idempotent retry of the applied erasure: the
+    # blooms may false-positive on a re-probed id, but the anti-join
+    # then deletes zero rows — re-run converges, never corrupts
+    keys_df = spark.createDataFrame([(105,)], "doc_id long")
+    v2 = t.delete_keys(keys_df, on="doc_id")
+    assert t.read().count() == 300 - 3
+
+    with pytest.raises(ValueError, match="NULL"):
+        t.delete_keys([None, 3], on="doc_id")
+    with pytest.raises(ValueError, match="max_keys"):
+        t.delete_keys(list(range(20)), on="doc_id", max_keys=10)
+
+    # NULL-key rows survive an anti-join erasure (SQL semantics) even
+    # in a stats-less dir, which is conservatively rewritten
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame(
+            [(None, "orphan"), (1, "a"), (2, "b")], "doc_id long, body string"
+        )
+    )
+    t2.delete_keys([1], on="doc_id")
+    left = {r.doc_id for r in t2.read().select("doc_id").collect()}
+    assert left == {None, 2}
+
+
+def test_erasure_propagates_to_shingle_index(spark, tmp_path):
+    """Right-to-be-forgotten across the corpus AND a derived postings
+    index: after delete_keys on both, the index equals a one-shot
+    rebuild over the surviving corpus bit-for-bit, and the doc-id
+    blooms (postings_append bloom_key=) prune the erasure to the dirs
+    that actually hold the victim's postings."""
+    from hapiy_etl_spark.operators import textindex as TI
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(8)), f"src{i % 3}")
+        for i in range(30)
+    ]
+    rows[4] = (4, "tiny victim doc", "src1")  # one shingle -> one bucket
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    for lo in (0, 10, 20):
+        corpus.append(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    TI.postings_append(
+        idx, None, TI.shingle_postings_build(docs), None, bloom_key="doc_id"
+    )
+    dirs_before = idx._manifest(idx.latest_version())["dirs"]
+
+    # erase the single-shingle victim: its postings live in exactly one
+    # term-bucket dir, so the doc-id blooms must prune the rewrite to
+    # ~1 of the 8 bucket dirs (false positives can add a dir or two)
+    idx.delete_keys([4], on="doc_id")
+    dirs_after = idx._manifest(idx.latest_version())["dirs"]
+    assert len(set(dirs_before) & set(dirs_after)) >= 5
+
+    # then a full-vocabulary victim + corpus co-erasure and the parity
+    # contract: erased index == one-shot rebuild over survivors
+    victims = [4, 17]
+    corpus.delete_keys(victims, on="doc_id")
+    idx.delete_keys([17], on="doc_id")
+
+    assert corpus.read().count() == 28
+    assert {r.doc_id for r in corpus.read().select("doc_id").collect()}.isdisjoint(victims)
+
+    rebuilt = TI.shingle_postings_build(docs.where(~F.col("doc_id").isin(victims)))
+    erased = idx.read()
+    assert erased.count() == rebuilt.count()
+    assert erased.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(erased).count() == 0
