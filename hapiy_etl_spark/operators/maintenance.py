@@ -113,6 +113,40 @@ def sized_cluster_dirs(
     return max(1, min(max(floor, by_rows), n_buckets, cap))
 
 
+def reconcile_index_deletes(corpus, index, on: str, max_keys: int = 100_000) -> int:
+    """Crash-recovery / drift repair for a derived index after corpus
+    erasures: delete index rows whose key no longer exists in the
+    corpus. A takedown is two ``delete_keys`` commits (corpus, then
+    each index) with no cross-table transaction — a crash between them
+    leaves ORPHANED postings that a probe would still surface. This
+    reconciler recomputes the orphan set from table contents (distinct
+    index keys anti-joined against distinct corpus keys — narrow id
+    columns, one shuffle each, orphan count bounded by erasures) and
+    erases it through the same bloom-pruned ``delete_keys`` path, so
+    it is IDEMPOTENT: a second run finds nothing and commits nothing.
+    NULL index keys are ignored (they can never match a corpus key).
+    Returns the number of orphaned keys erased (0 = already
+    consistent)."""
+    orphans = (
+        index.read()
+        .select(on)
+        .where(f"{on} IS NOT NULL")
+        .distinct()
+        .join(corpus.read().select(on).distinct(), on, "left_anti")
+    )
+    vals = [r[0] for r in orphans.limit(max_keys + 1).collect()]
+    if not vals:
+        return 0
+    if len(vals) > max_keys:
+        raise ValueError(
+            f"{len(vals)}+ orphaned keys exceeds max_keys={max_keys} — "
+            "that is corpus-rebuild territory, not an erasure repair; "
+            "rebuild the index from the corpus snapshot instead"
+        )
+    index.delete_keys(vals, on=on, max_keys=max_keys)
+    return len(vals)
+
+
 def prefix_bucketed_row_number(
     df,
     partition_cols: Sequence[str],

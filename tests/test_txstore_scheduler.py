@@ -3202,3 +3202,36 @@ def test_erasure_propagates_to_shingle_index(spark, tmp_path):
     assert erased.count() == rebuilt.count()
     assert erased.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(erased).count() == 0
+
+
+def test_reconcile_index_deletes_repairs_interrupted_takedown(spark, tmp_path):
+    """Crash between the corpus erasure and the index erasure leaves
+    orphaned postings; the reconciler erases exactly them (idempotent,
+    second run commits nothing) and the repaired index equals a
+    one-shot rebuild over the surviving corpus."""
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.maintenance import reconcile_index_deletes
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(6)), "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.append(docs, stats_cols=["doc_id"], bloom_cols=["doc_id"])
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    TI.postings_append(
+        idx, None, TI.shingle_postings_build(docs), None, bloom_key="doc_id"
+    )
+
+    # the crash window: corpus erased, index NOT
+    corpus.delete_keys([3, 11, 19], on="doc_id")
+    assert reconcile_index_deletes(corpus, idx, on="doc_id") == 3
+    v = idx.latest_version()
+    assert reconcile_index_deletes(corpus, idx, on="doc_id") == 0  # idempotent
+    assert idx.latest_version() == v  # ...and commits nothing
+
+    rebuilt = TI.shingle_postings_build(
+        docs.where(~F.col("doc_id").isin([3, 11, 19]))
+    )
+    assert idx.read().exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(idx.read()).count() == 0
