@@ -210,6 +210,22 @@ SHOWCASE = [
     # r12: video perceptual near-dup — per-frame dHash (MapInPandas)
     # through the shared banding equi-join + one grouped frame vote
     ("multimodal_video_phash", ["MapInPandas", "Join", "NestedLoop"]),
+    # r12: survivorship election rides the cluster-grain window (never
+    # an empty partition spec) + one metadata-merge aggregate
+    ("dedup_survivorship", ["Window", "HashAggregate"]),
+    # r12: JL projection is scan-local column algebra — the only
+    # exchange in the plan is the output sort's range partitioning
+    ("embedding_random_projection", ["Exchange", "Project"]),
+    # r12: closed-form ridge — ONE full aggregate for the 9 Gram sums,
+    # 1-row model broadcast back onto the residual scan (sanctioned
+    # nested-loop shape), second aggregate for SSE
+    ("quality_linear_probe", ["HashAggregate", "BroadcastNestedLoopJoin"]),
+    # r12: linear gap-fill — two symmetric window passes on ONE key
+    # partitioning; the spine join is a hash join, never nested-loop
+    ("resample_interpolate", ["Window", "Join", "NestedLoop"]),
+    # r12: erasure audit reads the co-erased TxTables (FileScan) and
+    # joins postings->corpus as a hash join at id grain
+    ("corpus_erasure_audit", ["FileScan", "Join", "NestedLoop"]),
 ]
 
 
