@@ -127,6 +127,14 @@ def reconcile_index_deletes(corpus, index, on: str, max_keys: int = 100_000) -> 
     NULL index keys are ignored (they can never match a corpus key).
     Returns the number of orphaned keys erased (0 = already
     consistent)."""
+    if index.latest_version() == 0:
+        return 0  # never-written index: vacuously consistent
+    if corpus.latest_version() == 0:
+        raise ValueError(
+            "corpus table is empty/never-written — every index key would "
+            "be an orphan; if the corpus was truly dropped, drop or "
+            "rebuild the index rather than erasing it row by row"
+        )
     orphans = (
         index.read()
         .select(on)

@@ -1347,6 +1347,11 @@ class TxTable:
         from pyspark.sql import functions as F
 
         if isinstance(keys, DataFrame):
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    f"keys DataFrame must have exactly one column, got "
+                    f"{keys.columns} — select the key column explicitly"
+                )
             rows = keys.limit(max_keys + 1).collect()
             vals = [r[0] for r in rows]
         else:

@@ -1412,11 +1412,77 @@ def soak_healer_main(seconds: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def erasure_main(n_batches: int) -> None:
+    """Right-to-be-forgotten growth: land n disjoint id-shifted copies
+    of the documents corpus (doc_id stats + blooms per dir) plus a
+    shingle-postings index with per-dir doc-id blooms, then erase ONE
+    fixed document (from the first batch) via delete_keys after each
+    append. The scale claim: dirs REWRITTEN per takedown stays ~1 on
+    the corpus (id-range stats) and bounded by the victim's bucket
+    count on the index (doc-id blooms) while the table grows nx — an
+    unpruned erasure would rewrite all dirs every time."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_erasure")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    span = docs.agg(F.max("doc_id")).first()[0] + 1
+    base = tempfile.mkdtemp(prefix="erasure_growth_")
+    corpus = TxTable(spark, f"{base}/corpus")
+    idx = TxTable(spark, f"{base}/idx")
+    rows = []
+    for i in range(1, n_batches + 1):
+        batch = docs.withColumn("doc_id", F.col("doc_id") + F.lit((i - 1) * span))
+        corpus.append(batch, stats_cols=["doc_id"], bloom_cols=["doc_id"])
+        TI.postings_append(
+            idx, None, TI.shingle_postings_build(batch), None, bloom_key="doc_id"
+        )
+        # victims live in the FIRST batch — the worst case for growth
+        # (every later dir must be proven clean, not skipped by luck)
+        victim = [int(i)]  # a fresh id each round: erasures must commit
+        cv0, iv0 = corpus.latest_version(), idx.latest_version()
+        c_dirs0 = set(corpus._manifest(cv0)["dirs"])
+        i_dirs0 = set(idx._manifest(iv0)["dirs"])
+        t0 = time.perf_counter()
+        corpus.delete_keys(victim, on="doc_id")
+        idx.delete_keys(victim, on="doc_id")
+        dt = time.perf_counter() - t0
+        c_rw = len(c_dirs0 - set(corpus._manifest(corpus.latest_version())["dirs"]))
+        i_rw = len(i_dirs0 - set(idx._manifest(idx.latest_version())["dirs"]))
+        rows.append(
+            {
+                "x": i,
+                "corpus_dirs": len(c_dirs0),
+                "corpus_dirs_rewritten": c_rw,
+                "index_dirs": len(i_dirs0),
+                "index_dirs_rewritten": i_rw,
+                "erase_s": round(dt, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    print("# summary")
+    for r in rows:
+        print(r)
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     from hapiy_etl_spark.operators import dedup as D
     from hapiy_etl_spark.session import get_spark
 
     args = sys.argv[1:]
+    if args and args[0] == "--erasure":
+        erasure_main(int(args[1]) if args[1:] else 6)
+        return
     if args and args[0] == "--soak":
         soak_main(int(args[1]) if args[1:] else 60)
         return
