@@ -972,6 +972,7 @@ def heal_index_from_changes(
     auto_compact_max_dirs: int | None = None,
     compact_kw: dict | None = None,
     max_versions_per_trigger: int | None = None,
+    starting_version: int | None = None,
 ):
     """DECOUPLED index maintenance — the production topology (VERDICT
     r9 item 5): one job appends the corpus TxTable; this SEPARATE job
@@ -1002,7 +1003,11 @@ def heal_index_from_changes(
     healer-built index enforces the same build/probe validation as a
     coupled-sink-built one — pass the geometry ``build_fn`` closes
     over; ``max_versions_per_trigger`` bounds catch-up batches after a
-    long pause. Returns the StreamingQuery (AvailableNow)."""
+    long pause. ``starting_version`` is the snapshot-then-stream
+    handoff (pair it with a FRESH checkpoint): stream only the appends
+    AFTER that corpus version — the restart half of the
+    ``heal_recover_from_rewrite`` runbook. Returns the StreamingQuery
+    (AvailableNow)."""
     from hapiy_etl_spark.operators.txstore import TxTable
     from hapiy_etl_spark.sources import txtable_source
 
@@ -1014,6 +1019,8 @@ def heal_index_from_changes(
         reader = reader.option(
             "maxVersionsPerTrigger", str(max_versions_per_trigger)
         )
+    if starting_version:
+        reader = reader.option("startingVersion", str(starting_version))
     stream = reader.load()
     run_id = None
 
@@ -1050,6 +1057,68 @@ def heal_index_from_changes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def heal_recover_from_rewrite(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    on: str,
+    build_fn,
+    *,
+    stats_cols: Sequence[str] | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """The RESYNC half of the healer runbook: when the corpus history
+    takes a non-append rewrite (an erasure/`delete_keys` takedown, an
+    overwrite) the change-feed stream raises its loud not-representable
+    error by design — this function brings the derived index back to
+    corpus truth FROM TABLE CONTENTS, so the healer can restart with
+    ``starting_version=<returned snapshot_version>`` and a FRESH
+    checkpoint (the snapshot-then-stream handoff the source documents).
+
+    Two idempotent repairs against the current corpus snapshot:
+    1. orphans — index rows whose key left the corpus — erased via the
+       bloom-pruned ``delete_keys`` path
+       (operators/maintenance.reconcile_index_deletes);
+    2. backfill — corpus keys the index has never seen (appends the
+       dead healer never processed) re-derived through the SAME
+       ``build_fn`` and landed as one append, stamped with the same
+       geometry ``extra_meta`` as healed appends.
+    Re-running finds nothing and commits nothing. The presence test is
+    key-grain: a doc whose rows the builder legitimately drops (e.g.
+    NULL text) is re-fed but builds zero rows, and the empty append is
+    skipped. After this returns, the index equals a one-shot build
+    over the snapshot — the same invariant healed appends maintain."""
+    from hapiy_etl_spark.operators.maintenance import reconcile_index_deletes
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    corpus = TxTable(spark, corpus_path)
+    index = TxTable(spark, index_path)
+    v = corpus.latest_version()
+    if v == 0:
+        raise ValueError(f"empty corpus at {corpus_path} — nothing to resync to")
+    snap = corpus.read(v)
+    erased = (
+        reconcile_index_deletes(corpus, index, on=on)
+        if index.latest_version()
+        else 0
+    )
+    if index.latest_version():
+        seen = index.read().select(on).where(f"{on} IS NOT NULL").distinct()
+        missing = snap.join(seen, on, "left_anti")
+    else:
+        missing = snap
+    backfilled = missing.count()
+    if backfilled:
+        rows = build_fn(missing)
+        if rows.limit(1).count():
+            index.append(rows, meta=extra_meta, stats_cols=stats_cols)
+    return {
+        "snapshot_version": v,
+        "orphans_erased": erased,
+        "docs_backfilled": backfilled,
+    }
 
 
 def foreach_batch_tx_append_with_mv(

@@ -3235,3 +3235,80 @@ def test_reconcile_index_deletes_repairs_interrupted_takedown(spark, tmp_path):
     )
     assert idx.read().exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(idx.read()).count() == 0
+
+
+def test_healer_recovery_after_erasure_rewrite(spark, tmp_path):
+    """The full takedown runbook across the decoupled healer: heal two
+    corpus appends; a delete_keys erasure + another append land while
+    the healer is down; the old checkpoint then RAISES the loud
+    not-representable error (never silently skips a mutation);
+    heal_recover_from_rewrite resyncs the index from table contents
+    (orphans erased, missed appends backfilled, == one-shot build);
+    the healer restarts at starting_version with a fresh checkpoint
+    and keeps healing new appends exactly-once."""
+    from hapiy_etl_spark.operators.textindex import shingle_postings_build
+    from hapiy_etl_spark.streaming.jobs import (
+        heal_index_from_changes,
+        heal_recover_from_rewrite,
+    )
+
+    corpus_p, idx_p = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    ckpt1, ckpt2 = str(tmp_path / "ckpt1"), str(tmp_path / "ckpt2")
+
+    def doc(i):
+        return (i, " ".join(f"d{i}w{j}" for j in range(10)))
+
+    build = lambda b: shingle_postings_build(b.select("doc_id", "text"))
+    corpus = TxTable(spark, corpus_p)
+    corpus.append(spark.createDataFrame([doc(1), doc(2)], "doc_id long, text string"))
+    corpus.append(spark.createDataFrame([doc(3)], "doc_id long, text string"))
+
+    def heal(ckpt, starting_version=None):
+        for _ in range(corpus.latest_version() + 1):
+            heal_index_from_changes(
+                spark, corpus_p, idx_p, ckpt, build,
+                stats_cols=["tb"], max_versions_per_trigger=1,
+                starting_version=starting_version,
+            ).awaitTermination()
+
+    def oneshot():
+        return sorted(map(tuple, shingle_postings_build(corpus.read()).collect()))
+
+    def healed():
+        return sorted(map(tuple, TxTable(spark, idx_p).read().collect()))
+
+    heal(ckpt1)
+    assert healed() == oneshot()
+
+    # healer down: a takedown erasure + one more append hit the corpus
+    corpus.delete_keys([2], on="doc_id")
+    corpus.append(spark.createDataFrame([doc(4)], "doc_id long, text string"))
+
+    with pytest.raises(Exception, match="rewr|resync|table_diff"):
+        heal(ckpt1)  # old checkpoint crosses the delete span: loud stop
+
+    report = heal_recover_from_rewrite(
+        spark, corpus_p, idx_p, on="doc_id", build_fn=build, stats_cols=["tb"]
+    )
+    assert report["orphans_erased"] == 1  # doc 2's postings
+    assert report["docs_backfilled"] == 1  # doc 4, missed while down
+    assert report["snapshot_version"] == corpus.latest_version()
+    assert healed() == oneshot()
+
+    # idempotent: a second recovery repairs nothing, commits nothing
+    v = TxTable(spark, idx_p).latest_version()
+    r2 = heal_recover_from_rewrite(
+        spark, corpus_p, idx_p, on="doc_id", build_fn=build, stats_cols=["tb"]
+    )
+    assert r2["orphans_erased"] == 0 and r2["docs_backfilled"] == 0
+    assert TxTable(spark, idx_p).latest_version() == v
+
+    # snapshot-then-stream handoff: fresh checkpoint from the snapshot
+    # version; a new append heals exactly-once, old data not re-fed
+    sv = report["snapshot_version"]
+    corpus.append(spark.createDataFrame([doc(5)], "doc_id long, text string"))
+    heal(ckpt2, starting_version=sv)
+    assert healed() == oneshot()
+    v = TxTable(spark, idx_p).latest_version()
+    heal(ckpt2, starting_version=sv)  # no new commits: noop
+    assert TxTable(spark, idx_p).latest_version() == v
