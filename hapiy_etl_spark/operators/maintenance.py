@@ -113,7 +113,9 @@ def sized_cluster_dirs(
     return max(1, min(max(floor, by_rows), n_buckets, cap))
 
 
-def reconcile_index_deletes(corpus, index, on: str, max_keys: int = 100_000) -> int:
+def reconcile_index_deletes(
+    corpus, index, on: str, corpus_on: str | None = None, max_keys: int = 100_000
+) -> int:
     """Crash-recovery / drift repair for a derived index after corpus
     erasures: delete index rows whose key no longer exists in the
     corpus. A takedown is two ``delete_keys`` commits (corpus, then
@@ -125,8 +127,12 @@ def reconcile_index_deletes(corpus, index, on: str, max_keys: int = 100_000) -> 
     erases it through the same bloom-pruned ``delete_keys`` path, so
     it is IDEMPOTENT: a second run finds nothing and commits nothing.
     NULL index keys are ignored (they can never match a corpus key).
-    Returns the number of orphaned keys erased (0 = already
-    consistent)."""
+    ``on`` names the INDEX's key column; ``corpus_on`` the corpus's
+    when it differs (e.g. signature postings key on ``doc`` while the
+    corpus keys on ``doc_id``). Returns the number of orphaned keys
+    erased (0 = already consistent)."""
+    from pyspark.sql import functions as F
+
     if index.latest_version() == 0:
         return 0  # never-written index: vacuously consistent
     if corpus.latest_version() == 0:
@@ -137,10 +143,14 @@ def reconcile_index_deletes(corpus, index, on: str, max_keys: int = 100_000) -> 
         )
     orphans = (
         index.read()
-        .select(on)
-        .where(f"{on} IS NOT NULL")
+        .select(F.col(on).alias("__k"))
+        .where("__k IS NOT NULL")
         .distinct()
-        .join(corpus.read().select(on).distinct(), on, "left_anti")
+        .join(
+            corpus.read().select(F.col(corpus_on or on).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
     )
     vals = [r[0] for r in orphans.limit(max_keys + 1).collect()]
     if not vals:

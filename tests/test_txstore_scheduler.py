@@ -3312,3 +3312,48 @@ def test_healer_recovery_after_erasure_rewrite(spark, tmp_path):
     v = TxTable(spark, idx_p).latest_version()
     heal(ckpt2, starting_version=sv)  # no new commits: noop
     assert TxTable(spark, idx_p).latest_version() == v
+
+
+def test_reconcile_covers_signature_and_ivf_index_families(spark, tmp_path):
+    """Erasure generalizes across every persisted-index family: the
+    MinHash signature index (rows keyed by `doc`) and the IVF
+    assignment index (rows keyed by the vector id) both repair to
+    corpus truth through the same reconcile + delete_keys path."""
+    from hapiy_etl_spark.operators import dedup as D
+    from hapiy_etl_spark.operators import similarity as S
+    from hapiy_etl_spark.operators.maintenance import reconcile_index_deletes
+
+    # --- signature family -------------------------------------------
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(10))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.append(docs, stats_cols=["doc_id"], bloom_cols=["doc_id"])
+    sig_idx = TxTable(spark, str(tmp_path / "sigidx"))
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=3, portable=True)
+    sig_idx.append(D.band_postings(sigs, portable=True), bloom_cols=["doc"])
+
+    corpus.delete_keys([3, 7], on="doc_id")
+    assert reconcile_index_deletes(corpus, sig_idx, on="doc", corpus_on="doc_id") == 2
+    left = {r.doc for r in sig_idx.read().select("doc").distinct().collect()}
+    assert left == set(range(12)) - {3, 7}
+
+    # --- IVF family --------------------------------------------------
+    import random
+
+    random.seed(7)
+    vecs = spark.createDataFrame(
+        [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    vcorpus = TxTable(spark, str(tmp_path / "vcorpus"))
+    vcorpus.append(vecs, stats_cols=["vec_id"], bloom_cols=["vec_id"])
+    cents, assign = S.ivf_index_build(vecs, "vec_id", n_centroids=2)
+    ivf_idx = TxTable(spark, str(tmp_path / "ivfidx"))
+    ivf_idx.append(assign, bloom_cols=["vec_id"])
+
+    vcorpus.delete_keys([0, 19], on="vec_id")
+    assert reconcile_index_deletes(vcorpus, ivf_idx, on="vec_id") == 2
+    vleft = {r.vec_id for r in ivf_idx.read().select("vec_id").distinct().collect()}
+    assert vleft == set(range(1, 19))
