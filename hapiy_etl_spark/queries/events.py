@@ -386,6 +386,80 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS) OVER w AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+        SELECT CASE WHEN touch_type IS NOT NULL
+                     AND epoch(ts) - epoch(touch_ts) <= 604800
+                    THEN touch_type ELSE 'organic' END AS touch_type,
+               value
+        FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM purchases GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Last-touch revenue attribution — the marketing-analytics "
+    "companion to the funnel family: each purchase credits the user's "
+    "most recent PRIOR non-purchase event within a 7-day lookback, "
+    "else 'organic'. One ignore-nulls window pass per user stream "
+    "(fully ordered by (ts, event_id) for tie determinism — no as-of "
+    "self-join, no pair blowup), then a tiny grouped rollup; revenue "
+    "sums ride the DECIMAL(18,2) exact-sum convention so aggregation "
+    "order cannot perturb the hash.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"), "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    marked = t["events"].select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    attributed = F.when(
+        F.col("touch_type").isNotNull()
+        & (F.col("ts").cast("long") - F.col("touch_ts").cast("long") <= 604800),
+        F.col("touch_type"),
+    ).otherwise(F.lit("organic"))
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .select(attributed.alias("touch_type"), "value")
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@register(
     "events_trending_topk",
     oracle="""
     WITH daily AS (

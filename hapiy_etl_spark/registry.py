@@ -72,6 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "events_trending_topk",
     "corpus_token_budget_plan",
     "corpus_erasure_audit",
+    "events_attribution_last_touch",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",
