@@ -971,6 +971,71 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH comp AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ROUND(x*x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+               MIN(x) AS mn, MAX(x) AS mx
+        FROM comp GROUP BY dim
+    )
+    SELECT dim, n,
+           ROUND(sx / n, 6) AS mean,
+           ROUND(sqrt((sxx - sx*sx / n) / (n - 1)), 6) AS stddev,
+           ROUND(mn, 6) AS min_val,
+           ROUND(mx, 6) AS max_val
+    FROM sums ORDER BY dim
+    """,
+    doc="Embedding-health audit: per-dimension mean / stddev / range "
+    "over the corpus — the check that catches dead dimensions (zero "
+    "variance), mis-scaled encoders, and train/serve skew before any "
+    "index is built on the column. One posexplode + one map-side-"
+    "combinable grouped aggregate at dimension grain (64 groups at any "
+    "corpus size — reducer state is O(d), never O(rows)). Cross-engine "
+    "exactness: component sums and squared sums are DECIMAL-quantized "
+    "per summand (order-independent), variance/stddev derive from the "
+    "exact sums with identical scalar IEEE trees, min/max are "
+    "order-free by definition.",
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    comp = t["embeddings"].select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    sums = comp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    return sums.select(
+        "dim",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("stddev"),
+        F.round("mn", 6).alias("min_val"),
+        F.round("mx", 6).alias("max_val"),
+    ).orderBy("dim")
+
+
 # Johnson-Lindenstrauss sparse-random-projection constants: a k x d ±1
 # sign matrix derived from md5 (functions.srp_matrix), shared verbatim
 # by the Spark plan (broadcast literals in codegen) and the DuckDB twin

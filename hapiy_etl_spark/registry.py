@@ -73,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_token_budget_plan",
     "corpus_erasure_audit",
     "events_attribution_last_touch",
+    "embedding_dimension_stats",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",
