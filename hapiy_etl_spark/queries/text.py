@@ -1230,10 +1230,49 @@ _PROBE_B = (
 )
 
 
-@register(
-    "quality_linear_probe",
-    oracle=f"""
-    WITH feat AS (
+# The probe's feature extraction + Gram sums + Cramer solve as shared
+# SQL fragments: quality_linear_probe and quality_probe_calibration
+# must derive the IDENTICAL model, so the CTE text exists once.
+def _probe_feats(docs: DataFrame) -> DataFrame:
+    """(x1, x2, y) feature frame shared by the probe + calibration."""
+    return docs.select(
+        F.round(TS.avg_token_len("text"), 4).alias("x1"),
+        F.round(TS.stopword_ratio("text"), 4).alias("x2"),
+        TS.quality_score("text").alias("y"),
+    )
+
+
+def _probe_model(feats: DataFrame) -> DataFrame:
+    """1-row (sums + c0/c1/c2) ridge model frame — the single Spark
+    derivation both probe queries broadcast from."""
+
+    def qsum(col, scale: int):
+        # order-independent exact sum: quantize each summand to DECIMAL
+        return F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast("double")
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    sums = feats.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*").cast("double") + F.lit(1.0)).alias("aa"),
+        qsum(x1, 4).alias("bb"),
+        qsum(x2, 4).alias("cc"),
+        (qsum(x1 * x1, 8) + F.lit(1.0)).alias("dd"),
+        qsum(x1 * x2, 8).alias("ee"),
+        (qsum(x2 * x2, 8) + F.lit(1.0)).alias("ff"),
+        qsum(y, 6).alias("pp"),
+        qsum(x1 * y, 8).alias("qq"),
+        qsum(x2 * y, 8).alias("rr"),
+        qsum(y * y, 8).alias("syy"),
+    )
+    return sums.select(
+        "*",
+        F.expr(f"{_PROBE_B[0]} / {_PROBE_DET}").alias("c0"),
+        F.expr(f"{_PROBE_B[1]} / {_PROBE_DET}").alias("c1"),
+        F.expr(f"{_PROBE_B[2]} / {_PROBE_DET}").alias("c2"),
+    )
+
+
+_PROBE_FEAT_CTE = f"""feat AS (
         SELECT
             ROUND(list_aggregate(list_transform(string_split_regex(text, '\\s+'),
                                                 t -> length(t)), 'sum') * 1.0
@@ -1253,8 +1292,9 @@ _PROBE_B = (
                              BETWEEN 3 AND 10
                         THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS y
         FROM documents
-    ),
-    sums AS (
+    )"""
+
+_PROBE_MODEL_CTES = f"""sums AS (
         SELECT COUNT(*) AS n_docs,
                COUNT(*)::DOUBLE + 1.0 AS aa,
                CAST(SUM(CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS bb,
@@ -1274,7 +1314,14 @@ _PROBE_B = (
                {_PROBE_B[1]} / {_PROBE_DET} AS c1,
                {_PROBE_B[2]} / {_PROBE_DET} AS c2
         FROM sums
-    ),
+    )"""
+
+
+@register(
+    "quality_linear_probe",
+    oracle=f"""
+    WITH {_PROBE_FEAT_CTE},
+    {_PROBE_MODEL_CTES},
     err AS (
         SELECT CAST(SUM(CAST(ROUND(
                    (y - (c0 + c1*x1 + c2*x2)) * (y - (c0 + c1*x1 + c2*x2)), 8)
@@ -1304,36 +1351,9 @@ _PROBE_B = (
 )
 def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    feats = t["documents"].select(
-        F.round(TS.avg_token_len("text"), 4).alias("x1"),
-        F.round(TS.stopword_ratio("text"), 4).alias("x2"),
-        TS.quality_score("text").alias("y"),
-    )
-
-    def qsum(col, scale: int):
-        """Order-independent exact sum: quantize each summand to DECIMAL."""
-        return F.sum(F.round(col, scale).cast(f"decimal(28,{scale})")).cast("double")
-
+    feats = _probe_feats(t["documents"])
+    model = _probe_model(feats)
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
-    sums = feats.agg(
-        F.count("*").alias("n_docs"),
-        (F.count("*").cast("double") + F.lit(1.0)).alias("aa"),
-        qsum(x1, 4).alias("bb"),
-        qsum(x2, 4).alias("cc"),
-        (qsum(x1 * x1, 8) + F.lit(1.0)).alias("dd"),
-        qsum(x1 * x2, 8).alias("ee"),
-        (qsum(x2 * x2, 8) + F.lit(1.0)).alias("ff"),
-        qsum(y, 6).alias("pp"),
-        qsum(x1 * y, 8).alias("qq"),
-        qsum(x2 * y, 8).alias("rr"),
-        qsum(y * y, 8).alias("syy"),
-    )
-    model = sums.select(
-        "*",
-        F.expr(f"{_PROBE_B[0]} / {_PROBE_DET}").alias("c0"),
-        F.expr(f"{_PROBE_B[1]} / {_PROBE_DET}").alias("c1"),
-        F.expr(f"{_PROBE_B[2]} / {_PROBE_DET}").alias("c2"),
-    )
     resid = y - (F.col("c0") + F.col("c1") * x1 + F.col("c2") * x2)
     err = (
         feats.crossJoin(F.broadcast(model))
@@ -1353,6 +1373,85 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
         F.round(F.sqrt(F.col("sse") / F.col("n_docs")), 4).alias("rmse"),
+    )
+
+
+@register(
+    "quality_probe_calibration",
+    oracle=f"""
+    WITH {_PROBE_FEAT_CTE},
+    {_PROBE_MODEL_CTES},
+    pred AS (
+        SELECT ROUND(c0 + c1*x1 + c2*x2, 6) AS p, y
+        FROM feat, model
+    ),
+    cuts AS (
+        SELECT quantile_disc(p, 0.2) AS q1, quantile_disc(p, 0.4) AS q2,
+               quantile_disc(p, 0.6) AS q3, quantile_disc(p, 0.8) AS q4
+        FROM pred
+    ),
+    binned AS (
+        SELECT 1 + CASE WHEN p > q1 THEN 1 ELSE 0 END
+                 + CASE WHEN p > q2 THEN 1 ELSE 0 END
+                 + CASE WHEN p > q3 THEN 1 ELSE 0 END
+                 + CASE WHEN p > q4 THEN 1 ELSE 0 END AS pred_quintile,
+               p, y
+        FROM pred, cuts
+    )
+    SELECT pred_quintile,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_predicted,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_actual
+    FROM binned GROUP BY pred_quintile ORDER BY pred_quintile
+    """,
+    doc="Model-eval at corpus scale: calibration table for the ridge "
+    "quality probe — documents bucketed into quintiles of PREDICTED "
+    "score (exact percentile_disc cuts broadcast back, ties to the "
+    "lower bin — the RFM kernel, no global window) with mean predicted "
+    "vs mean ACTUAL composite quality per bin; a monotone avg_actual "
+    "column is the evidence the distilled linear scorer ranks like the "
+    "full heuristic. Derives the IDENTICAL model as "
+    "quality_linear_probe (shared feature/Gram/Cramer fragments in "
+    "both dialects), so the pair pins fit AND ranking behavior.",
+)
+def quality_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    feats = _probe_feats(t["documents"])
+    model = _probe_model(feats).select("c0", "c1", "c2")
+    pred = feats.crossJoin(F.broadcast(model)).select(
+        F.round(
+            F.col("c0") + F.col("c1") * F.col("x1") + F.col("c2") * F.col("x2"), 6
+        ).alias("p"),
+        "y",
+    )
+    cuts = pred.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY p)").alias(f"q{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    quintile = F.lit(1)
+    for i in range(1, 5):
+        quintile = quintile + F.when(F.col("p") > F.col(f"q{i}"), 1).otherwise(0)
+    binned = pred.crossJoin(F.broadcast(cuts)).select(
+        quintile.alias("pred_quintile"), "p", "y"
+    )
+    return (
+        binned.groupBy("pred_quintile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                4,
+            ).alias("avg_predicted"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                4,
+            ).alias("avg_actual"),
+        )
+        .orderBy("pred_quintile")
     )
 
 

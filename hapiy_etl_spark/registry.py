@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_erasure_audit",
     "events_attribution_last_touch",
     "embedding_dimension_stats",
+    "quality_probe_calibration",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

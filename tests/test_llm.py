@@ -1209,3 +1209,20 @@ def test_token_budget_plan_conserves_budget(spark, sf_dir):
         assert (r.shortfall_tokens > 0) == r.capped or r.shortfall_tokens == 0
         if r.capped:
             assert r.target_tokens - r.shortfall_tokens == 4 * r.available_tokens
+
+
+def test_quality_probe_calibration_is_monotone(spark, sf_dir):
+    """Ranking evidence for the distilled scorer: mean ACTUAL quality
+    must rise across predicted quintiles, and the bins must cover the
+    corpus with equal-ish mass (percentile cuts)."""
+    from hapiy_etl_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["quality_probe_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.pred_quintile,
+    )
+    assert [r.pred_quintile for r in rows] == list(range(1, len(rows) + 1))
+    actual = [r.avg_actual for r in rows]
+    assert all(a < b for a, b in zip(actual, actual[1:])), actual
+    n = [r.n_docs for r in rows]
+    assert max(n) <= 2 * min(n)  # percentile bins: no degenerate bucket

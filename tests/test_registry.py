@@ -109,6 +109,8 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   into the single output row (r12)
         "corpus_token_budget_plan",  # two 1-row crosses: corpus total,
         #   then the quantized weight denominator (r12)
+        "quality_probe_calibration",  # 1-row model + 1-row quintile
+        #   cuts broadcast back onto the prediction scan (r12)
     }
     offenders = []
     for q in all_queries().values():
