@@ -343,24 +343,9 @@ class TxTable:
             )
 
             def _point_excludes(d: str, k: str, val) -> bool:
-                """True when dir d provably cannot contain k == val."""
-                spec_val = specs.get(d, {}).get(k)
-                if spec_val is not None and _meta_eq(spec_val, val) is False:
-                    return True
-                rng = stats.get(d, {}).get(k)
-                if rng is not None and rng[0] is not None:
-                    below = _meta_cmp(rng[0], val)  # rng[0] <= val ?
-                    above = _meta_cmp(val, rng[1])  # val <= rng[1] ?
-                    if below is False or above is False:
-                        return True
-                bl = blooms.get(d, {}).get(k)
-                if bl is not None:
-                    pos = bloom_pos.get(
-                        (k, val, bl["type"], bl.get("bits"), bl.get("k"))
-                    )
-                    if pos is not None and not self._bloom_test(bl["b64"], pos):
-                        return True  # bloom proves the key absent
-                return False
+                return self._dir_point_excludes(
+                    specs, stats, blooms, bloom_pos, d, k, val
+                )
 
             def _keep(d: str) -> bool:
                 for k, val in (where or {}).items():
@@ -947,13 +932,51 @@ class TxTable:
         """Single-probe convenience over :meth:`_bloom_positions_many`."""
         return self._bloom_positions_many([(bloom, val)])[0]
 
+    # decoded bloom buffers, keyed by their b64 text: a batch erasure
+    # probes the same dir's bloom once per key (O(dirs x keys) decodes
+    # at delete_keys' 100k cap without this); manifests are immutable
+    # so a b64 string always decodes to the same buffer. Bounded local
+    # scratch, cleared wholesale when it grows past ~6 MB.
+    _BLOOM_BUFS: dict[str, bytes] = {}
+
     @staticmethod
     def _bloom_test(b64: str, positions: list[int]) -> bool:
         """True = might contain."""
         import base64
 
-        buf = base64.b64decode(b64)
+        buf = TxTable._BLOOM_BUFS.get(b64)
+        if buf is None:
+            if len(TxTable._BLOOM_BUFS) > 1024:
+                TxTable._BLOOM_BUFS.clear()
+            buf = base64.b64decode(b64)
+            TxTable._BLOOM_BUFS[b64] = buf
         return all((buf[p // 8] >> (p % 8)) & 1 for p in positions)
+
+    def _dir_point_excludes(
+        self, specs: dict, stats: dict, blooms: dict, bloom_pos: dict,
+        d: str, k: str, val,
+    ) -> bool:
+        """True when dir ``d`` provably cannot contain ``k == val`` —
+        THE single spec/stats/bloom point-pruning rule, shared by
+        ``read(where=/where_in=)`` and ``delete_keys`` so the scan and
+        the erasure can never desynchronize about which dirs might
+        hold a key. ``bloom_pos`` maps (k, val, type, bits, k_hashes)
+        to precomputed probe positions (or None = not replayable)."""
+        spec_val = specs.get(d, {}).get(k)
+        if spec_val is not None and _meta_eq(spec_val, val) is False:
+            return True
+        rng = stats.get(d, {}).get(k)
+        if rng is not None and rng[0] is not None:
+            below = _meta_cmp(rng[0], val)  # rng[0] <= val ?
+            above = _meta_cmp(val, rng[1])  # val <= rng[1] ?
+            if below is False or above is False:
+                return True
+        bl = blooms.get(d, {}).get(k)
+        if bl is not None:
+            pos = bloom_pos.get((k, val, bl["type"], bl.get("bits"), bl.get("k")))
+            if pos is not None and not self._bloom_test(bl["b64"], pos):
+                return True  # bloom proves the key absent
+        return False
 
     @staticmethod
     def _column_stats(df: DataFrame, cols: Sequence[str]) -> dict:
@@ -1385,34 +1408,28 @@ class TxTable:
                 bl = blooms.get(d, {}).get(on)
                 if bl is not None:
                     for v in vals:
-                        pk = (v, bl["type"], bl.get("bits"), bl.get("k"))
+                        pk = (on, v, bl["type"], bl.get("bits"), bl.get("k"))
                         if pk not in seen:
                             seen.add(pk)
                             probes.append((pk, bl))
             pos_map = dict(
                 zip(
                     [pk for pk, _ in probes],
-                    self._bloom_positions_many([(bl, pk[0]) for pk, bl in probes]),
+                    self._bloom_positions_many([(bl, pk[1]) for pk, bl in probes]),
                 )
             )
-
-            def _maybe_contains(d: str, v) -> bool:
-                spec_val = specs.get(d, {}).get(on)
-                if spec_val is not None and _meta_eq(spec_val, v) is False:
-                    return False
-                rng = stats.get(d, {}).get(on)
-                if rng is not None and rng[0] is not None:
-                    if _meta_cmp(rng[0], v) is False or _meta_cmp(v, rng[1]) is False:
-                        return False
-                bl = blooms.get(d, {}).get(on)
-                if bl is not None:
-                    pos = pos_map.get((v, bl["type"], bl.get("bits"), bl.get("k")))
-                    if pos is not None and not self._bloom_test(bl["b64"], pos):
-                        return False
-                return True
-
+            # the SAME point-pruning rule the read path uses (shared
+            # method — scan and erasure can never disagree about which
+            # dirs might hold a key)
             touched = [
-                d for d in m["dirs"] if any(_maybe_contains(d, v) for v in vals)
+                d
+                for d in m["dirs"]
+                if any(
+                    not self._dir_point_excludes(
+                        specs, stats, blooms, pos_map, d, on, v
+                    )
+                    for v in vals
+                )
             ]
             if not touched:
                 return parent  # metadata proves nothing matches: no commit

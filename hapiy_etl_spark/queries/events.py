@@ -396,13 +396,18 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                last_value(CASE WHEN event_type <> 'purchase'
                                THEN ts END IGNORE NULLS) OVER w AS touch_ts
         FROM events
+        -- floor(epoch)::BIGINT matches Spark's ts.cast('long') second
+        -- truncation in BOTH the ordering and the lookback arithmetic
+        -- (events carry sub-second precision; raw epoch() would order
+        -- and bound on fractions Spark never sees)
         WINDOW w AS (PARTITION BY user_id
-                     ORDER BY epoch(ts), event_id
+                     ORDER BY floor(epoch(ts))::BIGINT, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
     purchases AS (
         SELECT CASE WHEN touch_type IS NOT NULL
-                     AND epoch(ts) - epoch(touch_ts) <= 604800
+                     AND floor(epoch(ts))::BIGINT
+                         - floor(epoch(touch_ts))::BIGINT <= 604800
                     THEN touch_type ELSE 'organic' END AS touch_type,
                value
         FROM marked WHERE event_type = 'purchase'

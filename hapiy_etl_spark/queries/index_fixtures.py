@@ -357,7 +357,12 @@ def erasure_state(spark: SparkSession, sf_dir: str):
         idx, None, TI.shingle_postings_build(docs), None, bloom_key="doc_id"
     )
 
-    victims = docs.where(F.col("source") == "src3").select("doc_id")
+    # collect the victim ids once: both erasures then provably use the
+    # same key set, and the documents scan isn't paid twice
+    victims = [
+        r.doc_id
+        for r in docs.where(F.col("source") == "src3").select("doc_id").collect()
+    ]
     corpus.delete_keys(victims, on="doc_id")
     idx.delete_keys(victims, on="doc_id")
     _CACHE[key] = (corpus, idx, base)

@@ -2209,10 +2209,13 @@ def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_assign",
-    oracle="""
-    WITH RECURSIVE toks AS (
+# The exact-components transitive-closure CTE chain (shingle ->
+# df-capped Jaccard pairs -> edges -> recursive min-label walk),
+# shared VERBATIM by the dedup_cluster_assign and dedup_survivorship
+# oracles — the clustering definition exists once, so a threshold or
+# shingle change cannot make the two twins silently disagree about
+# cluster membership.
+_CLOSURE_CTES = """toks AS (
         SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
     ),
     sh0 AS (
@@ -2244,7 +2247,13 @@ def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a, a FROM edges
         UNION
         SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
-    )
+    )"""
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_CLOSURE_CTES}
     SELECT node AS doc_id, MIN(label) AS cluster_id
     FROM walk GROUP BY node ORDER BY doc_id
     """,
@@ -2263,40 +2272,8 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_survivorship",
-    oracle="""
-    WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
-    ),
-    sh0 AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, greatest(len(t) - 2, 1) + 1),
-                   i -> array_to_string(t[i:i+2], ' ')))) AS s
-        FROM toks
-    ),
-    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
-    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT id_a, id_b FROM shared
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-    ),
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs
-    ),
-    walk(node, label) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_CLOSURE_CTES},
     clusters AS (
         SELECT node AS doc_id, MIN(label) AS cluster_id
         FROM walk GROUP BY node

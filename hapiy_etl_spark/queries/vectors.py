@@ -988,7 +988,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim, n,
            ROUND(sx / n, 6) AS mean,
-           ROUND(sqrt((sxx - sx*sx / n) / (n - 1)), 6) AS stddev,
+           -- greatest(.., 0): the per-summand quantization can push a
+           -- near-constant (dead) dimension's variance a hair below 0,
+           -- where DuckDB's sqrt hard-errors and Spark returns NaN —
+           -- exactly the case this audit exists to surface
+           ROUND(sqrt(greatest((sxx - sx*sx / n) / (n - 1), 0)), 6) AS stddev,
            ROUND(mn, 6) AS min_val,
            ROUND(mx, 6) AS max_val
     FROM sums ORDER BY dim
@@ -1026,8 +1030,11 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
         F.round(
             F.sqrt(
-                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-                / (F.col("n") - 1)
+                F.greatest(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
             ),
             6,
         ).alias("stddev"),

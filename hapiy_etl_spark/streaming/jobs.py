@@ -1066,7 +1066,9 @@ def heal_recover_from_rewrite(
     on: str,
     build_fn,
     *,
+    corpus_on: str | None = None,
     stats_cols: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
     extra_meta: dict | None = None,
 ) -> dict:
     """The RESYNC half of the healer runbook: when the corpus history
@@ -1088,32 +1090,51 @@ def heal_recover_from_rewrite(
     Re-running finds nothing and commits nothing. The presence test is
     key-grain: a doc whose rows the builder legitimately drops (e.g.
     NULL text) is re-fed but builds zero rows, and the empty append is
-    skipped. After this returns, the index equals a one-shot build
-    over the snapshot — the same invariant healed appends maintain."""
+    skipped; corpus rows with a NULL key are INVISIBLE to recovery —
+    they can be neither matched nor erased at key grain, so they are
+    never re-backfilled (idempotence would break: an anti-join can't
+    see them as 'seen'). ``corpus_on`` names the corpus key when it
+    differs from the index's ``on`` (signature postings key on ``doc``
+    while the corpus keys on ``doc_id``); ``bloom_cols`` keeps the
+    backfilled dir bloom-covered so later ``delete_keys`` takedowns
+    keep pruning (pass the same column as the index's ``bloom_key``).
+    After this returns, the index equals a one-shot build over the
+    snapshot's keyed rows — the same invariant healed appends
+    maintain."""
+    from pyspark.sql import functions as F
+
     from hapiy_etl_spark.operators.maintenance import reconcile_index_deletes
     from hapiy_etl_spark.operators.txstore import TxTable
 
+    c_on = corpus_on or on
     corpus = TxTable(spark, corpus_path)
     index = TxTable(spark, index_path)
     v = corpus.latest_version()
     if v == 0:
         raise ValueError(f"empty corpus at {corpus_path} — nothing to resync to")
-    snap = corpus.read(v)
+    snap = corpus.read(v).where(f"{c_on} IS NOT NULL")
     erased = (
-        reconcile_index_deletes(corpus, index, on=on)
+        reconcile_index_deletes(corpus, index, on=on, corpus_on=c_on)
         if index.latest_version()
         else 0
     )
     if index.latest_version():
-        seen = index.read().select(on).where(f"{on} IS NOT NULL").distinct()
-        missing = snap.join(seen, on, "left_anti")
+        seen = (
+            index.read()
+            .select(F.col(on).alias(c_on))
+            .where(f"{c_on} IS NOT NULL")
+            .distinct()
+        )
+        missing = snap.join(seen, c_on, "left_anti")
     else:
         missing = snap
     backfilled = missing.count()
     if backfilled:
         rows = build_fn(missing)
         if rows.limit(1).count():
-            index.append(rows, meta=extra_meta, stats_cols=stats_cols)
+            index.append(
+                rows, meta=extra_meta, stats_cols=stats_cols, bloom_cols=bloom_cols
+            )
     return {
         "snapshot_version": v,
         "orphans_erased": erased,

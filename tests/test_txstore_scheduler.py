@@ -3313,6 +3313,19 @@ def test_healer_recovery_after_erasure_rewrite(spark, tmp_path):
     heal(ckpt2, starting_version=sv)  # no new commits: noop
     assert TxTable(spark, idx_p).latest_version() == v
 
+    # NULL-key corpus rows are invisible to key-grain recovery (review
+    # r12): they can be neither matched nor erased by key, so they are
+    # NOT re-backfilled — idempotence holds with one present
+    corpus.append(
+        spark.createDataFrame([(None, "null key doc")], "doc_id long, text string")
+    )
+    for _ in range(2):
+        r3 = heal_recover_from_rewrite(
+            spark, corpus_p, idx_p, on="doc_id", build_fn=build, stats_cols=["tb"]
+        )
+        assert r3["orphans_erased"] == 0 and r3["docs_backfilled"] == 0
+    assert TxTable(spark, idx_p).latest_version() == v
+
 
 def test_reconcile_covers_signature_and_ivf_index_families(spark, tmp_path):
     """Erasure generalizes across every persisted-index family: the

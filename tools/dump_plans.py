@@ -226,6 +226,15 @@ SHOWCASE = [
     # r12: erasure audit reads the co-erased TxTables (FileScan) and
     # joins postings->corpus as a hash join at id grain
     ("corpus_erasure_audit", ["FileScan", "Join", "NestedLoop"]),
+    # r12: attribution is ONE ignore-nulls window pass per user stream
+    # — no as-of self-join anywhere in the plan
+    ("events_attribution_last_touch", ["Window", "Join"]),
+    # r12: dimension audit — posexplode + a map-side-combinable
+    # aggregate at dimension grain (partial_sum before the exchange)
+    ("embedding_dimension_stats", ["Generate", "HashAggregate"]),
+    # r12: calibration — 1-row model + 1-row percentile cuts broadcast
+    # back (sanctioned crosses), grouped rollup at quintile grain
+    ("quality_probe_calibration", ["BroadcastNestedLoopJoin", "HashAggregate"]),
 ]
 
 
