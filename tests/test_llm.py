@@ -1226,3 +1226,18 @@ def test_quality_probe_calibration_is_monotone(spark, sf_dir):
     assert all(a < b for a, b in zip(actual, actual[1:])), actual
     n = [r.n_docs for r in rows]
     assert max(n) <= 2 * min(n)  # percentile bins: no degenerate bucket
+
+
+def test_ann_recall_audit_shape_and_bounds(spark, sf_dir):
+    """The recall audit reports all three lossy methods against the
+    full expected set, with recalls in [0,1] and the cell-probing
+    methods (IVF/LSH) well above the random floor."""
+    from hapiy_etl_spark.registry import all_queries
+
+    rows = {r.method: r for r in all_queries()["ann_recall_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf", "pq"}
+    for r in rows.values():
+        assert r.n_expected == 30 and 0 <= r.n_matched <= r.n_expected
+        assert 0.0 <= r.recall_at_3 <= 1.0
+    assert rows["ivf"].recall_at_3 >= 0.3
+    assert rows["lsh"].recall_at_3 >= 0.3

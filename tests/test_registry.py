@@ -111,6 +111,9 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         #   then the quantized weight denominator (r12)
         "quality_probe_calibration",  # 1-row model + 1-row quintile
         #   cuts broadcast back onto the prediction scan (r12)
+        "ann_recall_audit",  # composes the sanctioned ANN probe-cell
+        #   crosses (queries x broadcast centroids/codebooks) plus the
+        #   exact baseline's bounded query-set cross (r12)
     }
     offenders = []
     for q in all_queries().values():
