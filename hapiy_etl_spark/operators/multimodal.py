@@ -251,8 +251,11 @@ def video_near_dup_pairs(
         "sig",
     )
     fp = signature_band_pairs(composite, max_hamming=max_hamming, n_bits=64)
-    va, fa = F.floor(F.col("id_a") / n_frames), F.col("id_a") % n_frames
-    vb, fb = F.floor(F.col("id_b") / n_frames), F.col("id_b") % n_frames
+    # integer `div`, not `/`: Spark's `/` on longs is DOUBLE division,
+    # which loses exactness above 2^53/n_frames — within the stated
+    # 100 TB id space (the io.py nanos lesson applied to composite ids)
+    va, fa = F.expr(f"id_a div {n_frames}"), F.col("id_a") % n_frames
+    vb, fb = F.expr(f"id_b div {n_frames}"), F.col("id_b") % n_frames
     return (
         fp.where((va != vb) & (fa == fb))
         .select(

@@ -147,22 +147,6 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_phash_neardup",
-    doc="Perceptual near-dedup over binary payloads (rows-only: the "
-    "byte-grid dHash is not SQL-expressible; its exact-regime [O] twin "
-    "is multimodal_payload_dedup): dHash signatures — downsample the "
-    "payload to an 8x9 luma grid (decode stage stubbed as bytes-as-"
-    "luma; resample + gradient bits real), one bit per adjacent-cell "
-    "gradient — banded by the Manku block scheme shared with text "
-    "SimHash (dedup.signature_band_pairs): recall 1.0 for hamming <= 3 "
-    "by pigeonhole, equi-join candidates only, never all-pairs. The "
-    "corpus plants same-length perturbed twins (4-byte in-place "
-    "overlay on docs >= 300 chars, offset ids) — a handful of changed "
-    "bytes moves a couple of grid cells, so planted pairs sit at small "
-    "hamming while unrelated payloads sit near 32 (random-sign "
-    "gradients).",
-)
-@register(
     "multimodal_frame_dedup",
     oracle="""
     WITH corpus AS (
@@ -291,6 +275,25 @@ def multimodal_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vid_a", "vid_b")
 
 
+@register(
+    "multimodal_phash_neardup",
+    doc="Perceptual near-dedup over binary payloads (rows-only: the "
+    "byte-grid dHash is not SQL-expressible; its exact-regime [O] twin "
+    "is multimodal_payload_dedup): dHash signatures — downsample the "
+    "payload to an 8x9 luma grid (decode stage stubbed as bytes-as-"
+    "luma; resample + gradient bits real), one bit per adjacent-cell "
+    "gradient — banded by the Manku block scheme shared with text "
+    "SimHash (dedup.signature_band_pairs): recall 1.0 for hamming <= 3 "
+    "by pigeonhole, equi-join candidates only, never all-pairs. The "
+    "corpus plants same-length perturbed twins (4-byte in-place "
+    "overlay on docs >= 300 chars, offset ids) — a handful of changed "
+    "bytes moves a couple of grid cells, so planted pairs sit at small "
+    "hamming while unrelated payloads sit near 32 (random-sign "
+    "gradients). (r12 review: this decorator was mis-stacked on "
+    "multimodal_frame_dedup, registering the frame query under both "
+    "names and leaving this body unreachable — the driver's r12 "
+    "rows-only check for this name exercised the wrong plan.)",
+)
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"].select("doc_id", "text")

@@ -1794,13 +1794,20 @@ def vocab_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_ENC_CTE = """enc AS (
-        SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\\s+')) AS word,
-               generate_subscripts(
-                   string_split_regex(trim(text), '\\s+'), 1) AS pos
-        FROM documents
-        WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id < 40
+        SELECT * FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS word,
+                   generate_subscripts(
+                       string_split_regex(trim(text), '\\s+'), 1) AS pos
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id < 40
+        ) WHERE word <> ''
     )"""
+# the word <> '' wrapper mirrors the Spark side's post-posexplode
+# filter (r12 review): trim() strips only spaces, so a tab/newline
+# edge yields an empty token in BOTH engines — the train CTE already
+# guarded it, the encode CTE must too (pos keeps its raw gap, exactly
+# like Spark's posexplode index)
 
 
 def _bpe_encode_oracle() -> str:
@@ -1916,9 +1923,13 @@ def vocab_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    merges = bpe_train(_bpe_word_types(docs), _BPE_N_MERGES)
-    types = _bpe_word_types(docs).select("word")
-    segd = bpe_segment(types, "word", merges).select(
+    # ONE word-type derivation feeds both the trainer and the
+    # segmentation input (r12 review: building it twice paid the
+    # corpus tokenize+groupBy shuffle twice — the dominant cost at
+    # the query's own 100 TB posture)
+    types_full = _bpe_word_types(docs)
+    merges = bpe_train(types_full, _BPE_N_MERGES)
+    segd = bpe_segment(types_full.select("word"), "word", merges).select(
         "word",
         F.size("subwords").alias("n_sub"),
         F.length("word").alias("n_chars"),

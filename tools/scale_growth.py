@@ -1242,14 +1242,14 @@ def soak_healer_main(seconds: int) -> None:
     appends corpus waves as PLAIN TxTable appends (the ingest job —
     no index logic anywhere near it) while a LAGGING healer drains the
     change feed in looped restart-resume runs with
-    maxVersionsPerTrigger=2 (the Python DataSourceStreamReader
+    maxVersionsPerTrigger=3 (the Python DataSourceStreamReader
     delivers one batch per run, so a loop of runs IS the periodic
     trigger; every iteration re-opens the same engine checkpoint —
     exactly-once must compose across the restarts). The healer starts
-    LATE (after ~8 waves exist) to exercise bounded catch-up, and the
+    LATE (after 6 waves exist) to exercise bounded catch-up, and the
     writer applies VACUUM PRESSURE (optimize + vacuum keep_last=20
     every 6 waves, min_age_s=0) sized above the healer's observed lag
-    (the first trial sized it at 12 against an 8-wave late start and
+    (the first trial sized it at 12 against the late start and
     the source's loud vacuumed-offset resync error fired exactly as
     documented — the failure mode the retention contract exists for).
 
@@ -1401,7 +1401,15 @@ def soak_healer_main(seconds: int) -> None:
         "max_lag_versions": max_lag,
         "vacuum_keep_last": keep_last,
         "lag_stayed_inside_vacuum_window": max_lag < keep_last,
-        "final_lag": lags[-1] if lags else None,
+        # lags[] entries are measured BEFORE each run (r12 review: the
+        # raw lags[-1] used to be reported as 'final lag', misreading
+        # a successful drain as residual); the honest residual is
+        # measured fresh AFTER the loop exits — 0 on a clean drain,
+        # nonzero only if the 400-run backstop fired
+        "final_lag_after_drain": max(
+            0, corpus.latest_version() - (healed_through() or 0)
+        ),
+        "final_run_predrain_lag": lags[-1] if lags else None,
         "corpus_versions_on_disk": len(corpus.history()),
         "corpus_dirs": corpus.n_dirs(),
         "idx_dirs": idx.n_dirs(),
