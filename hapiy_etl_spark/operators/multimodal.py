@@ -173,12 +173,18 @@ def phash_near_dup_pairs(
     signatures banded by the Manku block scheme — recall 1.0 for
     hamming ≤ max_hamming by pigeonhole, equi-join candidates only
     (never all-pairs), exact-hamming refine. Output (id_a, id_b,
-    hamming), id_a < id_b."""
+    hamming), id_a < id_b.
+
+    The signature frame is persisted before the band self-join: both
+    join sides derive from it, and without the cache Spark re-executes
+    the Arrow dHash scan once PER SIDE — the dominant cost here, unlike
+    the text SimHash path whose signatures are cheap column algebra
+    (measured 2x at sf0.1; the cache is narrow (id, sig) rows and the
+    bench's per-rep clearCache reclaims it)."""
     from hapiy_etl_spark.operators.dedup import signature_band_pairs
 
-    return signature_band_pairs(
-        dhash_signatures(df, id_col), max_hamming=max_hamming, n_bits=64
-    )
+    sigs = dhash_signatures(df, id_col).persist()
+    return signature_band_pairs(sigs, max_hamming=max_hamming, n_bits=64)
 
 
 FRAME_DHASH_SCHEMA = T.StructType(
@@ -245,11 +251,14 @@ def video_near_dup_pairs(
 
     sigs = frame_dhash_signatures(df, id_col, n_frames=n_frames)
     # composite id <doc, frame>: banding pairs frames; same-index
-    # alignment and video identity recover from the composite
+    # alignment and video identity recover from the composite.
+    # persist(): the band self-join's two sides would otherwise each
+    # re-run the per-frame Arrow dHash scan (the phash_near_dup_pairs
+    # rationale, x n_frames heavier here)
     composite = sigs.select(
         (F.col("doc") * n_frames + F.col("frame_idx")).alias("doc"),
         "sig",
-    )
+    ).persist()
     fp = signature_band_pairs(composite, max_hamming=max_hamming, n_bits=64)
     # integer `div`, not `/`: Spark's `/` on longs is DOUBLE division,
     # which loses exactness above 2^53/n_frames — within the stated
