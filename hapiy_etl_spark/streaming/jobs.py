@@ -973,6 +973,7 @@ def heal_index_from_changes(
     compact_kw: dict | None = None,
     max_versions_per_trigger: int | None = None,
     starting_version: int | None = None,
+    trigger_processing_time: str | None = None,
 ):
     """DECOUPLED index maintenance — the production topology (VERDICT
     r9 item 5): one job appends the corpus TxTable; this SEPARATE job
@@ -1054,7 +1055,19 @@ def heal_index_from_changes(
     return (
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        # default: one bounded drain (availableNow). Pass
+        # trigger_processing_time (e.g. "2 seconds") for the ALWAYS-ON
+        # posture: ONE long-running query keeps polling the commit log
+        # and healing new versions as they land — no restart loop; the
+        # exactly-once machinery ((run, epoch) replay state + engine
+        # checkpoint) is identical in both modes.
+        .trigger(
+            **(
+                {"processingTime": trigger_processing_time}
+                if trigger_processing_time
+                else {"availableNow": True}
+            )
+        )
         .start()
     )
 

@@ -3370,3 +3370,50 @@ def test_reconcile_covers_signature_and_ivf_index_families(spark, tmp_path):
     assert reconcile_index_deletes(vcorpus, ivf_idx, on="vec_id") == 2
     vleft = {r.vec_id for r in ivf_idx.read().select("vec_id").distinct().collect()}
     assert vleft == set(range(1, 19))
+
+
+def test_healer_continuous_trigger_always_on(spark, tmp_path):
+    """The always-on healer posture: ONE long-running processingTime
+    query (no restart loop) keeps draining corpus appends as they land,
+    exactly-once — healed index equals the one-shot build after the
+    writer stops, with zero healer restarts."""
+    import time
+
+    from hapiy_etl_spark.operators.textindex import shingle_postings_build
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    corpus_p, idx_p = str(tmp_path / "corpus"), str(tmp_path / "idx")
+
+    def doc(i):
+        return (i, " ".join(f"d{i}w{j}" for j in range(10)))
+
+    corpus = TxTable(spark, corpus_p)
+    corpus.append(spark.createDataFrame([doc(1), doc(2)], "doc_id long, text string"))
+
+    q = heal_index_from_changes(
+        spark, corpus_p, idx_p, str(tmp_path / "ckpt"),
+        lambda b: shingle_postings_build(b.select("doc_id", "text")),
+        stats_cols=["tb"],
+        trigger_processing_time="1 seconds",
+    )
+    try:
+        # appends land WHILE the query runs — no restarts anywhere
+        for i in (3, 4, 5):
+            corpus.append(
+                spark.createDataFrame([doc(i)], "doc_id long, text string")
+            )
+            time.sleep(0.8)
+
+        def healed_rows():
+            try:
+                return sorted(map(tuple, TxTable(spark, idx_p).read().collect()))
+            except FileNotFoundError:
+                return []
+
+        want = sorted(map(tuple, shingle_postings_build(corpus.read()).collect()))
+        deadline = time.time() + 60
+        while time.time() < deadline and healed_rows() != want:
+            time.sleep(1.0)
+        assert healed_rows() == want
+    finally:
+        q.stop()

@@ -1237,6 +1237,157 @@ def soak_main(seconds: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
+def soak_continuous_main(seconds: int) -> None:
+    """ALWAYS-ON healer soak (r12, the continuous-trigger posture the
+    r12 plan left open): ONE long-running processingTime healer query —
+    no restart loop anywhere — polls the corpus commit log while a
+    writer thread appends waves under vacuum pressure. Complements
+    --soak-healer (which proves exactly-once COMPOSES across
+    restart-resume runs); this proves the same machinery holds inside
+    a single never-restarted query, the deployment most operators
+    actually run.
+
+    Claims after N wall-clock seconds: (a) exactly-once — healed ==
+    one-shot over the final corpus; (b) liveness — the healer's
+    committed position tracks the writer (lag samples bounded, drains
+    to 0 after the writer stops) without any external driving; (c) the
+    vacuum window held under the running query."""
+    import glob
+    import re as _re
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    spark = get_spark("scale_growth_soak_cont")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 8 == 0))
+    )
+    stride = 8 * (int(docs.agg(F.max("doc_id")).first()[0]) // 8 + 1)
+    base = tempfile.mkdtemp(prefix="healer_cont_")
+    corpus_p, idx_p, ckpt = f"{base}/corpus", f"{base}/idx", f"{base}/ckpt"
+    corpus = TxTable(spark, corpus_p)
+    stop = threading.Event()
+    wave_n = [0]
+    keep_last = 20
+
+    def writer() -> None:
+        while not stop.is_set() and wave_n[0] < max(10, seconds // 2):
+            i = wave_n[0] + 1
+            corpus.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                    F.regexp_replace(
+                        F.col("text"), F.lit(r"(\S+)"), F.lit(f"w{i}$1")
+                    ).alias("text"),
+                )
+            )
+            if i % 6 == 0:
+                corpus.optimize()
+                corpus.vacuum(keep_last=keep_last, min_age_s=0.0)
+            wave_n[0] = i
+            stop.wait(2.5)
+
+    def healed_through() -> int | None:
+        files = [
+            p
+            for p in glob.glob(f"{ckpt}/offsets/*")
+            if _re.fullmatch(r"\d+", Path(p).name)
+        ]
+        if not files:
+            return None
+        latest = max(files, key=lambda p: int(Path(p).name))
+        nums = _re.findall(r"\d+", Path(latest).read_text().splitlines()[-1])
+        return int(nums[-1]) if nums else None
+
+    # seed one wave so the stream has a schema-bearing table, then
+    # start writer and the SINGLE always-on healer query
+    wave_n[0] = 1
+    corpus.append(docs.select("doc_id", "text"))
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    q = heal_index_from_changes(
+        spark,
+        corpus_p,
+        idx_p,
+        ckpt,
+        lambda b: TI.shingle_postings_build(b.select("doc_id", "text")),
+        stats_cols=["tb"],
+        extra_meta={"n_buckets": TI.N_BUCKETS},
+        auto_compact_max_dirs=24,
+        compact_kw={"cluster_by": "tb", "n_dirs": 12},
+        max_versions_per_trigger=3,
+        trigger_processing_time="2 seconds",
+    )
+    t0 = time.time()
+    lag_samples = []
+    try:
+        while time.time() - t0 < seconds or t.is_alive():
+            lag_samples.append(
+                max(0, corpus.latest_version() - (healed_through() or 0))
+            )
+            if time.time() - t0 >= seconds and not stop.is_set():
+                stop.set()
+                t.join()
+            time.sleep(2.0)
+        # drain: the running query keeps firing on its own trigger
+        deadline = time.time() + 120
+        while time.time() < deadline and (
+            (healed_through() or 0) < corpus.latest_version()
+        ):
+            time.sleep(2.0)
+    finally:
+        q.stop()
+
+    idx = TxTable(spark, idx_p)
+
+    def fingerprint(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(sorted(df.columns)) + "))"
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"] or 0)
+
+    healed_fp = fingerprint(idx.read().select("doc_id", "shingle", "tb", "n_sh"))
+    oneshot_fp = fingerprint(
+        TI.shingle_postings_build(
+            corpus.read().select("doc_id", "text")
+        ).select("doc_id", "shingle", "tb", "n_sh")
+    )
+    out = {
+        "soak_seconds": seconds,
+        "mode": "continuous_processing_time_2s_single_query",
+        "waves_written": wave_n[0],
+        "healer_restarts": 0,
+        "exactly_once_healed_equals_oneshot": healed_fp == oneshot_fp,
+        "healed_rows": healed_fp[0],
+        "max_lag_versions": max(lag_samples) if lag_samples else None,
+        "final_lag_after_drain": max(
+            0, corpus.latest_version() - (healed_through() or 0)
+        ),
+        "vacuum_keep_last": keep_last,
+        "lag_stayed_inside_vacuum_window": (
+            (max(lag_samples) if lag_samples else 0) < keep_last
+        ),
+        "lag_samples": lag_samples[:60],
+        "corpus_dirs": corpus.n_dirs(),
+        "idx_dirs": idx.n_dirs(),
+    }
+    print(json.dumps(out))
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
 def soak_healer_main(seconds: int) -> None:
     """Decoupled-healer soak (r12, VERDICT r11 item 6): one thread
     appends corpus waves as PLAIN TxTable appends (the ingest job —
@@ -1496,6 +1647,9 @@ def main() -> None:
         return
     if args and args[0] == "--soak-healer":
         soak_healer_main(int(args[1]) if args[1:] else 60)
+        return
+    if args and args[0] == "--soak-continuous":
+        soak_continuous_main(int(args[1]) if args[1:] else 60)
         return
     if args and args[0] == "--mv":
         mv_main(int(args[1]) if args[1:] else 8)
