@@ -3417,3 +3417,43 @@ def test_healer_continuous_trigger_always_on(spark, tmp_path):
         assert healed_rows() == want
     finally:
         q.stop()
+
+
+def test_txstore_delete_keys_concurrent_retry_no_lost_update(spark, tmp_path):
+    """A racing append lands between delete_keys' snapshot resolve and
+    its commit: the optimistic retry re-reads the interloper's snapshot,
+    so the erasure applies AND the raced-in rows survive (including a
+    raced-in row carrying an erasure key, which the retry then erases —
+    the correct linearization: the delete commit is the later one)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"doc{i}") for i in range(10)], "doc_id long, body string"
+        ),
+        stats_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+    interloper = TxTable(spark, str(tmp_path / "t"))
+
+    class RaceOnce(TxTable):
+        raced = False
+
+        def _commit(self, parent, dirs, op, *args, **kwargs):
+            if not RaceOnce.raced and op == "delete":
+                RaceOnce.raced = True
+                interloper.append(
+                    spark.createDataFrame(
+                        [(3, "raced-copy"), (77, "raced-new")],
+                        "doc_id long, body string",
+                    )
+                )
+            return super()._commit(parent, dirs, op, *args, **kwargs)
+
+    racer = RaceOnce(spark, str(tmp_path / "t"))
+    racer.delete_keys([3, 7], on="doc_id")
+    got = {(r.doc_id, r.body) for r in racer.read().collect()}
+    assert (77, "raced-new") in got  # interloper's write survived
+    assert not any(d == 3 or d == 7 for d, _ in got)  # erasure fully applied
+    assert len(got) == 9  # 10 - {3,7} + {77}
+    # gapless versions: the lost round never wrote a manifest
+    assert [m["version"] for m in racer.history()] == [1, 2, 3]
