@@ -706,7 +706,10 @@ def simhash_pairs(
 
 
 def signature_band_pairs(
-    sig: DataFrame, max_hamming: int = 3, n_bits: int = 64
+    sig: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    key_cap: int | None = None,
 ) -> DataFrame:
     """Manku block banding over ANY (doc, sig) bit-signature frame —
     the candidate-generation kernel factored out of ``simhash_pairs``
@@ -719,6 +722,20 @@ def signature_band_pairs(
     key; pigeonhole guarantees recall 1.0 for hamming ≤ max_hamming,
     candidates refine by exact ``hamming64``. Never all-pairs — see
     ``simhash_pairs`` for the bucket-occupancy math at 10⁹ rows.
+
+    ``key_cap`` (r13) is the posting-frequency guard the perceptual
+    family needs — the ``df_cap`` move from ``shingle_jaccard``
+    applied to band buckets: a (band, key) bucket holding more than
+    ``key_cap`` signatures is a degenerate hot bucket (black/intro
+    frames, constant-color thumbnails hash to IDENTICAL signatures),
+    and the self-join on it is a (occupancy)² candidate blowup on one
+    skewed key. Buckets over the cap drop ENTIRELY before the join —
+    exact duplicates they hide stay covered by the exact-digest
+    regime (``multimodal_payload_dedup`` / ``multimodal_frame_dedup``),
+    while genuinely near (not identical) pairs keep recall via their
+    other, non-degenerate bands. ``None`` disables (full pigeonhole
+    recall — the text SimHash default, whose token-mix signatures are
+    near-uniform).
 
     Input columns: ``doc`` (id), ``sig`` (long). Output: (id_a, id_b,
     hamming) with id_a < id_b, distinct.
@@ -748,6 +765,16 @@ def signature_band_pairs(
             ])
         ).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if key_cap is not None:
+        from pyspark.sql import Window as W
+
+        bands = (
+            bands.withColumn(
+                "__occ", F.count("*").over(W.partitionBy("band", "key"))
+            )
+            .where(F.col("__occ") <= key_cap)
+            .drop("__occ")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

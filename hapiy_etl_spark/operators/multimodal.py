@@ -167,7 +167,10 @@ def dhash_signatures(df: DataFrame, id_col: str = "doc_id", grid: int = 8) -> Da
 
 
 def phash_near_dup_pairs(
-    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    key_cap: int | None = 200,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs over binary payloads: dHash
     signatures banded by the Manku block scheme — recall 1.0 for
@@ -175,16 +178,28 @@ def phash_near_dup_pairs(
     (never all-pairs), exact-hamming refine. Output (id_a, id_b,
     hamming), id_a < id_b.
 
-    The signature frame is persisted before the band self-join: both
-    join sides derive from it, and without the cache Spark re-executes
-    the Arrow dHash scan once PER SIDE — the dominant cost here, unlike
-    the text SimHash path whose signatures are cheap column algebra
-    (measured 2x at sf0.1; the cache is narrow (id, sig) rows and the
-    bench's per-rep clearCache reclaims it)."""
+    ``key_cap`` (r13, default 200): degenerate payloads (empty/
+    constant-color images) hash to IDENTICAL signatures, so one hot
+    (band, key) bucket turns the self-join quadratic on a skewed key;
+    buckets over the cap drop before the join (the df_cap move —
+    exact copies they hide stay covered by the exact sha256 regime,
+    ``multimodal_payload_dedup``).
+
+    The signature frame localCheckpoints EAGERLY before the band
+    self-join: both join sides derive from it, and without
+    materialization Spark re-executes the Arrow dHash scan once PER
+    SIDE — the dominant cost here, unlike the text SimHash path whose
+    signatures are cheap column algebra (measured 2x at sf0.1). An
+    eager localCheckpoint, not persist() (r13, review feedback): the
+    narrow (id, sig) blocks are reclaimed by the ContextCleaner as
+    soon as the frame is unreferenced, so a non-bench caller no
+    longer accumulates session-lifetime cache."""
     from hapiy_etl_spark.operators.dedup import signature_band_pairs
 
-    sigs = dhash_signatures(df, id_col).persist()
-    return signature_band_pairs(sigs, max_hamming=max_hamming, n_bits=64)
+    sigs = dhash_signatures(df, id_col).localCheckpoint(eager=True)
+    return signature_band_pairs(
+        sigs, max_hamming=max_hamming, n_bits=64, key_cap=key_cap
+    )
 
 
 FRAME_DHASH_SCHEMA = T.StructType(
@@ -235,6 +250,7 @@ def video_near_dup_pairs(
     n_frames: int = 8,
     max_hamming: int = 3,
     min_matching_frames: int = 6,
+    key_cap: int | None = 200,
 ) -> DataFrame:
     """Video-level perceptual near-dup: dHash every frame slice, find
     near-identical frame pairs AT THE SAME frame index through the
@@ -244,22 +260,30 @@ def video_near_dup_pairs(
     exact frame-digest regime (multimodal_frame_dedup) cannot.
 
     Scale posture: every join is an equi-join on (band, key, frame
-    alignment); the vote is one grouped count. A production corpus
-    adds a posting-frequency cap on hot frame signatures (black/intro
-    frames — the df_cap move from n-gram Jaccard)."""
+    alignment); the vote is one grouped count. ``key_cap`` (r13,
+    default 200) is the posting-frequency cap on hot frame signatures
+    the docstring always promised (black/intro frames — the df_cap
+    move from n-gram Jaccard): a (band, key) bucket holding more
+    frames than the cap drops before the self-join, so a corpus full
+    of constant frames stays linear; byte-identical frames those
+    buckets hide remain covered by the exact frame-digest regime."""
     from hapiy_etl_spark.operators.dedup import signature_band_pairs
 
     sigs = frame_dhash_signatures(df, id_col, n_frames=n_frames)
     # composite id <doc, frame>: banding pairs frames; same-index
     # alignment and video identity recover from the composite.
-    # persist(): the band self-join's two sides would otherwise each
-    # re-run the per-frame Arrow dHash scan (the phash_near_dup_pairs
-    # rationale, x n_frames heavier here)
+    # eager localCheckpoint (r13, was persist): the band self-join's
+    # two sides would otherwise each re-run the per-frame Arrow dHash
+    # scan (the phash_near_dup_pairs rationale, x n_frames heavier
+    # here) — and checkpoint blocks are ContextCleaner-reclaimed when
+    # the frame drops out of scope, unlike a never-unpersisted cache
     composite = sigs.select(
         (F.col("doc") * n_frames + F.col("frame_idx")).alias("doc"),
         "sig",
-    ).persist()
-    fp = signature_band_pairs(composite, max_hamming=max_hamming, n_bits=64)
+    ).localCheckpoint(eager=True)
+    fp = signature_band_pairs(
+        composite, max_hamming=max_hamming, n_bits=64, key_cap=key_cap
+    )
     # integer `div`, not `/`: Spark's `/` on longs is DOUBLE division,
     # which loses exactness above 2^53/n_frames — within the stated
     # 100 TB id space (the io.py nanos lesson applied to composite ids)

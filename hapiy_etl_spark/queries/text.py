@@ -1820,15 +1820,19 @@ def _bpe_encode_oracle() -> str:
     "vocab_bpe_encode",
     oracle=_bpe_encode_oracle(),
     doc="BPE ENCODE over the learned vocabulary (r12, the consumer "
-    "half of vocab_bpe_train): train the 6-merge table, then segment "
-    "a document slice — per word, apply the merges in rank order as "
-    "the same separator-wrapped literal replaces (operators/bpe.py "
-    "bpe_segment: merges are bounded tokenizer metadata, collected "
-    "once and folded into the column expression — no per-round "
-    "shuffle), flatten each doc's subwords back in word order, and "
-    "emit the serialized subword sequence + count. The DuckDB twin "
-    "learns the same chain and applies the same nested replaces, so "
-    "the hash pins trainer AND encoder end-to-end. decode==concat "
+    "half of vocab_bpe_train; segmenter rebuilt r13 for production "
+    "vocab sizes): train the 6-merge table, then segment a document "
+    "slice — the merges collect once (bounded tokenizer metadata) and "
+    "BROADCAST to an Arrow word-TYPE segmenter (operators/bpe.py "
+    "bpe_segment: mapInPandas over DISTINCT words, Python str.replace "
+    "fold sharing replace()'s leftmost non-overlapping scan, then one "
+    "hash join back to the token stream) — no n_merges-deep Catalyst "
+    "expression, so a 30k-merge tokenizer compiles (pytest-pinned at "
+    "5,000 merges). Docs flatten subwords back in word order and emit "
+    "the serialized sequence + count. The DuckDB twin learns the same "
+    "chain and applies the rank-ordered nested replaces (the ≤64-merge "
+    "expression form the Arrow fold is equivalence-pinned against), "
+    "so the hash pins trainer AND encoder end-to-end. decode==concat "
     "identity is pytest-pinned (tests/test_tokenizer_seams.py).",
 )
 def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1913,10 +1917,12 @@ def _bpe_fertility_oracle() -> str:
     "tokenizer work optimizes; a lang with high fertility pays more "
     "sequence length per word) and chars-per-subword (compression). "
     "The segmentation runs ONCE on the word-TYPE table (vocabulary-"
-    "bounded) and joins back to the language-tagged token stream — at "
-    "100 TB the heavy side is one hash join keyed on the word, never "
-    "a re-segmentation per occurrence. DuckDB twin replays the merge "
-    "chain and the same type-grain segmentation.",
+    "bounded, via the r13 Arrow broadcast-merges segmenter — no "
+    "n_merges-deep expression tree) and joins back to the language-"
+    "tagged token stream — at 100 TB the heavy side is one hash join "
+    "keyed on the word, never a re-segmentation per occurrence. "
+    "DuckDB twin replays the merge chain and the same type-grain "
+    "segmentation.",
 )
 def vocab_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hapiy_etl_spark.operators.bpe import bpe_segment, bpe_train

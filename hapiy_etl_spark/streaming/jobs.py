@@ -1020,7 +1020,9 @@ def heal_index_from_changes(
         reader = reader.option(
             "maxVersionsPerTrigger", str(max_versions_per_trigger)
         )
-    if starting_version:
+    # `is not None`, not truthiness (r13, review feedback): an explicit
+    # starting_version=0 must pass through, not silently behave as unset
+    if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
     stream = reader.load()
     run_id = None
@@ -1103,7 +1105,11 @@ def heal_recover_from_rewrite(
     Re-running finds nothing and commits nothing. The presence test is
     key-grain: a doc whose rows the builder legitimately drops (e.g.
     NULL text) is re-fed but builds zero rows, and the empty append is
-    skipped; corpus rows with a NULL key are INVISIBLE to recovery —
+    skipped — such docs report under the returned ``re_fed_but_empty``
+    counter (every run, permanently — they can never enter the index),
+    while ``docs_backfilled`` counts only keys whose rebuilt rows
+    actually committed; corpus rows with a NULL key are INVISIBLE to
+    recovery —
     they can be neither matched nor erased at key grain, so they are
     never re-backfilled (idempotence would break: an anti-join can't
     see them as 'seen'). ``corpus_on`` names the corpus key when it
@@ -1141,17 +1147,28 @@ def heal_recover_from_rewrite(
         missing = snap.join(seen, c_on, "left_anti")
     else:
         missing = snap
-    backfilled = missing.count()
-    if backfilled:
+    # docs_backfilled counts only docs whose rebuilt rows actually
+    # COMMITTED (r13, review feedback): a doc the builder legitimately
+    # drops (NULL text) is re-fed every run but never lands, so it
+    # reports under re_fed_but_empty instead — keeping "re-running
+    # finds nothing" true at the committed-work grain (such docs stay
+    # permanently absent from the index BY DESIGN; monitoring should
+    # alarm on re_fed_but_empty growth, not treat it as backfill).
+    re_fed = missing.count()
+    backfilled = 0
+    if re_fed:
         rows = build_fn(missing)
         if rows.limit(1).count():
+            built_keys = rows.select(on).distinct().count()
             index.append(
                 rows, meta=extra_meta, stats_cols=stats_cols, bloom_cols=bloom_cols
             )
+            backfilled = built_keys
     return {
         "snapshot_version": v,
         "orphans_erased": erased,
         "docs_backfilled": backfilled,
+        "re_fed_but_empty": re_fed - backfilled,
     }
 
 

@@ -515,6 +515,62 @@ def test_video_phash_catches_what_exact_frames_miss(spark):
     assert not d1 & d2
 
 
+def test_phash_key_cap_prunes_hot_signatures(spark):
+    """Degenerate payloads (constant/black images) hash to IDENTICAL
+    dHash signatures, so one hot (band, key) bucket makes the band
+    self-join quadratic: without the cap a 300-payload constant
+    cluster materializes all C(300,2) pairs; with the default
+    key_cap=200 the hot buckets drop BEFORE the join and the cluster
+    yields zero perceptual candidates — while planted near-dup pairs
+    (distinct bases, in-place edits) keep full recall through their
+    non-degenerate buckets (mirror of the Jaccard hot-shingle test)."""
+    rng = random.Random(17)
+    rows = [(i, b"\x00" * 900) for i in range(300)]  # hot cluster
+    planted = []
+    for j in range(5):
+        base = bytes(rng.randrange(256) for _ in range(1100))
+        edited = bytearray(base)
+        edited[200] = (edited[200] + 50) % 256
+        rows.append((1000 + j, base))
+        rows.append((2000 + j, bytes(edited)))
+        planted.append((1000 + j, 2000 + j))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in phash_near_dup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    assert not any(a < 300 and b < 300 for a, b in capped)  # hot cluster pruned
+    assert all(p in capped for p in planted)  # recall intact
+
+    uncapped = phash_near_dup_pairs(df, "doc_id", max_hamming=3, key_cap=None)
+    n_hot = uncapped.where((F.col("id_a") < 300) & (F.col("id_b") < 300)).count()
+    assert n_hot == 300 * 299 // 2  # the blowup the cap exists to stop
+
+
+def test_video_key_cap_prunes_constant_frames(spark):
+    """Videos made of one repeated black frame must not pair through
+    the perceptual vote once the hot-signature cap applies; a planted
+    re-encoded copy of a real video still votes through."""
+    rng = random.Random(19)
+    base = bytes(rng.randrange(256) for _ in range(800))
+    step = -(-len(base) // 8)
+    enc = bytearray(base)
+    for f in range(8):
+        enc[f * step + 3] = (enc[f * step + 3] + 10) % 256
+    rows = [(i, b"\x00" * 800) for i in range(250)]  # constant-frame corpus
+    rows += [(1001, base), (1002, bytes(enc))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.vid_a, r.vid_b): r.n_matching_frames
+        for r in video_near_dup_pairs(
+            df, "doc_id", n_frames=8, max_hamming=3, min_matching_frames=6
+        ).collect()
+    }
+    assert got.get((1001, 1002), 0) >= 6  # planted copy still votes through
+    assert not any(a < 1000 and b < 1000 for a, b in got)  # hot frames pruned
+
+
 def test_jaccard_df_cap_preserves_planted(spark, planted_docs):
     """Capped and uncapped results agree when no shingle is hot."""
     uncapped = {

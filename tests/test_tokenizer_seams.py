@@ -177,3 +177,103 @@ def test_bpe_overlap_semantics_match_reference(spark):
     assert segs["aaaa"] == ["aaaa"]
     assert segs["aaa"] == ["aa", "a"]
     assert segs["aaaaa"] == ["aaaa", "a"]
+
+
+def test_bpe_batched_trainer_equals_sequential(spark):
+    """batch>1 training is bit-identical to batch=1 (the r13 scale
+    lever: ~n_merges/batch driver rounds instead of one per merge).
+    The corpora are adversarial on purpose — tiny alphabets force the
+    top pairs to OVERLAP and tie constantly, exercising both batch
+    guards (symbol-overlap stop, new-pair-bound stop)."""
+    import random
+
+    from hapiy_etl_spark.operators.bpe import bpe_train
+
+    corpora = [
+        # the divergence trap: merging (a,b) creates (x,ab) with count
+        # 100 > (c,d)=90 — naive batching would pick (c,d) second
+        [("xab", 100), ("cd", 90)],
+        # tie-heavy: equal counts everywhere, lex tie-breaks decide
+        [("abab", 10), ("baba", 10), ("aabb", 10)],
+    ]
+    rng = random.Random(23)
+    for seed in range(3):  # random small-alphabet corpora
+        corpora.append(
+            [
+                ("".join(rng.choice("abc") for _ in range(rng.randrange(2, 9))),
+                 rng.randrange(1, 50))
+                for _ in range(30)
+            ]
+        )
+    for words in corpora:
+        # dedupe word types (random draws can repeat)
+        wt = {}
+        for w, c in words:
+            wt[w] = wt.get(w, 0) + c
+        df = spark.createDataFrame(list(wt.items()), "word string, cnt long")
+        seq = [tuple(r) for r in bpe_train(df, 12, batch=1).collect()]
+        bat = [tuple(r) for r in bpe_train(df, 12, batch=8).collect()]
+        assert bat == seq, (words[:3], seq, bat)
+
+
+def test_bpe_segment_matches_expression_form(spark):
+    """The Arrow word-type segmenter (bpe_segment) reproduces the
+    nested-replace expression form (bpe_segment_expr — the ≤64-merge
+    oracle-twin shape) word for word, including NULL propagation."""
+    from hapiy_etl_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_expr,
+        bpe_train,
+    )
+
+    words = spark.createDataFrame(
+        [("abab", 50), ("xy", 30), ("aaab", 7), ("qrs", 2)],
+        "word string, cnt long",
+    )
+    merges = bpe_train(words, n_merges=3)
+    probe = spark.createDataFrame(
+        [(1, "abab"), (2, "aaab"), (3, "xy"), (4, "a"), (5, None)],
+        "i long, word string",
+    )
+    arrow = {
+        r["i"]: (list(r["subwords"]) if r["subwords"] is not None else None)
+        for r in bpe_segment(probe, "word", merges).collect()
+    }
+    expr = {
+        r["i"]: (list(r["subwords"]) if r["subwords"] is not None else None)
+        for r in bpe_segment_expr(probe, "word", merges).collect()
+    }
+    assert arrow == expr
+    assert arrow[5] is None  # NULL word stays NULL through the join
+
+
+def test_bpe_segment_survives_production_merge_count(spark):
+    """The scale guarantee the r13 rewrite exists for: segmentation
+    with 5,000 merges — the count where the r12 nested-replace column
+    expression dies in Catalyst (stack depth / 64KB codegen methods)
+    long before data size matters — runs fine through the Arrow
+    word-type segmenter and applies ranks in order."""
+    from hapiy_etl_spark.operators.bpe import bpe_segment
+
+    rows = [(1, "a", "b", "ab", 900), (2500, "ab", "c", "abc", 800),
+            (5000, "abc", "d", "abcd", 700)]
+    rows += [
+        (r, f"L{r}", f"R{r}", f"L{r}R{r}", 10)
+        for r in range(1, 5001)
+        if r not in (1, 2500, 5000)
+    ]
+    merges = spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, merged string, pair_count long"
+    )
+    probe = spark.createDataFrame(
+        [(1, "abcd"), (2, "dcba"), (3, "abcx")], "i long, word string"
+    )
+    segs = {
+        r["i"]: list(r["subwords"])
+        for r in bpe_segment(probe, "word", merges).collect()
+    }
+    assert segs[1] == ["abcd"]  # all three real merges chain in rank order
+    assert segs[2] == ["d", "c", "b", "a"]  # untouched
+    assert segs[3] == ["abc", "x"]
+    for i, w in ((1, "abcd"), (2, "dcba"), (3, "abcx")):
+        assert "".join(segs[i]) == w  # decode identity survives scale

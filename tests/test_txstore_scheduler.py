@@ -3326,6 +3326,21 @@ def test_healer_recovery_after_erasure_rewrite(spark, tmp_path):
         assert r3["orphans_erased"] == 0 and r3["docs_backfilled"] == 0
     assert TxTable(spark, idx_p).latest_version() == v
 
+    # a keyed doc whose rows the builder drops (NULL text → zero
+    # postings) is re-fed every run but never commits: it reports
+    # under re_fed_but_empty, NOT docs_backfilled (r13, review
+    # feedback — backfilled counts only committed keys, so monitoring
+    # sees "nothing backfilled" stay true on reruns)
+    corpus.append(
+        spark.createDataFrame([(6, None)], "doc_id long, text string")
+    )
+    for _ in range(2):
+        r4 = heal_recover_from_rewrite(
+            spark, corpus_p, idx_p, on="doc_id", build_fn=build, stats_cols=["tb"]
+        )
+        assert r4["docs_backfilled"] == 0 and r4["re_fed_but_empty"] == 1
+    assert TxTable(spark, idx_p).latest_version() == v
+
 
 def test_reconcile_covers_signature_and_ivf_index_families(spark, tmp_path):
     """Erasure generalizes across every persisted-index family: the
