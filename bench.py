@@ -136,6 +136,7 @@ def main() -> None:
                 flagship_semantic_state,
                 flagship_state,
                 ivf_index,
+                retighten_state,
                 shingle_index,
             )
             from hapiy_etl_spark.queries.text import neardup_clusters
@@ -159,6 +160,9 @@ def main() -> None:
                 # the right-to-be-forgotten scenario (r12): corpus +
                 # co-erased shingle index; the timed query is the audit
                 ("erasure_state", erasure_state),
+                # the erase->retighten->erase maintenance cycle (r13);
+                # the timed query reads the final table
+                ("retighten_state", retighten_state),
             ):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir)

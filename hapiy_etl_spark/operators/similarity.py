@@ -650,3 +650,156 @@ def pq_topk(
         adc_partition, "__qid long, __cid long, __score double"
     )
     return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 256,
+    vec: str = "embedding",
+    seed: int = 42,
+    train_limit: int = 10_000,
+    train_fraction: float | None = None,
+    max_iter: int = 4,
+) -> DataFrame:
+    """IVF-PQ (the IVFADC composition of Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"): the coarse quantizer
+    prunes the scan to each query's ``n_probe`` nearest cells, and
+    inside a cell vectors score by PQ asymmetric distance over their
+    RESIDUAL (x - centroid(cell)) — so compression rides cell-pruned
+    candidate sets (r13, VERDICT r12 item 5) instead of scanning every
+    code, and the codebooks quantize the much tighter residual
+    distribution instead of raw vectors.
+
+    Scale posture: the quantizer and codebooks fit on bounded samples;
+    the per-query work is |probed cells' rows| PQ lookups, never the
+    corpus; the residual transform is one zip_with against the
+    broadcast centroid table, computed once and shared by training and
+    scoring; the scoring scan filters probed cells BEFORE the Arrow
+    stage (with a persisted assignment table this becomes dir-level
+    pruning, exactly like ivf_probe_index). Exact regime
+    (n_probe == n_centroids, n_codes ≥ corpus slice, full training):
+    every residual becomes its own codeword, ADC reconstructs true
+    squared-L2, and the DuckDB brute-force oracle pins the whole path
+    ([O] ann_ivfpq_exact_regime); the lossy regime is rows-only with
+    planted-recall pytests, same as the rest of the ANN family.
+    """
+    import numpy as np
+
+    q_rows = _collect_bounded_queries(queries, query_id, vec, "ivf_pq_topk")
+    spark = corpus.sparkSession
+    empty = spark.createDataFrame(
+        [], f"{query_id} long, neighbor_id long, rank int, approx_l2sq double"
+    )
+    if not q_rows:
+        return empty
+    cent_df, assigned = ivf_index_build(
+        corpus, corpus_id, vec=vec, n_centroids=n_centroids, seed=seed,
+        train_fraction=train_fraction, max_iter=max_iter,
+    )
+    cent_rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
+    cent_mat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    n_cells = len(cent_rows)
+    dim = cent_mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"ivf_pq_topk: vector dim {dim} is not divisible by m={m} — "
+            "trailing dims would be silently ignored"
+        )
+    sub = dim // m
+
+    # residuals: one broadcast join + zip_with, shared by codebook
+    # training and the scoring scan
+    resid = assigned.join(F.broadcast(cent_df), "cell").select(
+        "cell",
+        corpus_id,
+        F.zip_with(
+            F.col(vec).cast("array<double>"),
+            "centroid",
+            lambda x, c: x - c,
+        ).alias("__resid"),
+    )
+    sample_rows = _pq_training_sample(
+        resid, corpus_id, "__resid", train_limit, train_fraction, seed
+    )
+    if not sample_rows:
+        return empty
+    books = _pq_codebooks(np.array(sample_rows, dtype=np.float64), m, n_codes, seed)
+
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # coarse probe: n_probe nearest cells by squared L2 — the SAME
+    # metric the quantizer assigns with (the ivf_probe_index lesson);
+    # stable argsort breaks distance ties by cell index, matching the
+    # (distance, cell) order of the DataFrame probe path
+    cd = ((q_mat[:, None, :] - cent_mat[None, :, :]) ** 2).sum(axis=2)
+    probe_n = min(n_probe, n_cells)
+    probed = np.argsort(cd, axis=1, kind="stable")[:, :probe_n]  # (Q, P)
+
+    # per-(query, probed cell) residual LUTs — (Q, P, m, n_codes), tiny
+    qr = q_mat[:, None, :] - cent_mat[probed]  # (Q, P, dim)
+    luts = np.empty((len(q_ids), probe_n, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = qr[:, :, j * sub : (j + 1) * sub]  # (Q, P, sub)
+        diff = qs[:, :, None, :] - books[j][None, None, :, :]
+        luts[:, :, j, :] = (diff**2).sum(axis=3)
+
+    cell_probes: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(len(q_ids)):
+        for pi in range(probe_n):
+            cell_probes.setdefault(int(probed[qi, pi]), []).append((qi, pi))
+    probed_cells = sorted(cell_probes)
+
+    b = spark.sparkContext.broadcast((books, q_ids, luts, cell_probes))
+
+    def adc_partition(batches):
+        import pandas as pd
+
+        books_, ids_, luts_, cellmap_ = b.value
+        kk = k + 1  # survive self-match removal
+        jj = np.arange(m)
+        for pdf in batches:
+            out_q, out_c, out_d = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                plist = cellmap_.get(int(cell))
+                if not plist:
+                    continue
+                c_ids = grp[corpus_id].to_numpy()
+                c_mat = np.array(list(grp["__resid"]), dtype=np.float64)
+                codes = np.empty((len(c_mat), m), dtype=np.int64)
+                for j in range(m):
+                    x = c_mat[:, j * sub : (j + 1) * sub]
+                    d = ((x[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d.argmin(axis=1)
+                for qi, pi in plist:
+                    col = luts_[qi, pi][jj[:, None], codes.T].sum(axis=0)
+                    top = min(kk, len(col))
+                    # partition-local top-kk under the TOTAL order
+                    # (distance, cid) — layout-invariant, ties included
+                    # (the pq_topk argpartition + lexsort pattern)
+                    if top < len(col):
+                        cut = np.partition(col, top - 1)[top - 1]
+                        cand = np.flatnonzero(col <= cut)
+                    else:
+                        cand = np.arange(len(col))
+                    order = np.lexsort((c_ids[cand], col[cand]))[:top]
+                    for ci in cand[order]:
+                        if c_ids[ci] != ids_[qi]:
+                            out_q.append(ids_[qi])
+                            out_c.append(c_ids[ci])
+                            out_d.append(col[ci])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__score": out_d})
+
+    scan = resid.where(F.col("cell").isin(probed_cells)).select(
+        "cell", corpus_id, "__resid"
+    )
+    local = scan.mapInPandas(
+        adc_partition, "__qid long, __cid long, __score double"
+    )
+    return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)

@@ -1469,6 +1469,136 @@ class TxTable:
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
         raise ConcurrentCommitError(f"delete_keys lost {max_retries} races at {self.path}")
 
+    def bloom_fpr_estimates(self, col: str, version: int | None = None) -> dict:
+        """Estimated false-positive rate per dir of the recorded bloom
+        on ``col``: fill_fraction ** k — the standard Bloom estimate
+        (p ≈ (set bits / bits)^k), computed from the 4 KB bitmaps in
+        the manifest alone, no data read. The maintenance signal for
+        :meth:`retighten_blooms`: union blooms carried through
+        copy-on-write rewrites (delete_keys / delete_where / optimize)
+        are SUPERSETS by construction — every rewrite ORs the touched
+        dirs' bitmaps, so repeated erasures monotonically raise the
+        survivor dir's fill and with it the odds the NEXT erasure
+        false-positives into rewriting it again (the 1↔9 bounce in
+        BASELINE.md's r12 erasure growth table)."""
+        import base64
+
+        v = version or self.latest_version()
+        if v == 0:
+            return {}
+        m = self._manifest(v)
+        out: dict = {}
+        for d in m["dirs"]:
+            bl = (m.get("blooms") or {}).get(d, {}).get(col)
+            if not bl:
+                continue
+            buf = base64.b64decode(bl["b64"])
+            fill = sum(bin(b).count("1") for b in buf) / bl["bits"]
+            out[d] = fill ** bl["k"]
+        return out
+
+    def retighten_blooms(
+        self,
+        cols: Sequence[str],
+        fpr_threshold: float = 0.05,
+        max_retries: int = 5,
+    ) -> list[str]:
+        """Metadata-only bloom + stats re-tighten (r13, the decay half
+        of the erasure bounce): every dir whose ESTIMATED bloom FPR on
+        any listed column exceeds ``fpr_threshold`` gets its blooms and
+        min-max stats rebuilt from a read-back of its OWN rows — at a
+        geometry RESIZED to the dir's actual distinct-key count (~10
+        bits/key, never narrower than recorded; copy-on-write erasures
+        consolidate many dirs' survivors into one, so the inherited
+        geometry can be genuinely outgrown, not just stale) — committed
+        as a ``retighten`` manifest that re-references every data dir
+        byte-untouched (cheaper than an OPTIMIZE: no data rewrite, no
+        copy-on-write churn; run it AS the fpr-keyed optimize trigger
+        after takedown batches). A dir whose bloom was built from its
+        own rows at the right size sits far under any sane threshold,
+        so only union-bloom survivors qualify and repeated erasures
+        stop bouncing off their accumulated false positives. Returns
+        the re-tightened dir names ([] = nothing over threshold, no
+        commit)."""
+        from pyspark.sql import functions as F
+
+        def _bloom_bits_for(n: int) -> int:
+            """Smallest power-of-two byte-aligned bit count giving
+            ~10 bits per distinct key (the append sizing guidance)."""
+            bits = 256
+            while bits < 10 * max(int(n or 0), 1):
+                bits *= 2
+            return bits
+
+        cols = list(cols)
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            if parent == 0:
+                return []
+            m = self._manifest(parent)
+            ests = {c: self.bloom_fpr_estimates(c, parent) for c in cols}
+            stale = [
+                d
+                for d in m["dirs"]
+                if any(ests[c].get(d, 0.0) > fpr_threshold for c in cols)
+            ]
+            if not stale:
+                return []
+            parts, layouts, schemas, stats_map, blooms_map = self._dir_maps(
+                m, m["dirs"]
+            )
+            all_blooms = m.get("blooms") or {}
+            for d in stale:
+                rows = self._read_dirs(m, [d], merge_schema=False)
+                rebuilt: dict = {}
+                for c in cols:
+                    old = all_blooms.get(d, {}).get(c)
+                    if old is None or c not in rows.columns:
+                        continue
+                    # re-SIZE, not just re-set: copy-on-write erasures
+                    # consolidate many dirs' survivors into one, so the
+                    # dir's genuine distinct-key count can outgrow the
+                    # geometry its parents were appended with — rebuild
+                    # at ~10 bits/key (the append guidance), never
+                    # narrower than recorded; per-dir geometry is
+                    # recorded in the entry and probes replay it, so
+                    # mixed geometries across dirs stay correct
+                    n_distinct = rows.where(F.col(c).isNotNull()).agg(
+                        F.countDistinct(c)
+                    ).collect()[0][0]
+                    bits = max(int(old["bits"]), _bloom_bits_for(n_distinct))
+                    rebuilt.update(
+                        self._bloom_build(rows, [c], bits, old["k"])
+                    )
+                if not rebuilt:
+                    continue
+                blooms_map[d] = {**all_blooms.get(d, {}), **rebuilt}
+                # stats re-tighten rides along: the same read-back
+                # yields exact bounds for the columns whose recorded
+                # ranges were union-widened by the same rewrites
+                stat_cols = [
+                    c for c in (m.get("stats") or {}).get(d, {}) if c in rows.columns
+                ]
+                if stat_cols:
+                    stats_map[d] = self._column_stats(rows, stat_cols)
+            try:
+                self._commit(
+                    parent,
+                    m["dirs"],
+                    "retighten",
+                    partitions=parts or None,
+                    layouts=layouts or None,
+                    schemas=schemas or None,
+                    stats=stats_map or None,
+                    blooms=blooms_map or None,
+                )
+                return stale
+            except ConcurrentCommitError:
+                continue  # metadata-only: nothing to clean up, re-resolve
+        raise ConcurrentCommitError(
+            f"retighten_blooms lost {max_retries} races at {self.path}"
+        )
+
     def restore(self, version: int) -> int:
         """Roll the table back to an earlier snapshot AS A NEW COMMIT
         (lakehouse RESTORE semantics): history is append-only, so the

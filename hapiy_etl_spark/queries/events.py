@@ -2178,3 +2178,64 @@ def constraints_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quarantined.select(
         "o_orderkey", F.array_join(VIOLATIONS_COL, ",").alias("violations")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               ROUND(epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(gap_s), 4) AS avg_gap_s,
+           ROUND(MIN(gap_s), 4) AS min_gap_s,
+           ROUND(MAX(gap_s), 4) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Per-user inter-arrival gap statistics by event type (r13): "
+    "lag over (user, time) gives each event its distance to the "
+    "user's previous event (any type — the gap attributes to the "
+    "CURRENT event's type), then one grouped aggregate — the "
+    "engagement-cadence panel behind bot screens (impossibly uniform "
+    "or zero gaps) and session-timeout calibration (where the gap "
+    "distribution's tail starts is where sessionization should cut). "
+    "Scale shape: the window partitions on user_id (data-grain key, "
+    "millions of independent partitions — never a global window) with "
+    "a deterministic (ts, event_id) tie order shared with the twin; "
+    "gaps are double epoch-seconds rounded to 6 before the "
+    "DECIMAL-quantized sum, so the average is order-independent and "
+    "cross-engine exact.",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "event_type",
+        F.round(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+            6,
+        ).alias("gap_s"),
+    )
+    return (
+        gaps.where(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap_s").cast("decimal(18,6)")).cast("double")
+                / F.count("gap_s"),
+                4,
+            ).alias("avg_gap_s"),
+            F.round(F.min("gap_s"), 4).alias("min_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )

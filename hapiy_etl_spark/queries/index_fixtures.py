@@ -318,6 +318,61 @@ def flagship_semantic_state(spark: SparkSession, sf_dir: str):
     return out[0], out[1], out[2]
 
 
+def retighten_state(spark: SparkSession, sf_dir: str):
+    """Corpus TxTable AFTER the full takedown-maintenance cycle (r13):
+    three id-ranged dirs appended with doc_id stats + DELIBERATELY
+    tight blooms (512 bits — the geometry a table outgrows), a first
+    erasure spanning all three ranges (victims: doc_id % 97 == 0) that
+    coalesces the table into one survivor dir carrying a saturated
+    3-way union bloom, the fpr-keyed ``retighten_blooms`` maintenance
+    (metadata-only commit; resizes the bloom to the survivor's actual
+    key count), then a SECOND erasure (doc_id % 101 == 0) that runs
+    against the re-tightened metadata. Consumers read the final table;
+    the retighten mechanics themselves are pytest-pinned
+    (tests/test_txstore_scheduler.py::test_txstore_retighten_blooms_*)."""
+    key = ("retighten", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = _base(spark, sf_dir, "retighten")
+    shutil.rmtree(base, ignore_errors=True)
+
+    corpus = TxTable(spark, f"{base}/corpus")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    for lo_c, hi_c in ((None, cut1), (cut1, cut2), (cut2, None)):
+        part = docs
+        if lo_c is not None:
+            part = part.where(F.col("doc_id") > lo_c)
+        if hi_c is not None:
+            part = part.where(F.col("doc_id") <= hi_c)
+        corpus.append(
+            part,
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+            bloom_bits=512,
+            bloom_k=5,
+        )
+
+    def victims(mod: int) -> list[int]:
+        return [
+            r.doc_id
+            for r in docs.where(F.col("doc_id") % mod == 0)
+            .select("doc_id")
+            .collect()
+        ]
+
+    corpus.delete_keys(victims(97), on="doc_id")
+    corpus.retighten_blooms(["doc_id"], fpr_threshold=0.05)
+    corpus.delete_keys(victims(101), on="doc_id")
+    _CACHE[key] = (corpus, base)
+    return corpus
+
+
 def erasure_state(spark: SparkSession, sf_dir: str):
     """(corpus TxTable, shingle-postings TxTable) AFTER a
     right-to-be-forgotten batch: the corpus lands in three id-ranged

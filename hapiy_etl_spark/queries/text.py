@@ -1740,6 +1740,76 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    freq AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+        WHERE t <> '' GROUP BY t
+    ),
+    top AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, t) AS r
+        FROM freq ORDER BY freq DESC, t LIMIT 1000
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(ln(r)) AS sx, SUM(ln(freq)) AS sy,
+               SUM(ln(r) * ln(freq)) AS sxy, SUM(ln(r) * ln(r)) AS sxx
+        FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           ROUND(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n,
+                 4) AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary (r13): least-squares "
+    "slope of log(freq) vs log(rank) over the top-1000 types — the "
+    "corpus-health fingerprint (natural text sits near -1; synthetic/"
+    "template-heavy corpora flatten, boilerplate floods steepen; track "
+    "per ingest source and alert on drift). Scale shape: one freq "
+    "groupBy, the top-K slice via orderBy+limit (TakeOrdered — each "
+    "partition keeps K, never a global sort or a vocab-grain window "
+    "on the Spark side), and the regression runs driver-side over the "
+    "collected <=1000 rows with the same explicit-sums formula the "
+    "DuckDB twin evaluates (bounded collect, the "
+    "vocab_coverage_curve posture).",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    freq = (
+        t["documents"]
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = [
+        r["freq"]
+        for r in freq.orderBy(F.col("freq").desc(), "t").limit(1000).collect()
+    ]
+    n = len(top)
+    xs = [math.log(r) for r in range(1, n + 1)]
+    ys = [math.log(f) for f in top]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * sx / n
+    return spark.createDataFrame(
+        [(n, round(slope, 4), round(intercept, 4))],
+        "n_types long, zipf_slope double, zipf_intercept double",
+    )
+
+
 def _bpe_word_types(docs: DataFrame) -> DataFrame:
     """(word, cnt) whitespace-token type table — the BPE training input."""
     return (
@@ -4121,6 +4191,51 @@ def corpus_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
             F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
             F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_erasure_retighten",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id % 101 <> 0
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Erasure maintenance cycle end-to-end (r13, VERDICT r12 item "
+    "7): the corpus lands in three id-ranged dirs with DELIBERATELY "
+    "tight doc-id blooms, a first takedown spans all three ranges "
+    "(coalescing the table into one survivor dir whose inherited "
+    "union bloom is saturated by construction), the fpr-keyed "
+    "TxTable.retighten_blooms maintenance rebuilds that dir's bloom "
+    "from its own rows at a RESIZED geometry as a metadata-only "
+    "commit (zero data rewritten — the cheap alternative to an "
+    "OPTIMIZE), and a second takedown then runs against the "
+    "re-tightened metadata. The oracle recomputes the surviving "
+    "corpus relationally, so the hash pins that reads stay exact "
+    "through erase -> retighten -> erase history (growth evidence: "
+    "BASELINE.md r13 — repeated takedowns settle at 1 rewritten dir "
+    "once the trigger runs; bounce mechanics pytest-pinned).",
+)
+def corpus_erasure_retighten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.queries.index_fixtures import retighten_state
+
+    corpus = retighten_state(spark, sf_dir)
+    return (
+        corpus.read()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
         )
         .orderBy("source")
     )

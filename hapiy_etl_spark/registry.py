@@ -53,68 +53,36 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r12 window (tools/rotate_priority.py over CORRECTNESS_r01..r11, then
-# hand-front-loaded): zero failures; the TEN queries registered this
-# round lead as never-checked (multimodal payload/phash/frame/video
-# dedup, BPE train/encode/fertility, repetition stats, the semantic
-# flagship), then the MATERIALLY CHANGED set — revenue_pareto_curve
-# (rebuilt off the global NTILE onto the exact range-partitioned
-# rank), corpus_curriculum_order (null-safe offset joins in its
-# kernel), both simhash queries (banding factored into
-# signature_band_pairs). Backfill is stalest-green-first (the r7-era
-# tail VERDICT r11 item 2 flags) — 10 of those 23 displaced by the
-# new registrations roll to the r13 window.
+# r13 window (tools/rotate_priority.py over CORRECTNESS_r01..r12, then
+# hand-front-loaded): zero failures; the SIX queries registered this
+# round lead as never-checked (IVF-PQ exact-regime twin + lossy top-k,
+# the erase->retighten->erase maintenance cycle, the embedding outlier
+# screen, Zipf fit, inter-arrival stats), then the MATERIALLY CHANGED
+# set — the three BPE queries (Arrow word-type segmenter + batched
+# trainer replaced the nested-replace/1-job-per-merge forms),
+# ann_pq_topk + ann_recall_audit (PQ geometry moved to the 16x256
+# sweep knee; audit gained the ivfpq row), both perceptual multimodal
+# queries (key_cap default + localCheckpoint), and both simhash
+# queries (signature_band_pairs gained the key_cap parameter). The
+# remaining 35 slots backfill stalest-green-first (the r8-era tail
+# VERDICT r12 item 4 flags); the ~13 displaced stale queries roll to
+# the r14 window.
 PRIORITY: tuple[str, ...] = (
-    "dedup_survivorship",
-    "embedding_random_projection",
-    "quality_linear_probe",
-    "resample_interpolate",
-    "events_trending_topk",
-    "corpus_token_budget_plan",
-    "corpus_erasure_audit",
-    "events_attribution_last_touch",
-    "embedding_dimension_stats",
-    "quality_probe_calibration",
-    "ann_recall_audit",
-    "multimodal_payload_dedup",
-    "multimodal_phash_neardup",
-    "multimodal_frame_dedup",
-    "multimodal_video_phash",
+    "ann_ivfpq_exact_regime",
+    "ann_ivfpq_topk",
+    "corpus_erasure_retighten",
+    "embedding_vector_outliers",
+    "text_zipf_slope",
+    "events_interarrival_stats",
     "vocab_bpe_train",
     "vocab_bpe_encode",
     "vocab_fertility_audit",
-    "text_repetition_stats",
-    "flagship_semantic_e2e",
-    "revenue_pareto_curve",
-    "corpus_curriculum_order",
-    "dedup_simhash_portable",
+    "ann_pq_topk",
+    "ann_recall_audit",
+    "multimodal_phash_neardup",
+    "multimodal_video_phash",
     "dedup_simhash",
-    "dedup_cluster_assign",
-    "text_bigram_logprob",
-    "text_bm25_search",
-    "text_bm25_query_table",
-    "dedup_incremental_batch",
-    "text_decontamination",
-    "dedup_exact_substring",
-    "bloom_point_lookup",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q18_large_volume_customers",
-    "q21_sole_returning_supplier",
-    "q4_order_priority_checking",
-    "q10_returned_item_reporting",
-    "q2_min_cost_supplier",
-    "q8_national_market_share",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_part_promotion_suppliers",
-    "fn_variant",
-    "window_time_range_frame",
-    "agg_collect",
-    "events_funnel_conversion",
-    "events_rolling_distinct_users",
+    "dedup_simhash_portable",
     "asof_forward_tolerance",
     "interval_union_coverage",
     "events_daily_anomaly",
@@ -126,6 +94,30 @@ PRIORITY: tuple[str, ...] = (
     "basket_pair_lift",
     "multimodal_metadata",
     "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_predicate_algebra",
+    "join_null_safe",
+    "scd2_point_in_time",
+    "subq_scalar_above_avg",
+    "subq_not_in_anti",
+    "dedup_minhash_portable",
+    "text_repetition_filter",
+    "corpus_mix_sample",
+    "text_chunk_overlap",
+    "corpus_lang_quota",
+    "doc_tfidf_topterms",
+    "corpus_weighted_sample",
+    "text_cdc_chunking",
+    "corpus_split_leakfree",
+    "text_segment_dedup",
+    "corpus_mix_temperature",
+    "doc_novelty_score",
+    "bloom_merge_lookup",
+    "bloom_batch_fetch",
+    "q22_dormant_rich_customers",
 )
 
 

@@ -662,6 +662,39 @@ def test_pq_topk_recall_vs_bruteforce(spark, planted_vectors):
     assert hits >= 4, f"PQ recall too low: {hits}/5"
 
 
+def test_ivfpq_recall(spark, planted_vectors):
+    """IVF-PQ (residual ADC over cell-pruned candidates) surfaces the
+    planted near-duplicate as the nearest neighbor for most queries —
+    the planted pair lands in the same (or a probed) cell and residual
+    quantization error stays tiny next to random-vector distance."""
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    approx = S.ivf_pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=1,
+        n_centroids=4, n_probe=2, m=4, n_codes=16,
+    )
+    got = {r.vec_id: r.neighbor_id for r in approx.collect()}
+    hits = sum(got.get(q) == 100 + q for q in range(5))
+    assert hits >= 4, f"IVF-PQ recall too low: {hits}/5"
+
+
+def test_ivfpq_exact_regime_matches_bruteforce(spark, planted_vectors):
+    """Probe-all + corpus-sized residual codebooks: the composed
+    IVF-PQ path reconstructs the exact L2 ranking (the in-repo twin of
+    the ann_ivfpq_exact_regime oracle pin), and is deterministic."""
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+    nrows = planted_vectors.count()
+    a = sorted(map(tuple, S.ivf_pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=3,
+        n_centroids=3, n_probe=3, m=4, n_codes=1024,
+        train_fraction=1.0, train_limit=nrows,
+    ).collect()))
+    b = sorted(map(tuple, S.pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=3,
+        m=4, n_codes=1024, train_fraction=1.0, train_limit=nrows,
+    ).collect()))
+    assert a == b  # both exact regimes == the true squared-L2 ranking
+
+
 def test_pq_topk_deterministic(spark, planted_vectors):
     """Seeded codebooks + index tie-breaks: identical output across runs."""
     queries = planted_vectors.where(F.col("vec_id") < 3)

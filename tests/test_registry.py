@@ -99,8 +99,12 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "revenue_pareto_curve",  # 1-row customer-count broadcast for
         #   the NTILE size rule + bounded 10x10 decile prefix cross
         #   (r12 rebuild off the last data-grain global window)
-        "vocab_bpe_train",  # one 1-row best-pair broadcast cross per
-        #   merge round (the BPE apply step, r12)
+        # vocab_bpe_train left this list in r13: the batched trainer
+        #   applies driver-collected merges as literal replaces, so
+        #   the per-round 1-row broadcast cross no longer exists
+        "embedding_vector_outliers",  # 1-row global-moments row
+        #   broadcast back onto the per-vector scan (the sanctioned
+        #   scalar-cross shape, r13)
         "flagship_semantic_e2e",  # bounded probe-cell cross: 10
         #   queries x 4 broadcast centroids against the healed IVF
         #   (same shape as cdc_ivf_index_maintenance, r12)

@@ -3154,6 +3154,67 @@ def test_txstore_delete_keys_bloom_pruned_erasure(spark, tmp_path):
     assert left == {None, 2}
 
 
+def test_txstore_retighten_blooms_decays_erasure_bounce(spark, tmp_path):
+    """The fpr-keyed re-tighten (r13): repeated copy-on-write erasures
+    consolidate survivors into one dir whose inherited union bloom —
+    at the PARENTS' geometry — saturates, so later erasures of absent
+    keys keep false-positive-rewriting it (the 1↔9 bounce in the r12
+    growth table). retighten_blooms detects the saturated dir from the
+    manifest alone, rebuilds its bloom from its own rows at a geometry
+    resized to the dir's actual key count (metadata-only commit, zero
+    data rewritten), and the bounce stops: absent-key erasures become
+    no-commit no-ops again."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    # deliberately TIGHT geometry (256 bits): each dir's 60 keys fill
+    # ~half the bitmap, so the 4-way union saturates
+    for lo in (0, 1000, 2000, 3000):
+        rows = [(lo + i, f"doc{lo + i}") for i in range(60)]
+        t.append(
+            spark.createDataFrame(rows, "doc_id long, body string"),
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+            bloom_bits=256,
+            bloom_k=5,
+        )
+    # one erasure touching all four ranges -> ONE survivor dir carrying
+    # the 4-way union bloom (and union [0, 3059] stats)
+    t.delete_keys([5, 1005, 2005, 3005], on="doc_id")
+    m = t._manifest(t.latest_version())
+    assert len(m["dirs"]) == 1
+    ests = t.bloom_fpr_estimates("doc_id")
+    (survivor,) = m["dirs"]
+    assert ests[survivor] > 0.5  # saturated union: estimate screams
+
+    # the bounce: an ABSENT key false-positives through the saturated
+    # bloom (and the union stats range), forcing a pointless rewrite
+    v_before = t.latest_version()
+    t.delete_keys([1500], on="doc_id")  # 1500 inside union range, absent
+    assert t.latest_version() > v_before  # rewrite happened (the bounce)
+
+    # re-tighten: metadata-only commit, dirs byte-identical, estimate
+    # collapses because the rebuilt bloom is sized to ~236 actual keys
+    m1 = t._manifest(t.latest_version())
+    fixed = t.retighten_blooms(["doc_id"], fpr_threshold=0.05)
+    assert fixed == m1["dirs"]
+    m2 = t.latest_version()
+    assert t._manifest(m2)["op"] == "retighten"
+    assert t._manifest(m2)["dirs"] == m1["dirs"]  # zero data rewritten
+    est2 = t.bloom_fpr_estimates("doc_id")
+    assert all(e < 0.05 for e in est2.values()), est2
+    # stats re-tightened along: the recorded range shrinks to contents
+    new_stats = t._manifest(m2)["stats"][t._manifest(m2)["dirs"][0]]
+    assert new_stats["doc_id"][0] >= 0 and new_stats["doc_id"][1] <= 3059
+
+    # bounce decayed: the same absent-key erasure now proves clean from
+    # metadata and commits NOTHING
+    assert t.delete_keys([1501], on="doc_id") == m2
+    # idempotent: nothing left over threshold, no further commit
+    assert t.retighten_blooms(["doc_id"], fpr_threshold=0.05) == []
+    assert t.latest_version() == m2
+    # reads unchanged through the whole cycle
+    assert t.read().count() == 240 - 4
+
+
 def test_erasure_propagates_to_shingle_index(spark, tmp_path):
     """Right-to-be-forgotten across the corpus AND a derived postings
     index: after delete_keys on both, the index equals a one-shot

@@ -235,6 +235,24 @@ SHOWCASE = [
     # r12: calibration — 1-row model + 1-row percentile cuts broadcast
     # back (sanctioned crosses), grouped rollup at quintile grain
     ("quality_probe_calibration", ["BroadcastNestedLoopJoin", "HashAggregate"]),
+    # r13: IVF-PQ — probed-cell isin filter BEFORE the Arrow stage,
+    # residual zip_with against the broadcast centroid table, global
+    # refine window; no nested-loop join anywhere
+    ("ann_ivfpq_topk", ["MapInPandas", "Filter", "Window"]),
+    # r13: BPE encode — Arrow word-type segmenter joins back via a
+    # plain equi hash join (the n_merges-deep expression is gone)
+    ("vocab_bpe_encode", ["MapInPandas", "Join", "HashAggregate"]),
+    # r13: perceptual near-dup with the hot-bucket cap — the cap is a
+    # (band, key)-partitioned window before the banded equi self-join
+    ("multimodal_phash_neardup", ["Window", "Join", "MapInPandas"]),
+    # r13: erase -> retighten -> erase — reads the maintained TxTable
+    # (FileScan) and aggregates; retighten itself is metadata-only
+    ("corpus_erasure_retighten", ["Scan parquet", "HashAggregate"]),
+    # r13: outlier screen — one array-fold scan + sanctioned 1-row
+    # moments cross, no windows
+    ("embedding_vector_outliers", ["BroadcastNestedLoopJoin", "HashAggregate"]),
+    # r13: cadence stats — user-partitioned window, one grouped agg
+    ("events_interarrival_stats", ["Window", "HashAggregate"]),
 ]
 
 

@@ -1388,6 +1388,186 @@ def soak_continuous_main(seconds: int) -> None:
     spark.stop()
 
 
+def soak_erasure_main(seconds: int) -> None:
+    """Erasure under the ALWAYS-ON healer (r13, VERDICT r12 item 6):
+    writer thread appends waves under vacuum pressure while ONE
+    continuous-trigger healer runs — then a right-to-be-forgotten
+    takedown (`delete_keys`) lands on the corpus MID-RUN while both
+    are live. The change feed hits the non-append commit and the
+    healer dies with its loud not-representable error BY DESIGN
+    (never a silent skip); the runbook then executes exactly as
+    documented: `heal_recover_from_rewrite` (erase the victim's
+    orphaned postings, backfill appends the dead healer missed) and a
+    fresh-checkpoint restart at the returned snapshot_version. The
+    writer never stops through any of this.
+
+    Claims: (a) the loud-resync path fired exactly once, on the
+    takedown commit; (b) exactly-once END-TO-END — after drain the
+    healed index equals a one-shot build over the final post-takedown
+    corpus (order-free fingerprint), with zero victim postings; (c)
+    liveness resumes — the restarted healer drains the writer's
+    backlog to lag 0."""
+    import glob
+    import re as _re
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators import textindex as TI
+    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.session import get_spark
+    from hapiy_etl_spark.streaming.jobs import (
+        heal_index_from_changes,
+        heal_recover_from_rewrite,
+    )
+
+    spark = get_spark("scale_growth_soak_erasure")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 8 == 0))
+    )
+    stride = 8 * (int(docs.agg(F.max("doc_id")).first()[0]) // 8 + 1)
+    base = tempfile.mkdtemp(prefix="healer_erasure_")
+    corpus_p, idx_p = f"{base}/corpus", f"{base}/idx"
+    ckpt1, ckpt2 = f"{base}/ckpt1", f"{base}/ckpt2"
+    corpus = TxTable(spark, corpus_p)
+    stop = threading.Event()
+    wave_n = [0]
+    keep_last = 20
+    build = lambda b: TI.shingle_postings_build(b.select("doc_id", "text"))
+
+    def writer() -> None:
+        while not stop.is_set() and wave_n[0] < max(10, seconds // 2):
+            i = wave_n[0] + 1
+            corpus.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * stride)).alias("doc_id"),
+                    F.regexp_replace(
+                        F.col("text"), F.lit(r"(\S+)"), F.lit(f"w{i}$1")
+                    ).alias("text"),
+                ),
+                stats_cols=["doc_id"],
+                bloom_cols=["doc_id"],
+            )
+            wave_n[0] = i
+            stop.wait(2.5)
+
+    def healed_through(ckpt: str) -> int | None:
+        files = [
+            p
+            for p in glob.glob(f"{ckpt}/offsets/*")
+            if _re.fullmatch(r"\d+", Path(p).name)
+        ]
+        if not files:
+            return None
+        latest = max(files, key=lambda p: int(Path(p).name))
+        nums = _re.findall(r"\d+", Path(latest).read_text().splitlines()[-1])
+        return int(nums[-1]) if nums else None
+
+    def start_healer(ckpt: str, starting_version: int | None = None):
+        return heal_index_from_changes(
+            spark,
+            corpus_p,
+            idx_p,
+            ckpt,
+            build,
+            stats_cols=["tb"],
+            extra_meta={"n_buckets": TI.N_BUCKETS},
+            max_versions_per_trigger=3,
+            trigger_processing_time="2 seconds",
+            starting_version=starting_version,
+        )
+
+    wave_n[0] = 1
+    corpus.append(
+        docs.select("doc_id", "text"), stats_cols=["doc_id"], bloom_cols=["doc_id"]
+    )
+    victim = int(docs.agg(F.min("doc_id")).first()[0])
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    q = start_healer(ckpt1)
+    t0 = time.time()
+    takedown_at = seconds * 0.4
+    events = []
+    loud_error = None
+    recovery = None
+    try:
+        # phase 1: healthy co-run, then the mid-run takedown
+        while time.time() - t0 < takedown_at:
+            time.sleep(1.0)
+        v_take = corpus.delete_keys([victim], on="doc_id")
+        events.append(("takedown_commit", v_take))
+        # phase 2: the healer MUST die loudly when its feed crosses the
+        # delete commit (it may first drain pending appends)
+        deadline = time.time() + 90
+        while q.isActive and time.time() < deadline:
+            time.sleep(1.0)
+        if q.isActive:
+            raise AssertionError("healer survived a delete span — resync contract broken")
+        loud_error = str(q.exception())
+        assert _re.search(r"rewr|resync|table_diff", loud_error), loud_error
+        # phase 3: the runbook — resync from contents, restart fresh
+        recovery = heal_recover_from_rewrite(
+            spark, corpus_p, idx_p, on="doc_id", build_fn=build,
+            stats_cols=["tb"], bloom_cols=["doc_id"],
+            extra_meta={"n_buckets": TI.N_BUCKETS},
+        )
+        q = start_healer(ckpt2, starting_version=recovery["snapshot_version"])
+        # phase 4: run out the clock, stop writer, drain
+        while time.time() - t0 < seconds:
+            time.sleep(1.0)
+        stop.set()
+        t.join()
+        deadline = time.time() + 120
+        while time.time() < deadline and (
+            (healed_through(ckpt2) or 0) < corpus.latest_version()
+        ):
+            time.sleep(2.0)
+    finally:
+        stop.set()
+        if q.isActive:
+            q.stop()
+
+    idx = TxTable(spark, idx_p)
+
+    def fingerprint(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(sorted(df.columns)) + "))"
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"] or 0)
+
+    cols = ["doc_id", "shingle", "tb", "n_sh"]
+    healed_fp = fingerprint(idx.read().select(*cols))
+    oneshot_fp = fingerprint(build(corpus.read()).select(*cols))
+    victim_postings = idx.read().where(F.col("doc_id") == victim).count()
+    out = {
+        "soak_seconds": seconds,
+        "mode": "always_on_healer_with_midrun_erasure",
+        "waves_written": wave_n[0],
+        "loud_resync_fired_once": bool(
+            loud_error and _re.search(r"rewr|resync|table_dif" + "f", loud_error)
+        ),
+        "recovery": recovery,
+        "exactly_once_healed_equals_oneshot": healed_fp == oneshot_fp,
+        "healed_rows": healed_fp[0],
+        "victim_postings_after": victim_postings,
+        "final_lag_after_drain": max(
+            0, corpus.latest_version() - (healed_through(ckpt2) or 0)
+        ),
+        "corpus_dirs": corpus.n_dirs(),
+        "idx_dirs": idx.n_dirs(),
+    }
+    print(json.dumps(out))
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
 def soak_healer_main(seconds: int) -> None:
     """Decoupled-healer soak (r12, VERDICT r11 item 6): one thread
     appends corpus waves as PLAIN TxTable appends (the ingest job —
@@ -1571,7 +1751,7 @@ def soak_healer_main(seconds: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
-def erasure_main(n_batches: int) -> None:
+def erasure_main(n_batches: int, retighten: bool = False) -> None:
     """Right-to-be-forgotten growth: land n disjoint id-shifted copies
     of the documents corpus (doc_id stats + blooms per dir) plus a
     shingle-postings index with per-dir doc-id blooms, then erase ONE
@@ -1579,7 +1759,15 @@ def erasure_main(n_batches: int) -> None:
     append. The scale claim: dirs REWRITTEN per takedown stays ~1 on
     the corpus (id-range stats) and bounded by the victim's bucket
     count on the index (doc-id blooms) while the table grows nx — an
-    unpruned erasure would rewrite all dirs every time."""
+    unpruned erasure would rewrite all dirs every time.
+
+    ``retighten`` (r13): after each takedown, run the fpr-keyed
+    ``retighten_blooms`` maintenance on both tables and record how
+    many dirs it re-tightened plus the post-maintenance max FPR
+    estimate — the evidence that the 1↔9 rewrite bounce (superset
+    union blooms accumulating false positives) decays once the
+    trigger runs. Compare the index_dirs_rewritten column with and
+    without the flag."""
     import shutil
     import tempfile
 
@@ -1616,16 +1804,63 @@ def erasure_main(n_batches: int) -> None:
         dt = time.perf_counter() - t0
         c_rw = len(c_dirs0 - set(corpus._manifest(corpus.latest_version())["dirs"]))
         i_rw = len(i_dirs0 - set(idx._manifest(idx.latest_version())["dirs"]))
-        rows.append(
-            {
-                "x": i,
-                "corpus_dirs": len(c_dirs0),
-                "corpus_dirs_rewritten": c_rw,
-                "index_dirs": len(i_dirs0),
-                "index_dirs_rewritten": i_rw,
-                "erase_s": round(dt, 2),
-            }
-        )
+        row = {
+            "x": i,
+            "corpus_dirs": len(c_dirs0),
+            "corpus_dirs_rewritten": c_rw,
+            "index_dirs": len(i_dirs0),
+            "index_dirs_rewritten": i_rw,
+            "erase_s": round(dt, 2),
+        }
+        if retighten:
+            t1 = time.perf_counter()
+            fixed = len(corpus.retighten_blooms(["doc_id"])) + len(
+                idx.retighten_blooms(["doc_id"])
+            )
+            ests = list(corpus.bloom_fpr_estimates("doc_id").values()) + list(
+                idx.bloom_fpr_estimates("doc_id").values()
+            )
+            row["retightened_dirs"] = fixed
+            row["max_fpr_est"] = round(max(ests), 4) if ests else 0.0
+            row["retighten_s"] = round(time.perf_counter() - t1, 2)
+        rows.append(row)
+        print(rows[-1], flush=True)
+    # REPEATED-takedown phase (r13): growth stops; n_batches more
+    # victims erased back-to-back. This isolates the bounce from the
+    # genuine first-erasure bucket spread: once the victim batch's
+    # postings are coalesced, every further rewrite beyond 1 dir is a
+    # false positive off accumulated union blooms — with the fpr-keyed
+    # retighten after each takedown, rewritten dirs must TREND TO 1.
+    print("# repeated takedowns (no growth)")
+    for j in range(1, n_batches + 1):
+        victim = [int(100 + j)]
+        cv0, iv0 = corpus.latest_version(), idx.latest_version()
+        c_dirs0 = set(corpus._manifest(cv0)["dirs"])
+        i_dirs0 = set(idx._manifest(iv0)["dirs"])
+        t0 = time.perf_counter()
+        corpus.delete_keys(victim, on="doc_id")
+        idx.delete_keys(victim, on="doc_id")
+        dt = time.perf_counter() - t0
+        row = {
+            "takedown": j,
+            "corpus_dirs_rewritten": len(
+                c_dirs0 - set(corpus._manifest(corpus.latest_version())["dirs"])
+            ),
+            "index_dirs_rewritten": len(
+                i_dirs0 - set(idx._manifest(idx.latest_version())["dirs"])
+            ),
+            "erase_s": round(dt, 2),
+        }
+        if retighten:
+            fixed = len(corpus.retighten_blooms(["doc_id"])) + len(
+                idx.retighten_blooms(["doc_id"])
+            )
+            ests = list(corpus.bloom_fpr_estimates("doc_id").values()) + list(
+                idx.bloom_fpr_estimates("doc_id").values()
+            )
+            row["retightened_dirs"] = fixed
+            row["max_fpr_est"] = round(max(ests), 4) if ests else 0.0
+        rows.append(row)
         print(rows[-1], flush=True)
     print("# summary")
     for r in rows:
@@ -1640,7 +1875,10 @@ def main() -> None:
 
     args = sys.argv[1:]
     if args and args[0] == "--erasure":
-        erasure_main(int(args[1]) if args[1:] else 6)
+        erasure_main(
+            int(args[1]) if args[1:] else 6,
+            retighten="retighten" in args[2:],
+        )
         return
     if args and args[0] == "--soak":
         soak_main(int(args[1]) if args[1:] else 60)
@@ -1650,6 +1888,9 @@ def main() -> None:
         return
     if args and args[0] == "--soak-continuous":
         soak_continuous_main(int(args[1]) if args[1:] else 60)
+        return
+    if args and args[0] == "--soak-erasure":
+        soak_erasure_main(int(args[1]) if args[1:] else 60)
         return
     if args and args[0] == "--mv":
         mv_main(int(args[1]) if args[1:] else 8)
