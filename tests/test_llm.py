@@ -703,6 +703,30 @@ def test_pq_topk_deterministic(spark, planted_vectors):
     assert a == b
 
 
+def test_ivfpq_guards(spark, planted_vectors):
+    """Empty query set returns a typed empty frame; a non-dividing m
+    raises loudly (the pq_topk guard, inherited by the composition)."""
+    import pytest as _pytest
+
+    empty_q = planted_vectors.where(F.col("vec_id") < 0)
+    out = S.ivf_pq_topk(
+        empty_q, planted_vectors, "vec_id", "vec_id", k=3,
+        n_centroids=3, n_probe=2, m=4, n_codes=8,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "neighbor_id", "rank", "approx_l2sq"}
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.ivf_pq_topk(
+            planted_vectors.where(F.col("vec_id") < 2),
+            planted_vectors,
+            "vec_id",
+            "vec_id",
+            n_centroids=3,
+            m=5,  # 16-dim vectors: 16 % 5 != 0
+            n_codes=8,
+        )
+
+
 def test_pq_topk_guards(spark, planted_vectors):
     """Empty query set returns an empty (correctly-typed) result, and a
     non-dividing m raises loudly instead of silently dropping dims."""
@@ -1318,13 +1342,13 @@ def test_quality_probe_calibration_is_monotone(spark, sf_dir):
 
 
 def test_ann_recall_audit_shape_and_bounds(spark, sf_dir):
-    """The recall audit reports all three lossy methods against the
+    """The recall audit reports all four lossy methods against the
     full expected set, with recalls in [0,1] and the cell-probing
     methods (IVF/LSH) well above the random floor."""
     from hapiy_etl_spark.registry import all_queries
 
     rows = {r.method: r for r in all_queries()["ann_recall_audit"].fn(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "pq"}
+    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq"}  # +ivfpq r13
     for r in rows.values():
         assert r.n_expected == 30 and 0 <= r.n_matched <= r.n_expected
         assert 0.0 <= r.recall_at_3 <= 1.0

@@ -188,17 +188,20 @@ SHOWCASE = [
     # r12: exact multimodal dedup — a two-phase aggregate over 32-byte
     # payload digests; payload bytes never ride the shuffle
     ("multimodal_payload_dedup", ["HashAggregate", "Exchange"]),
-    # r12: perceptual near-dedup — Arrow-batched dHash (MapInPandas),
+    # r12/r13: perceptual near-dedup — the Arrow dHash pass runs once
+    # at build (eager localCheckpoint; the plan reads its blocks as
+    # Scan ExistingRDD), the r13 key_cap rides a (band, key) window,
     # then the shared Manku banding as a hash equi-join; never a
     # nested-loop pair enumeration
-    ("multimodal_phash_neardup", ["MapInPandas", "Join", "NestedLoop"]),
-    # r12: BPE trainer — the returned merges frame is a union of
-    # checkpointed 1-row argmax results (each round's pair-count
-    # aggregate + TakeOrdered ran at build time, lineage truncated)
-    ("vocab_bpe_train", ["Union", "Scan ExistingRDD"]),
-    # r12: BPE encode — posexplode + the merge fold as pure column
-    # algebra (replace chain), one grouped collect per doc
-    ("vocab_bpe_encode", ["Generate", "ObjectHashAggregate"]),
+    ("multimodal_phash_neardup", ["Window", "Join", "Scan ExistingRDD", "NestedLoop"]),
+    # r12/r13: BPE trainer — each batched round's pair-count aggregate
+    # + TakeOrdered ran at build time; the returned merges table is
+    # the driver-built local frame
+    ("vocab_bpe_train", ["Scan ExistingRDD", "LocalTableScan"]),
+    # r12/r13: BPE encode — posexplode, the Arrow word-type segmenter
+    # (MapInPandas over distinct words) hash-joined back, one grouped
+    # collect per doc
+    ("vocab_bpe_encode", ["MapInPandas", "Join", "Generate", "ObjectHashAggregate"]),
     # r12: the embedding-side flagship — probe-all read off the
     # healer-written inverted file (FileScan of the session-fixture
     # table), broadcast centroid/query sides, per-query top-k window
@@ -207,9 +210,10 @@ SHOWCASE = [
     # hash equi-join on (frame_idx, digest); payload bytes stay out of
     # the shuffle, the vote is one grouped count
     ("multimodal_frame_dedup", ["HashAggregate", "Join", "NestedLoop"]),
-    # r12: video perceptual near-dup — per-frame dHash (MapInPandas)
-    # through the shared banding equi-join + one grouped frame vote
-    ("multimodal_video_phash", ["MapInPandas", "Join", "NestedLoop"]),
+    # r12/r13: video perceptual near-dup — per-frame Arrow dHash
+    # materialized once (eager localCheckpoint -> Scan ExistingRDD),
+    # key_cap window, shared banding equi-join + one grouped vote
+    ("multimodal_video_phash", ["Window", "Join", "Scan ExistingRDD", "NestedLoop"]),
     # r12: survivorship election rides the cluster-grain window (never
     # an empty partition spec) + one metadata-merge aggregate
     ("dedup_survivorship", ["Window", "HashAggregate"]),
@@ -239,12 +243,6 @@ SHOWCASE = [
     # residual zip_with against the broadcast centroid table, global
     # refine window; no nested-loop join anywhere
     ("ann_ivfpq_topk", ["MapInPandas", "Filter", "Window"]),
-    # r13: BPE encode — Arrow word-type segmenter joins back via a
-    # plain equi hash join (the n_merges-deep expression is gone)
-    ("vocab_bpe_encode", ["MapInPandas", "Join", "HashAggregate"]),
-    # r13: perceptual near-dup with the hot-bucket cap — the cap is a
-    # (band, key)-partitioned window before the banded equi self-join
-    ("multimodal_phash_neardup", ["Window", "Join", "MapInPandas"]),
     # r13: erase -> retighten -> erase — reads the maintained TxTable
     # (FileScan) and aggregates; retighten itself is metadata-only
     ("corpus_erasure_retighten", ["Scan parquet", "HashAggregate"]),
