@@ -187,11 +187,72 @@ def _segment_word(word: str, ops: list[tuple[str, str]]) -> list[str]:
     """Pure-Python merge fold for ONE word: wrap, apply each merge in
     rank order (str.replace scans left-to-right over non-overlapping
     occurrences — the same leftmost-greedy semantics as Spark's and
-    DuckDB's ``replace``), split back to subwords."""
+    DuckDB's ``replace``), split back to subwords. O(n_merges · len)
+    per word — the reference semantics and the fallback for merges
+    tables that violate the topological precondition below."""
     s = "".join(f"{SEP}{c}{SEP}" for c in word)
     for old, new in ops:
         s = s.replace(old, new)
     return s[1:-1].split(SEP + SEP)
+
+
+def _segment_word_ranked(
+    word: str, ranks: dict[tuple[str, str], tuple[int, str]]
+) -> list[str]:
+    """Rank-priority BPE encode for ONE word — O(len · pairs-present),
+    INDEPENDENT of vocabulary size: repeatedly merge the lowest-rank
+    adjacent pair present (all its occurrences, left-to-right
+    non-overlapping), like every production tokenizer.
+
+    Equivalent to the rank-order fold (``_segment_word``) whenever the
+    merges table is TOPOLOGICAL — every pair's constituents exist
+    before its rank, which a trainer-produced table satisfies by
+    construction (pair (x, ab) can only be counted after merge ab
+    happened): processing in rank order, a merge can only create
+    adjacencies involving its HIGHER-ranked product, so no
+    lower-ranked pair ever (re)appears after its turn and "lowest
+    present, repeatedly" replays the identical sequence.
+    ``bpe_segment`` checks the precondition once, driver-side, and
+    falls back to the fold otherwise. Equivalence pytest-pinned on
+    trainer-produced and adversarial tables."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r[0] < best_rank):
+                best_rank, best_pair = r[0], (syms[i], syms[i + 1], r[1])
+        if best_pair is None:
+            break
+        lft, rgt, merged = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == lft and syms[i + 1] == rgt:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _merges_topological(rows) -> bool:
+    """True when every merge's constituents predate it: no merge's lhs
+    or rhs equals a product ``merged`` of an EQUAL-OR-LATER rank. One
+    O(n_merges) driver-side pass over the collected table."""
+    first_product_rank: dict[str, int] = {}
+    for r in rows:  # rows ordered by merge_rank
+        if r["merged"] not in first_product_rank:
+            first_product_rank[r["merged"]] = r["merge_rank"]
+    for r in rows:
+        for side in (r["lhs"], r["rhs"]):
+            pr = first_product_rank.get(side)
+            if pr is not None and pr >= r["merge_rank"]:
+                return False
+    return True
 
 
 def bpe_segment(df: DataFrame, word_col: str, merges: DataFrame):
@@ -209,32 +270,66 @@ def bpe_segment(df: DataFrame, word_col: str, merges: DataFrame):
     form, ``bpe_apply_expr_sql``), but a 30k-merge production
     tokenizer means a 30k-deep Catalyst expression tree — analysis /
     codegen dies (stack depth, 64KB method limits) long before data
-    size matters. The Python fold is semantics-identical
-    (``str.replace`` and Spark's ``replace`` share the leftmost
-    non-overlapping scan; equivalence pytest-pinned vs the expression
-    form, and exercised at 5,000 merges where the expression would
-    not compile — tests/test_tokenizer_seams.py)."""
+    size matters. Per word the segmenter is the RANK-PRIORITY encoder
+    (``_segment_word_ranked``: merge the lowest-rank adjacent pair
+    present, repeatedly — O(len · pairs-present), independent of
+    vocabulary size, the production-tokenizer algorithm), proven
+    equivalent to the rank-order replace fold on TOPOLOGICAL tables
+    (every trainer output; checked once driver-side, with the fold as
+    the fallback for hand-built tables that violate it). Equivalence
+    pytest-pinned vs the expression form and the fold, and exercised
+    at 5,000 merges where the expression would not compile —
+    tests/test_tokenizer_seams.py."""
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    ops = [
-        (f"{SEP}{r['lhs']}{SEP}{SEP}{r['rhs']}{SEP}", f"{SEP}{r['merged']}{SEP}")
-        for r in merges.orderBy("merge_rank").collect()
-    ]
-    bc = spark.sparkContext.broadcast(ops)
+    rows = merges.orderBy("merge_rank").collect()
+    if _merges_topological(rows):
+        # production path: rank-priority encode, O(len · pairs-present)
+        # per word type — independent of vocabulary size (a 30k-merge
+        # fold would scan every word 30k times; this scans it ~len
+        # times). Trainer-produced tables always take this branch.
+        ranks = {
+            (r["lhs"], r["rhs"]): (r["merge_rank"], r["merged"]) for r in rows
+        }
+        bc = spark.sparkContext.broadcast(ranks)
 
-    def seg_batches(batches):
-        ops_ = bc.value
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "__bpe_word": pdf["__bpe_word"],
-                    "subwords": [
-                        _segment_word(w, ops_) for w in pdf["__bpe_word"]
-                    ],
-                }
+        def seg_batches(batches):
+            ranks_ = bc.value
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "__bpe_word": pdf["__bpe_word"],
+                        "subwords": [
+                            _segment_word_ranked(w, ranks_)
+                            for w in pdf["__bpe_word"]
+                        ],
+                    }
+                )
+    else:
+        # non-topological table (hand-built): the rank-order fold IS
+        # the semantics — keep it, at O(n_merges · len) per type
+        ops = [
+            (
+                f"{SEP}{r['lhs']}{SEP}{SEP}{r['rhs']}{SEP}",
+                f"{SEP}{r['merged']}{SEP}",
             )
+            for r in rows
+        ]
+        bc = spark.sparkContext.broadcast(ops)
+
+        def seg_batches(batches):
+            ops_ = bc.value
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "__bpe_word": pdf["__bpe_word"],
+                        "subwords": [
+                            _segment_word(w, ops_) for w in pdf["__bpe_word"]
+                        ],
+                    }
+                )
 
     types = (
         df.select(F.col(word_col).alias("__bpe_word"))

@@ -277,3 +277,63 @@ def test_bpe_segment_survives_production_merge_count(spark):
     assert segs[3] == ["abc", "x"]
     for i, w in ((1, "abcd"), (2, "dcba"), (3, "abcx")):
         assert "".join(segs[i]) == w  # decode identity survives scale
+
+
+def test_bpe_ranked_encoder_equals_fold(spark):
+    """The rank-priority encoder (O(len · pairs-present) per word, the
+    production path) replays the rank-order fold exactly on
+    trainer-produced (topological) tables — across random corpora and
+    probe words, including words with symbols the vocab never saw."""
+    import random
+
+    from hapiy_etl_spark.operators.bpe import (
+        _merges_topological,
+        _segment_word,
+        _segment_word_ranked,
+        bpe_train,
+    )
+
+    rng = random.Random(31)
+    SEP = "\x1f"
+    for trial in range(4):
+        wt = {}
+        for _ in range(40):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randrange(2, 10)))
+            wt[w] = wt.get(w, 0) + rng.randrange(1, 30)
+        df = spark.createDataFrame(list(wt.items()), "word string, cnt long")
+        rows = bpe_train(df, 15).orderBy("merge_rank").collect()
+        assert _merges_topological(rows)  # trainer tables always are
+        ops = [
+            (f"{SEP}{r['lhs']}{SEP}{SEP}{r['rhs']}{SEP}", f"{SEP}{r['merged']}{SEP}")
+            for r in rows
+        ]
+        ranks = {(r["lhs"], r["rhs"]): (r["merge_rank"], r["merged"]) for r in rows}
+        probes = list(wt) + ["abcdabcd", "zzz", "a", "dcba" * 5]
+        for w in probes:
+            assert _segment_word_ranked(w, ranks) == _segment_word(w, ops), w
+
+
+def test_bpe_non_topological_table_falls_back_to_fold(spark):
+    """A hand-built merges table can reference a product BEFORE it
+    exists (rank 1 uses 'ab', rank 2 creates it) — there the two
+    algorithms genuinely diverge, the topological check catches it,
+    and bpe_segment serves the FOLD semantics."""
+    from hapiy_etl_spark.operators.bpe import (
+        _merges_topological,
+        bpe_segment,
+    )
+
+    merges = spark.createDataFrame(
+        [(1, "ab", "c", "abc", 5), (2, "a", "b", "ab", 9)],
+        "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+    )
+    assert not _merges_topological(merges.collect())
+    segs = {
+        r["word"]: list(r["subwords"])
+        for r in bpe_segment(
+            spark.createDataFrame([("abc",)], "word string"), "word", merges
+        ).collect()
+    }
+    # fold: rank 1 is a no-op ('ab' not a symbol yet), rank 2 -> ab, c
+    # (the ranked encoder would have produced ['abc'])
+    assert segs["abc"] == ["ab", "c"]
