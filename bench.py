@@ -190,7 +190,11 @@ def main() -> None:
     # ~250-290 s wall (timed + prewarm) under ambient load — 520 was
     # again stopping the protocol at 2 reps; 660 restores the 3-rep
     # median at a bounded ~20 min worst case.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "660"))
+    # 780 (r13): 244 queries + the two takedown fixtures put a rep at
+    # ~185-275 s wall under ambient load; 660 left rep 3 starting with
+    # almost no margin (warm+prewarm+2 reps ~ 550-600 s). Worst case
+    # stays ~23 min; the recorded artifact stays a 3-rep median.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
     bench_t0 = time.perf_counter()
     per_rep: list[dict[str, float]] = []
     rep_loads: list[float] = []

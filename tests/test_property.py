@@ -650,3 +650,122 @@ def test_prefix_bucketed_row_number_matches_global_window(
         ).collect()
     }
     assert got == want
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(st.integers(0, 60), min_size=1, max_size=8, unique=True),
+            ),
+            st.tuples(
+                st.just("erase"),
+                st.lists(st.integers(0, 70), min_size=1, max_size=4, unique=True),
+            ),
+            st.tuples(st.just("retighten"), st.just([])),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    probes=st.lists(st.integers(-5, 70), min_size=1, max_size=3),
+)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_txstore_erasure_retighten_reads_always_exact(
+    spark, tmp_path_factory, ops, probes
+):
+    """Catch-all maintenance invariant (r13): under randomized
+    interleavings of tight-bloomed appends, keyed erasures, and
+    fpr-keyed retightens, the table always reads exactly like the
+    Python multiset model — full scans AND point lookups. Retighten is
+    METADATA-ONLY by contract, so it may never change any read; tiny
+    256-bit blooms force real saturation so the retighten branch
+    actually fires and resizes."""
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    tmp = tmp_path_factory.mktemp("rtprop")
+    t = TxTable(spark, str(tmp / "t"))
+    live: list[int] = []
+    for op, keys in ops:
+        if op == "append":
+            t.append(
+                spark.createDataFrame([(k,) for k in keys], "k long"),
+                stats_cols=["k"],
+                bloom_cols=["k"],
+                bloom_bits=256,
+                bloom_k=5,
+            )
+            live.extend(keys)
+        elif op == "erase":
+            if not live or t.latest_version() == 0:
+                continue
+            t.delete_keys(keys, on="k")
+            live = [k for k in live if k not in set(keys)]
+        else:
+            if t.latest_version() == 0:
+                continue
+            t.retighten_blooms(["k"], fpr_threshold=0.05)
+        if t.latest_version():
+            got_all = sorted(r.k for r in t.read().collect())
+            assert got_all == sorted(live), (ops, got_all, live)
+            for p in probes:
+                got = sorted(r.k for r in t.read(where={"k": p}).collect())
+                want = sorted(k for k in live if k == p)
+                assert got == want, (ops, p, got, want)
+
+
+@given(
+    bases=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    ),
+    flips=st.lists(
+        st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_signature_band_pairs_pigeonhole_recall(spark, bases, flips):
+    """The Manku banding guarantee, property-tested: for ANY signature
+    set, every pair within hamming <= 3 is emitted (pigeonhole recall
+    1.0 — planted perturbations flip <= 3 random bits of a base), no
+    emitted pair exceeds the refine threshold, and reported hamming is
+    exact. The kernel under test is shared by SimHash and the whole
+    perceptual multimodal family."""
+    from hapiy_etl_spark.operators.dedup import signature_band_pairs
+
+    rows = [(i, s) for i, s in enumerate(bases)]
+    nxt = len(bases)
+    planted = []
+    for j, bits in enumerate(flips):
+        base_id = j % len(bases)
+        sig = bases[base_id]
+        for b in bits:
+            sig ^= 1 << b
+        sig = sig - (1 << 64) if sig >= (1 << 63) else sig
+        rows.append((nxt + j, sig))
+        planted.append((base_id, nxt + j, rows[base_id][1], sig))
+    df = spark.createDataFrame(rows, "doc long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in signature_band_pairs(df, max_hamming=3).collect()
+    }
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for a, b, sa, sb in planted:
+        d = ham(sa, sb)
+        if d <= 3:  # pigeonhole: MUST be found
+            assert got.get((min(a, b), max(a, b))) == d, (rows, a, b, d)
+    # soundness: nothing above the threshold, hamming values exact
+    sigs = dict(rows)
+    for (a, b), d in got.items():
+        assert d == ham(sigs[a], sigs[b]) and d <= 3
