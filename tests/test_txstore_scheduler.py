@@ -3495,6 +3495,104 @@ def test_healer_continuous_trigger_always_on(spark, tmp_path):
         q.stop()
 
 
+def test_healer_always_on_survives_midrun_takedown(spark, tmp_path):
+    """Unit twin of the r13 --soak-erasure run: a delete_keys takedown
+    lands WHILE the always-on (processingTime) healer is live. The
+    change feed must kill the query LOUDLY at the non-append commit
+    (never a silent skip), the runbook recovery resyncs the index from
+    contents (victim's postings out, missed appends in), and a
+    fresh-checkpoint restart at the snapshot version keeps healing new
+    appends exactly-once."""
+    import time
+
+    from hapiy_etl_spark.operators.textindex import shingle_postings_build
+    from hapiy_etl_spark.streaming.jobs import (
+        heal_index_from_changes,
+        heal_recover_from_rewrite,
+    )
+
+    corpus_p, idx_p = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    build = lambda b: shingle_postings_build(b.select("doc_id", "text"))
+
+    def doc(i):
+        return (i, " ".join(f"d{i}w{j}" for j in range(10)))
+
+    corpus = TxTable(spark, corpus_p)
+    corpus.append(
+        spark.createDataFrame([doc(1), doc(2)], "doc_id long, text string"),
+        stats_cols=["doc_id"],
+        bloom_cols=["doc_id"],
+    )
+
+    def healed_rows():
+        try:
+            return sorted(map(tuple, TxTable(spark, idx_p).read().collect()))
+        except FileNotFoundError:
+            return []
+
+    def oneshot():
+        return sorted(map(tuple, build(corpus.read()).collect()))
+
+    q = heal_index_from_changes(
+        spark, corpus_p, idx_p, str(tmp_path / "ckpt1"), build,
+        stats_cols=["tb"], trigger_processing_time="1 seconds",
+    )
+    try:
+        corpus.append(
+            spark.createDataFrame([doc(3)], "doc_id long, text string"),
+            stats_cols=["doc_id"], bloom_cols=["doc_id"],
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline and healed_rows() != oneshot():
+            time.sleep(1.0)
+        assert healed_rows() == oneshot()  # healthy co-run first
+
+        # the mid-run takedown: the live query must die loudly
+        corpus.delete_keys([2], on="doc_id")
+        # one more append lands while the healer is dead/dying
+        corpus.append(
+            spark.createDataFrame([doc(4)], "doc_id long, text string"),
+            stats_cols=["doc_id"], bloom_cols=["doc_id"],
+        )
+        deadline = time.time() + 90
+        while q.isActive and time.time() < deadline:
+            time.sleep(1.0)
+        assert not q.isActive, "healer survived a delete span"
+        import re as _re
+
+        assert _re.search(r"rewr|resync|table_diff", str(q.exception()))
+    finally:
+        if q.isActive:
+            q.stop()
+
+    # runbook: resync from contents, then fresh-checkpoint restart
+    report = heal_recover_from_rewrite(
+        spark, corpus_p, idx_p, on="doc_id", build_fn=build, stats_cols=["tb"]
+    )
+    assert report["orphans_erased"] >= 1  # doc 2's postings left the index
+    assert healed_rows() == oneshot()
+    assert (
+        TxTable(spark, idx_p).read().where("doc_id = 2").count() == 0
+    )  # the victim is gone from the index, by name
+
+    q2 = heal_index_from_changes(
+        spark, corpus_p, idx_p, str(tmp_path / "ckpt2"), build,
+        stats_cols=["tb"], trigger_processing_time="1 seconds",
+        starting_version=report["snapshot_version"],
+    )
+    try:
+        corpus.append(
+            spark.createDataFrame([doc(5)], "doc_id long, text string"),
+            stats_cols=["doc_id"], bloom_cols=["doc_id"],
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline and healed_rows() != oneshot():
+            time.sleep(1.0)
+        assert healed_rows() == oneshot()  # exactly-once resumed
+    finally:
+        q2.stop()
+
+
 def test_txstore_delete_keys_concurrent_retry_no_lost_update(spark, tmp_path):
     """A racing append lands between delete_keys' snapshot resolve and
     its commit: the optimistic retry re-reads the interloper's snapshot,
