@@ -3003,8 +3003,6 @@ def cdc_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over 100 TB).",
 )
 def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
     mx = docs.agg(F.max("doc_id")).first()[0]  # 1-row scalar agg
@@ -3022,19 +3020,29 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = toks.groupBy(slice_of("doc_id").alias("slice")).agg(
         F.count("*").alias("slice_tokens")
     )
-    w = W.orderBy("slice").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        sliced.join(occ, "slice")
-        .select(
-            "slice",
-            "new_types",
-            F.sum("new_types").over(w).alias("vocab_size"),
-            F.round(
-                F.sum("new_types").over(w) / F.sum("slice_tokens").over(w), 6
-            ).alias("type_token_ratio"),
-        )
-        .orderBy("slice")
+    # the cumulative sums run driver-side over the collected <= 4 slice
+    # rows (r13 — the vocab_coverage_curve bounded-collect posture; this
+    # was the last data-independent global window in the registry, and
+    # even a 4-row single-reducer window is a shape worth not having)
+    rows = sorted(
+        sliced.join(occ, "slice").collect(), key=lambda r: r["slice"]
     )
+    out, cum_types, cum_tokens = [], 0, 0
+    for r in rows:
+        cum_types += r["new_types"]
+        cum_tokens += r["slice_tokens"]
+        out.append(
+            (
+                r["slice"],
+                r["new_types"],
+                cum_types,
+                round(cum_types / cum_tokens, 6),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "slice int, new_types long, vocab_size long, type_token_ratio double",
+    ).orderBy("slice")
 
 
 @register(

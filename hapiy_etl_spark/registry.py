@@ -63,8 +63,10 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ann_pq_topk + ann_recall_audit (PQ geometry moved to the 16x256
 # sweep knee; audit gained the ivfpq row), both perceptual multimodal
 # queries (key_cap default + localCheckpoint), and both simhash
-# queries (signature_band_pairs gained the key_cap parameter). The
-# remaining 35 slots backfill stalest-green-first (the r8-era tail
+# queries (signature_band_pairs gained the key_cap parameter), and
+# corpus_vocab_growth (its 4-row global window moved to the bounded
+# collect, emptying the global-window lint allowlist). The
+# remaining 34 slots backfill stalest-green-first (the r8-era tail
 # VERDICT r12 item 4 flags); the ~13 displaced stale queries roll to
 # the r14 window.
 PRIORITY: tuple[str, ...] = (
@@ -83,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_video_phash",
     "dedup_simhash",
     "dedup_simhash_portable",
+    "corpus_vocab_growth",
     "asof_forward_tolerance",
     "interval_union_coverage",
     "events_daily_anomaly",
@@ -117,7 +120,6 @@ PRIORITY: tuple[str, ...] = (
     "doc_novelty_score",
     "bloom_merge_lookup",
     "bloom_batch_fetch",
-    "q22_dormant_rich_customers",
 )
 
 

@@ -136,12 +136,10 @@ def test_no_registered_query_plans_global_window(spark, sf_dir):
     i.e. the whole input through a single reducer. Post-aggregate
     global windows over provably tiny frames are allowlisted
     explicitly; the list should only shrink."""
-    # global windows sanctioned because their input is already an
-    # aggregate orders of magnitude smaller than the data
-    POST_AGGREGATE_OK = {
-        "corpus_vocab_growth",  # running sum over the 4-row slice
-        #   aggregate — bounded by the slice modulus, never data-sized
-    }
+    # EMPTY since r13: corpus_vocab_growth (the last entry — a running
+    # sum over its 4-row slice aggregate) moved to the bounded-collect
+    # posture, so no registered query plans a global window at all
+    POST_AGGREGATE_OK: set[str] = set()
 
     def walk(node):
         yield node
