@@ -1568,6 +1568,91 @@ def soak_erasure_main(seconds: int) -> None:
     spark.stop()
 
 
+def phashcap_main(n: int) -> None:
+    """Hot-signature cap growth (r13, VERDICT r12 'What's wrong' #2):
+    the perceptual corpus is x replicated copies of the documents
+    payloads PLUS a degenerate constant-payload cluster that grows
+    with x (60x black frames — the real-corpus failure mode: intro
+    slates, empty thumbnails). Candidate volume through the banded
+    self-join is measured with the default key_cap=200 and uncapped:
+    uncapped, the hot bucket alone contributes C(60x, 2) pairs —
+    quadratic in growth; capped, the cluster drops at the band stage
+    and total candidates track the REAL near-dup structure (the x
+    byte-identical replicas of each doc), while planted same-length
+    perturbation pairs keep full recall at every x."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup_pairs,
+    )
+    from hapiy_etl_spark.session import get_spark
+
+    spark = get_spark("scale_growth_phashcap")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 16 == 0))
+        .select("doc_id", "text")
+    )
+    base_n = docs.count()
+    span = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    tmp = tempfile.mkdtemp(prefix="phashcap_")
+    rows = []
+    for x in (1, 2, 4, max(8, n)):
+        parts = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * span)).alias("doc_id"), "text"
+            )
+            for i in range(x)
+        ]
+        corpus = parts[0]
+        for pdf in parts[1:]:
+            corpus = corpus.unionAll(pdf)
+        corpus = attach_binary_payload(corpus, "text")
+        hot = spark.range(60 * x).select(
+            (F.col("id") + F.lit(10_000_000)).alias("doc_id"),
+            F.lit(b"\x00" * 600).alias("payload"),
+        )
+        full = corpus.select("doc_id", "payload").unionAll(hot)
+        full.write.mode("overwrite").parquet(f"{tmp}/c{x}")
+        stored = spark.read.parquet(f"{tmp}/c{x}")
+        t0 = time.perf_counter()
+        capped = phash_near_dup_pairs(stored, "doc_id", max_hamming=3)
+        n_capped = capped.count()
+        hot_capped = capped.where(
+            (F.col("id_a") >= 10_000_000) & (F.col("id_b") >= 10_000_000)
+        ).count()
+        t_capped = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        uncapped = phash_near_dup_pairs(
+            stored, "doc_id", max_hamming=3, key_cap=None
+        )
+        n_uncapped = uncapped.count()
+        t_uncapped = time.perf_counter() - t0
+        rows.append(
+            {
+                "x": x,
+                "docs": base_n * x,
+                "hot_cluster": 60 * x,
+                "pairs_capped": n_capped,
+                "hot_pairs_capped": hot_capped,
+                "pairs_uncapped": n_uncapped,
+                "hot_pairs_expected_uncapped": (60 * x) * (60 * x - 1) // 2,
+                "s_capped": round(t_capped, 2),
+                "s_uncapped": round(t_uncapped, 2),
+            }
+        )
+        print(rows[-1], flush=True)
+    print("# summary")
+    for r in rows:
+        print(r)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
 def soak_healer_main(seconds: int) -> None:
     """Decoupled-healer soak (r12, VERDICT r11 item 6): one thread
     appends corpus waves as PLAIN TxTable appends (the ingest job —
@@ -1891,6 +1976,9 @@ def main() -> None:
         return
     if args and args[0] == "--soak-erasure":
         soak_erasure_main(int(args[1]) if args[1:] else 60)
+        return
+    if args and args[0] == "--phashcap":
+        phashcap_main(int(args[1]) if args[1:] else 8)
         return
     if args and args[0] == "--mv":
         mv_main(int(args[1]) if args[1:] else 8)
