@@ -3495,6 +3495,56 @@ def test_healer_continuous_trigger_always_on(spark, tmp_path):
         q.stop()
 
 
+def test_retighten_is_change_feed_transparent(spark, tmp_path):
+    """A retighten commit re-references every data dir (metadata-only),
+    so the txtable_changes stream neither raises the non-append error
+    nor re-delivers rows across it — the maintenance can run under a
+    live healer, unlike an erasure. (The dir-diff rule makes this true
+    by construction; this pins it against regressions in either the
+    source or the commit shape.)"""
+    from hapiy_etl_spark.operators.textindex import shingle_postings_build
+    from hapiy_etl_spark.streaming.jobs import heal_index_from_changes
+
+    corpus_p, idx_p = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    build = lambda b: shingle_postings_build(b.select("doc_id", "text"))
+
+    def doc(i):
+        return (i, " ".join(f"d{i}w{j}" for j in range(10)))
+
+    corpus = TxTable(spark, corpus_p)
+    for i in (1, 2):
+        corpus.append(
+            spark.createDataFrame([doc(i)], "doc_id long, text string"),
+            stats_cols=["doc_id"], bloom_cols=["doc_id"],
+            bloom_bits=256, bloom_k=5,
+        )
+
+    def heal():
+        for _ in range(corpus.latest_version() + 1):
+            heal_index_from_changes(
+                spark, corpus_p, idx_p, str(tmp_path / "ckpt"), build,
+                stats_cols=["tb"], max_versions_per_trigger=1,
+            ).awaitTermination()
+
+    def healed():
+        return sorted(map(tuple, TxTable(spark, idx_p).read().collect()))
+
+    heal()
+    assert healed() == sorted(map(tuple, build(corpus.read()).collect()))
+
+    # saturate + retighten: same dirs, new metadata — mid-history
+    v = corpus.latest_version()
+    assert corpus.retighten_blooms(["doc_id"], fpr_threshold=0.0) != []
+    assert corpus.latest_version() == v + 1  # the commit happened
+    corpus.append(
+        spark.createDataFrame([doc(3)], "doc_id long, text string"),
+        stats_cols=["doc_id"], bloom_cols=["doc_id"],
+    )
+    heal()  # the old checkpoint crosses the retighten span: no error
+    want = sorted(map(tuple, build(corpus.read()).collect()))
+    assert healed() == want  # doc 3 delivered once, nothing re-delivered
+
+
 def test_healer_always_on_survives_midrun_takedown(spark, tmp_path):
     """Unit twin of the r13 --soak-erasure run: a delete_keys takedown
     lands WHILE the always-on (processingTime) healer is live. The
