@@ -135,6 +135,62 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    df_cap: int | None = 100,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by shingle CONTAINMENT — |A∩B| / |A|,
+    the asymmetric complement of Jaccard (Broder's containment; the
+    regime "Deduplicating Training Data Makes Language Models Better"
+    flags where symmetric scores miss: a short doc embedded verbatim
+    inside a much longer one has tiny Jaccard but containment ~1.0 —
+    quote farms, aggregator pages, boilerplate-wrapped reposts).
+
+    Returns (id_sub, id_super, containment): id_sub's distinct
+    shingles are ≥ threshold contained in id_super's. Both directions
+    of every candidate pair are scored from ONE shared-count
+    aggregate — same inverted-index join, posting cap (``df_cap``, the
+    hot-shingle skew guard), and 8-byte xxhash64 join key as
+    ``jaccard_pairs``; the direction split is a cheap union over the
+    pair-grain aggregate, never a second corpus scan."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    ).select("doc", F.xxhash64("s").alias("sh"))
+    if df_cap is not None:
+        from pyspark.sql import Window as W
+
+        sh = (
+            sh.withColumn("__df", F.count("*").over(W.partitionBy("sh")))
+            .where(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    pairs = shared.join(sa, "id_a").join(sb, "id_b")
+    fwd = pairs.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        F.round(F.col("shared") / F.col("na"), 6).alias("containment"),
+    )
+    rev = pairs.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        F.round(F.col("shared") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev).where(F.col("containment") >= threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

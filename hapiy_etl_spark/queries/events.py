@@ -2239,3 +2239,55 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_bot_cadence_screen",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS g
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS BIGINT) AS n_gaps,
+               ROUND(quantile_cont(g, 0.5), 4) AS med_gap_s,
+               ROUND(MIN(g), 4) AS min_gap_s
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, med_gap_s, min_gap_s
+    FROM per_user
+    WHERE n_gaps >= 20 AND med_gap_s <= 21600
+    ORDER BY user_id
+    """,
+    doc="Bot / automation cadence screen (r13): users whose MEDIAN "
+    "inter-event gap is implausibly short for a human (<= 6h here, "
+    "tuned to the synthetic cadence band) over a minimum event count "
+    "— the abuse-filtering sibling of events_interarrival_stats "
+    "(median, not mean: one long idle gap shouldn't launder a "
+    "machine-gun session). Scale shape: the lag window partitions on "
+    "user_id (data-grain key), the median is a per-user grouped "
+    "percentile (exact interpolated percentile == DuckDB "
+    "quantile_cont, the agg_percentiles-proven seam), one filter — "
+    "no global windows, no second scan.",
+)
+def events_bot_cadence_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id",
+        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)).alias("g"),
+    ).where(F.col("g").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").alias("n_gaps"),
+            F.round(F.expr("percentile(g, 0.5)"), 4).alias("med_gap_s"),
+            F.round(F.min("g"), 4).alias("min_gap_s"),
+        )
+        .where((F.col("n_gaps") >= 20) & (F.col("med_gap_s") <= 21600))
+        .orderBy("user_id")
+    )

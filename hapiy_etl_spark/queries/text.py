@@ -145,6 +145,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b, c, sa.n AS na, sb.n AS nb
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT * FROM (
+        SELECT id_a AS id_sub, id_b AS id_super,
+               ROUND(c * 1.0 / na, 6) AS containment
+        FROM pairs
+        UNION ALL
+        SELECT id_b, id_a, ROUND(c * 1.0 / nb, 6) FROM pairs
+    )
+    WHERE containment >= 0.6
+    ORDER BY id_sub, id_super
+    """,
+    doc="DIRECTED near-dup pairs by shingle CONTAINMENT >= 0.6 — "
+    "|A n B| / |A|, the asymmetric complement of dedup_ngram_jaccard "
+    "(Broder): a short doc embedded verbatim in a much longer one has "
+    "tiny Jaccard but containment ~1, the quote-farm / aggregator / "
+    "boilerplate-wrapped-repost regime symmetric scores miss. Same "
+    "inverted-index join, xxhash64 8-byte key, and df_cap=100 "
+    "hot-shingle guard as the Jaccard query (mirrored in the oracle); "
+    "both directions score from ONE shared-count aggregate via a "
+    "cheap pair-grain union — never a second corpus scan.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.containment_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.6, df_cap=100
+    ).orderBy("id_sub", "id_super")
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=None,  # ML-seeded LSH sketches aren't SQL-reproducible;
     # recall invariants on planted dups in tests/test_llm.py

@@ -54,10 +54,11 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
 # r13 window (tools/rotate_priority.py over CORRECTNESS_r01..r12, then
-# hand-front-loaded): zero failures; the SIX queries registered this
+# hand-front-loaded): zero failures; the EIGHT queries registered this
 # round lead as never-checked (IVF-PQ exact-regime twin + lossy top-k,
 # the erase->retighten->erase maintenance cycle, the embedding outlier
-# screen, Zipf fit, inter-arrival stats), then the MATERIALLY CHANGED
+# screen, Zipf fit, inter-arrival stats, directed shingle containment,
+# the bot cadence screen), then the MATERIALLY CHANGED
 # set — the three BPE queries (Arrow word-type segmenter + batched
 # trainer replaced the nested-replace/1-job-per-merge forms),
 # ann_pq_topk + ann_recall_audit (PQ geometry moved to the 16x256
@@ -66,7 +67,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # queries (signature_band_pairs gained the key_cap parameter), and
 # corpus_vocab_growth (its 4-row global window moved to the bounded
 # collect, emptying the global-window lint allowlist). The
-# remaining 34 slots backfill stalest-green-first (the r8-era tail
+# remaining 32 slots backfill stalest-green-first (the r8-era tail
 # VERDICT r12 item 4 flags); the ~13 displaced stale queries roll to
 # the r14 window.
 PRIORITY: tuple[str, ...] = (
@@ -76,6 +77,8 @@ PRIORITY: tuple[str, ...] = (
     "embedding_vector_outliers",
     "text_zipf_slope",
     "events_interarrival_stats",
+    "dedup_containment",
+    "events_bot_cadence_screen",
     "vocab_bpe_train",
     "vocab_bpe_encode",
     "vocab_fertility_audit",
@@ -118,8 +121,6 @@ PRIORITY: tuple[str, ...] = (
     "text_segment_dedup",
     "corpus_mix_temperature",
     "doc_novelty_score",
-    "bloom_merge_lookup",
-    "bloom_batch_fetch",
 )
 
 

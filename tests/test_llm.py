@@ -1354,3 +1354,38 @@ def test_ann_recall_audit_shape_and_bounds(spark, sf_dir):
         assert 0.0 <= r.recall_at_3 <= 1.0
     assert rows["ivf"].recall_at_3 >= 0.3
     assert rows["lsh"].recall_at_3 >= 0.3
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The regime gap dedup_containment exists for: a short doc
+    embedded VERBATIM inside a much longer one scores containment 1.0
+    (sub -> super) while its Jaccard stays under any useful threshold
+    — and containment is properly asymmetric (the long doc is NOT
+    contained in the short one)."""
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(500)]
+    short = " ".join(rng.choice(vocab) for _ in range(20))
+    long_doc = (
+        " ".join(rng.choice(vocab) for _ in range(200))
+        + " " + short + " "
+        + " ".join(rng.choice(vocab) for _ in range(200))
+    )
+    other = " ".join(rng.choice(vocab) for _ in range(150))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.id_sub, r.id_super): r.containment
+        for r in D.containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6, df_cap=None
+        ).collect()
+    }
+    assert cont.get((1, 2)) == 1.0  # short fully contained in long
+    assert (2, 1) not in cont  # asymmetry: long not contained in short
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, df_cap=None
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.1  # symmetric score misses the relationship
