@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from hapiy_etl_spark.operators.asof import asof_join
@@ -729,6 +729,7 @@ def test_txstore_erasure_retighten_reads_always_exact(
         max_size=3,
     ),
 )
+@example(bases=[-1, 0], flips=[[63]])  # r13 falsifier: negative base + sign-bit flip
 @settings(
     max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
 )
@@ -746,7 +747,11 @@ def test_signature_band_pairs_pigeonhole_recall(spark, bases, flips):
     planted = []
     for j, bits in enumerate(flips):
         base_id = j % len(bases)
-        sig = bases[base_id]
+        # Mask into the unsigned-64 domain before flipping: XOR on a
+        # negative Python int flips an infinite sign extension, so e.g.
+        # -1 ^ (1 << 63) = -2**63 - 1 which is outside LongType and the
+        # positive-side wrap below never catches it (r13 red test).
+        sig = bases[base_id] & ((1 << 64) - 1)
         for b in bits:
             sig ^= 1 << b
         sig = sig - (1 << 64) if sig >= (1 << 63) else sig
