@@ -111,7 +111,13 @@ def _batch_select(
         if selected and c <= bound:
             break
         selected.append(r)
-        used.update((a, b))
+        # the PRODUCT string joins `used` too: a later slice pair whose
+        # symbol string equals a+b (possible when 'abc' already exists
+        # from an earlier ('ab','c') round and we now select ('a','bc'))
+        # gains count mid-batch, so the accumulated max-bound would not
+        # compose — end the batch at any pair touching a fresh symbol
+        # string instead (ADVICE r13; strictly conservative).
+        used.update((a, b, a + b))
         bound = max(
             bound, c_tail, by_rhs.get(a, 0), by_lhs.get(b, 0)
         )
@@ -215,6 +221,11 @@ def _segment_word_ranked(
     ``bpe_segment`` checks the precondition once, driver-side, and
     falls back to the fold otherwise. Equivalence pytest-pinned on
     trainer-produced and adversarial tables."""
+    if len(word) < 2:
+        # _segment_word('') and bpe_segment_expr return [''] (the wrap/
+        # split round-trip of an empty string); list('') is [] so the
+        # loop form would return [] — match the fold (ADVICE r13)
+        return [word]
     syms = list(word)
     while len(syms) > 1:
         best_rank = None
@@ -240,16 +251,28 @@ def _segment_word_ranked(
 
 
 def _merges_topological(rows) -> bool:
-    """True when every merge's constituents predate it: no merge's lhs
-    or rhs equals a product ``merged`` of an EQUAL-OR-LATER rank. One
-    O(n_merges) driver-side pass over the collected table."""
-    first_product_rank: dict[str, int] = {}
+    """True when every merge's constituents predate ALL productions of
+    that string: no merge's lhs or rhs equals a product ``merged`` of an
+    EQUAL-OR-LATER rank. The comparison is against the LAST (max) rank
+    producing each string, not the first: the same product string can be
+    produced at two ranks (('ab','c')->'abc' at rank 5 and
+    ('a','bc')->'abc' at rank 20 — reachable in trainer output), and a
+    rank-10 merge consuming 'abc' would pass a first-rank check yet the
+    rank-20 merge re-creates the symbol, so the rank-priority encoder
+    would re-apply the rank-10 merge where the rank-order fold (and the
+    DuckDB twin) would not (ADVICE r13). With the max-rank check, after
+    a pair's turn at rank k no later merge can re-create either of its
+    constituent strings, so the pair never reappears — the equivalence
+    proof in ``_segment_word_ranked`` holds. One O(n_merges)
+    driver-side pass over the collected table."""
+    last_product_rank: dict[str, int] = {}
     for r in rows:  # rows ordered by merge_rank
-        if r["merged"] not in first_product_rank:
-            first_product_rank[r["merged"]] = r["merge_rank"]
+        last_product_rank[r["merged"]] = max(
+            last_product_rank.get(r["merged"], 0), r["merge_rank"]
+        )
     for r in rows:
         for side in (r["lhs"], r["rhs"]):
-            pr = first_product_rank.get(side)
+            pr = last_product_rank.get(side)
             if pr is not None and pr >= r["merge_rank"]:
                 return False
     return True
@@ -290,9 +313,15 @@ def bpe_segment(df: DataFrame, word_col: str, merges: DataFrame):
         # per word type — independent of vocabulary size (a 30k-merge
         # fold would scan every word 30k times; this scans it ~len
         # times). Trainer-produced tables always take this branch.
-        ranks = {
-            (r["lhs"], r["rhs"]): (r["merge_rank"], r["merged"]) for r in rows
-        }
+        # earliest rank wins for a duplicated (lhs, rhs) key: the fold
+        # applies the first occurrence, and under the topological check
+        # the pair can never reappear after its first turn, so the later
+        # duplicate is a no-op in both forms
+        ranks: dict = {}
+        for r in rows:
+            ranks.setdefault(
+                (r["lhs"], r["rhs"]), (r["merge_rank"], r["merged"])
+            )
         bc = spark.sparkContext.broadcast(ranks)
 
         def seg_batches(batches):

@@ -166,6 +166,25 @@ def dirs_read(df: DataFrame) -> set[str]:
     return {f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}
 
 
+#: retighten_blooms resize ceiling: 2**20 bits = 128 KiB raw (~171 KiB
+#: base64). Blooms inline in the JSON manifest that every subsequent
+#: read carries forward, so an uncapped ~10-bits/key resize over a
+#: consolidated survivor dir with millions of keys would inflate every
+#: manifest scan by megabytes (ADVICE r13). Above the cap the residual
+#: FPR is accepted — still far tighter than the union-widened bitmap
+#: being replaced.
+BLOOM_RESIZE_CAP_BITS = 2**20
+
+
+def _bloom_bits_for(n: int, cap: int = BLOOM_RESIZE_CAP_BITS) -> int:
+    """Smallest power-of-two byte-aligned bit count giving ~10 bits per
+    distinct key (the append sizing guidance), capped at ``cap``."""
+    bits = 256
+    while bits < 10 * max(int(n or 0), 1) and bits < cap:
+        bits *= 2
+    return bits
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
@@ -1508,9 +1527,11 @@ class TxTable:
         any listed column exceeds ``fpr_threshold`` gets its blooms and
         min-max stats rebuilt from a read-back of its OWN rows — at a
         geometry RESIZED to the dir's actual distinct-key count (~10
-        bits/key, never narrower than recorded; copy-on-write erasures
-        consolidate many dirs' survivors into one, so the inherited
-        geometry can be genuinely outgrown, not just stale) — committed
+        bits/key, never narrower than recorded, never wider than
+        ``BLOOM_RESIZE_CAP_BITS`` — the manifest-inlining cap;
+        copy-on-write erasures consolidate many dirs' survivors into
+        one, so the inherited geometry can be genuinely outgrown, not
+        just stale) — committed
         as a ``retighten`` manifest that re-references every data dir
         byte-untouched (cheaper than an OPTIMIZE: no data rewrite, no
         copy-on-write churn; run it AS the fpr-keyed optimize trigger
@@ -1521,14 +1542,6 @@ class TxTable:
         the re-tightened dir names ([] = nothing over threshold, no
         commit)."""
         from pyspark.sql import functions as F
-
-        def _bloom_bits_for(n: int) -> int:
-            """Smallest power-of-two byte-aligned bit count giving
-            ~10 bits per distinct key (the append sizing guidance)."""
-            bits = 256
-            while bits < 10 * max(int(n or 0), 1):
-                bits *= 2
-            return bits
 
         cols = list(cols)
         for _ in range(max_retries):

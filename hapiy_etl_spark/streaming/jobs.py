@@ -1157,9 +1157,25 @@ def heal_recover_from_rewrite(
     re_fed = missing.count()
     backfilled = 0
     if re_fed:
-        rows = build_fn(missing)
+        # materialize the rebuild ONCE (ADVICE r13): the emptiness
+        # probe, the key count, and the append below would otherwise
+        # each re-execute build_fn (and its anti-join input) through
+        # lineage — three runs of a possibly expensive builder
+        rows = build_fn(missing).localCheckpoint(eager=True)
         if rows.limit(1).count():
-            built_keys = rows.select(on).distinct().count()
+            # count keys INTERSECTED with the re-fed set: a builder
+            # that emits keys outside `missing` must not inflate
+            # docs_backfilled (and drive re_fed_but_empty negative)
+            built_keys = (
+                rows.select(on)
+                .distinct()
+                .join(
+                    missing.select(F.col(c_on).alias(on)).distinct(),
+                    on,
+                    "left_semi",
+                )
+                .count()
+            )
             index.append(
                 rows, meta=extra_meta, stats_cols=stats_cols, bloom_cols=bloom_cols
             )
@@ -1168,7 +1184,7 @@ def heal_recover_from_rewrite(
         "snapshot_version": v,
         "orphans_erased": erased,
         "docs_backfilled": backfilled,
-        "re_fed_but_empty": re_fed - backfilled,
+        "re_fed_but_empty": max(0, re_fed - backfilled),
     }
 
 

@@ -205,6 +205,18 @@ def test_bpe_batched_trainer_equals_sequential(spark):
                 for _ in range(30)
             ]
         )
+    # two-letter alphabet: products collide maximally ('abab' etc. are
+    # reachable through multiple parses), stressing the r14 product-
+    # string batch guard (a slice pair whose symbol equals a selected
+    # merge's PRODUCT gains count mid-batch — the batch must end there)
+    for seed in range(3):
+        corpora.append(
+            [
+                ("".join(rng.choice("ab") for _ in range(rng.randrange(2, 12))),
+                 rng.randrange(1, 50))
+                for _ in range(30)
+            ]
+        )
     for words in corpora:
         # dedupe word types (random draws can repeat)
         wt = {}
@@ -337,3 +349,57 @@ def test_bpe_non_topological_table_falls_back_to_fold(spark):
     # fold: rank 1 is a no-op ('ab' not a symbol yet), rank 2 -> ab, c
     # (the ranked encoder would have produced ['abc'])
     assert segs["abc"] == ["ab", "c"]
+
+
+def test_bpe_duplicate_product_routes_to_fold(spark):
+    """A table producing the SAME merged string at two ranks with a
+    consumer in between (('a','bc')->'abc' at rank 2, ('abc','d') at
+    rank 3, ('ab','c')->'abc' again at rank 5) passed the r13
+    first-rank topological check even though the rank-5 merge
+    re-creates a symbol a lower-ranked merge consumes (ADVICE r13).
+    The max-rank check flags it, so bpe_segment conservatively serves
+    the fold — and the fold and the ≤64-merge expression twin agree."""
+    from hapiy_etl_spark.operators.bpe import (
+        _merges_topological,
+        bpe_segment,
+        bpe_segment_expr,
+    )
+
+    merges = spark.createDataFrame(
+        [
+            (1, "b", "c", "bc", 9),
+            (2, "a", "bc", "abc", 8),
+            (3, "abc", "d", "abcd", 7),
+            (4, "a", "b", "ab", 6),
+            (5, "ab", "c", "abc", 5),
+        ],
+        "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+    )
+    assert not _merges_topological(merges.collect())
+    probe = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcabcd"), (3, "abd")], "i long, word string"
+    )
+    got = {
+        r["i"]: list(r["subwords"])
+        for r in bpe_segment(probe, "word", merges).collect()
+    }
+    want = {
+        r["i"]: list(r["subwords"])
+        for r in bpe_segment_expr(probe, "word", merges).collect()
+    }
+    assert got == want
+
+
+def test_bpe_ranked_encoder_short_words_match_fold():
+    """Words shorter than 2 symbols segment identically on both paths:
+    the ranked encoder's list('') is [] so the r13 form returned []
+    where the fold's wrap/split round-trip returns [''] (ADVICE r13)."""
+    from hapiy_etl_spark.operators.bpe import (
+        _segment_word,
+        _segment_word_ranked,
+    )
+
+    ranks = {("a", "b"): (1, "ab")}
+    ops = [("\x1fa\x1f\x1fb\x1f", "\x1fab\x1f")]
+    for w in ("", "a", "z"):
+        assert _segment_word_ranked(w, ranks) == _segment_word(w, ops) == [w]

@@ -3215,6 +3215,23 @@ def test_txstore_retighten_blooms_decays_erasure_bounce(spark, tmp_path):
     assert t.read().count() == 240 - 4
 
 
+def test_retighten_bloom_resize_is_capped():
+    """The resize geometry caps at BLOOM_RESIZE_CAP_BITS (128 KiB raw):
+    blooms inline in the manifest every read carries forward, so a
+    consolidated survivor dir with millions of keys must not produce a
+    multi-megabyte base64 bitmap (ADVICE r13) — residual FPR above the
+    cap is accepted instead."""
+    from hapiy_etl_spark.operators.txstore import (
+        BLOOM_RESIZE_CAP_BITS,
+        _bloom_bits_for,
+    )
+
+    assert _bloom_bits_for(0) == 256
+    assert _bloom_bits_for(100) == 1024  # ~10 bits/key, pow2-rounded
+    assert _bloom_bits_for(10_000_000) == BLOOM_RESIZE_CAP_BITS
+    assert _bloom_bits_for(BLOOM_RESIZE_CAP_BITS) == BLOOM_RESIZE_CAP_BITS
+
+
 def test_erasure_propagates_to_shingle_index(spark, tmp_path):
     """Right-to-be-forgotten across the corpus AND a derived postings
     index: after delete_keys on both, the index equals a one-shot
@@ -3401,6 +3418,58 @@ def test_healer_recovery_after_erasure_rewrite(spark, tmp_path):
         )
         assert r4["docs_backfilled"] == 0 and r4["re_fed_but_empty"] == 1
     assert TxTable(spark, idx_p).latest_version() == v
+
+
+def test_recovery_runs_builder_once_and_clamps_overbuild(spark, tmp_path):
+    """heal_recover_from_rewrite materializes the rebuild ONCE (ADVICE
+    r13: the emptiness probe + key count + append previously re-ran
+    build_fn three times through lineage — an accumulator inside the
+    builder proves each missing row is now processed exactly once), and
+    a builder that emits keys OUTSIDE the missing set neither inflates
+    docs_backfilled nor drives re_fed_but_empty negative."""
+    from pyspark.sql import types as T
+
+    from hapiy_etl_spark.streaming.jobs import heal_recover_from_rewrite
+
+    corpus_p, idx_p = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    corpus = TxTable(spark, corpus_p)
+    corpus.append(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+        )
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("term", T.StringType()),
+        ]
+    )
+
+    def build_counting(missing):
+        def f(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                acc.add(len(pdf))
+                out = pdf[["doc_id", "text"]].rename(columns={"text": "term"})
+                # one EXTRA key outside the missing set: must not count
+                extra = pd.DataFrame({"doc_id": [999], "term": ["ghost"]})
+                yield pd.concat([out, extra], ignore_index=True)
+
+        return missing.mapInPandas(f, schema)
+
+    report = heal_recover_from_rewrite(
+        spark, corpus_p, idx_p, on="doc_id", build_fn=build_counting
+    )
+    # every missing corpus row fed through the builder exactly once
+    assert acc.value == 3, acc.value
+    # ghost key 999 excluded from the backfill count; clamp holds
+    assert report["docs_backfilled"] == 3
+    assert report["re_fed_but_empty"] == 0
+    # the appended rows themselves still include what the builder wrote
+    assert TxTable(spark, idx_p).read().count() > 3
 
 
 def test_reconcile_covers_signature_and_ivf_index_families(spark, tmp_path):
