@@ -53,74 +53,66 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r13 window (tools/rotate_priority.py over CORRECTNESS_r01..r12, then
-# hand-front-loaded): zero failures; the EIGHT queries registered this
-# round lead as never-checked (IVF-PQ exact-regime twin + lossy top-k,
-# the erase->retighten->erase maintenance cycle, the embedding outlier
-# screen, Zipf fit, inter-arrival stats, directed shingle containment,
-# the bot cadence screen), then the MATERIALLY CHANGED
-# set — the three BPE queries (Arrow word-type segmenter + batched
-# trainer replaced the nested-replace/1-job-per-merge forms),
-# ann_pq_topk + ann_recall_audit (PQ geometry moved to the 16x256
-# sweep knee; audit gained the ivfpq row), both perceptual multimodal
-# queries (key_cap default + localCheckpoint), and both simhash
-# queries (signature_band_pairs gained the key_cap parameter), and
-# corpus_vocab_growth (its 4-row global window moved to the bounded
-# collect, emptying the global-window lint allowlist). The
-# remaining 32 slots backfill stalest-green-first (the r8-era tail
-# VERDICT r12 item 4 flags); the ~13 displaced stale queries roll to
-# the r14 window.
+# r14 window (tools/rotate_priority.py over CORRECTNESS_r01..r13, then
+# hand-front-loaded): zero failures, zero never-checked; leads with the
+# TWELVE r8-stale queries VERDICT r13 item 2 flags (5 rounds old, at
+# the rotation gate's edge), then the MATERIALLY CHANGED set — the
+# three BPE queries (r14 batch guard ends batches at fresh product
+# strings; max-rank topological check), corpus_erasure_retighten (bloom
+# resize cap) and both CDC healers (single-pass recovery rebuild) —
+# then stalest-green-first backfill. New r14 registrations are
+# prepended as never-checked when added.
 PRIORITY: tuple[str, ...] = (
-    "ann_ivfpq_exact_regime",
-    "ann_ivfpq_topk",
-    "corpus_erasure_retighten",
-    "embedding_vector_outliers",
-    "text_zipf_slope",
-    "events_interarrival_stats",
-    "dedup_containment",
-    "events_bot_cadence_screen",
+    "bloom_merge_lookup",
+    "bloom_batch_fetch",
+    "q22_dormant_rich_customers",
+    "sales_yoy_growth",
+    "supplier_lead_time",
+    "customer_order_cadence",
+    "timeseries_ewma",
+    "ann_lsh_exact_regime",
+    "ann_ivf_exact_regime",
+    "ann_pq_exact_regime",
+    "semdedup_assign",
+    "embedding_quantize_int8",
     "vocab_bpe_train",
     "vocab_bpe_encode",
     "vocab_fertility_audit",
-    "ann_pq_topk",
-    "ann_recall_audit",
-    "multimodal_phash_neardup",
-    "multimodal_video_phash",
-    "dedup_simhash",
-    "dedup_simhash_portable",
-    "corpus_vocab_growth",
-    "asof_forward_tolerance",
-    "interval_union_coverage",
-    "events_daily_anomaly",
-    "events_dau_mau_stickiness",
-    "incremental_mv_kll_quantiles",
-    "optimize_clustered_slice",
-    "graph_triangle_count",
-    "graph_reachability_bfs",
-    "basket_pair_lift",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "filter_predicate_algebra",
-    "join_null_safe",
-    "scd2_point_in_time",
-    "subq_scalar_above_avg",
-    "subq_not_in_anti",
-    "dedup_minhash_portable",
-    "text_repetition_filter",
-    "corpus_mix_sample",
-    "text_chunk_overlap",
-    "corpus_lang_quota",
-    "doc_tfidf_topterms",
-    "corpus_weighted_sample",
-    "text_cdc_chunking",
-    "corpus_split_leakfree",
-    "text_segment_dedup",
-    "corpus_mix_temperature",
-    "doc_novelty_score",
+    "corpus_erasure_retighten",
+    "cdc_index_maintenance",
+    "cdc_ivf_index_maintenance",
+    "incremental_mv_join_refresh",
+    "optimize_zorder_slice",
+    "join_semi_anti",
+    "join_outer_coalesce",
+    "join_full_outer",
+    "q2_min_cost_per_group",
+    "topk_per_group",
+    "set_operations",
+    "theta_range_join",
+    "cross_join_dims",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
+    "fn_array",
+    "fn_explode_wordcount",
+    "fn_json",
+    "fn_json_schema",
+    "fn_datetime_arith",
+    "fn_regexp_extract_all",
+    "fn_try_safe",
+    "fn_struct",
+    "fn_conditional",
+    "fn_hash",
+    "stat_chi2_independence",
+    "stat_ab_proportion_ztest",
+    "corpus_lang_drift_jsd",
+    "sample_stratified_rates",
+    "doc_source_entropy",
+    "subq_exists_priority",
+    "subq_correlated_avg_qty",
+    "subq_in_large_orders",
+    "dedup_exact",
 )
 
 
