@@ -537,6 +537,41 @@ def _pq_training_sample(
     return [r[0] for r in train.select(vec).limit(train_limit).collect()]
 
 
+def _exact_cosine_rerank(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus_raw: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    k: int,
+    query_vec: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a bounded ADC candidate pool (the
+    standard PQ recall lever — Jégou et al. §VI re-ranking): the
+    widened approximate top-k' (|Q|·k' rows, tiny) broadcasts against
+    the corpus to fetch ONLY the candidates' raw vectors (one
+    broadcast-hash join on the corpus scan — with a persisted,
+    id-stats'd table this is a pruned point-fetch, never a re-scan),
+    exact cosine scores them as column algebra, and a window cuts the
+    final top-k. Quantization error then only matters when it pushes a
+    true neighbor out of the top-k' POOL, not out of the top-k — the
+    recall lift ann_recall_audit measures."""
+    cand = candidates.select(
+        F.col(query_id).alias("__qid"), F.col("neighbor_id").alias("__cid")
+    )
+    fetched = corpus_raw.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    ).join(F.broadcast(cand), "__cid")
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    )
+    scored = fetched.join(F.broadcast(q), "__qid").select(
+        "__qid", "__cid", cosine(F.col("__qv"), F.col("__cv")).alias("__score")
+    )
+    return _refine_topk(scored, query_id, k, "cosine_sim", descending=True)
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -549,6 +584,8 @@ def pq_topk(
     seed: int = 42,
     train_limit: int = 10_000,
     train_fraction: float | None = None,
+    refine: int = 0,
+    codebooks=None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC) — the
     memory-bound scale path of the ANN quartet (brute / LSH / IVF / PQ):
@@ -561,33 +598,47 @@ def pq_topk(
     both run as Arrow-batched mapInPandas over the corpus with the tiny
     codebooks/LUTs broadcast. Approximate by construction → rows-only
     driver check + planted-recall pytest, same as LSH/IVF.
+
+    ``refine`` > 0 turns on exact re-ranking (r14, VERDICT r13 item 3):
+    ADC collects a widened top-(refine·k) candidate pool per query,
+    then ``_exact_cosine_rerank`` fetches just those vectors and cuts
+    the true top-k by exact cosine — output scored as ``cosine_sim``.
+    ``codebooks`` accepts a pre-trained (m, n_codes, sub) array (e.g.
+    the session-cached audit artifacts) and skips training.
     """
     import numpy as np
 
     q_rows = _collect_bounded_queries(queries, query_id, vec, "pq_topk")
     spark = corpus.sparkSession
+    score_alias = "cosine_sim" if refine else "approx_l2sq"
     empty = spark.createDataFrame(
-        [], f"{query_id} long, neighbor_id long, rank int, approx_l2sq double"
+        [], f"{query_id} long, neighbor_id long, rank int, {score_alias} double"
     )
     if not q_rows:
         return empty
-    sample_rows = _pq_training_sample(
-        corpus, corpus_id, vec, train_limit, train_fraction, seed
-    )
-    if not sample_rows:
-        return empty
-    sample = np.array(sample_rows, dtype=np.float64)
-    dim = sample.shape[1]
-    if dim % m != 0:
-        raise ValueError(
-            f"pq_topk: vector dim {dim} is not divisible by m={m} — trailing "
-            "dims would be silently ignored; pick m dividing the dimension"
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        m, n_codes, sub_given = books.shape
+        dim = m * sub_given
+    else:
+        sample_rows = _pq_training_sample(
+            corpus, corpus_id, vec, train_limit, train_fraction, seed
         )
-    books = _pq_codebooks(sample, m, n_codes, seed)
+        if not sample_rows:
+            return empty
+        sample = np.array(sample_rows, dtype=np.float64)
+        dim = sample.shape[1]
+        if dim % m != 0:
+            raise ValueError(
+                f"pq_topk: vector dim {dim} is not divisible by m={m} — trailing "
+                "dims would be silently ignored; pick m dividing the dimension"
+            )
+        books = _pq_codebooks(sample, m, n_codes, seed)
 
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     sub = dim // m
+    k_pool = refine * k if refine else k
     # ADC lookup tables: for every query, squared-L2 from each of its
     # sub-vectors to every codeword — shape (|Q|, m, n_codes), tiny
     luts = np.empty((len(q_ids), m, n_codes), dtype=np.float64)
@@ -602,7 +653,7 @@ def pq_topk(
         import pandas as pd
 
         books_, ids_, luts_ = b.value
-        kk = k + 1  # survive self-match removal
+        kk = k_pool + 1  # survive self-match removal
         for pdf in batches:
             c_ids = pdf[corpus_id].to_numpy()
             c_mat = np.array(list(pdf[vec]), dtype=np.float64)
@@ -649,7 +700,12 @@ def pq_topk(
     local = corpus.select(corpus_id, vec).mapInPandas(
         adc_partition, "__qid long, __cid long, __score double"
     )
-    return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)
+    if not refine:
+        return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)
+    pool = _refine_topk(local, query_id, k_pool, "approx_l2sq", descending=False)
+    return _exact_cosine_rerank(
+        pool, queries, corpus, query_id, corpus_id, k, vec, vec
+    )
 
 
 def ivf_pq_topk(
@@ -667,6 +723,9 @@ def ivf_pq_topk(
     train_limit: int = 10_000,
     train_fraction: float | None = None,
     max_iter: int = 4,
+    refine: int = 0,
+    index=None,
+    codebooks=None,
 ) -> DataFrame:
     """IVF-PQ (the IVFADC composition of Jégou et al., "Product
     Quantization for Nearest Neighbor Search"): the coarse quantizer
@@ -689,24 +748,38 @@ def ivf_pq_topk(
     squared-L2, and the DuckDB brute-force oracle pins the whole path
     ([O] ann_ivfpq_exact_regime); the lossy regime is rows-only with
     planted-recall pytests, same as the rest of the ANN family.
+
+    ``refine`` > 0 adds the exact re-ranking tail (see ``pq_topk``) —
+    the widened residual-ADC pool re-scores by exact cosine on the raw
+    vectors from the inverted file. ``index`` accepts a pre-built
+    (centroids, assigned) pair and ``codebooks`` a pre-trained residual
+    codebook array, so e.g. ann_recall_audit's arms share ONE training
+    pass (VERDICT r13 item 4).
     """
     import numpy as np
 
     q_rows = _collect_bounded_queries(queries, query_id, vec, "ivf_pq_topk")
     spark = corpus.sparkSession
+    score_alias = "cosine_sim" if refine else "approx_l2sq"
     empty = spark.createDataFrame(
-        [], f"{query_id} long, neighbor_id long, rank int, approx_l2sq double"
+        [], f"{query_id} long, neighbor_id long, rank int, {score_alias} double"
     )
     if not q_rows:
         return empty
-    cent_df, assigned = ivf_index_build(
-        corpus, corpus_id, vec=vec, n_centroids=n_centroids, seed=seed,
-        train_fraction=train_fraction, max_iter=max_iter,
-    )
+    if index is not None:
+        cent_df, assigned = index
+    else:
+        cent_df, assigned = ivf_index_build(
+            corpus, corpus_id, vec=vec, n_centroids=n_centroids, seed=seed,
+            train_fraction=train_fraction, max_iter=max_iter,
+        )
     cent_rows = sorted(cent_df.collect(), key=lambda r: r["cell"])
     cent_mat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     n_cells = len(cent_rows)
     dim = cent_mat.shape[1]
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        m, n_codes = books.shape[0], books.shape[1]
     if dim % m != 0:
         raise ValueError(
             f"ivf_pq_topk: vector dim {dim} is not divisible by m={m} — "
@@ -725,15 +798,19 @@ def ivf_pq_topk(
             lambda x, c: x - c,
         ).alias("__resid"),
     )
-    sample_rows = _pq_training_sample(
-        resid, corpus_id, "__resid", train_limit, train_fraction, seed
-    )
-    if not sample_rows:
-        return empty
-    books = _pq_codebooks(np.array(sample_rows, dtype=np.float64), m, n_codes, seed)
+    if codebooks is None:
+        sample_rows = _pq_training_sample(
+            resid, corpus_id, "__resid", train_limit, train_fraction, seed
+        )
+        if not sample_rows:
+            return empty
+        books = _pq_codebooks(
+            np.array(sample_rows, dtype=np.float64), m, n_codes, seed
+        )
 
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    k_pool = refine * k if refine else k
     # coarse probe: n_probe nearest cells by squared L2 — the SAME
     # metric the quantizer assigns with (the ivf_probe_index lesson);
     # stable argsort breaks distance ties by cell index, matching the
@@ -762,7 +839,7 @@ def ivf_pq_topk(
         import pandas as pd
 
         books_, ids_, luts_, cellmap_ = b.value
-        kk = k + 1  # survive self-match removal
+        kk = k_pool + 1  # survive self-match removal
         jj = np.arange(m)
         for pdf in batches:
             out_q, out_c, out_d = [], [], []
@@ -802,4 +879,12 @@ def ivf_pq_topk(
     local = scan.mapInPandas(
         adc_partition, "__qid long, __cid long, __score double"
     )
-    return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)
+    if not refine:
+        return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)
+    pool = _refine_topk(local, query_id, k_pool, "approx_l2sq", descending=False)
+    # raw vectors come back from the inverted file itself (the
+    # assignment table carries them), so the re-rank fetch is the same
+    # cell-pruned read path as the ADC scan
+    return _exact_cosine_rerank(
+        pool, queries, assigned, query_id, corpus_id, k, vec, vec
+    )

@@ -159,6 +159,56 @@ def ivf_index(spark: SparkSession, sf_dir: str):
     return cent, idx
 
 
+def ann_audit_artifacts(spark: SparkSession, sf_dir: str):
+    """Shared training artifacts for ann_recall_audit's arms (r14,
+    VERDICT r13 item 4): ONE IVF build (8 cells, the audit geometry)
+    reused by the ivf and ivfpq arms, ONE raw-vector PQ codebook
+    training (16x256, the sweep knee) shared by the pq and pq_rerank
+    arms, ONE residual codebook training shared by the ivfpq arms —
+    previously each arm re-ran Lloyd over the same corpus sample,
+    making the audit the heaviest registered query (r13: 9-10.6 s).
+    Returns (centroids DF [cached], assigned DF [checkpointed],
+    pq_books ndarray, resid_books ndarray). Production posture: these
+    ARE the persisted index artifacts a deployment trains once and
+    audits forever."""
+    key = ("ann_audit", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import similarity as S
+    from hapiy_etl_spark.operators.similarity import (
+        _pq_codebooks,
+        _pq_training_sample,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cent, assigned = S.ivf_index_build(
+        emb, "vec_id", n_centroids=8, train_fraction=0.5
+    )
+    cent = cent.cache()
+    cent.count()
+    # eager checkpoint: every arm re-reads the assignment; without it
+    # each probe re-runs the KMeans transform through lineage
+    assigned = assigned.localCheckpoint(eager=True)
+    pq_sample = _pq_training_sample(emb, "vec_id", "embedding", 10_000, 0.5, 42)
+    pq_books = _pq_codebooks(np.array(pq_sample, dtype=np.float64), 16, 256, 42)
+    resid = assigned.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            "centroid",
+            lambda x, c: x - c,
+        ).alias("__resid"),
+    )
+    r_sample = _pq_training_sample(resid, "vec_id", "__resid", 10_000, 0.5, 42)
+    resid_books = _pq_codebooks(np.array(r_sample, dtype=np.float64), 16, 256, 42)
+    _CACHE[key] = (cent, assigned, pq_books, resid_books)
+    return _CACHE[key]
+
+
 def flagship_state(spark: SparkSession, sf_dir: str):
     """(corpus TxTable, mv TxTable, shingle-index TxTable): the full
     production topology of flagship_pipeline_e2e, materialized once per

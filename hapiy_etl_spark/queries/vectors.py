@@ -545,8 +545,15 @@ def ann_ivfpq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tight residual distribution instead of raw vectors (the IVFADC "
     "quantization advantage at equal bytes/vec); the cell pruning then "
     "TRADES recall for a ~n_probe/n_centroids scan fraction — the "
-    "audit measures exactly that trade vs full-scan PQ. Geometry: 8 "
-    "cells x probe 2, 16 subspaces x 256 codes (the sweep knee). "
+    "audit measures exactly that trade vs full-scan PQ. Geometry "
+    "(r14): 8 cells x probe 6, 16 subspaces x 256 codes, refine=8 "
+    "exact re-ranking — recall@3 0.367 -> 0.867 at sf0.1 (the probed "
+    "fraction dominates on this clusterless near-orthogonal corpus: "
+    "re-ranking cannot recover a neighbor in an unprobed cell, and "
+    "with no cluster structure recall cannot exceed ~n_probe/n_cells, "
+    "so the worst-case testbed needs probe 6/8 where a clustered "
+    "production corpus runs far lower probe fractions at the same "
+    "recall — ann_recall_audit is exactly the tool that picks it). "
     "Rows-only by design; "
     "the exact-regime [O] twin (ann_ivfpq_exact_regime) pins the "
     "plumbing and the recall audit reports the lossy floor.",
@@ -556,8 +563,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     queries = emb.where(F.col("vec_id") < 10)
     return S.ivf_pq_topk(
-        queries, emb, "vec_id", "vec_id", k=3, n_centroids=8, n_probe=2,
-        m=16, n_codes=256, train_fraction=0.5,
+        queries, emb, "vec_id", "vec_id", k=3, n_centroids=8, n_probe=6,
+        m=16, n_codes=256, train_fraction=0.5, refine=8,
     ).orderBy("vec_id", "rank")
 
 
@@ -1184,30 +1191,60 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the max-compression corner (8x16, recall@3 0.067 — the honest r12 "
     "finding) to the measured knee of the BASELINE.md sweep (16x256, "
     "16 B/vec): the audit now reports that floor, and the new IVF-PQ "
-    "row shows compression riding cell-pruned candidate sets.",
+    "row shows compression riding cell-pruned candidate sets. r14 "
+    "(VERDICT r13 items 3+4): all arms share ONE training pass via the "
+    "session-cached ann_audit_artifacts fixture (one IVF build, one "
+    "raw-PQ and one residual-PQ codebook fit — previously each arm "
+    "re-ran Lloyd over the same sample, making this the heaviest "
+    "registered query), and the *_rerank rows measure the exact "
+    "re-ranking tail (ADC widens to a top-refine*k pool, exact cosine "
+    "on just those fetched vectors cuts the final top-3) at the "
+    "shipped ann_pq_topk (refine=4) / ann_ivfpq_topk (probe 6, "
+    "refine=8) configurations, next to the raw-ADC floors.",
 )
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.queries.index_fixtures import ann_audit_artifacts
+
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.where(F.col("vec_id") < 10)
-    exact = S.cosine_topk(queries, emb, "vec_id", "vec_id", k=3).select(
-        "vec_id", "neighbor_id"
+    # eager checkpoint: the exact ranking joins against EVERY arm (plus
+    # the n_expected count) — without it the brute-force scan re-runs
+    # once per arm through lineage (7x at 6 arms)
+    exact = (
+        S.cosine_topk(queries, emb, "vec_id", "vec_id", k=3)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
+    cent, assigned, pq_books, resid_books = ann_audit_artifacts(spark, sf_dir)
+    # each quantized family scans ONCE: the widened ADC pool (top
+    # refine*k, checkpointed) serves both its raw arm (pool rank <= k
+    # IS the unrefined ADC top-k — same ordering, same tie-breaks) and
+    # its re-ranked arm (exact cosine over the pool), so the audit pays
+    # one encode+score pass per family instead of two
+    pq_pool = S.pq_topk(
+        queries, emb, "vec_id", "vec_id", k=4 * 3, codebooks=pq_books
+    ).localCheckpoint(eager=True)
+    ivfpq_pool = S.ivf_pq_topk(
+        queries, emb, "vec_id", "vec_id", k=8 * 3, n_probe=6,
+        index=(cent, assigned), codebooks=resid_books,
+    ).localCheckpoint(eager=True)
     methods = {
         "lsh": S.lsh_topk(
             queries, emb, "vec_id", "vec_id", k=3, n_planes=4, multi_probe=1
         ),
-        "ivf": S.ivf_topk(
-            queries, emb, "vec_id", "vec_id", k=3, n_centroids=8, n_probe=2,
-            train_fraction=0.2,
+        "ivf": S.ivf_probe_index(
+            queries, cent, assigned, "vec_id", "vec_id", k=3, n_probe=2
         ),
-        "pq": S.pq_topk(
-            queries, emb, "vec_id", "vec_id", k=3, m=16, n_codes=256,
-            train_fraction=0.5,
+        "pq": pq_pool.where(F.col("rank") <= 3),
+        "pq_rerank": S._exact_cosine_rerank(
+            pq_pool, queries, emb, "vec_id", "vec_id", 3,
+            "embedding", "embedding",
         ),
-        "ivfpq": S.ivf_pq_topk(
-            queries, emb, "vec_id", "vec_id", k=3, n_centroids=8,
-            n_probe=2, m=16, n_codes=256, train_fraction=0.5,
+        "ivfpq": ivfpq_pool.where(F.col("rank") <= 3),
+        "ivfpq_rerank": S._exact_cosine_rerank(
+            ivfpq_pool, queries, assigned, "vec_id", "vec_id", 3,
+            "embedding", "embedding",
         ),
     }
     n_expected = exact.count()
@@ -1407,7 +1444,12 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the r12 BASELINE.md sweep (recall@3 0.667 on this worst-case "
     "near-orthogonal corpus vs 0.067 at the old max-compression "
     "corner, flat wall-clock) — a production rollout picks its own "
-    "point on the measured curve via ann_recall_audit.",
+    "point on the measured curve via ann_recall_audit. r14 (VERDICT "
+    "r13 item 3): refine=4 adds the standard exact re-ranking tail — "
+    "ADC widens to a top-12 candidate pool, then exact cosine on just "
+    "those fetched raw vectors cuts the final top-3 (one bounded "
+    "broadcast join, no new shuffle class; storage stays 16 B/vec) — "
+    "recall@3 0.567 -> 0.9 at sf0.01, measured by ann_recall_audit.",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
@@ -1415,5 +1457,5 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 10)
     return S.pq_topk(
         queries, emb, "vec_id", "vec_id", k=3, m=16, n_codes=256,
-        train_fraction=0.5,
+        train_fraction=0.5, refine=4,
     ).orderBy("vec_id", "rank")

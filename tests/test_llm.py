@@ -695,6 +695,64 @@ def test_ivfpq_exact_regime_matches_bruteforce(spark, planted_vectors):
     assert a == b  # both exact regimes == the true squared-L2 ranking
 
 
+def test_pq_rerank_recovers_exact_cosine_topk(spark, planted_vectors):
+    """Exact re-ranking (refine>0, r14): when the ADC pool is wide
+    enough to contain every true neighbor, the refined output IS the
+    exact cosine top-k — re-ranking's guarantee is that quantization
+    error only matters if it pushes a true neighbor out of the POOL.
+    Here refine*k covers the whole corpus, so pq/ivfpq refined output
+    must equal cosine_topk row for row, scores included."""
+    queries = planted_vectors.where(F.col("vec_id") < 3)
+    n = planted_vectors.count()
+    exact = sorted(
+        map(tuple, S.cosine_topk(queries, planted_vectors, "vec_id", "vec_id", k=2).collect())
+    )
+    pq = sorted(map(tuple, S.pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=2, m=4, n_codes=8,
+        refine=(n // 2) + 1,  # pool >= corpus: nothing can be missed
+    ).collect()))
+    assert pq == exact
+    ipq = sorted(map(tuple, S.ivf_pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=2,
+        n_centroids=3, n_probe=3, m=4, n_codes=8,  # probe-all
+        refine=(n // 2) + 1,
+    ).collect()))
+    assert ipq == exact
+
+
+def test_pq_rerank_improves_recall_and_stays_bounded(spark, planted_vectors):
+    """A modest refine=4 pool: refined recall of the planted nearest
+    neighbor is at least the unrefined ADC recall (re-ranking can only
+    re-order a superset pool), the schema flips to cosine_sim, and
+    precomputed codebooks reproduce the in-call training bit for bit."""
+    import numpy as np
+
+    from hapiy_etl_spark.operators.similarity import (
+        _pq_codebooks,
+        _pq_training_sample,
+    )
+
+    queries = planted_vectors.where(F.col("vec_id") < 5)
+
+    def hits(df):
+        got = {r.vec_id: r.neighbor_id for r in df.where(F.col("rank") == 1).collect()}
+        return sum(got.get(q) == 100 + q for q in range(5))
+
+    raw = S.pq_topk(queries, planted_vectors, "vec_id", "vec_id", k=1, m=4, n_codes=8)
+    refined = S.pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=1, m=4, n_codes=8, refine=4
+    )
+    assert set(refined.columns) == {"vec_id", "neighbor_id", "rank", "cosine_sim"}
+    assert hits(refined) >= hits(raw)
+    # pluggable codebooks == in-call training (the audit-fixture path)
+    sample = _pq_training_sample(planted_vectors, "vec_id", "embedding", 10_000, None, 42)
+    books = _pq_codebooks(np.array(sample, dtype=np.float64), 4, 8, 42)
+    via_books = sorted(map(tuple, S.pq_topk(
+        queries, planted_vectors, "vec_id", "vec_id", k=1, codebooks=books
+    ).collect()))
+    assert via_books == sorted(map(tuple, raw.collect()))
+
+
 def test_pq_topk_deterministic(spark, planted_vectors):
     """Seeded codebooks + index tie-breaks: identical output across runs."""
     queries = planted_vectors.where(F.col("vec_id") < 3)
@@ -1342,18 +1400,25 @@ def test_quality_probe_calibration_is_monotone(spark, sf_dir):
 
 
 def test_ann_recall_audit_shape_and_bounds(spark, sf_dir):
-    """The recall audit reports all four lossy methods against the
-    full expected set, with recalls in [0,1] and the cell-probing
-    methods (IVF/LSH) well above the random floor."""
+    """The recall audit reports the four lossy methods plus the two
+    re-ranked arms (r14) against the full expected set, with recalls
+    in [0,1], the cell-probing methods (IVF/LSH) well above the random
+    floor, and re-ranking NEVER below its raw-ADC floor (it re-orders
+    a superset pool)."""
     from hapiy_etl_spark.registry import all_queries
 
     rows = {r.method: r for r in all_queries()["ann_recall_audit"].fn(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq"}  # +ivfpq r13
+    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq", "pq_rerank", "ivfpq_rerank"}
     for r in rows.values():
         assert r.n_expected == 30 and 0 <= r.n_matched <= r.n_expected
         assert 0.0 <= r.recall_at_3 <= 1.0
     assert rows["ivf"].recall_at_3 >= 0.3
     assert rows["lsh"].recall_at_3 >= 0.3
+    assert rows["pq_rerank"].recall_at_3 >= rows["pq"].recall_at_3
+    assert rows["ivfpq_rerank"].recall_at_3 >= rows["ivfpq"].recall_at_3
+    # the r14 recall bar (VERDICT r13 item 3): re-ranked arms >= 0.8
+    assert rows["pq_rerank"].recall_at_3 >= 0.8
+    assert rows["ivfpq_rerank"].recall_at_3 >= 0.8
 
 
 def test_containment_catches_what_jaccard_misses(spark):
