@@ -15,9 +15,14 @@ columns so metadata-only queries never touch payload pages (parquet
 column pruning does this for free).
 
 The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this container,
-so `decode_image_features` computes deterministic fake features from the
-bytes (clearly marked); the Spark-side plumbing — schema, mapInPandas
-batching, Arrow transfer, partitioning — is real and tested.
+so by default `decode_image_features` computes deterministic fake
+features from the bytes (clearly marked); the Spark-side plumbing —
+schema, mapInPandas batching, Arrow transfer, partitioning — is real
+and tested. When Pillow IS importable, `use_real_decode=True` switches
+`decode_image_features` / `dhash_signatures` to an actual
+decode+resample (r14, VERDICT r13 item 7 — import-gated exactly like
+the Delta gateway in operators/table_formats.py); the stub stays the
+default so every recorded oracle/rows hash is environment-independent.
 """
 
 from __future__ import annotations
@@ -64,12 +69,37 @@ def attach_binary_payload(df: DataFrame, text_col: str, kind: str = "image", mim
     )
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable — the gate for the REAL decode
+    path (mirrors table_formats.delta_available)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_pil():
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        raise NotImplementedError(
+            "use_real_decode=True requires Pillow, which is not "
+            "importable in this environment. Install pillow, or use "
+            "the default deterministic stub decode (every recorded "
+            "correctness hash is pinned against the stub)."
+        ) from None
+
+
 def _fake_decode(data: bytes) -> tuple[int, int, float]:
     """FAKE decoder (real image libs absent in this container).
 
     Deterministic features derived from a sha256 of the payload — the
-    stand-in for PIL's decode; swap this function for the real library
-    in production. Raising path kept for unsupported kinds.
+    stand-in for PIL's decode; the REAL path is ``_pil_decode`` behind
+    ``use_real_decode=True``. Raising path kept for unsupported kinds.
     """
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
@@ -78,15 +108,41 @@ def _fake_decode(data: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
-def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _pil_decode(Image, data: bytes) -> tuple[int, int, float]:
+    """REAL decoder (import-gated): actual width/height and the mean
+    8-bit luma of the decoded image."""
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(data)) as im:
+        width, height = im.size
+        luma = np.asarray(im.convert("L"), dtype=np.float64)
+    return width, height, round(float(luma.mean()) / 255.0, 6)
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str = "doc_id", use_real_decode: bool = False
+) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, payload) — each batch
     decodes in one Python call, payload bytes never round-trip through
     per-row pickling. This is the real 100 TB shape: decode parallelism
-    = partition count, payload column pruned everywhere else."""
+    = partition count, payload column pruned everywhere else.
+    ``use_real_decode=True`` decodes with Pillow (raises loudly when it
+    is not importable); the default stub keeps recorded hashes
+    environment-independent."""
+    if use_real_decode:
+        _require_pil()  # fail on the driver, not inside every task
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_decode:
+            from PIL import Image
+
+            dec = lambda b: _pil_decode(Image, b)  # noqa: E731
+        else:
+            dec = _fake_decode
         for pdf in batches:
-            feats = [_fake_decode(bytes(b)) for b in pdf["payload"]]
+            feats = [dec(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -137,6 +193,13 @@ def _dhash_from_bytes(data: bytes, grid: int = 8) -> int:
     )
     counts = np.maximum(cuts[1:] - cuts[:-1], 1)
     g = (means[:cells] / counts).reshape(grid, grid + 1)
+    return _dhash_bits(g)
+
+
+def _dhash_bits(g) -> int:
+    """Pack a (grid, grid+1) luma grid into the dHash signature: one
+    bit per adjacent-cell gradient — shared by the byte-resample stub
+    and the real Pillow path."""
     bits = (g[:, :-1] < g[:, 1:]).flatten()
     sig = 0
     for b in bits:
@@ -144,7 +207,27 @@ def _dhash_from_bytes(data: bytes, grid: int = 8) -> int:
     return sig - (1 << 64) if sig >= (1 << 63) else sig  # signed long
 
 
-def dhash_signatures(df: DataFrame, id_col: str = "doc_id", grid: int = 8) -> DataFrame:
+def _pil_dhash(Image, data: bytes, grid: int = 8) -> int:
+    """REAL dHash (import-gated): decode, grayscale, resize to the
+    (grid+1) x grid luma grid with PIL's box filter, then the shared
+    gradient bit-packing — the production form of the stubbed
+    ``_dhash_from_bytes`` first line."""
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(data)) as im:
+        small = im.convert("L").resize((grid + 1, grid))
+    g = np.asarray(small, dtype=np.float64)  # (grid, grid+1)
+    return _dhash_bits(g)
+
+
+def dhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    grid: int = 8,
+    use_real_decode: bool = False,
+) -> DataFrame:
     """(doc, sig) perceptual-hash signatures over binary payloads —
     Arrow-batched mapInPandas, same shape as ``decode_image_features``:
     payload bytes cross to Python once per batch, decode parallelism =
@@ -152,14 +235,25 @@ def dhash_signatures(df: DataFrame, id_col: str = "doc_id", grid: int = 8) -> Da
 
     Output feeds ``dedup.signature_band_pairs`` (the Manku banding
     kernel), giving image/audio near-dedup the same bucketed,
-    never-all-pairs posture as text SimHash."""
+    never-all-pairs posture as text SimHash. ``use_real_decode=True``
+    replaces the byte-resample stub with an actual Pillow
+    decode+grayscale+resize (import-gated; raises loudly without the
+    library — the stub default keeps recorded hashes stable)."""
+    if use_real_decode:
+        _require_pil()
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_decode:
+            from PIL import Image
+
+            hsh = lambda b: _pil_dhash(Image, b, grid)  # noqa: E731
+        else:
+            hsh = lambda b: _dhash_from_bytes(b, grid)  # noqa: E731
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc": pdf[id_col],
-                    "sig": [_dhash_from_bytes(bytes(b), grid) for b in pdf["payload"]],
+                    "sig": [hsh(bytes(b)) for b in pdf["payload"]],
                 }
             )
 

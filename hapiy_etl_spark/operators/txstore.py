@@ -577,6 +577,31 @@ class TxTable:
         stamped append manifest and validation silently disabled).
         Carry-forward also makes ``recorded_stamp`` O(1) on any table
         whose history ever stamped: the NEWEST manifest always answers."""
+        return self._publish_manifest(
+            self._build_manifest(
+                parent, dirs, op, meta,
+                partitions=partitions, layouts=layouts, schemas=schemas,
+                stats=stats, blooms=blooms,
+            )
+        )
+
+    def _build_manifest(
+        self,
+        parent: int,
+        dirs: list[str],
+        op: str,
+        meta: dict | None = None,
+        partitions: dict | None = None,
+        layouts: dict | None = None,
+        schemas: dict | None = None,
+        stats: dict | None = None,
+        blooms: dict | None = None,
+    ) -> dict:
+        """The manifest CONTENT of version parent+1, fully determined
+        (meta/geometry carry-forward applied) but not yet published —
+        so a cross-table group commit can journal the exact bytes both
+        tables will publish, and recovery can re-publish them verbatim
+        (``txgroup_commit_appends``)."""
         version = parent + 1
         meta = dict(meta) if meta else {}
         if parent:
@@ -588,7 +613,7 @@ class TxTable:
             for k in GEOMETRY_STAMP_KEYS:
                 if k not in meta and k in pm:
                     meta[k] = pm[k]
-        manifest = {
+        return {
             "version": version,
             "parent": parent,
             "op": op,
@@ -610,6 +635,10 @@ class TxTable:
             # unordered keys); 4 KB base64 each
             **({"blooms": blooms} if blooms else {}),
         }
+
+    def _publish_manifest(self, manifest: dict) -> int:
+        """Atomically create the manifest file; raise on a lost race."""
+        version = manifest["version"]
         p = self.path / "_tx" / f"v{version:08d}.json"
         # write the FULL content to a temp name first, then hard-link to
         # the final name: link() is atomic AND exclusive, so a reader
@@ -1088,6 +1117,32 @@ class TxTable:
         extra scan of the NEW dir only (page-cache warm), never of the
         table — the same reason Delta derives file stats from written
         footers."""
+        d, stats_entry, bloom_entry = self._stage_append(
+            df, stats_cols, bloom_cols, bloom_bits, bloom_k
+        )
+        while True:
+            try:
+                return self._publish_manifest(
+                    self._append_manifest(
+                        d, df.schema.jsonValue(), meta, partition,
+                        stats_entry, bloom_entry,
+                    )
+                )
+            except ConcurrentCommitError:
+                continue  # re-resolve parent; the spooled dir is reusable
+
+    def _stage_append(
+        self,
+        df: DataFrame,
+        stats_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int | None = None,
+        bloom_k: int | None = None,
+    ) -> tuple[str, dict | None, dict | None]:
+        """Spool the batch to a data dir + read back its stats/blooms
+        WITHOUT committing — the staging half of ``append``, shared by
+        the cross-table group commit (an unpublished dir is invisible
+        to readers and swept by vacuum if never referenced)."""
         d = self._write_data_dir(df)
         stats_entry = bloom_entry = None
         if stats_cols or bloom_cols:
@@ -1105,44 +1160,54 @@ class TxTable:
                 # type raises, which used to happen before the write)
                 shutil.rmtree(self.path / "data" / d, ignore_errors=True)
                 raise
-        while True:
-            parent = self.latest_version()
-            if parent:
-                pm = self._manifest(parent)
-                dirs = pm["dirs"] + [d]
-                parts, layouts, schemas, stats, blooms = self._dir_maps(
-                    pm, pm["dirs"]
-                )
-            else:
-                dirs, parts, layouts, schemas, stats, blooms = (
-                    [d],
-                    {},
-                    {},
-                    {},
-                    {},
-                    {},
-                )
-            if partition:
-                parts[d] = dict(partition)
-            if stats_entry:
-                stats[d] = stats_entry
-            if bloom_entry:
-                blooms[d] = bloom_entry
-            schemas[d] = df.schema.jsonValue()
-            try:
-                return self._commit(
-                    parent,
-                    dirs,
-                    "append",
-                    meta,
-                    partitions=parts or None,
-                    layouts=layouts or None,
-                    schemas=schemas,
-                    stats=stats or None,
-                    blooms=blooms or None,
-                )
-            except ConcurrentCommitError:
-                continue  # re-resolve parent; the spooled dir is reusable
+        return d, stats_entry, bloom_entry
+
+    def _append_manifest(
+        self,
+        d: str,
+        schema_json: dict,
+        meta: dict | None,
+        partition: dict | None,
+        stats_entry: dict | None,
+        bloom_entry: dict | None,
+    ) -> dict:
+        """The append manifest CONTENT against the CURRENT latest
+        parent (unpublished) — the resolve-and-build half of ``append``,
+        shared by the cross-table group commit."""
+        parent = self.latest_version()
+        if parent:
+            pm = self._manifest(parent)
+            dirs = pm["dirs"] + [d]
+            parts, layouts, schemas, stats, blooms = self._dir_maps(
+                pm, pm["dirs"]
+            )
+        else:
+            dirs, parts, layouts, schemas, stats, blooms = (
+                [d],
+                {},
+                {},
+                {},
+                {},
+                {},
+            )
+        if partition:
+            parts[d] = dict(partition)
+        if stats_entry:
+            stats[d] = stats_entry
+        if bloom_entry:
+            blooms[d] = bloom_entry
+        schemas[d] = schema_json
+        return self._build_manifest(
+            parent,
+            dirs,
+            "append",
+            meta,
+            partitions=parts or None,
+            layouts=layouts or None,
+            schemas=schemas,
+            stats=stats or None,
+            blooms=blooms or None,
+        )
 
     def merge(
         self,
@@ -1956,3 +2021,122 @@ class TxTable:
             if tmp.stat().st_mtime < cutoff:
                 tmp.unlink(missing_ok=True)
         return sorted(removed)
+
+
+# -- cross-table atomic group commit ----------------------------------------
+# The online-dedup sink appends to TWO tables per micro-batch (corpus +
+# signature index). Before r14 their consistency hung on commit ORDER
+# (corpus first) plus heal-on-replay reasoning; the group commit removes
+# the window entirely (VERDICT r13 item 6): both appends stage invisibly,
+# ONE journal record holding the exact manifest bytes of both tables is
+# created atomically — THE commit point — and the manifests then publish
+# from it. A crash anywhere leaves either (a) no record: neither table
+# advanced, staged dirs are vacuum debris, the replay recomputes both; or
+# (b) a record: ``txgroup_recover`` re-publishes the missing manifests
+# verbatim before the next batch runs — a generic journal roll-forward,
+# no domain-specific self-heal reasoning. Requires the single-writer
+# setting a checkpointed streaming sink guarantees per table.
+
+
+def txgroup_commit_appends(group_path: str, appends: list[dict]) -> list[int]:
+    """Atomically append one batch to SEVERAL TxTables.
+
+    ``appends``: one dict per table — ``{"table": TxTable, "df":
+    DataFrame, "meta": ..., "partition": ..., "stats_cols": ...,
+    "bloom_cols": ...}``. All stage (data dirs written, stats/blooms
+    read back), all manifests build against their current parents, then
+    ONE group record (tmp + fsync + exclusive hard-link, the same
+    atomicity as a manifest publish) journals every manifest's exact
+    content; the publishes follow in list order and the record unlinks
+    when all of them exist. Returns the committed versions."""
+    gp = Path(group_path)
+    gp.mkdir(parents=True, exist_ok=True)
+    staged = []
+    for a in appends:
+        t = a["table"]
+        d, se, be = t._stage_append(
+            a["df"], a.get("stats_cols"), a.get("bloom_cols")
+        )
+        staged.append((t, a, d, se, be))
+    manifests = [
+        (
+            t,
+            t._append_manifest(
+                d, a["df"].schema.jsonValue(), a.get("meta"),
+                a.get("partition"), se, be,
+            ),
+        )
+        for t, a, d, se, be in staged
+    ]
+    record = {
+        "ts": time.time(),
+        "tables": [
+            {"path": str(t.path), "manifest": m} for t, m in manifests
+        ],
+    }
+    rid = uuid.uuid4().hex[:16]
+    rp = gp / f"g-{rid}.json"
+    tmp = gp / f".tmp-{rid}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(record))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, rp)  # THE commit point: all-or-nothing from here
+    finally:
+        tmp.unlink(missing_ok=True)
+    versions = []
+    for t, m in manifests:
+        versions.append(_txgroup_publish(t, m))
+    rp.unlink(missing_ok=True)
+    return versions
+
+
+def _txgroup_publish(t: "TxTable", m: dict) -> int:
+    """Publish a journaled manifest, tolerating an identical file that
+    a concurrent recovery already published; any OTHER content at the
+    version is a single-writer violation and raises."""
+    try:
+        return t._publish_manifest(m)
+    except ConcurrentCommitError:
+        if t._manifest(m["version"]) == m:
+            return m["version"]
+        raise
+
+
+def txgroup_recover(spark: SparkSession, group_path: str) -> int:
+    """Roll forward interrupted group commits: for every journal record,
+    publish each member manifest that is not on disk yet (verbatim from
+    the record — byte-identical to what the crashed writer would have
+    published), then drop the record. Returns the number of manifests
+    published. Run before a sink's first batch (``ingest_dedup_batch``
+    does); with no records it is one empty directory listing."""
+    gp = Path(group_path)
+    if not gp.exists():
+        return 0
+    published = 0
+    for rp in sorted(gp.glob("g-*.json")):
+        rec = json.loads(rp.read_text())
+        for entry in rec["tables"]:
+            t = TxTable(spark, entry["path"])
+            m = entry["manifest"]
+            p = t.path / "_tx" / f"v{m['version']:08d}.json"
+            if p.exists():
+                if json.loads(p.read_text()) != m:
+                    raise RuntimeError(
+                        f"group record {rp.name} conflicts with published "
+                        f"v{m['version']} at {t.path} — a second writer "
+                        "committed this version with different content; "
+                        "the group commit requires single-writer tables"
+                    )
+                continue
+            if t.latest_version() >= m["version"]:
+                raise RuntimeError(
+                    f"group record {rp.name} is stale: {t.path} is past "
+                    f"v{m['version']} but that manifest is gone (vacuumed?) "
+                    "— refusing to re-create a historical version"
+                )
+            t._publish_manifest(m)
+            published += 1
+        rp.unlink(missing_ok=True)
+    return published

@@ -377,6 +377,31 @@ def tx_append_once(
     from hapiy_etl_spark.operators.txstore import TxTable
 
     table = TxTable(batch.sparkSession, path)
+    if not _tx_replay_check(table, epoch_id, run_id, path):
+        return False
+    table.append(
+        batch,
+        meta={
+            "epoch": epoch_id,
+            **({"run": run_id} if run_id is not None else {}),
+            # layout stamps (e.g. an index's bucket geometry) ride the
+            # same manifest meta so probes can validate against it
+            **(extra_meta or {}),
+        },
+        stats_cols=stats_cols,
+    )
+    return True
+
+
+def _tx_replay_check(
+    table, epoch_id: int, run_id: str | None, path: str | None = None
+) -> bool:
+    """True when this (run, epoch) has NOT been committed to ``table``
+    yet — the replay-detection half of ``tx_append_once``, factored out
+    so the cross-table group commit can check BOTH tables before one
+    atomic append (a disagreement between them marks a legacy
+    half-committed epoch that still takes the per-table heal path)."""
+    path = path or str(table.path)
     last_epoch, last_run = table.last_stream_state()
     if last_epoch is not None:
         if run_id is not None and last_run is not None:
@@ -434,17 +459,6 @@ def tx_append_once(
                 "checkpoint query id) to disambiguate instead of silently "
                 "dropping the batch"
             )
-    table.append(
-        batch,
-        meta={
-            "epoch": epoch_id,
-            **({"run": run_id} if run_id is not None else {}),
-            # layout stamps (e.g. an index's bucket geometry) ride the
-            # same manifest meta so probes can validate against it
-            **(extra_meta or {}),
-        },
-        stats_cols=stats_cols,
-    )
     return True
 
 
@@ -464,6 +478,7 @@ def foreach_batch_ingest_dedup(
     auto_compact_max_dirs: int | None = None,
     corpus_compact_kw: dict | None = None,
     sig_compact_kw: dict | None = None,
+    group_path: str | None = None,
 ):
     """Streaming ingestion with ONLINE near-dedup — the front door of a
     training-data pipeline: each micro-batch computes its MinHash
@@ -472,8 +487,9 @@ def foreach_batch_ingest_dedup(
     rescanned) or a LOWER-id document of the same batch (greedy
     keep-first; the exact cluster pick is the batch pipeline's job),
     then appends the surviving rows to the corpus TxTable and their
-    signature BAND POSTINGS to the index — both exactly-once via
-    ``tx_append_once`` with the same (run, epoch).
+    signature BAND POSTINGS to the index — both exactly-once (the
+    ``tx_append_once`` replay check on each table) and ATOMICALLY
+    (one ``txgroup_commit_appends`` record) with the same (run, epoch).
 
     The index holds ``dedup.band_postings`` rows keyed by a ``bb``
     landing bucket (md5(band,key) mod N — a pure function of the band
@@ -494,16 +510,20 @@ def foreach_batch_ingest_dedup(
     constant-fraction. The demo-scale default (16) only buys ~2× for
     8-band signatures.
 
-    Crash consistency between the TWO tables hangs on commit ORDER:
-    the corpus commits FIRST. A replay after a crash between the
-    commits recomputes the same survivor set (the dedup decision reads
-    the signature index, which by that order cannot yet contain this
-    epoch's rows), skips the already-committed corpus append, and
-    fills in the missing signature append — self-healing. The reverse
-    order would poison the replay: the batch would band-collide with
-    its own stored signatures and drop every row. Both tables commit
-    every non-empty input batch (even when zero rows survive) so their
-    epoch bookkeeping stays aligned. Batch ids are assumed unique
+    Crash consistency between the TWO tables is a single ATOMIC group
+    commit (r14, VERDICT r13 item 6): both appends stage invisibly,
+    one journal record under ``group_path`` (default
+    ``<corpus_path>/_txgroup``) holding both manifests' exact bytes is
+    the commit point, and ``txgroup_recover`` — run before every batch
+    — re-publishes verbatim after a crash mid-publish. There is no
+    crash window BETWEEN the table commits anymore; a crash before the
+    record leaves both tables unadvanced and the replay recomputes the
+    identical batch. Tables carrying a LEGACY half-committed epoch
+    (written by the pre-r14 ordered-commit sink) are detected by a
+    per-table replay-check disagreement and still take the old
+    heal-on-replay path (corpus first, index backfilled). Both tables
+    commit every non-empty input batch (even when zero rows survive)
+    so their epoch bookkeeping stays aligned. Batch ids are assumed unique
     within and across batches (ingestion ids); NULL-text documents
     produce no signature, always survive, and add no index row.
     ``auto_compact_max_dirs`` applies the small-files policy
@@ -539,6 +559,7 @@ def foreach_batch_ingest_dedup(
             auto_compact_max_dirs=auto_compact_max_dirs,
             corpus_compact_kw=corpus_compact_kw,
             sig_compact_kw=sig_compact_kw,
+            group_path=group_path,
         )
 
     return (
@@ -567,13 +588,17 @@ def ingest_dedup_batch(
     auto_compact_max_dirs: int | None = None,
     corpus_compact_kw: dict | None = None,
     sig_compact_kw: dict | None = None,
+    group_path: str | None = None,
 ) -> None:
     """One micro-batch of the online-dedup ingest — the sink body of
     ``foreach_batch_ingest_dedup``, factored out so batch callers (the
     growth harness, backfills run outside a stream) exercise the exact
     sink path with their own epoch bookkeeping. See the wrapper's
     docstring for the band-postings index layout, the pruned per-tick
-    read, and the per-table compaction kwargs."""
+    read, the atomic two-table group commit, and the per-table
+    compaction kwargs."""
+    from pathlib import Path
+
     from hapiy_etl_spark.operators.dedup import (
         N_BAND_BUCKETS,
         band_postings,
@@ -581,11 +606,21 @@ def ingest_dedup_batch(
         dedup_against_index,
         minhash_signatures,
     )
-    from hapiy_etl_spark.operators.txstore import TxTable
+    from hapiy_etl_spark.operators.txstore import (
+        TxTable,
+        txgroup_commit_appends,
+        txgroup_recover,
+    )
 
     spark = batch.sparkSession
     if n_band_buckets is None:
         n_band_buckets = N_BAND_BUCKETS
+    if group_path is None:
+        group_path = str(Path(corpus_path) / "_txgroup")
+    # roll forward any group commit a crash interrupted mid-publish —
+    # BEFORE the dedup decision reads either table (one empty listing
+    # in the steady state)
+    txgroup_recover(spark, group_path)
     mh_kw = dict(
         num_hashes=num_hashes,
         band_size=band_size,
@@ -700,20 +735,49 @@ def ingest_dedup_batch(
         survivors = batch.join(
             drop.withColumnRenamed("doc", id_col), id_col, "left_anti"
         )
-        appended_c = tx_append_once(
-            survivors, corpus_path, epoch_id, run_id=run_id
-        )
-        appended_s = tx_append_once(
-            kept_bands, sig_path, epoch_id, run_id=run_id,
-            stats_cols=["bb"],
-            # geometry stamp: later batches/probes validate against it
-            extra_meta={
-                "n_band_buckets": n_band_buckets,
-                "num_hashes": num_hashes,
-                "band_size": band_size,
-                "portable": int(portable),
-            },
-        )
+        geom_stamp = {
+            "n_band_buckets": n_band_buckets,
+            "num_hashes": num_hashes,
+            "band_size": band_size,
+            "portable": int(portable),
+        }
+        corpus_t = TxTable(spark, corpus_path)
+        need_c = _tx_replay_check(corpus_t, epoch_id, run_id)
+        need_s = _tx_replay_check(sig_t, epoch_id, run_id)
+        if need_c and need_s:
+            # the normal path: ONE atomic cross-table commit — no crash
+            # window between the corpus and index appends (r14)
+            base_meta = {
+                "epoch": epoch_id,
+                **({"run": run_id} if run_id is not None else {}),
+            }
+            txgroup_commit_appends(
+                group_path,
+                [
+                    {"table": corpus_t, "df": survivors, "meta": base_meta},
+                    {
+                        "table": sig_t,
+                        "df": kept_bands,
+                        # geometry stamp: later batches/probes validate
+                        # against it
+                        "meta": {**base_meta, **geom_stamp},
+                        "stats_cols": ["bb"],
+                    },
+                ],
+            )
+            appended_c = appended_s = True
+        else:
+            # replay (neither needs it) or a LEGACY half-committed
+            # epoch from the pre-r14 ordered-commit sink (exactly one
+            # needs it): per-table appends, corpus first — the old
+            # heal-on-replay path, kept for migration
+            appended_c = need_c and tx_append_once(
+                survivors, corpus_path, epoch_id, run_id=run_id
+            )
+            appended_s = need_s and tx_append_once(
+                kept_bands, sig_path, epoch_id, run_id=run_id,
+                stats_cols=["bb"], extra_meta=geom_stamp,
+            )
         # replay gate: a fully-replayed epoch commits nothing and must
         # not advance either table with a policy optimize either
         if (appended_c or appended_s) and auto_compact_max_dirs:

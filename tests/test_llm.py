@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hapiy_etl_spark.operators import dedup as D
+from hapiy_etl_spark.operators import multimodal as M
 from hapiy_etl_spark.operators import similarity as S
 from hapiy_etl_spark.operators.multimodal import (
     _dhash_from_bytes,
@@ -435,6 +436,75 @@ def test_dhash_locality_and_sign(spark):
     for payload in (base, other, b"", b"\xff" * 80):
         v = _dhash_from_bytes(payload)
         assert -(1 << 63) <= v < (1 << 63)
+
+
+def _make_png(width: int, height: int, pixel_fn) -> bytes:
+    """A real 8-bit grayscale PNG from the stdlib alone (zlib + crc32) —
+    so the Pillow-gated decode test has an actual image to decode
+    without needing Pillow to CREATE it."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixel_fn(x, y) for x in range(width))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decode_is_import_gated(spark):
+    """use_real_decode=True without Pillow raises the loud pointer
+    instead of failing inside tasks (the Delta-gateway gating pattern);
+    the stub default is unaffected by Pillow's presence."""
+    from hapiy_etl_spark.operators.multimodal import pil_available
+
+    df = attach_binary_payload(
+        spark.createDataFrame([(1, "p")], "doc_id long, text string"), "text"
+    )
+    if pil_available():
+        pytest.skip("Pillow present: the gate opens — covered below")
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        decode_image_features(df, use_real_decode=True)
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        M.dhash_signatures(df, use_real_decode=True).count()
+
+
+def test_real_decode_png_when_pillow_present(spark):
+    """When Pillow IS importable the real path decodes an actual PNG:
+    true width/height/mean-luma from decode_image_features, and a
+    deterministic dHash whose locality mirrors the stub's (a small
+    brightness edit moves few bits; an unrelated image moves many).
+    Skips where the library is absent (this container)."""
+    from hapiy_etl_spark.operators.multimodal import pil_available
+
+    if not pil_available():
+        pytest.skip("Pillow not importable in this environment")
+    flat = _make_png(12, 7, lambda x, y: 100)
+    grad = _make_png(40, 30, lambda x, y: (x * 6) % 256)
+    grad2 = _make_png(40, 30, lambda x, y: (x * 6 + (3 if x == y == 0 else 0)) % 256)
+    noise = _make_png(40, 30, lambda x, y: (x * 37 + y * 91 + x * y) % 256)
+    rows = [(1, flat), (2, grad), (3, grad2), (4, noise)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = {r.doc_id: r for r in decode_image_features(df, use_real_decode=True).collect()}
+    assert (feats[1].width, feats[1].height) == (12, 7)
+    assert abs(feats[1].mean_luma - 100 / 255) < 1e-6
+    assert (feats[2].width, feats[2].height) == (40, 30)
+    sigs = {r.doc: r.sig for r in M.dhash_signatures(df, use_real_decode=True).collect()}
+    sigs_again = {r.doc: r.sig for r in M.dhash_signatures(df, use_real_decode=True).collect()}
+    assert sigs == sigs_again  # deterministic
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(sigs[2], sigs[3]) <= 3  # one-pixel edit: tiny movement
+    assert ham(sigs[2], sigs[4]) > 10  # unrelated image: far away
 
 
 def test_phash_near_dup_planted_recall(spark):

@@ -4,6 +4,7 @@ travel, optimistic concurrency, vacuum) and the batch cron loop."""
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -3470,6 +3471,132 @@ def test_recovery_runs_builder_once_and_clamps_overbuild(spark, tmp_path):
     assert report["re_fed_but_empty"] == 0
     # the appended rows themselves still include what the builder wrote
     assert TxTable(spark, idx_p).read().count() > 3
+
+
+def test_txgroup_atomic_commit_kills_between_writes(spark, tmp_path, monkeypatch):
+    """The r14 atomic two-table commit (VERDICT r13 item 6): kill the
+    online-dedup sink at BOTH crash points around the old corpus/index
+    window and show the restart needs NO self-heal branch —
+    tx_append_once is booby-trapped during the replay, so the test
+    fails if any per-table heal append runs. Recovery is the generic
+    journal roll-forward (txgroup_recover), and the final state is
+    bit-identical to an uncrashed reference run."""
+    import pytest as _pytest
+
+    from hapiy_etl_spark.operators import txstore as TX
+    from hapiy_etl_spark.streaming import jobs as J
+
+    def mk_batch(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in ids],
+            "doc_id long, text string",
+        )
+
+    b0, b1 = mk_batch(range(4)), mk_batch(range(10, 15))
+
+    def table_state(base):
+        c = sorted(map(tuple, TxTable(spark, f"{base}/corpus").read().collect()))
+        s = sorted(map(tuple, TxTable(spark, f"{base}/sig").read().collect()))
+        return c, s
+
+    # uncrashed reference run
+    ref = str(tmp_path / "ref")
+    J.ingest_dedup_batch(b0, f"{ref}/corpus", f"{ref}/sig", 0, run_id="r1")
+    J.ingest_dedup_batch(b1, f"{ref}/corpus", f"{ref}/sig", 1, run_id="r1")
+    want = table_state(ref)
+
+    def boom(*a, **kw):
+        raise AssertionError("self-heal branch ran: tx_append_once called")
+
+    # -- crash point A: AFTER the group record and the corpus publish,
+    # before the index publish — the exact window the pre-r14 sink
+    # healed on replay
+    base = str(tmp_path / "crashA")
+    J.ingest_dedup_batch(b0, f"{base}/corpus", f"{base}/sig", 0, run_id="r1")
+    real_pub = TX.TxTable._publish_manifest
+
+    def kill_after_corpus(self, m):
+        v = real_pub(self, m)
+        if str(self.path).endswith("corpus") and (m.get("meta") or {}).get("epoch") == 1:
+            raise RuntimeError("killed between the two writes")
+        return v
+
+    monkeypatch.setattr(TX.TxTable, "_publish_manifest", kill_after_corpus)
+    with _pytest.raises(RuntimeError, match="killed between"):
+        J.ingest_dedup_batch(b1, f"{base}/corpus", f"{base}/sig", 1, run_id="r1")
+    monkeypatch.setattr(TX.TxTable, "_publish_manifest", real_pub)
+    # the legacy crash state on disk: corpus at epoch 1, index at 0...
+    assert TxTable(spark, f"{base}/corpus").last_stream_epoch() == 1
+    assert TxTable(spark, f"{base}/sig").last_stream_epoch() == 0
+    # ...but a journal record exists, so the replayed batch rolls it
+    # forward and NEVER enters a heal append
+    monkeypatch.setattr(J, "tx_append_once", boom)
+    J.ingest_dedup_batch(b1, f"{base}/corpus", f"{base}/sig", 1, run_id="r1")
+    monkeypatch.setattr(J, "tx_append_once", J.tx_append_once)
+    monkeypatch.undo()
+    assert table_state(base) == want
+    assert list(Path(f"{base}/corpus/_txgroup").glob("g-*.json")) == []
+
+    # -- crash point B: BEFORE the group record — neither table may
+    # advance (staged dirs are vacuum debris), and the replay commits
+    # the whole batch atomically
+    base = str(tmp_path / "crashB")
+    J.ingest_dedup_batch(b0, f"{base}/corpus", f"{base}/sig", 0, run_id="r1")
+    real_link = TX.os.link
+
+    def kill_before_record(src, dst):
+        if Path(dst).name.startswith("g-"):
+            raise RuntimeError("killed before the group record")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(TX.os, "link", kill_before_record)
+    with _pytest.raises(RuntimeError, match="killed before"):
+        J.ingest_dedup_batch(b1, f"{base}/corpus", f"{base}/sig", 1, run_id="r1")
+    monkeypatch.setattr(TX.os, "link", real_link)
+    assert TxTable(spark, f"{base}/corpus").last_stream_epoch() == 0
+    assert TxTable(spark, f"{base}/sig").last_stream_epoch() == 0
+    J.ingest_dedup_batch(b1, f"{base}/corpus", f"{base}/sig", 1, run_id="r1")
+    assert table_state(base) == want
+
+
+def test_txgroup_recover_guards(spark, tmp_path):
+    """txgroup_recover's safety rails: an already-published identical
+    manifest is accepted (idempotent re-run), a DIFFERENT manifest at
+    the journaled version raises (single-writer violation), and an
+    empty/missing journal dir is a no-op."""
+    import json as _json
+
+    from hapiy_etl_spark.operators.txstore import (
+        txgroup_commit_appends,
+        txgroup_recover,
+    )
+
+    assert txgroup_recover(spark, str(tmp_path / "nope")) == 0
+    t1 = TxTable(spark, str(tmp_path / "t1"))
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    gp = str(tmp_path / "grp")
+    v1, v2 = txgroup_commit_appends(
+        gp, [{"table": t1, "df": df}, {"table": t2, "df": df}]
+    )
+    assert (v1, v2) == (1, 1)
+    assert t1.read().count() == 1 and t2.read().count() == 1
+    # a re-run over a consumed journal is a no-op
+    assert txgroup_recover(spark, gp) == 0
+    # forge a stale record conflicting with published content
+    rec = {
+        "ts": 0,
+        "tables": [
+            {
+                "path": str(t1.path),
+                "manifest": {**t1._manifest(1), "dirs": ["forged"]},
+            }
+        ],
+    }
+    (Path(gp) / "g-forged.json").write_text(_json.dumps(rec))
+    with pytest.raises(RuntimeError, match="single-writer"):
+        txgroup_recover(spark, gp)
+    (Path(gp) / "g-forged.json").unlink()
 
 
 def test_reconcile_covers_signature_and_ivf_index_families(spark, tmp_path):
