@@ -191,6 +191,55 @@ def containment_pairs(
     return fwd.unionAll(rev).where(F.col("containment") >= threshold)
 
 
+def union_neardup_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.6,
+    df_cap: int | None = 100,
+) -> DataFrame:
+    """UNDIRECTED near-dup edges by Jaccard OR containment — the union
+    graph containment-aware survivorship clusters over (r14): a pair is
+    an edge when its shingle Jaccard ≥ ``jaccard_threshold`` OR either
+    direction's containment ≥ ``containment_threshold``. One inverted-
+    index join and ONE shared-count aggregate scores all three
+    predicates (``jaccard_pairs`` and ``containment_pairs`` run the
+    identical join separately — composing them would scan the corpus
+    twice for the same counts); same xxhash64 8-byte key and ``df_cap``
+    hot-shingle guard. Returns (id_a, id_b), id_a < id_b."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    ).select("doc", F.xxhash64("s").alias("sh"))
+    if df_cap is not None:
+        from pyspark.sql import Window as W
+
+        sh = (
+            sh.withColumn("__df", F.count("*").over(W.partitionBy("sh")))
+            .where(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb"))
+    c, na, nb = F.col("shared"), F.col("na"), F.col("nb")
+    keep = (
+        (F.round(c / (na + nb - c), 6) >= jaccard_threshold)
+        | (F.round(c / na, 6) >= containment_threshold)
+        | (F.round(c / nb, 6) >= containment_threshold)
+    )
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b").where(keep).select("id_a", "id_b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -2488,6 +2488,138 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_survivorship",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b, c, sa.n AS na, sb.n AS nb
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    -- the UNION graph: symmetric Jaccard edges (>= 0.5) plus DIRECTED
+    -- containment edges (either direction >= 0.6) flattened undirected
+    allp AS (
+        SELECT id_a, id_b FROM scored
+        WHERE ROUND(c * 1.0 / (na + nb - c), 6) >= 0.5
+           OR ROUND(c * 1.0 / na, 6) >= 0.6
+           OR ROUND(c * 1.0 / nb, 6) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM allp
+        UNION ALL SELECT id_b, id_a FROM allp
+    ),
+    walk(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    members AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars, d.source
+        FROM clusters c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM members
+    ),
+    agg AS (
+        SELECT cluster_id,
+               COUNT(*) AS n_members,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM members GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, r.doc_id AS canonical_doc_id,
+           a.n_members, a.n_sources, a.total_chars
+    FROM agg a JOIN ranked r ON r.cluster_id = a.cluster_id AND r.rk = 1
+    ORDER BY a.cluster_id
+    """,
+    doc="CONTAINMENT-AWARE survivorship (r14, VERDICT r13 item 8): the "
+    "cluster graph unions symmetric Jaccard edges (>= 0.5) with the "
+    "directed containment edges (>= 0.6, operators/dedup.py "
+    "containment_pairs) flattened undirected, so a quote-farm page "
+    "whose text is CONTAINED in a canonical doc — tiny Jaccard, "
+    "invisible to dedup_survivorship — collapses into that doc's "
+    "cluster and the election (longest text wins, doc_id breaks ties) "
+    "crowns the superset document. ALL edge predicates score from ONE "
+    "inverted-index shingle join + shared-count aggregate "
+    "(operators/dedup.py union_neardup_edges — composing the two pair "
+    "operators would run the identical join twice), with the same "
+    "df_cap=100 hot-shingle guard (never all-pairs); components via "
+    "6-round min-label propagation, checkpointed before the double-"
+    "consumption election, verified against the oracle's exact "
+    "recursive-CTE transitive closure over the identical union graph.",
+)
+def dedup_containment_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    edges = D.union_neardup_edges(
+        docs, "doc_id", "text", n=3,
+        jaccard_threshold=0.5, containment_threshold=0.6, df_cap=100,
+    )
+    # eager checkpoint: the election consumes the labels TWICE
+    # (canonical pick + metadata agg) — without it the whole candidate
+    # join + propagation re-runs per consumer. rounds=4 is the
+    # neardup_clusters convergence setting (observed diameter + 1):
+    # containment adds STAR edges around canonical docs (diameter ~2),
+    # not chains, and the oracle's exact fixpoint closure fails loudly
+    # if a longer chain ever appears — raise rounds then.
+    clusters = D.dedup_clusters(
+        edges, rounds=4, checkpoint_every=2
+    ).localCheckpoint(eager=True)
+    members = clusters.join(docs.select("doc_id", "n_chars", "source"), "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    canonical = (
+        members.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_doc_id"))
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return (
+        agg.join(canonical, "cluster_id")
+        .select(
+            "cluster_id", "canonical_doc_id", "n_members",
+            "n_sources", "total_chars",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
     "text_bigram_logprob",
     oracle="""
     WITH tok AS (

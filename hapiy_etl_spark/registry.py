@@ -63,6 +63,8 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # then stalest-green-first backfill. New r14 registrations are
 # prepended as never-checked when added.
 PRIORITY: tuple[str, ...] = (
+    # r14 registrations lead as never-checked
+    "dedup_containment_survivorship",
     "bloom_merge_lookup",
     "bloom_batch_fetch",
     "q22_dormant_rich_customers",

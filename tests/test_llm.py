@@ -1524,3 +1524,67 @@ def test_containment_catches_what_jaccard_misses(spark):
         ).collect()
     }
     assert jac[(1, 2)] < 0.1  # symmetric score misses the relationship
+
+
+def test_containment_survivorship_election_invariant(spark):
+    """Containment-aware survivorship (r14): a quote-farm page whose
+    text is CONTAINED in a canonical doc (tiny Jaccard — invisible to
+    Jaccard-only clustering) collapses into that doc's cluster via the
+    union graph, and the election crowns the SUPERSET document (longest
+    text wins, doc_id breaks ties). Invariants: the canonical is a
+    member of its own cluster with maximal n_chars; Jaccard-only edges
+    provably do NOT join the contained doc."""
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(600)]
+    quote = " ".join(rng.choice(vocab) for _ in range(25))
+    canon = (
+        " ".join(rng.choice(vocab) for _ in range(220))
+        + " " + quote + " "
+        + " ".join(rng.choice(vocab) for _ in range(220))
+    )
+    # near-dup of the canonical: high Jaccard (a few token edits)
+    near = canon.replace(" w1 ", " q1 ").replace(" w2 ", " q2 ")
+    unrelated = " ".join(rng.choice(vocab) for _ in range(150))
+    rows = [
+        (1, quote, "farm"),
+        (2, canon, "origin"),
+        (3, near, "mirror"),
+        (4, unrelated, "other"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, len(t), s) for i, t, s in rows],
+        "doc_id long, text string, n_chars long, source string",
+    )
+    edges = D.union_neardup_edges(
+        docs, "doc_id", "text", n=3,
+        jaccard_threshold=0.5, containment_threshold=0.6, df_cap=None,
+    )
+    got = {(r.id_a, r.id_b) for r in edges.collect()}
+    assert (1, 2) in got  # the containment edge Jaccard misses
+    assert (2, 3) in got  # the ordinary near-dup edge
+    assert not any(4 in e for e in got)  # unrelated stays out
+    clusters = D.dedup_clusters(edges, rounds=4, checkpoint_every=2)
+    labels = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert labels[1] == labels[2] == labels[3]  # one collapsed cluster
+    assert 4 not in labels
+    # the election: longest member (the canonical superset) wins
+    members = clusters.join(docs, "doc_id")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    winners = {
+        r.cluster_id: r.doc_id
+        for r in members.withColumn("rk", rk).where("rk = 1").collect()
+    }
+    assert winners[labels[1]] == 2  # the superset doc, not the quote
+    # Jaccard-only clustering provably misses the farm page
+    j_only = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, df_cap=None)
+    j_labels = {
+        r.doc_id: r.cluster_id
+        for r in D.dedup_clusters(j_only, rounds=4, checkpoint_every=2).collect()
+    }
+    assert 1 not in j_labels and j_labels[2] == j_labels[3]
