@@ -495,6 +495,53 @@ def _pq_codebooks(sample, m: int, n_codes: int, seed: int, iters: int = 8):
     return books
 
 
+def _pq_encode_decode(X, books):
+    """Encode every row of X to its nearest codeword per subspace and
+    decode back — the PQ reconstruction X̂ OPQ's Procrustes step needs."""
+    import numpy as np
+
+    m, n_codes, sub = books.shape
+    Xhat = np.empty_like(X)
+    for j in range(m):
+        x = X[:, j * sub : (j + 1) * sub]
+        d = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        Xhat[:, j * sub : (j + 1) * sub] = books[j][d.argmin(axis=1)]
+    return Xhat
+
+
+def opq_rotation(sample, m: int, n_codes: int, seed: int = 42, iters: int = 5):
+    """OPQ-NP (Ge et al., "Optimized Product Quantization", CVPR 2013,
+    the non-parametric variant): learn an ORTHONORMAL rotation R that
+    minimizes PQ reconstruction error by alternating (1) codebook fit
+    on the rotated sample and (2) the orthogonal Procrustes solve
+    R = U Vᵀ from SVD(Xᵀ X̂). Rotation redistributes correlated
+    variance across the m subspaces, so independent per-subspace
+    quantizers waste fewer bits — the standard raw-ADC recall lever on
+    real (correlated) embeddings; on an already-isotropic corpus it
+    converges to ~identity and is harmless. Since R is orthonormal,
+    distances in the rotated space ARE the original L2 distances —
+    rotation changes the quantization error, never the metric.
+
+    Driver-side on the bounded training sample (same posture as
+    ``_pq_codebooks``); returns (R, books) with books fit on X·R —
+    pass both to ``pq_topk(rotation=R, codebooks=books)``."""
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    d = X.shape[1]
+    R = np.eye(d)
+    books = None
+    for _ in range(max(1, iters)):
+        Xr = X @ R
+        books = _pq_codebooks(Xr, m, n_codes, seed)
+        Xhat = _pq_encode_decode(Xr, books)
+        u, _, vt = np.linalg.svd(X.T @ Xhat)
+        R = u @ vt
+    # final codebooks consistent with the final rotation
+    books = _pq_codebooks(X @ R, m, n_codes, seed)
+    return R, books
+
+
 def _pq_training_sample(
     corpus: DataFrame,
     corpus_id: str,
@@ -586,6 +633,7 @@ def pq_topk(
     train_fraction: float | None = None,
     refine: int = 0,
     codebooks=None,
+    rotation=None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC) — the
     memory-bound scale path of the ANN quartet (brute / LSH / IVF / PQ):
@@ -605,6 +653,10 @@ def pq_topk(
     the true top-k by exact cosine — output scored as ``cosine_sim``.
     ``codebooks`` accepts a pre-trained (m, n_codes, sub) array (e.g.
     the session-cached audit artifacts) and skips training.
+    ``rotation`` applies an orthonormal OPQ rotation (``opq_rotation``)
+    to queries and corpus before encoding — one broadcast matmul per
+    Arrow batch; orthonormality preserves L2, so the exact regime and
+    the re-rank tail are rotation-invariant.
     """
     import numpy as np
 
@@ -616,6 +668,7 @@ def pq_topk(
     )
     if not q_rows:
         return empty
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=np.float64)
         m, n_codes, sub_given = books.shape
@@ -627,6 +680,8 @@ def pq_topk(
         if not sample_rows:
             return empty
         sample = np.array(sample_rows, dtype=np.float64)
+        if rot is not None:
+            sample = sample @ rot  # codebooks live in the rotated space
         dim = sample.shape[1]
         if dim % m != 0:
             raise ValueError(
@@ -637,6 +692,8 @@ def pq_topk(
 
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if rot is not None:
+        q_mat = q_mat @ rot
     sub = dim // m
     k_pool = refine * k if refine else k
     # ADC lookup tables: for every query, squared-L2 from each of its
@@ -647,18 +704,20 @@ def pq_topk(
         diff = qs[:, None, :] - books[j][None, :, :]  # (Q, codes, sub)
         luts[:, j, :] = (diff**2).sum(axis=2)
 
-    b = spark.sparkContext.broadcast((books, q_ids, luts))
+    b = spark.sparkContext.broadcast((books, q_ids, luts, rot))
 
     def adc_partition(batches):
         import pandas as pd
 
-        books_, ids_, luts_ = b.value
+        books_, ids_, luts_, rot_ = b.value
         kk = k_pool + 1  # survive self-match removal
         for pdf in batches:
             c_ids = pdf[corpus_id].to_numpy()
             c_mat = np.array(list(pdf[vec]), dtype=np.float64)
             if len(c_mat) == 0:
                 continue
+            if rot_ is not None:
+                c_mat = c_mat @ rot_  # one BLAS matmul per Arrow batch
             # encode: nearest codeword per subspace -> (B, m) codes
             codes = np.empty((len(c_mat), m), dtype=np.int64)
             for j in range(m):

@@ -202,12 +202,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=None,  # ML-seeded LSH sketches aren't SQL-reproducible;
     # recall invariants on planted dups in tests/test_llm.py
-    doc="Near-dup candidates via pyspark.ml MinHash LSH (banded "
-    "signatures + approxSimilarityJoin). Compatibility path only: the "
+    doc="API-PARITY DEMO — do not copy this path into a pipeline: the "
     "DataFrame-native banding (dedup_minhash_native) does the same job "
-    "~2.5x faster (2.3 s vs 5.7 s at sf0.1) and is what "
-    "dedup_pipeline_end_to_end uses; ml-LSH explodes signatures "
-    "per-hash-table and is NOT the preferred scale path. Rows-only, "
+    "~2.5x faster (2.3 s vs 5.7 s at sf0.1), carries a portable oracle "
+    "twin, and is what dedup_pipeline_end_to_end uses; ml-LSH explodes "
+    "signatures per-hash-table and is NOT the preferred scale path. "
+    "Kept registered solely to prove the pyspark.ml MinHashLSH surface "
+    "(HashingTF + approxSimilarityJoin) is supported. Rows-only, "
     "FINAL (banded LSH has no SQL twin); the driver-visible bound: "
     "planted exact+near duplicate pairs are recalled 10/10 and the "
     "threshold rejects sub-0.5-Jaccard pairs "

@@ -479,6 +479,64 @@ def ann_pq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_opq_exact_regime",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    q AS (SELECT vec_id, embedding FROM c WHERE vec_id < 10),
+    sims AS (
+        SELECT q.vec_id,
+               c.vec_id AS neighbor_id,
+               POWER(list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 2) AS d
+        FROM q JOIN c ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT vec_id, neighbor_id, rank, ROUND(d, 6) AS approx_l2sq
+    FROM ranked WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """,
+    doc="OPQ (r14, Ge et al. 'Optimized Product Quantization') in its "
+    "EXACT regime: the learned orthonormal rotation is applied to "
+    "queries, training sample, and every corpus batch, and with "
+    "n_codes >= corpus size the rotated-space quantization is lossless "
+    "— since R is ORTHONORMAL, rotated-space squared-L2 IS the "
+    "original squared-L2, so the ranking (and the reported distances) "
+    "must match DuckDB's unrotated brute-force twin bit-for-bit. Pins "
+    "the whole OPQ plumbing: the Procrustes training loop, rotated "
+    "codebooks, query-side and Arrow-batch corpus-side rotation, LUT "
+    "build, refine. The lossy-regime GAIN (lower quantization error "
+    "on correlated corpora at identical geometry) is pytest-pinned on "
+    "a planted correlated corpus (test_opq_rotation_reduces_"
+    "quantization_error) — the sf embeddings are near-isotropic by "
+    "construction, where OPQ converges to ~identity and the honest "
+    "measured gain is ~0.",
+)
+def ann_opq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    corpus = t["embeddings"].where(F.col("vec_id") < 200)
+    queries = corpus.where(F.col("vec_id") < 10)
+    sample = np.array(
+        [
+            r[1]
+            for r in corpus.select("vec_id", "embedding")
+            .orderBy("vec_id")  # deterministic training sample
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    R, books = S.opq_rotation(sample, m=8, n_codes=256, seed=42, iters=3)
+    return S.pq_topk(
+        queries, corpus, "vec_id", "vec_id", k=3,
+        codebooks=books, rotation=R,
+    ).orderBy("vec_id", "rank")
+
+
+@register(
     "ann_ivfpq_exact_regime",
     oracle="""
     WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

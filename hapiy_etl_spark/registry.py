@@ -65,6 +65,7 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 PRIORITY: tuple[str, ...] = (
     # r14 registrations lead as never-checked
     "dedup_containment_survivorship",
+    "ann_opq_exact_regime",
     "bloom_merge_lookup",
     "bloom_batch_fetch",
     "q22_dormant_rich_customers",
