@@ -2621,6 +2621,71 @@ def dedup_containment_survivorship(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH base AS (
+        SELECT source, doc_id,
+               len(string_split_regex(text, '\\s+')) AS n_toks
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_toks,
+               SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM base
+    )
+    SELECT source, doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           CAST(floor((c - n_toks) / 2048) AS BIGINT) AS first_seq,
+           CAST(floor((c - 1) / 2048) AS BIGINT) AS last_seq,
+           CAST(floor((c - 1) / 2048)
+                - floor((c - n_toks) / 2048) + 1 AS BIGINT) AS n_seqs
+    FROM cum
+    ORDER BY source, doc_id
+    """,
+    doc="Sequence PACKING for training (r14) — the concatenate-then-"
+    "chunk step every pretraining pipeline runs between the corpus and "
+    "the data loader: per source shard, documents concatenate in "
+    "doc_id order and the token stream chunks into fixed 2048-token "
+    "context windows; each doc reports the sequence ids it spans "
+    "(first_seq/last_seq/n_seqs — n_seqs > 1 means the doc crosses a "
+    "boundary and will be split across training examples). Pure window "
+    "algebra: ONE running-sum window PARTITIONED BY SOURCE (packing is "
+    "per-shard in production — a global token order would serialize "
+    "the corpus through one partition, exactly the antipattern the "
+    "global-window lint forbids), whitespace token counts on the same "
+    "kernel as text_token_stats. At 100 TB this is one shuffle at "
+    "shard grain; the downstream exploded (sequence -> doc slice) "
+    "mapping derives from these spans without re-scanning text.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ctx = 2048
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        "source", "doc_id", F.size(TS.tokens("text")).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.withColumn("c", F.sum("n_toks").over(w))
+    first_seq = F.floor((F.col("c") - F.col("n_toks")) / ctx)
+    last_seq = F.floor((F.col("c") - 1) / ctx)
+    return cum.select(
+        "source",
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("long").alias("n_seqs"),
+    ).orderBy("source", "doc_id")
+
+
+@register(
     "text_bigram_logprob",
     oracle="""
     WITH tok AS (

@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     # r14 registrations lead as never-checked
     "dedup_containment_survivorship",
     "ann_opq_exact_regime",
+    "corpus_pack_sequences",
     "bloom_merge_lookup",
     "bloom_batch_fetch",
     "q22_dormant_rich_customers",

@@ -1548,6 +1548,35 @@ def test_ann_recall_audit_shape_and_bounds(spark, sf_dir):
     assert rows["ivfpq_rerank"].recall_at_3 >= 0.8
 
 
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Sequence packing is a gapless chunking of each source shard's
+    token stream: within a shard, spans are contiguous (the next doc
+    starts in the previous doc's last sequence or the one after),
+    every doc spans ceil-consistent sequence counts, and the shard's
+    last sequence id equals floor((total_tokens - 1) / ctx)."""
+    from hapiy_etl_spark.registry import all_queries
+
+    rows = all_queries()["corpus_pack_sequences"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.doc_id)
+        total = 0
+        prev_last = 0
+        for i, r in enumerate(docs):
+            assert r.n_tokens >= 1
+            assert r.n_seqs == r.last_seq - r.first_seq + 1 >= 1
+            assert r.first_seq == total // 2048  # starts where cum sits
+            total += r.n_tokens
+            assert r.last_seq == (total - 1) // 2048
+            if i:
+                assert r.first_seq in (prev_last, prev_last + 1)  # gapless
+            prev_last = r.last_seq
+        assert docs[-1].last_seq == (total - 1) // 2048
+
+
 def test_containment_catches_what_jaccard_misses(spark):
     """The regime gap dedup_containment exists for: a short doc
     embedded VERBATIM inside a much longer one scores containment 1.0
