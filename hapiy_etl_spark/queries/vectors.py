@@ -15,6 +15,7 @@ from hapiy_etl_spark.functions import sign_bucket_sql as _sign_bucket_sql
 from hapiy_etl_spark.functions import srp_matrix as _srp_matrix
 from hapiy_etl_spark.functions import srp_row_sql as _srp_row_sql
 from hapiy_etl_spark.io import load_tables
+from hapiy_etl_spark.operators import dedup as D
 from hapiy_etl_spark.operators import similarity as S
 from hapiy_etl_spark.operators import textindex
 from hapiy_etl_spark.registry import register
@@ -476,6 +477,132 @@ def ann_pq_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         # kernel (u < 1 always) while staying layout-invariant
         train_fraction=1.0,
     ).orderBy("vec_id", "rank")
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM toks
+    ),
+    hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+    sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pos AS (
+        SELECT id_a, id_b FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.2
+    ),
+    sims AS (
+        SELECT q.vec_id,
+               c.vec_id AS neighbor_id,
+               cd.source AS negative_source,
+               list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+        FROM embeddings q
+        JOIN documents qd ON qd.doc_id = q.vec_id
+        JOIN embeddings c ON q.vec_id != c.vec_id
+        JOIN documents cd ON cd.doc_id = c.vec_id
+        WHERE q.vec_id < 10
+          AND qd.source != cd.source
+          AND NOT EXISTS (
+              SELECT 1 FROM pos
+              WHERE (id_a = q.vec_id AND id_b = c.vec_id)
+                 OR (id_a = c.vec_id AND id_b = q.vec_id)
+          )
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, negative_source, sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT vec_id, neighbor_id, negative_source, rank,
+           ROUND(sim, 6) AS cosine_sim
+    FROM ranked WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """,
+    doc="HARD-NEGATIVE mining for contrastive training (r14): per query "
+    "document, the top-3 most-similar embeddings that are (a) from a "
+    "DIFFERENT source shard and (b) NOT a textual near-dup (shingle "
+    "Jaccard >= 0.2 excluded — an embedding-similar cross-source "
+    "near-dup is a mislabeled POSITIVE, the classic contrastive "
+    "poisoning bug this guard exists for). Composition: the bounded "
+    "query set broadcasts against the corpus with source metadata "
+    "joined in (embedding ids align with doc ids by construction), the "
+    "near-dup exclusion anti-joins the same df-capped inverted-index "
+    "pair set the dedup family uses, and a per-query window cuts "
+    "top-3. Never all-pairs on the corpus side; at 100 TB the positive "
+    "pair set is the already-materialized dedup artifact and this is "
+    "one broadcast join + anti-join + bounded window.",
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ("embeddings", "documents"))
+    emb, docs = t["embeddings"], t["documents"]
+    src = docs.select(F.col("doc_id").alias("vec_id"), "source")
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .join(src, "vec_id")
+        .select(
+            F.col("vec_id").alias("__qid"),
+            F.col("embedding").alias("__qv"),
+            F.col("source").alias("__qsrc"),
+        )
+    )
+    c = emb.join(src, "vec_id").select(
+        F.col("vec_id").alias("__cid"),
+        F.col("embedding").alias("__cv"),
+        F.col("source").alias("__csrc"),
+    )
+    pos = D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, df_cap=100)
+    pos_edges = pos.select(
+        F.col("id_a").alias("__qid"), F.col("id_b").alias("__cid")
+    ).unionAll(
+        pos.select(F.col("id_b").alias("__qid"), F.col("id_a").alias("__cid"))
+    )
+    sims = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("__qid") != F.col("__cid"))
+            & (F.col("__qsrc") != F.col("__csrc")),
+        )
+        .join(pos_edges, ["__qid", "__cid"], "left_anti")
+        .select(
+            "__qid",
+            "__cid",
+            F.col("__csrc").alias("negative_source"),
+            S.cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("__qid").alias("vec_id"),
+            F.col("__cid").alias("neighbor_id"),
+            "negative_source",
+            "rank",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+        .orderBy("vec_id", "rank")
+    )
 
 
 @register(

@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_containment_survivorship",
     "ann_opq_exact_regime",
     "corpus_pack_sequences",
+    "contrastive_hard_negatives",
     "bloom_merge_lookup",
     "bloom_batch_fetch",
     "q22_dormant_rich_customers",
