@@ -118,6 +118,10 @@ def test_no_registered_query_plans_all_pairs(spark, sf_dir):
         "ann_recall_audit",  # composes the sanctioned ANN probe-cell
         #   crosses (queries x broadcast centroids/codebooks) plus the
         #   exact baseline's bounded query-set cross (r12)
+        "contrastive_hard_negatives",  # bounded broadcast: 10 query
+        #   vectors x corpus with a non-equi (source-differs) predicate
+        #   — the ann_cosine_topk sanctioned shape plus an anti-join
+        #   (r14); the corpus side is never self-joined
     }
     offenders = []
     for q in all_queries().values():

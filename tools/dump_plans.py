@@ -251,6 +251,20 @@ SHOWCASE = [
     ("embedding_vector_outliers", ["BroadcastNestedLoopJoin", "HashAggregate"]),
     # r13: cadence stats — user-partitioned window, one grouped agg
     ("events_interarrival_stats", ["Window", "HashAggregate"]),
+    # r14: union near-dup graph — ONE inverted-index equi-join +
+    # shared-count aggregate serves all three edge predicates; election
+    # windows are cluster-partitioned
+    ("dedup_containment_survivorship", ["HashAggregate", "Window", "Exchange"]),
+    # r14: packing is one running-sum window PARTITIONED BY SOURCE —
+    # never a global token order through one reducer
+    ("corpus_pack_sequences", ["Window", "Exchange", "FileScan"]),
+    # r14: hard negatives — bounded 10-row broadcast against the corpus
+    # (the sanctioned cosine_topk shape), near-dup anti-join, top-3
+    # window; corpus never self-joins
+    ("contrastive_hard_negatives", ["BroadcastNestedLoopJoin", "Window"]),
+    # r14: PQ with exact re-ranking — ADC Arrow scan, then the bounded
+    # candidate fetch is a broadcast HASH join on the corpus id
+    ("ann_pq_topk", ["MapInPandas", "BroadcastHashJoin", "Window"]),
 ]
 
 
