@@ -2686,6 +2686,98 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pack_greedy",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT source, doc_id,
+               len(string_split_regex(text, '\\s+')) AS n_toks,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    walk(source, rn, doc_id, n_toks, bin_id, fill) AS (
+        SELECT source, rn, doc_id, n_toks, 0, n_toks
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.source, b.rn, b.doc_id, b.n_toks,
+               CASE WHEN w.fill + b.n_toks <= 2048
+                    THEN w.bin_id ELSE w.bin_id + 1 END,
+               CASE WHEN w.fill + b.n_toks <= 2048
+                    THEN w.fill + b.n_toks ELSE b.n_toks END
+        FROM base b JOIN walk w
+          ON b.source = w.source AND b.rn = w.rn + 1
+    )
+    SELECT source, doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           n_toks > 2048 AS oversize
+    FROM walk
+    ORDER BY source, doc_id
+    """,
+    doc="NO-SPLIT greedy packing (r14, the boundary-respecting twin of "
+    "corpus_pack_sequences): per source shard, documents in doc_id "
+    "order fill a 2048-token bin until the next doc would overflow, "
+    "then a new bin starts — the packing used when examples must not "
+    "cross document boundaries (instruction tuning, eval sets); a doc "
+    "longer than the budget takes its own bin and is flagged "
+    "``oversize``. The fold is inherently sequential PER SHARD (each "
+    "bin boundary depends on every prior fill), so this is the "
+    "sanctioned applyInPandas shape: one Arrow-batched linear pass per "
+    "source group — shard-parallel across the corpus, never a global "
+    "order — with the token counts computed JVM-side before the "
+    "shuffle so the Python stage folds integers, not text. The DuckDB "
+    "twin replays the identical recurrence as a recursive CTE.",
+)
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ctx = 2048
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select(
+        "source", "doc_id", F.size(TS.tokens("text")).cast("long").alias("n_toks")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        ids = []
+        for i, n in enumerate(pdf["n_toks"]):
+            if i == 0:
+                fill = n
+            elif fill + n <= ctx:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            ids.append(bin_id)
+        return pd.DataFrame(
+            {
+                "source": pdf["source"],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_toks"],
+                "bin_id": ids,
+                "oversize": pdf["n_toks"] > ctx,
+            }
+        )
+
+    return (
+        base.groupBy("source")
+        .applyInPandas(pack, schema)
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
     "text_bigram_logprob",
     oracle="""
     WITH tok AS (

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_opq_exact_regime",
     "corpus_pack_sequences",
     "contrastive_hard_negatives",
+    "corpus_pack_greedy",
     "bloom_merge_lookup",
     "bloom_batch_fetch",
     "q22_dormant_rich_customers",

