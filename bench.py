@@ -137,6 +137,7 @@ def main() -> None:
                 flagship_semantic_state,
                 flagship_state,
                 ivf_index,
+                pq_index,
                 retighten_state,
                 shingle_index,
             )
@@ -151,6 +152,8 @@ def main() -> None:
                 ("bm25_index", bm25_index),
                 ("shingle_index", shingle_index),
                 ("ivf_index", ivf_index),
+                # persisted PQ codes (r14): encode once, probe forever
+                ("pq_index", pq_index),
                 # the flagship topology (online-dedup ingest + MV
                 # partials + healed shingle index) is a one-time build
                 # every rep's timed query reads the audit frame off

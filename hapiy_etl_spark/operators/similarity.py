@@ -767,6 +767,186 @@ def pq_topk(
     )
 
 
+def pq_index_assign(
+    codebooks,
+    batch: DataFrame,
+    corpus_id: str,
+    vec: str = "embedding",
+    rotation=None,
+) -> DataFrame:
+    """Encode vectors against EXISTING codebooks — the incremental
+    append of the persisted PQ index (``pq_index_build``'s encode
+    stage, no retraining): one Arrow-batched pass, (id, m-code array)
+    out. Append the result to the stored codes table and the index has
+    grown by exactly the batch — the ``ivf_index_assign`` posture for
+    the compressed-codes family."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
+    spark = batch.sparkSession
+    b = spark.sparkContext.broadcast((books, rot))
+
+    def encode(batches):
+        import pandas as pd
+
+        books_, rot_ = b.value
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            if rot_ is not None:
+                c_mat = c_mat @ rot_
+            codes = np.empty((len(c_mat), m), dtype=np.int32)
+            for j in range(m):
+                x = c_mat[:, j * sub : (j + 1) * sub]
+                d = ((x[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    corpus_id: pdf[corpus_id],
+                    "codes": [list(map(int, row)) for row in codes],
+                }
+            )
+
+    return batch.select(corpus_id, vec).mapInPandas(
+        encode, f"{corpus_id} long, codes array<int>"
+    )
+
+
+def pq_index_build(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    train_limit: int = 10_000,
+    train_fraction: float | None = None,
+    rotation=None,
+):
+    """Build the PERSISTABLE PQ index: ``(codebooks, codes)``.
+
+    ``codebooks``: the (m, n_codes, sub) ndarray — tiny tokenizer-class
+    metadata a deployment stores next to the table. ``codes``: one row
+    per corpus vector, (id, array<int> of m code ids) ≈ m·log2(n_codes)
+    bits instead of the raw floats. This is the production PQ posture
+    the one-shot ``pq_topk`` compresses into a single call: ENCODE ONCE
+    (store the codes in a TxTable), probe forever via
+    ``pq_index_probe`` — query cost never re-touches or re-encodes the
+    raw vectors, and the scan reads ~16 B/vec instead of 256.
+    New batches join via ``pq_index_assign`` (no retraining); pass
+    ``rotation`` (``opq_rotation``) to build an OPQ index."""
+    import numpy as np
+
+    books = None
+    sample_rows = _pq_training_sample(
+        corpus, corpus_id, vec, train_limit, train_fraction, seed
+    )
+    if not sample_rows:
+        raise ValueError("pq_index_build: empty training sample")
+    sample = np.array(sample_rows, dtype=np.float64)
+    if rotation is not None:
+        sample = sample @ np.asarray(rotation, dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_index_build: vector dim {dim} is not divisible by m={m}"
+        )
+    books = _pq_codebooks(sample, m, n_codes, seed)
+    codes = pq_index_assign(books, corpus, corpus_id, vec, rotation=rotation)
+    return books, codes
+
+
+def pq_index_probe(
+    queries: DataFrame,
+    codebooks,
+    codes,
+    query_id: str,
+    corpus_id: str,
+    k: int = 5,
+    refine: int = 0,
+    corpus_raw: DataFrame | None = None,
+    vec: str = "embedding",
+    rotation=None,
+) -> DataFrame:
+    """Probe a PERSISTED PQ index: ADC over the stored code rows —
+    the corpus raw vectors are never read unless ``refine`` > 0 asks
+    for the exact re-ranking tail (then ``corpus_raw`` supplies the
+    bounded candidate fetch, the ``pq_topk`` refine shape). ``codes``
+    is the codes DataFrame or a callable ``() -> DataFrame`` so a
+    TxTable reader can defer the scan. At 100 TB the probe scans
+    ~16 B/vec; with the codes table clustered on a coarse key this
+    composes with dir pruning exactly like ``ivf_probe_index``."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
+    q_rows = _collect_bounded_queries(queries, query_id, vec, "pq_index_probe")
+    codes_df = codes() if callable(codes) else codes
+    spark = codes_df.sparkSession
+    score_alias = "cosine_sim" if refine else "approx_l2sq"
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{query_id} long, neighbor_id long, rank int, {score_alias} double"
+        )
+    if refine and corpus_raw is None:
+        raise ValueError("pq_index_probe: refine > 0 needs corpus_raw")
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if rot is not None:
+        q_mat = q_mat @ rot
+    luts = np.empty((len(q_ids), m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = q_mat[:, j * sub : (j + 1) * sub]
+        diff = qs[:, None, :] - books[j][None, :, :]
+        luts[:, j, :] = (diff**2).sum(axis=2)
+    k_pool = refine * k if refine else k
+    b = spark.sparkContext.broadcast((q_ids, luts))
+
+    def adc_codes(batches):
+        import pandas as pd
+
+        ids_, luts_ = b.value
+        kk = k_pool + 1
+        for pdf in batches:
+            c_ids = pdf[corpus_id].to_numpy()
+            code_mat = np.array(list(pdf["codes"]), dtype=np.int64)
+            if len(code_mat) == 0:
+                continue
+            dist = np.zeros((len(code_mat), len(ids_)), dtype=np.float64)
+            for j in range(m):
+                dist += luts_[:, j, :][:, code_mat[:, j]].T
+            out_q, out_c, out_d = [], [], []
+            for qi in range(len(ids_)):
+                col = dist[:, qi]
+                top = min(kk, len(col))
+                if top < len(col):
+                    cut = np.partition(col, top - 1)[top - 1]
+                    cand = np.flatnonzero(col <= cut)
+                else:
+                    cand = np.arange(len(col))
+                order = np.lexsort((c_ids[cand], col[cand]))[:top]
+                for ci in cand[order]:
+                    if c_ids[ci] != ids_[qi]:
+                        out_q.append(ids_[qi])
+                        out_c.append(c_ids[ci])
+                        out_d.append(col[ci])
+            yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__score": out_d})
+
+    local = codes_df.select(corpus_id, "codes").mapInPandas(
+        adc_codes, "__qid long, __cid long, __score double"
+    )
+    if not refine:
+        return _refine_topk(local, query_id, k, "approx_l2sq", descending=False)
+    pool = _refine_topk(local, query_id, k_pool, "approx_l2sq", descending=False)
+    return _exact_cosine_rerank(
+        pool, queries, corpus_raw, query_id, corpus_id, k, vec, vec
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     corpus: DataFrame,

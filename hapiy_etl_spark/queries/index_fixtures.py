@@ -209,6 +209,48 @@ def ann_audit_artifacts(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def pq_index(spark: SparkSession, sf_dir: str):
+    """(codebooks ndarray, codes TxTable) over the exact-regime slice
+    (vec_id < 200): codebooks train once on the WHOLE slice
+    (n_codes=256 >= slice size — lossless, so the probe query's DuckDB
+    brute-force twin pins the persisted-codes path bit-for-bit);
+    history codes (vec_id % 4 != 3) land as one append, the remaining
+    vectors ENCODE INCREMENTALLY against the stored codebooks
+    (pq_index_assign, no retraining) and append as a second dir — the
+    ivf_index build/append posture for the compressed-codes family."""
+    key = ("pqidx", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    from hapiy_etl_spark.io import load_tables
+    from hapiy_etl_spark.operators import similarity as S
+    from hapiy_etl_spark.operators.txstore import TxTable
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].where(
+        F.col("vec_id") < 200
+    )
+    history = emb.where(F.pmod("vec_id", F.lit(4)) != 3)
+    batch = emb.where(F.pmod("vec_id", F.lit(4)) == 3)
+    books, _ = S.pq_index_build(
+        # train on the whole slice (the exact regime needs every vector
+        # as its own codeword) but encode only history here
+        emb, "vec_id", m=8, n_codes=256, train_fraction=1.0,
+    )
+    base = _base(spark, sf_dir, "pqidx")
+    shutil.rmtree(base, ignore_errors=True)
+    idx = TxTable(spark, f"{base}/codes")
+    idx.append(
+        S.pq_index_assign(books, history, "vec_id"), stats_cols=["vec_id"]
+    )
+    # incremental append: later vectors encode against the STORED
+    # codebooks — no retraining, no touch of existing code rows
+    idx.append(
+        S.pq_index_assign(books, batch, "vec_id"), stats_cols=["vec_id"]
+    )
+    _CACHE[key] = (books, idx, base)
+    return books, idx
+
+
 def flagship_state(spark: SparkSession, sf_dir: str):
     """(corpus TxTable, mv TxTable, shingle-index TxTable): the full
     production topology of flagship_pipeline_e2e, materialized once per

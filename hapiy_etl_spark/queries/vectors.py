@@ -606,6 +606,52 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_index_probe",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    q AS (SELECT vec_id, embedding FROM c WHERE vec_id < 10),
+    sims AS (
+        SELECT q.vec_id,
+               c.vec_id AS neighbor_id,
+               POWER(list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 2) AS d
+        FROM q JOIN c ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT vec_id, neighbor_id, rank, ROUND(d, 6) AS approx_l2sq
+    FROM ranked WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """,
+    doc="PERSISTED PQ codes index with incremental append, probed in "
+    "the exact regime (r14 — the production PQ posture ann_pq_topk's "
+    "one-shot call compresses away: ENCODE ONCE into a TxTable of "
+    "(id, m-code) rows at ~16 B/vec, probe forever via ADC over the "
+    "stored codes — query cost never re-reads or re-encodes the raw "
+    "vectors). The fixture trains codebooks once, lands history codes "
+    "as one append, and ENCODES THE REMAINING VECTORS INCREMENTALLY "
+    "against the stored codebooks (pq_index_assign, no retraining — "
+    "the ivf_index_assign posture); with n_codes >= slice size the "
+    "quantization is lossless, so the probe of the PERSISTED rows — "
+    "including the incrementally-assigned ones — must reproduce "
+    "DuckDB's brute-force ranking bit-for-bit. Lossy probes add "
+    "refine>0 for the exact re-ranking tail against the raw corpus.",
+)
+def ann_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.queries.index_fixtures import pq_index
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].where(F.col("vec_id") < 200)
+    queries = emb.where(F.col("vec_id") < 10)
+    books, idx = pq_index(spark, sf_dir)
+    return S.pq_index_probe(
+        queries, books, lambda: idx.read(), "vec_id", "vec_id", k=3
+    ).orderBy("vec_id", "rank")
+
+
+@register(
     "ann_opq_exact_regime",
     oracle="""
     WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pack_sequences",
     "contrastive_hard_negatives",
     "corpus_pack_greedy",
+    "ann_pq_index_probe",
     "bloom_merge_lookup",
     "bloom_batch_fetch",
     "q22_dormant_rich_customers",

@@ -880,6 +880,51 @@ def test_opq_rotation_reduces_quantization_error(spark):
     assert rotated >= 4  # absolute floor on the planted setup
 
 
+def test_pq_index_probe_matches_one_shot(spark, planted_vectors):
+    """The persisted-codes probe (r14) is the one-shot pq_topk split
+    into encode-once + probe-forever: probing the codes reproduces
+    pq_topk with the same codebooks row for row, incremental
+    pq_index_assign batches union to the same index as one build, and
+    the refine tail over codes equals the one-shot refine."""
+    from hapiy_etl_spark.operators.similarity import (
+        pq_index_assign,
+        pq_index_build,
+        pq_index_probe,
+    )
+
+    q = planted_vectors.where(F.col("vec_id") < 3)
+    books, codes = pq_index_build(
+        planted_vectors, "vec_id", m=4, n_codes=8, train_limit=10_000
+    )
+    via_index = sorted(map(tuple, pq_index_probe(
+        q, books, codes, "vec_id", "vec_id", k=2
+    ).collect()))
+    one_shot = sorted(map(tuple, S.pq_topk(
+        q, planted_vectors, "vec_id", "vec_id", k=2, codebooks=books
+    ).collect()))
+    assert via_index == one_shot
+    # incremental assign: two batch encodes union to the same index
+    h1 = planted_vectors.where(F.col("vec_id") % 2 == 0)
+    h2 = planted_vectors.where(F.col("vec_id") % 2 != 0)
+    inc = pq_index_assign(books, h1, "vec_id").unionByName(
+        pq_index_assign(books, h2, "vec_id")
+    )
+    via_inc = sorted(map(tuple, pq_index_probe(
+        q, books, inc, "vec_id", "vec_id", k=2
+    ).collect()))
+    assert via_inc == via_index
+    # refine over codes == one-shot refine (raw vectors fetched from
+    # the corpus only for the bounded candidate pool)
+    r_index = sorted(map(tuple, pq_index_probe(
+        q, books, codes, "vec_id", "vec_id", k=2, refine=4,
+        corpus_raw=planted_vectors,
+    ).collect()))
+    r_one = sorted(map(tuple, S.pq_topk(
+        q, planted_vectors, "vec_id", "vec_id", k=2, codebooks=books, refine=4
+    ).collect()))
+    assert r_index == r_one
+
+
 def test_pq_topk_deterministic(spark, planted_vectors):
     """Seeded codebooks + index tie-breaks: identical output across runs."""
     queries = planted_vectors.where(F.col("vec_id") < 3)
