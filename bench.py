@@ -143,8 +143,14 @@ def main() -> None:
             )
             from hapiy_etl_spark.queries.text import neardup_clusters
 
+            from hapiy_etl_spark.queries.text import union_neardup_clusters
+
             for label, fn in (
                 ("neardup_clusters", lambda s, d: neardup_clusters(s, d).count()),
+                # the containment-aware union-graph artifact (r14):
+                # same materialized-once posture as the jaccard sibling
+                ("union_neardup_clusters",
+                 lambda s, d: union_neardup_clusters(s, d).count()),
                 ("copurchase_edges", lambda s, d: copurchase_edges(s, d).count()),
                 # persisted-index fixtures (r10): built once per rep in
                 # the untimed window, like the materialized-once tables
