@@ -2644,7 +2644,7 @@ def dedup_containment_survivorship(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH base AS (
         SELECT source, doc_id,
-               len(string_split_regex(text, '\\s+')) AS n_toks
+               len(string_split_regex(COALESCE(text, ''), '\\s+')) AS n_toks
         FROM documents
     ),
     cum AS (
@@ -2684,7 +2684,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = 2048
     t = load_tables(spark, sf_dir, ("documents",))
     base = t["documents"].select(
-        "source", "doc_id", F.size(TS.tokens("text")).alias("n_toks")
+        "source",
+        "doc_id",
+        # coalesce BEFORE tokenizing: F.size of a null split is -1,
+        # which would silently corrupt the running sum on a corpus
+        # with null text (none at test SF; belt for real data)
+        F.size(TS.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("n_toks"),
     )
     w = (
         Window.partitionBy("source")
@@ -2709,7 +2714,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE base AS (
         SELECT source, doc_id,
-               len(string_split_regex(text, '\\s+')) AS n_toks,
+               len(string_split_regex(COALESCE(text, ''), '\\s+')) AS n_toks,
                ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         FROM documents
     ),
@@ -2753,7 +2758,12 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = 2048
     t = load_tables(spark, sf_dir, ("documents",))
     base = t["documents"].select(
-        "source", "doc_id", F.size(TS.tokens("text")).cast("long").alias("n_toks")
+        "source",
+        "doc_id",
+        # null-text guard: see corpus_pack_sequences
+        F.size(TS.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_toks"),
     )
 
     schema = T.StructType(
