@@ -53,73 +53,63 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # ordering is evidence budget. Regenerate this list each round with
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
-# r14 window (tools/rotate_priority.py over CORRECTNESS_r01..r13, then
-# hand-front-loaded): zero failures, zero never-checked; leads with the
-# TWELVE r8-stale queries VERDICT r13 item 2 flags (5 rounds old, at
-# the rotation gate's edge), then the MATERIALLY CHANGED set — the
-# three BPE queries (r14 batch guard ends batches at fresh product
-# strings; max-rank topological check), corpus_erasure_retighten (bloom
-# resize cap) and both CDC healers (single-pass recovery rebuild) —
-# then stalest-green-first backfill. New r14 registrations are
-# prepended as never-checked when added.
+# r15 window (tools/rotate_priority.py over CORRECTNESS_r01..r14):
+# zero failures, zero never-checked; leads with the TWENTY-ONE
+# r9-stale queries VERDICT r14 item 1 flags (5 rounds old, at the
+# rotation gate's edge), then stalest-green-first backfill (the r10
+# agg_* cohort). New r15 registrations are prepended as
+# never-checked when added.
 PRIORITY: tuple[str, ...] = (
-    # r14 registrations lead as never-checked
-    "dedup_containment_survivorship",
-    "ann_opq_exact_regime",
-    "corpus_pack_sequences",
-    "contrastive_hard_negatives",
-    "corpus_pack_greedy",
-    "ann_pq_index_probe",
-    "bloom_merge_lookup",
-    "bloom_batch_fetch",
-    "q22_dormant_rich_customers",
-    "sales_yoy_growth",
-    "supplier_lead_time",
-    "customer_order_cadence",
-    "timeseries_ewma",
-    "ann_lsh_exact_regime",
-    "ann_ivf_exact_regime",
-    "ann_pq_exact_regime",
-    "semdedup_assign",
-    "embedding_quantize_int8",
-    "vocab_bpe_train",
-    "vocab_bpe_encode",
-    "vocab_fertility_audit",
-    "corpus_erasure_retighten",
-    "cdc_index_maintenance",
-    "cdc_ivf_index_maintenance",
-    "incremental_mv_join_refresh",
-    "optimize_zorder_slice",
-    "join_semi_anti",
-    "join_outer_coalesce",
-    "join_full_outer",
-    "q2_min_cost_per_group",
-    "topk_per_group",
-    "set_operations",
-    "theta_range_join",
-    "cross_join_dims",
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
-    "fn_array",
-    "fn_explode_wordcount",
-    "fn_json",
-    "fn_json_schema",
-    "fn_datetime_arith",
-    "fn_regexp_extract_all",
-    "fn_try_safe",
-    "fn_struct",
-    "fn_conditional",
-    "fn_hash",
-    "stat_chi2_independence",
-    "stat_ab_proportion_ztest",
-    "corpus_lang_drift_jsd",
     "sample_stratified_rates",
     "doc_source_entropy",
     "subq_exists_priority",
     "subq_correlated_avg_qty",
     "subq_in_large_orders",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_native",
+    "dedup_incremental_index",
+    "dedup_pipeline_end_to_end",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_bm25_index_probe",
+    "text_decontam_index_probe",
+    "corpus_shard_assignment",
+    "corpus_shard_epoch_reshuffle",
+    "changestream_optimize_exactly_once",
+    "ann_ivf_index_probe",
+    "semdedup_incremental",
+    "agg_basic_stats",
+    "agg_corr_covar",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_first_last_ordered",
+    "agg_bitwise_boolean",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "agg_regression",
+    "agg_filter_clause",
+    "agg_kmv_distinct_sketch",
+    "agg_approx_top_k_freq",
+    "interval_overlap_sessions",
+    "events_cohort_retention",
+    "events_value_histogram",
+    "table_diff_snapshots",
+    "incremental_mv_refresh",
+    "incremental_mv_topk",
+    "constraints_quarantine",
+    "data_quality_report",
+    "text_pii_redaction",
+    "corpus_split_sample",
+    "dedup_rate_by_source",
+    "corpus_cross_contamination",
+    "editsim_source_labels",
 )
 
 
