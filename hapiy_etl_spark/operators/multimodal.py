@@ -217,7 +217,13 @@ def _pil_dhash(Image, data: bytes, grid: int = 8) -> int:
     import numpy as np
 
     with Image.open(io.BytesIO(data)) as im:
-        small = im.convert("L").resize((grid + 1, grid))
+        # BOX resampling explicitly (ADVICE r14): Pillow's resize
+        # default is bicubic; box = block-mean pooling matches both the
+        # stub's pooling and the conventional dHash recipe
+        small = im.convert("L").resize(
+            # Image.Resampling since Pillow 9.1; bare Image.BOX before
+            (grid + 1, grid), getattr(Image, "Resampling", Image).BOX
+        )
     g = np.asarray(small, dtype=np.float64)  # (grid, grid+1)
     return _dhash_bits(g)
 

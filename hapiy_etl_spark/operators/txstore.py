@@ -1603,9 +1603,16 @@ class TxTable:
         after takedown batches). A dir whose bloom was built from its
         own rows at the right size sits far under any sane threshold,
         so only union-bloom survivors qualify and repeated erasures
-        stop bouncing off their accumulated false positives. Returns
-        the re-tightened dir names ([] = nothing over threshold, no
-        commit)."""
+        stop bouncing off their accumulated false positives. A dir can
+        still sit over threshold AFTER an own-rows rebuild when its
+        distinct-key count outgrows ``BLOOM_RESIZE_CAP_BITS`` — the
+        rebuild is idempotent there, so entries are stamped
+        ``src: "own"`` and the staleness scan EXCLUDES them (r15,
+        ADVICE: without the marker every maintenance tick re-read the
+        capped dir's full rows, rebuilt an identical bitmap, and
+        committed a no-op ``retighten`` manifest forever). Returns
+        the re-tightened dir names ([] = nothing over threshold or
+        nothing actually changed, no commit)."""
         from pyspark.sql import functions as F
 
         cols = list(cols)
@@ -1615,10 +1622,19 @@ class TxTable:
                 return []
             m = self._manifest(parent)
             ests = {c: self.bloom_fpr_estimates(c, parent) for c in cols}
+            all_blooms_scan = m.get("blooms") or {}
             stale = [
                 d
                 for d in m["dirs"]
-                if any(ests[c].get(d, 0.0) > fpr_threshold for c in cols)
+                if any(
+                    ests[c].get(d, 0.0) > fpr_threshold
+                    # src=="own" → bloom already rebuilt from this dir's
+                    # own rows at capped-or-right geometry; a re-rebuild
+                    # is bitwise identical, so the dir is settled even
+                    # though its capped FPR estimate stays elevated
+                    and all_blooms_scan.get(d, {}).get(c, {}).get("src") != "own"
+                    for c in cols
+                )
             ]
             if not stale:
                 return []
@@ -1626,6 +1642,7 @@ class TxTable:
                 m, m["dirs"]
             )
             all_blooms = m.get("blooms") or {}
+            changed: list[str] = []
             for d in stale:
                 rows = self._read_dirs(m, [d], merge_schema=False)
                 rebuilt: dict = {}
@@ -1645,11 +1662,20 @@ class TxTable:
                         F.countDistinct(c)
                     ).collect()[0][0]
                     bits = max(int(old["bits"]), _bloom_bits_for(n_distinct))
-                    rebuilt.update(
-                        self._bloom_build(rows, [c], bits, old["k"])
-                    )
+                    entry = self._bloom_build(rows, [c], bits, old["k"])
+                    # own-rows provenance marker: the scan above skips
+                    # src=="own" dirs, ending the capped-dir livelock
+                    entry[c]["src"] = "own"
+                    rebuilt.update(entry)
                 if not rebuilt:
                     continue
+                if all(
+                    all_blooms.get(d, {}).get(c) == e for c, e in rebuilt.items()
+                ):
+                    # idempotent rebuild (marker already recorded,
+                    # bitmap identical) — nothing to commit for this dir
+                    continue
+                changed.append(d)
                 blooms_map[d] = {**all_blooms.get(d, {}), **rebuilt}
                 # stats re-tighten rides along: the same read-back
                 # yields exact bounds for the columns whose recorded
@@ -1659,6 +1685,10 @@ class TxTable:
                 ]
                 if stat_cols:
                     stats_map[d] = self._column_stats(rows, stat_cols)
+            if not changed:
+                # every stale candidate rebuilt to an identical entry —
+                # committing would be pure version/history churn
+                return []
             try:
                 self._commit(
                     parent,
@@ -1670,7 +1700,7 @@ class TxTable:
                     stats=stats_map or None,
                     blooms=blooms_map or None,
                 )
-                return stale
+                return changed
             except ConcurrentCommitError:
                 continue  # metadata-only: nothing to clean up, re-resolve
         raise ConcurrentCommitError(

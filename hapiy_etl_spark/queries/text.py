@@ -2596,9 +2596,11 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/dedup.py union_neardup_edges — composing the two pair "
     "operators would run the identical join twice), with the same "
     "df_cap=100 hot-shingle guard (never all-pairs); components via "
-    "6-round min-label propagation, checkpointed before the double-"
-    "consumption election, verified against the oracle's exact "
-    "recursive-CTE transitive closure over the identical union graph.",
+    "4-round min-label propagation (observed union-graph diameter + 1 "
+    "— containment adds star edges, not chains; the oracle's exact "
+    "recursive-CTE closure over the identical graph fails loudly if a "
+    "longer chain ever appears), checkpointed before the double-"
+    "consumption election.",
 )
 def dedup_containment_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

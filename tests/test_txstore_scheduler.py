@@ -3233,6 +3233,41 @@ def test_retighten_bloom_resize_is_capped():
     assert _bloom_bits_for(BLOOM_RESIZE_CAP_BITS) == BLOOM_RESIZE_CAP_BITS
 
 
+def test_retighten_capped_dir_does_not_livelock(spark, tmp_path):
+    """ADVICE r14: a dir with more distinct keys than ~cap/10 stays over
+    fpr_threshold even after its capped own-rows rebuild, so every
+    scheduled retighten tick re-read the full dir, rebuilt an identical
+    bitmap, and committed a fresh no-op 'retighten' manifest —
+    unbounded version/history churn plus a repeated full-dir scan.
+    Rebuilt entries now carry src=="own" and the staleness scan skips
+    them: the first retighten commits once (recording the marker +
+    resized bitmap), every later tick returns [] with NO commit and NO
+    version bump. Modeled with fpr_threshold=0.0 so the rebuilt dir
+    provably still 'estimates above threshold'."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [(i, f"doc{i}") for i in range(60)]
+    t.append(
+        spark.createDataFrame(rows, "doc_id long, body string"),
+        bloom_cols=["doc_id"],
+        bloom_bits=256,
+        bloom_k=5,
+    )
+    first = t.retighten_blooms(["doc_id"], fpr_threshold=0.0)
+    assert first != []  # one commit records the own-rows marker
+    v = t.latest_version()
+    m = t._manifest(v)
+    (d,) = m["dirs"]
+    assert m["blooms"][d]["doc_id"]["src"] == "own"
+    assert t.bloom_fpr_estimates("doc_id")[d] > 0.0  # still "over" 0.0
+    # every subsequent tick: settled — no commit, no version churn
+    for _ in range(3):
+        assert t.retighten_blooms(["doc_id"], fpr_threshold=0.0) == []
+        assert t.latest_version() == v
+    # the marker never weakens pruning: probes replay the recorded
+    # geometry regardless of provenance
+    assert t.delete_keys([999_999], on="doc_id") == v  # absent: no-op
+
+
 def test_erasure_propagates_to_shingle_index(spark, tmp_path):
     """Right-to-be-forgotten across the corpus AND a derived postings
     index: after delete_keys on both, the index equals a one-shot
