@@ -233,16 +233,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twin, and is what dedup_pipeline_end_to_end uses; ml-LSH explodes "
     "signatures per-hash-table and is NOT the preferred scale path. "
     "Kept registered solely to prove the pyspark.ml MinHashLSH surface "
-    "(HashingTF + approxSimilarityJoin) is supported. Rows-only, "
-    "FINAL (banded LSH has no SQL twin); the driver-visible bound: "
-    "planted exact+near duplicate pairs are recalled 10/10 and the "
-    "threshold rejects sub-0.5-Jaccard pairs "
+    "(HashingTF + approxSimilarityJoin) is supported, so the input is "
+    "CAPPED to a deterministic 1/8 hash-slice of documents (r15, "
+    "VERDICT r14 item 5: an API demo must not be the most expensive "
+    "steady query in the bench; the operator itself takes any frame). "
+    "Rows-only, FINAL (banded LSH has no SQL twin); the "
+    "driver-visible bound: planted exact+near duplicate pairs are "
+    "recalled 10/10 and the threshold rejects sub-0.5-Jaccard pairs "
     "(tests/test_llm.py::test_minhash_lsh_recall_on_planted).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
+    demo_slice = t["documents"].where(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)) == 0
+    )
     return D.minhash_lsh_pairs(
-        t["documents"], "doc_id", "text", n=3, jaccard_threshold=0.5
+        demo_slice, "doc_id", "text", n=3, jaccard_threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
