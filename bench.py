@@ -137,6 +137,7 @@ def main() -> None:
                 flagship_semantic_state,
                 flagship_state,
                 ivf_index,
+                ivfpq_index,
                 pq_index,
                 retighten_state,
                 shingle_index,
@@ -160,6 +161,9 @@ def main() -> None:
                 ("ivf_index", ivf_index),
                 # persisted PQ codes (r14): encode once, probe forever
                 ("pq_index", pq_index),
+                # persisted IVF-PQ residual codes (r15): the composed
+                # IVFADC artifact — build once, probe via dir pruning
+                ("ivfpq_index", ivfpq_index),
                 # the flagship topology (online-dedup ingest + MV
                 # partials + healed shingle index) is a one-time build
                 # every rep's timed query reads the audit frame off

@@ -800,6 +800,86 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_index_probe",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    q AS (SELECT vec_id, embedding FROM c WHERE vec_id < 10),
+    sims AS (
+        SELECT q.vec_id,
+               c.vec_id AS neighbor_id,
+               POWER(list_distance(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 2) AS d
+        FROM q JOIN c ON q.vec_id != c.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT vec_id, neighbor_id, rank, ROUND(d, 6) AS approx_l2sq
+    FROM ranked WHERE rank <= 3
+    ORDER BY vec_id, rank
+    """,
+    doc="PERSISTED IVF-PQ (IVFADC) index with incremental append, "
+    "probed in the exact regime (r15, VERDICT r14 item 3 — the "
+    "composed production posture for a 100 TB vector corpus that "
+    "ann_ivf_index_probe and ann_pq_index_probe each prove half of): "
+    "per-cell RESIDUAL PQ codes stored ONCE in a TxTable (one dir per "
+    "cell + one incrementally-assigned mixed dir, ~m bytes/vec, raw "
+    "floats never stored in the index), probes rank the broadcast "
+    "centroid table, prune the read to the probed cells' DIRS via "
+    "where_in (asserted in-query: a 1-probe single-query search "
+    "touches <= 2 of 5 dirs), and score by ADC over the stored codes "
+    "(operators/similarity.py ivfpq_index_build / ivfpq_index_assign "
+    "/ ivfpq_index_probe). Exact regime: probe-all disables pruning "
+    "error and residual codebooks trained on the entire restricted "
+    "slice with n_codes >= slice size are lossless, so the probe of "
+    "the PERSISTED rows — including the incrementally-assigned batch "
+    "— must reproduce DuckDB's brute-force squared-L2 ranking "
+    "bit-for-bit. Lossy probes add refine>0 for the exact re-ranking "
+    "tail against the raw corpus (parity pytest); at 100 TB a probe "
+    "reads ~(n_probe/n_centroids) of the dirs at ~16x byte "
+    "compression, and refine fetches only the bounded candidate pool.",
+)
+def ann_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.txstore import dirs_read
+    from hapiy_etl_spark.queries.index_fixtures import ivfpq_index
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].where(F.col("vec_id") < 200)
+    queries = emb.where(F.col("vec_id") < 10)
+    n_centroids = 4
+    # session-cached fixture (bench hygiene): quantizer + codebooks +
+    # codes table built once per session — the production artifact
+    # shape — so the timed number is the probe
+    cent, books, idx = ivfpq_index(spark, sf_dir)
+
+    reads: list = []
+
+    def reader(cells):
+        df = idx.read(where_in={"cell": cells})
+        reads.append(df)
+        return df
+
+    # dir-pruning invariant: a 1-probe single-query search touches the
+    # probed cell's dir + the (all-cells) batch dir, never the rest
+    S.ivfpq_index_probe(
+        emb.where(F.col("vec_id") == 0), cent, books, reader,
+        "vec_id", "vec_id", k=3, n_probe=1,
+    ).collect()
+    touched = dirs_read(reads[-1])
+    if len(touched) > 2:  # pragma: no cover - invariant guard
+        raise AssertionError(
+            f"1-probe read {len(touched)} of 5 dirs (want <= 2)"
+        )
+    # exact regime: probe-all over the persisted residual codes ==
+    # brute force, hash-checked by the twin
+    return S.ivfpq_index_probe(
+        queries, cent, books, reader, "vec_id", "vec_id",
+        k=3, n_probe=n_centroids,
+    ).orderBy("vec_id", "rank")
+
+
+@register(
     "embedding_vector_outliers",
     oracle="""
     WITH per AS (

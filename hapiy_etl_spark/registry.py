@@ -54,12 +54,13 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
 # r15 window (tools/rotate_priority.py over CORRECTNESS_r01..r14):
-# zero failures, zero never-checked; leads with the TWENTY-ONE
+# never-checked r15 registrations lead, then the TWENTY-ONE
 # r9-stale queries VERDICT r14 item 1 flags (5 rounds old, at the
 # rotation gate's edge), then stalest-green-first backfill (the r10
 # agg_* cohort). New r15 registrations are prepended as
 # never-checked when added.
 PRIORITY: tuple[str, ...] = (
+    "ann_ivfpq_index_probe",
     "sample_stratified_rates",
     "doc_source_entropy",
     "subq_exists_priority",
@@ -109,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_split_sample",
     "dedup_rate_by_source",
     "corpus_cross_contamination",
-    "editsim_source_labels",
 )
 
 

@@ -925,6 +925,111 @@ def test_pq_index_probe_matches_one_shot(spark, planted_vectors):
     assert r_index == r_one
 
 
+def test_ivfpq_index_probe_matches_one_shot(spark, planted_vectors):
+    """The persisted IVF-PQ index (r15) is the one-shot ivf_pq_topk
+    split into build-once + probe-forever: with the SAME frozen
+    quantizer and residual codebooks, probing the stored codes
+    reproduces ivf_pq_topk row for row (lossy geometry — the parity is
+    in the plumbing, not an exact regime), incremental
+    ivfpq_index_assign batches union to the same index as one build,
+    and the refine tail over stored codes equals the one-shot refine."""
+    import numpy as np
+
+    from hapiy_etl_spark.operators.similarity import (
+        _pq_codebooks,
+        _pq_training_sample,
+        ivfpq_index_assign,
+        ivfpq_index_build,
+        ivfpq_index_probe,
+        residual_transform,
+    )
+
+    q = planted_vectors.where(F.col("vec_id") < 3)
+    cent, books, codes = ivfpq_index_build(
+        planted_vectors, "vec_id", n_centroids=4, m=4, n_codes=8,
+        train_limit=10_000,
+    )
+    codes = codes.cache()
+    via_index = sorted(map(tuple, ivfpq_index_probe(
+        q, cent, books, codes, "vec_id", "vec_id", k=2, n_probe=2
+    ).collect()))
+    # one-shot with the SAME artifacts (index= and codebooks= bypass
+    # retraining, the ann_recall_audit sharing path)
+    cent2, assigned = S.ivf_index_build(planted_vectors, "vec_id", n_centroids=4)
+    one_shot = sorted(map(tuple, S.ivf_pq_topk(
+        q, planted_vectors, "vec_id", "vec_id", k=2, n_probe=2,
+        m=4, n_codes=8, index=(cent, assigned), codebooks=books,
+    ).collect()))
+    assert via_index == one_shot
+
+    # incremental assign: two batch encodes against the frozen
+    # quantizer + codebooks union to the same index as one pass
+    h1 = planted_vectors.where(F.col("vec_id") % 2 == 0)
+    h2 = planted_vectors.where(F.col("vec_id") % 2 != 0)
+    inc = ivfpq_index_assign(cent, books, h1, "vec_id").unionByName(
+        ivfpq_index_assign(cent, books, h2, "vec_id")
+    )
+    full = ivfpq_index_assign(cent, books, planted_vectors, "vec_id")
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    via_inc = sorted(map(tuple, ivfpq_index_probe(
+        q, cent, books, inc, "vec_id", "vec_id", k=2, n_probe=2
+    ).collect()))
+    assert via_inc == via_index
+
+    # refine over stored codes == one-shot refine (raw vectors fetched
+    # only for the bounded candidate pool)
+    r_index = sorted(map(tuple, ivfpq_index_probe(
+        q, cent, books, codes, "vec_id", "vec_id", k=2, n_probe=2,
+        refine=3, corpus_raw=planted_vectors,
+    ).collect()))
+    r_one = sorted(map(tuple, S.ivf_pq_topk(
+        q, planted_vectors, "vec_id", "vec_id", k=2, n_probe=2,
+        m=4, n_codes=8, index=(cent, assigned), codebooks=books, refine=3,
+    ).collect()))
+    assert r_index == r_one
+
+
+def test_ivfpq_index_probe_exact_regime_equals_bruteforce(
+    spark, planted_vectors
+):
+    """Probe-all + full-corpus residual codebooks with n_codes >= |corpus|:
+    every residual is its own codeword, so ADC over the STORED codes
+    reconstructs true squared-L2 and the persisted-index probe equals
+    the exact numpy brute force under the same (distance, id) order —
+    the invariant the registered [O] twin hash-checks at sf0.01."""
+    import numpy as np
+
+    from hapiy_etl_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_probe,
+    )
+
+    q = planted_vectors.where(F.col("vec_id") < 3)
+    cent, books, codes = ivfpq_index_build(
+        planted_vectors, "vec_id", n_centroids=4, m=4, n_codes=64,
+        train_limit=10_000, train_fraction=1.0,
+    )
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["approx_l2sq"])
+        for r in ivfpq_index_probe(
+            q, cent, books, codes, "vec_id", "vec_id", k=3, n_probe=4
+        ).collect()
+    }
+    rows = planted_vectors.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    for qr in q.select("vec_id", "embedding").collect():
+        d = ((mat - np.array(qr[1], dtype=np.float64)) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        want = [(int(ids[i]), round(float(d[i]), 6))
+                for i in order if ids[i] != qr[0]][:3]
+        for rank, (nid, dist) in enumerate(want, start=1):
+            g_nid, g_d = got[(qr[0], rank)]
+            assert g_nid == nid and abs(g_d - dist) < 1e-6
+
+
 def test_pq_topk_deterministic(spark, planted_vectors):
     """Seeded codebooks + index tie-breaks: identical output across runs."""
     queries = planted_vectors.where(F.col("vec_id") < 3)
