@@ -2814,6 +2814,129 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pack_oracle() -> str:
+    """DuckDB twin of corpus_pack_bpe: replay the learned merge chain
+    (the vocab_bpe_train CTEs), segment at word-TYPE grain, join the
+    per-type subword counts back to each doc's token stream, then run
+    the corpus_pack_sequences cumulative-window recurrence on the
+    BPE-grain counts."""
+    from hapiy_etl_spark.operators.bpe import (
+        _bpe_merge_ctes,
+        bpe_apply_expr_sql,
+    )
+
+    stages, _ = _bpe_merge_ctes(_BPE_N_MERGES)
+    expr, joins = bpe_apply_expr_sql(_BPE_N_MERGES)
+    return (
+        "WITH "
+        + _BPE_CORPUS_CTE
+        + ",\n    "
+        + ",\n    ".join(stages)
+        + f""",
+    segd AS (
+        SELECT word,
+               len(string_split(substr(s, 2, length(s) - 2),
+                                chr(31) || chr(31))) AS n_sub
+        FROM (SELECT word, {expr} AS s FROM types, {joins})
+    ),
+    doctok AS (
+        SELECT source, doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    counts AS (
+        SELECT source, doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_toks
+        FROM doctok JOIN segd USING (word)
+        WHERE word <> ''
+        GROUP BY source, doc_id
+    ),
+    cum AS (
+        SELECT source, doc_id, n_toks,
+               SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM counts
+    )
+    SELECT source, doc_id,
+           CAST(n_toks AS BIGINT) AS n_bpe_tokens,
+           CAST(floor((c - n_toks) / 2048) AS BIGINT) AS first_seq,
+           CAST(floor((c - 1) / 2048) AS BIGINT) AS last_seq,
+           CAST(floor((c - 1) / 2048)
+                - floor((c - n_toks) / 2048) + 1 AS BIGINT) AS n_seqs
+    FROM cum
+    ORDER BY source, doc_id"""
+    )
+
+
+@register(
+    "corpus_pack_bpe",
+    oracle=_bpe_pack_oracle(),
+    doc="Sequence packing at BPE-TOKEN grain (r15, VERDICT r14 item 4 "
+    "— the missing link between two already-proven kernels): "
+    "production packs at the grain the model trains on, not "
+    "whitespace words, so the 2048-token windows here count subwords "
+    "of the LEARNED vocabulary (vocab_bpe_train). Composition keeps "
+    "every piece at its cheap grain: the segmentation runs ONCE on "
+    "the word-TYPE table (vocabulary-bounded, the vocab_fertility_"
+    "audit posture — never a re-segmentation per occurrence), ONE "
+    "hash join keys the per-type subword counts back to the token "
+    "stream, a doc-grain aggregate sums them, and the "
+    "corpus_pack_sequences running-sum window — PARTITIONED BY "
+    "SOURCE, packing is per-shard — assigns the spans. Docs with "
+    "null/whitespace-only text carry no tokens and are excluded "
+    "(mirrored in the twin). At 100 TB: the type table and merges are "
+    "tokenizer metadata, the heavy path is one token-stream join + "
+    "one shard-grain shuffle. The DuckDB twin replays the merge "
+    "chain, the type-grain segmentation, AND the packing recurrence "
+    "end-to-end.",
+)
+def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hapiy_etl_spark.operators.bpe import bpe_segment, bpe_train
+
+    ctx = 2048
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    # ONE word-type derivation feeds trainer and segmentation input
+    # (the vocab_fertility_audit r12 review lesson)
+    types_full = _bpe_word_types(docs)
+    merges = bpe_train(types_full, _BPE_N_MERGES)
+    segd = bpe_segment(types_full.select("word"), "word", merges).select(
+        "word", F.size("subwords").alias("n_sub")
+    )
+    doctok = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    counts = (
+        doctok.join(segd, "word")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("n_sub").cast("long").alias("n_toks"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("c", F.sum("n_toks").over(w))
+    first_seq = F.floor((F.col("c") - F.col("n_toks")) / ctx)
+    last_seq = F.floor((F.col("c") - 1) / ctx)
+    return cum.select(
+        "source",
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_bpe_tokens"),
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("long").alias("n_seqs"),
+    ).orderBy("source", "doc_id")
+
+
 @register(
     "text_bigram_logprob",
     oracle="""

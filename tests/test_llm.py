@@ -1727,6 +1727,39 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert docs[-1].last_seq == (total - 1) // 2048
 
 
+def test_pack_bpe_invariants(spark, sf_dir):
+    """BPE-grain packing (r15) keeps the split-packing recurrence
+    (gapless contiguous spans per shard, ceil-consistent counts) while
+    counting LEARNED-vocabulary subwords: with only 6 merges most
+    words segment near character grain, so every doc's BPE count is
+    >= its whitespace count — packing at the trained grain produces
+    at least as many sequences per shard."""
+    from hapiy_etl_spark.registry import all_queries
+
+    rows = all_queries()["corpus_pack_bpe"].fn(spark, sf_dir).collect()
+    ws = {
+        (r.source, r.doc_id): r.n_tokens
+        for r in all_queries()["corpus_pack_sequences"].fn(spark, sf_dir).collect()
+    }
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.doc_id)
+        total = 0
+        prev_last = 0
+        for i, r in enumerate(docs):
+            assert r.n_bpe_tokens >= ws[(r.source, r.doc_id)]  # finer grain
+            assert r.n_seqs == r.last_seq - r.first_seq + 1 >= 1
+            assert r.first_seq == total // 2048
+            total += r.n_bpe_tokens
+            assert r.last_seq == (total - 1) // 2048
+            if i:
+                assert r.first_seq in (prev_last, prev_last + 1)  # gapless
+            prev_last = r.last_seq
+
+
 def test_pack_greedy_invariants(spark, sf_dir):
     """No-split greedy packing: per shard, bin ids are contiguous from
     0, every non-oversize bin's fill <= ctx, a new bin only starts when
