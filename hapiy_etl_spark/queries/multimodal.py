@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hapiy_etl_spark.io import load_tables
 from hapiy_etl_spark.operators.multimodal import (
     attach_binary_payload,
+    audio_near_dup_pairs,
     decode_image_features,
     frame_sample_plan,
     phash_near_dup_pairs,
@@ -307,3 +308,144 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(corpus, "doc_id", max_hamming=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "multimodal_audio_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        -- exact re-upload slice: all 8 windows byte-identical
+        SELECT doc_id + 100000, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 10 = 0
+        UNION ALL
+        -- tail-corrupted slice: a 4-byte splice at the very end lands
+        -- entirely in window 7, so exactly 7/8 windows still match
+        SELECT doc_id + 200000,
+               substr(text, 1, length(text) - 4) || 'QQQQ'
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % 17 = 0 AND length(text) >= 200
+    ),
+    windows AS (
+        SELECT doc_id, wi,
+               sha256(substr(text, wi * wlen + 1, wlen)) AS digest
+        FROM (
+            SELECT doc_id, text,
+                   CAST(ceil(length(text) / 8.0) AS INT) AS wlen
+            FROM corpus
+        ), UNNEST(generate_series(0, 7)) AS t(wi)
+        WHERE substr(text, wi * wlen + 1, wlen) <> ''
+    )
+    SELECT a.doc_id AS aud_a, b.doc_id AS aud_b,
+           COUNT(*) AS n_matching_windows
+    FROM windows a
+    JOIN windows b ON a.wi = b.wi AND a.digest = b.digest
+                  AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 6
+    ORDER BY aud_a, aud_b
+    """,
+    doc="Audio-level EXACT window dedup (r15, VERDICT r14 item 7 — "
+    "the audio modality joins the family) — the exact-regime [O] twin "
+    "of multimodal_audio_fingerprint, the same alignment+vote "
+    "contract multimodal_frame_dedup pins for video: each waveform "
+    "payload splits into 8 windows (the codec stub), windows digest "
+    "to 32 bytes, and two payloads pair when >= 6 SAME-INDEX windows "
+    "are byte-identical. The corpus plants an exact re-upload slice "
+    "(8/8 windows) and a tail-corrupted slice (a 4-byte splice in the "
+    "final window — 7/8). The shuffle carries (window_idx, digest) "
+    "pairs only — at 100 TB audio dedup is a digest-join problem, "
+    "waveform bytes never move.",
+)
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    tail_corrupt = F.concat(
+        F.expr("substring(text, 1, length(text) - 4)"), F.lit("QQQQ")
+    )
+    corpus = (
+        docs.unionAll(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.where(
+                (F.col("doc_id") % 17 == 0) & (F.length("text") >= 200)
+            ).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                tail_corrupt.alias("text"),
+            )
+        )
+    )
+    windows = (
+        corpus.withColumn(
+            "wlen", F.ceil(F.length("text") / 8).cast("int")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("wi"),
+            "text",
+            "wlen",
+        )
+        .withColumn("win", F.expr("substring(text, wi * wlen + 1, wlen)"))
+        .where(F.col("win") != "")
+        .select("doc_id", "wi", F.sha2("win", 256).alias("digest"))
+    )
+    a = windows.alias("a")
+    b = windows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wi") == F.col("b.wi"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("aud_a"), F.col("b.doc_id").alias("aud_b")
+        )
+        .agg(F.count("*").alias("n_matching_windows"))
+        .where(F.col("n_matching_windows") >= 6)
+        .orderBy("aud_a", "aud_b")
+    )
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    doc="Audio-level PERCEPTUAL near-dup (r15, rows-only: the "
+    "band-energy FFT fingerprint is not SQL-expressible; exact-regime "
+    "[O] twin is multimodal_audio_dedup): every waveform window "
+    "fingerprints via the Haitsma-Kalker-style band-energy time "
+    "gradient (operators/multimodal.py _band_energy_sig — REAL numpy "
+    "FFT over the stub-decoded byte waveform), window signatures band "
+    "through the shared Manku kernel with SAME-INDEX alignment, and "
+    "two payloads pair when >= 6 aligned windows sit within hamming "
+    "3. The planted slice sparsely re-encodes EVERY window (z->Z "
+    "byte shifts — a few samples per window), so exact window digests "
+    "all differ while the perceptual vote still pairs it with its "
+    "original (validated on this corpus: all plants vote 8/8) — the "
+    "regime gap this operator exists for, now for the audio kind. "
+    "Never all-pairs: banding equi-joins + one grouped vote; hot "
+    "silence-window buckets drop at key_cap "
+    "(operators/multimodal.py audio_near_dup_pairs).",
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].where(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    planted = docs.where(
+        (F.col("doc_id") % 12 == 0) & (F.length("text") >= 300)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.translate("text", "z", "Z").alias("text"),
+    )
+    corpus = attach_binary_payload(
+        docs.unionAll(planted), "text", kind="audio", mime="audio/fake"
+    )
+    return audio_near_dup_pairs(
+        corpus, "doc_id", n_windows=8, max_hamming=3, min_matching_windows=6
+    ).orderBy("aud_a", "aud_b")
