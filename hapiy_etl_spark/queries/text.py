@@ -767,11 +767,15 @@ def _flagship_oracle() -> str:
     "commits) with the small-files policy ON (auto_compact_max_dirs=2 "
     "— the corpus takes a row-preserving OPTIMIZE and a retention "
     "vacuum mid-scenario; the signature index a bb-clustered rewrite "
-    "at the auto-derived dir count). (2) INCREMENTAL MV: after each "
-    "epoch, the corpus's batch change feed (TxTable.changes — the "
-    "epoch-2 span crosses the OPTIMIZE and takes the keyed fallback) "
-    "lands a per-source (n_docs, sum_tokens) PARTIAL exactly-once "
-    "into an MV TxTable; the served panel merges partials by SUM, "
+    "at the auto-derived dir count). (2) INCREMENTAL MV: each epoch's "
+    "per-source (n_docs, sum_tokens) PARTIAL rides the SAME atomic "
+    "group record as the corpus and index appends (r15, VERDICT r14 "
+    "item 8 — ingest_dedup_batch extra_appends: the survivors frame "
+    "IS the epoch's change set, so no crash window exists between the "
+    "corpus and ANY derived table; kill-tested at every inter-publish "
+    "point, and the change-feed MV variant incl. the keyed fallback "
+    "across OPTIMIZE stays [O]-proven in incremental_mv_* / "
+    "table_diff_snapshots); the served panel merges partials by SUM, "
     "never rescanning the corpus. (3) DECOUPLED INDEX: a healer "
     "streams the corpus change feed into a shingle-postings index "
     "(heal_index_from_changes — added AFTER ingest finished, so its "

@@ -479,6 +479,7 @@ def foreach_batch_ingest_dedup(
     corpus_compact_kw: dict | None = None,
     sig_compact_kw: dict | None = None,
     group_path: str | None = None,
+    extra_appends=None,
 ):
     """Streaming ingestion with ONLINE near-dedup — the front door of a
     training-data pipeline: each micro-batch computes its MinHash
@@ -560,6 +561,7 @@ def foreach_batch_ingest_dedup(
             corpus_compact_kw=corpus_compact_kw,
             sig_compact_kw=sig_compact_kw,
             group_path=group_path,
+            extra_appends=extra_appends,
         )
 
     return (
@@ -589,6 +591,7 @@ def ingest_dedup_batch(
     corpus_compact_kw: dict | None = None,
     sig_compact_kw: dict | None = None,
     group_path: str | None = None,
+    extra_appends=None,
 ) -> None:
     """One micro-batch of the online-dedup ingest — the sink body of
     ``foreach_batch_ingest_dedup``, factored out so batch callers (the
@@ -596,7 +599,19 @@ def ingest_dedup_batch(
     sink path with their own epoch bookkeeping. See the wrapper's
     docstring for the band-postings index layout, the pruned per-tick
     read, the atomic two-table group commit, and the per-table
-    compaction kwargs."""
+    compaction kwargs.
+
+    ``extra_appends`` (r15, VERDICT r14 item 8): a callable
+    ``survivors -> list[dict]`` producing FURTHER per-epoch appends —
+    each ``{"table": TxTable (or "path": str), "df": DataFrame,
+    optional "stats_cols"/"bloom_cols"/"partition"/"extra_meta"}`` —
+    that ride the SAME atomic group record as the corpus and index
+    (e.g. the flagship topology's per-source MV partial: the survivors
+    frame IS the epoch's corpus change set, so derived partials can
+    commit in the epoch's own journal record and no crash window
+    exists between the corpus and ANY derived table). Extras carry the
+    epoch/run meta, participate in the replay check, and on a legacy
+    half-committed epoch take the same per-table heal path."""
     from pathlib import Path
 
     from hapiy_etl_spark.operators.dedup import (
@@ -744,13 +759,18 @@ def ingest_dedup_batch(
         corpus_t = TxTable(spark, corpus_path)
         need_c = _tx_replay_check(corpus_t, epoch_id, run_id)
         need_s = _tx_replay_check(sig_t, epoch_id, run_id)
-        if need_c and need_s:
+        extras = []
+        for x in extra_appends(survivors) if extra_appends else []:
+            xt = x.get("table") or TxTable(spark, x["path"])
+            extras.append((xt, x, _tx_replay_check(xt, epoch_id, run_id)))
+        base_meta = {
+            "epoch": epoch_id,
+            **({"run": run_id} if run_id is not None else {}),
+        }
+        if need_c and need_s and all(nx for _, _, nx in extras):
             # the normal path: ONE atomic cross-table commit — no crash
-            # window between the corpus and index appends (r14)
-            base_meta = {
-                "epoch": epoch_id,
-                **({"run": run_id} if run_id is not None else {}),
-            }
+            # window between the corpus, the index, and any derived
+            # table's appends (r14; extras r15)
             txgroup_commit_appends(
                 group_path,
                 [
@@ -763,13 +783,24 @@ def ingest_dedup_batch(
                         "meta": {**base_meta, **geom_stamp},
                         "stats_cols": ["bb"],
                     },
+                ]
+                + [
+                    {
+                        "table": xt,
+                        "df": x["df"],
+                        "meta": {**base_meta, **(x.get("extra_meta") or {})},
+                        "stats_cols": x.get("stats_cols"),
+                        "bloom_cols": x.get("bloom_cols"),
+                        "partition": x.get("partition"),
+                    }
+                    for xt, x, _ in extras
                 ],
             )
             appended_c = appended_s = True
         else:
-            # replay (neither needs it) or a LEGACY half-committed
-            # epoch from the pre-r14 ordered-commit sink (exactly one
-            # needs it): per-table appends, corpus first — the old
+            # replay (nothing needs it) or a LEGACY half-committed
+            # epoch from the pre-r14 ordered-commit sink (some tables
+            # need it): per-table appends, corpus first — the old
             # heal-on-replay path, kept for migration
             appended_c = need_c and tx_append_once(
                 survivors, corpus_path, epoch_id, run_id=run_id
@@ -778,6 +809,15 @@ def ingest_dedup_batch(
                 kept_bands, sig_path, epoch_id, run_id=run_id,
                 stats_cols=["bb"], extra_meta=geom_stamp,
             )
+            for xt, x, nx in extras:
+                if nx:  # replay check already done above
+                    xt.append(
+                        x["df"],
+                        meta={**base_meta, **(x.get("extra_meta") or {})},
+                        stats_cols=x.get("stats_cols"),
+                        bloom_cols=x.get("bloom_cols"),
+                        partition=x.get("partition"),
+                    )
         # replay gate: a fully-replayed epoch commits nothing and must
         # not advance either table with a policy optimize either
         if (appended_c or appended_s) and auto_compact_max_dirs:

@@ -3594,6 +3594,126 @@ def test_txgroup_atomic_commit_kills_between_writes(spark, tmp_path, monkeypatch
     assert table_state(base) == want
 
 
+def test_txgroup_three_table_epoch_kills_at_each_publish(
+    spark, tmp_path, monkeypatch
+):
+    """extra_appends (r15, VERDICT r14 item 8): a derived table's
+    per-epoch partial rides the SAME group record as the corpus and
+    index — the flagship topology's MV shape. Kill the sink at every
+    inter-publish point (after corpus, after index, before the
+    record): the restart needs NO self-heal branch (tx_append_once
+    booby-trapped), recovery is the generic journal roll-forward, and
+    the final 3-table state is bit-identical to an uncrashed run."""
+    import pytest as _pytest
+
+    from hapiy_etl_spark.operators import txstore as TX
+    from hapiy_etl_spark.streaming import jobs as J
+
+    def mk_batch(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(10)), f"s{i % 2}")
+             for i in ids],
+            "doc_id long, text string, source string",
+        )
+
+    def mv_appends_for(base):
+        mv_t = TxTable(spark, f"{base}/mv")
+
+        def mv(survivors):
+            partial = survivors.groupBy("source").agg(
+                F.count("*").alias("n_docs")
+            )
+            return [{"table": mv_t, "df": partial}]
+
+        return mv
+
+    def run_epochs(base, crash_epoch_fn=None):
+        for ep, ids in ((0, range(4)), (1, range(10, 15))):
+            if crash_epoch_fn and ep == 1:
+                crash_epoch_fn()
+            J.ingest_dedup_batch(
+                mk_batch(ids), f"{base}/corpus", f"{base}/sig", ep,
+                run_id="r1", extra_appends=mv_appends_for(base),
+            )
+
+    def table_state(base):
+        return tuple(
+            sorted(map(tuple, TxTable(spark, f"{base}/{n}").read().collect()))
+            for n in ("corpus", "sig", "mv")
+        )
+
+    ref = str(tmp_path / "ref")
+    run_epochs(ref)
+    want = table_state(ref)
+    assert want[2]  # the mv partials actually landed
+
+    real_pub = TX.TxTable._publish_manifest
+
+    def boom(*a, **kw):
+        raise AssertionError("self-heal branch ran: tx_append_once called")
+
+    # kill after the Nth member publish of epoch 1's group record
+    for n_published, label in ((1, "after corpus"), (2, "after index")):
+        base = str(tmp_path / f"crash{n_published}")
+        J.ingest_dedup_batch(
+            mk_batch(range(4)), f"{base}/corpus", f"{base}/sig", 0,
+            run_id="r1", extra_appends=mv_appends_for(base),
+        )
+        seen = {"n": 0}
+
+        def kill_after_n(self, m, _n=n_published):
+            v = real_pub(self, m)
+            if (m.get("meta") or {}).get("epoch") == 1:
+                seen["n"] += 1
+                if seen["n"] == _n:
+                    raise RuntimeError("killed between publishes")
+            return v
+
+        monkeypatch.setattr(TX.TxTable, "_publish_manifest", kill_after_n)
+        with _pytest.raises(RuntimeError, match="killed between"):
+            J.ingest_dedup_batch(
+                mk_batch(range(10, 15)), f"{base}/corpus", f"{base}/sig", 1,
+                run_id="r1", extra_appends=mv_appends_for(base),
+            )
+        monkeypatch.setattr(TX.TxTable, "_publish_manifest", real_pub)
+        monkeypatch.setattr(J, "tx_append_once", boom)
+        J.ingest_dedup_batch(
+            mk_batch(range(10, 15)), f"{base}/corpus", f"{base}/sig", 1,
+            run_id="r1", extra_appends=mv_appends_for(base),
+        )
+        monkeypatch.undo()
+        assert table_state(base) == want, label
+        assert list(Path(f"{base}/corpus/_txgroup").glob("g-*.json")) == []
+
+    # kill BEFORE the record: no table advances, replay commits all 3
+    base = str(tmp_path / "crash0")
+    J.ingest_dedup_batch(
+        mk_batch(range(4)), f"{base}/corpus", f"{base}/sig", 0,
+        run_id="r1", extra_appends=mv_appends_for(base),
+    )
+    real_link = TX.os.link
+
+    def kill_before_record(src, dst):
+        if Path(dst).name.startswith("g-"):
+            raise RuntimeError("killed before the group record")
+        return real_link(src, dst)
+
+    monkeypatch.setattr(TX.os, "link", kill_before_record)
+    with _pytest.raises(RuntimeError, match="killed before"):
+        J.ingest_dedup_batch(
+            mk_batch(range(10, 15)), f"{base}/corpus", f"{base}/sig", 1,
+            run_id="r1", extra_appends=mv_appends_for(base),
+        )
+    monkeypatch.setattr(TX.os, "link", real_link)
+    for n in ("corpus", "sig", "mv"):
+        assert TxTable(spark, f"{base}/{n}").last_stream_epoch() == 0
+    J.ingest_dedup_batch(
+        mk_batch(range(10, 15)), f"{base}/corpus", f"{base}/sig", 1,
+        run_id="r1", extra_appends=mv_appends_for(base),
+    )
+    assert table_state(base) == want
+
+
 def test_txgroup_recover_guards(spark, tmp_path):
     """txgroup_recover's safety rails: an already-published identical
     manifest is accepted (idempotent re-run), a DIFFERENT manifest at
