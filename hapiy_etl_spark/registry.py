@@ -54,13 +54,17 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
 # r15 window (tools/rotate_priority.py over CORRECTNESS_r01..r14):
-# never-checked r15 registrations lead, then the TWENTY-ONE
-# r9-stale queries VERDICT r14 item 1 flags (5 rounds old, at the
-# rotation gate's edge), then stalest-green-first backfill (the r10
-# agg_* cohort). New r15 registrations are prepended as
-# never-checked when added.
+# never-checked r15 registrations lead (persisted IVF-PQ probe, the
+# audio pair, BPE-grain packing), then the TWENTY-ONE r9-stale
+# queries VERDICT r14 item 1 flags (5 rounds old, at the rotation
+# gate's edge), then the two queries materially changed by the r15
+# group-commit work, then stalest-green-first backfill (the r10
+# agg_* cohort).
 PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_index_probe",
+    "multimodal_audio_dedup",
+    "multimodal_audio_fingerprint",
+    "corpus_pack_bpe",
     "sample_stratified_rates",
     "doc_source_entropy",
     "subq_exists_priority",
@@ -82,6 +86,11 @@ PRIORITY: tuple[str, ...] = (
     "changestream_optimize_exactly_once",
     "ann_ivf_index_probe",
     "semdedup_incremental",
+    # hand-front-loaded (materially changed r15): the flagship MV
+    # partial now rides the epoch group record; the online-dedup
+    # sink gained the extra_appends path
+    "flagship_pipeline_e2e",
+    "stream_ingest_online_dedup",
     "agg_basic_stats",
     "agg_corr_covar",
     "agg_distinct",
@@ -105,11 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "incremental_mv_refresh",
     "incremental_mv_topk",
     "constraints_quarantine",
-    "data_quality_report",
-    "text_pii_redaction",
-    "corpus_split_sample",
-    "dedup_rate_by_source",
-    "corpus_cross_contamination",
 )
 
 

@@ -265,6 +265,20 @@ SHOWCASE = [
     # r14: PQ with exact re-ranking — ADC Arrow scan, then the bounded
     # candidate fetch is a broadcast HASH join on the corpus id
     ("ann_pq_topk", ["MapInPandas", "BroadcastHashJoin", "Window"]),
+    # r15: persisted IVF-PQ probe — the ADC scan reads the codes
+    # table's FileScan (probed cells only via where_in dir pruning),
+    # per-query top-k window; no nested-loop anywhere
+    ("ann_ivfpq_index_probe", ["FileScan", "MapInPandas", "Window"]),
+    # r15: BPE-grain packing — type-grain Arrow segmenter joined back
+    # to the token stream (hash join), doc aggregate, per-shard window
+    ("corpus_pack_bpe", ["MapInPandas", "Join", "Window", "Exchange"]),
+    # r15: audio exact window dedup — digest equi-join on (window,
+    # digest) + one grouped vote; payload bytes never shuffle
+    ("multimodal_audio_dedup", ["HashAggregate", "Join", "NestedLoop"]),
+    # r15: audio perceptual near-dup — per-window Arrow FFT fingerprint
+    # materialized once (eager localCheckpoint), key_cap window, shared
+    # banding equi-join + aligned-window vote
+    ("multimodal_audio_fingerprint", ["Window", "Join", "Scan ExistingRDD", "NestedLoop"]),
 ]
 
 
