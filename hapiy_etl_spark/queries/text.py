@@ -2121,6 +2121,110 @@ def vocab_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNI_PARAMS = {"rounds": 2, "l_max": 4, "seed_n": 80, "vocab_n": 40}
+
+
+def _unigram_train_oracle() -> str:
+    from hapiy_etl_spark.operators.unigram import unigram_train_oracle_sql
+
+    return unigram_train_oracle_sql(_BPE_CORPUS_CTE, **_UNI_PARAMS)
+
+
+@register(
+    "vocab_unigram_train",
+    oracle=_unigram_train_oracle(),
+    doc="Unigram-LM subword vocabulary trainer (Kudo 2018 / "
+    "SentencePiece, r15 — the BPE trainer's sibling): seed candidate "
+    "pieces from every <=4-char substring of the word-TYPE table (one "
+    "JVM explode+agg, TakeOrdered top-N + all single chars), then two "
+    "EM rounds — E-step Viterbi-segments every TYPE under an EXACT-"
+    "INTEGER criterion (fewest pieces, then largest product of "
+    "saturated counts, then lexicographic; no float log-probs, so the "
+    "argmax is bit-reproducible and engine-portable), M-step "
+    "re-estimates counts from piece usage (one distributed "
+    "explode+agg; unused pieces prune, chars persist) — and prunes to "
+    "the ranked vocabulary a tokenizer ships. Everything is "
+    "vocabulary-bounded: types ~1e8 at 100 TB, the vocab broadcasts "
+    "into an Arrow mapInPandas Viterbi, usage collects at vocab "
+    "grain. The DuckDB twin replays seed -> EM x2 -> prune exactly, "
+    "enumerating every parse by recursive CTE; SCORE_CAP saturation "
+    "keeps its HUGEINT products in range at any corpus size "
+    "(operators/unigram.py).",
+)
+def vocab_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.unigram import unigram_train
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return unigram_train(
+        _bpe_word_types(t["documents"]), **_UNI_PARAMS
+    ).orderBy("rank")
+
+
+def _unigram_encode_oracle() -> str:
+    from hapiy_etl_spark.operators.unigram import unigram_encode_oracle_sql
+
+    return unigram_encode_oracle_sql(
+        _BPE_CORPUS_CTE, _BPE_ENC_CTE, **_UNI_PARAMS
+    )
+
+
+@register(
+    "vocab_unigram_encode",
+    oracle=_unigram_encode_oracle(),
+    doc="Unigram-LM ENCODE (r15, the consumer half of "
+    "vocab_unigram_train): train the vocabulary, then Viterbi-segment "
+    "a document slice — the vocab collects once (bounded tokenizer "
+    "metadata) and broadcasts to an Arrow word-TYPE segmenter "
+    "(operators/unigram.py unigram_segment: mapInPandas over DISTINCT "
+    "words, exact-integer DP, then one hash join back to the token "
+    "stream — the bpe_segment shape, so a 100k-piece vocabulary "
+    "costs one dict broadcast, not a deep plan). Docs flatten "
+    "subwords back in word order and emit the serialized sequence + "
+    "count; decode==concat identity is pytest-pinned. The DuckDB "
+    "twin learns the same vocabulary and segments the same types by "
+    "recursive-CTE parse enumeration, pinning trainer AND encoder "
+    "end-to-end.",
+)
+def vocab_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    vocab = unigram_train(_bpe_word_types(docs), **_UNI_PARAMS)
+    tok = (
+        docs.where(
+            F.col("text").isNotNull()
+            & (F.trim("text") != "")
+            & (F.col("doc_id") < 40)
+        )
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    seg = unigram_segment(tok, "word", vocab, l_max=_UNI_PARAMS["l_max"])
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "subwords"))),
+                        lambda s: s.getField("subwords"),
+                    )
+                ),
+                "|",
+            ).alias("subword_seq"),
+            F.sum(F.size("subwords")).cast("long").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "context_length_fit",
     oracle="""

@@ -55,16 +55,19 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # then stalest greens).
 # r15 window (tools/rotate_priority.py over CORRECTNESS_r01..r14):
 # never-checked r15 registrations lead (persisted IVF-PQ probe, the
-# audio pair, BPE-grain packing), then the TWENTY-ONE r9-stale
-# queries VERDICT r14 item 1 flags (5 rounds old, at the rotation
-# gate's edge), then the two queries materially changed by the r15
-# group-commit work, then stalest-green-first backfill (the r10
-# agg_* cohort).
+# audio pair, BPE-grain packing, the unigram tokenizer pair), then
+# the TWENTY-ONE r9-stale queries VERDICT r14 item 1 flags (5 rounds
+# old, at the rotation gate's edge), then the two queries materially
+# changed by the r15 group-commit work, then stalest-green-first
+# backfill (the r10 agg_* cohort; its last two entries rotated out
+# to fund the unigram pair's first presentation).
 PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_index_probe",
     "multimodal_audio_dedup",
     "multimodal_audio_fingerprint",
     "corpus_pack_bpe",
+    "vocab_unigram_train",
+    "vocab_unigram_encode",
     "sample_stratified_rates",
     "doc_source_entropy",
     "subq_exists_priority",
@@ -112,8 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "events_value_histogram",
     "table_diff_snapshots",
     "incremental_mv_refresh",
-    "incremental_mv_topk",
-    "constraints_quarantine",
 )
 
 

@@ -279,6 +279,11 @@ SHOWCASE = [
     # materialized once (eager localCheckpoint), key_cap window, shared
     # banding equi-join + aligned-window vote
     ("multimodal_audio_fingerprint", ["Window", "Join", "Scan ExistingRDD", "NestedLoop"]),
+    # r15: unigram encode — type-grain Arrow Viterbi hash-joined back
+    # to the token stream, doc-grain aggregate; no nested loop. (The
+    # trainer's own jobs run eagerly — its returned table is the
+    # bounded vocabulary, so the encode plan is the showcase.)
+    ("vocab_unigram_encode", ["MapInPandas", "Join", "HashAggregate", "NestedLoop"]),
 ]
 
 
