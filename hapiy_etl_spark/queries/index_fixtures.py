@@ -600,3 +600,43 @@ def erasure_state(spark: SparkSession, sf_dir: str):
     idx.delete_keys(victims, on="doc_id")
     _CACHE[key] = (corpus, idx, base)
     return corpus, idx
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str):
+    """orders + lineitem written ONCE per (application, sf_dir) as
+    Hive-bucketed, per-bucket-sorted saved tables — 8 buckets on the
+    order key, one file per bucket (``repartition(8, key)`` before the
+    bucketed write, so each task owns exactly one bucket). This is the
+    production layout the join-family docstrings keep pointing at
+    ("co-partitioned at scale via bucketing"): both sides of the
+    orderkey join expose HashPartitioning(key, 8) at SCAN time, so the
+    sort-merge join needs NO shuffle on either side —
+    `join_bucketed_colocated` asserts that in its own plan. External
+    tables under the session temp base (same lifecycle as the other
+    persisted fixtures; `index_fixtures_clear` removes the files and
+    the overwrite-mode rebuild replaces the catalog entries)."""
+    import hashlib
+
+    from hapiy_etl_spark.io import load_tables
+
+    key = ("bucketed", spark.sparkContext.applicationId, str(sf_dir))
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    base = _base(spark, sf_dir, "bucketed")
+    tag = hashlib.md5(str(sf_dir).encode()).hexdigest()[:8]
+    names = {"orders": f"graft_orders_b_{tag}", "lineitem": f"graft_lineitem_b_{tag}"}
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    for table, bucket_key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            t[table]
+            .repartition(8, F.col(bucket_key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{base}/{table}")
+            .bucketBy(8, bucket_key)
+            .sortBy(bucket_key)
+            .saveAsTable(names[table])
+        )
+    _CACHE[key] = (names["orders"], names["lineitem"], base)
+    return names["orders"], names["lineitem"]

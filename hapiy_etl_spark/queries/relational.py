@@ -484,6 +484,63 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Shuffle-FREE co-located join via writer-side bucketing (r15): "
+    "orders and lineitem are stored as Hive-bucketed, per-bucket-"
+    "sorted tables on the order key (8 buckets, one file per bucket — "
+    "queries/index_fixtures.py:bucketed_tables, built once per "
+    "session like the persisted indexes), so both scans expose "
+    "HashPartitioning(orderkey, 8) and the sort-merge join runs with "
+    "NO Exchange on either side — the technique every orderkey-join "
+    "docstring in this file points at for the 100 TB posture, now "
+    "demonstrated and plan-asserted IN the query: it raises if the "
+    "plan lacks a SortMergeJoin or contains a hashpartitioning "
+    "exchange on either join key. At 100 TB this turns the engine's "
+    "biggest recurring shuffle (fact-fact on orderkey) into a "
+    "local merge per bucket pair. The DuckDB twin is the plain join "
+    "— bucketing must be semantics-invisible.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.queries.index_fixtures import bucketed_tables
+
+    t_orders, t_lineitem = bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders).where(F.col("o_orderstatus") == "F")
+    li = spark.table(t_lineitem)
+    j = (
+        o.join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                _money(F.col("l_extendedprice"))
+                * _money(F.lit(1) - F.col("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, f"bucketed join did not plan SMJ:\n{plan[:800]}"
+    for key in ("o_orderkey", "l_orderkey"):
+        assert f"hashpartitioning({key}" not in plan, (
+            f"bucketed join shuffled on {key} — co-location lost:\n{plan[:800]}"
+        )
+    return j
+
+
 def _morton_sql(cols: list[str], bits: int) -> str:
     """DuckDB bit-interleave expression mirroring operators/maintenance.py
     zorder_key — generated, so the oracle stays bit-for-bit in lockstep."""

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pack_bpe",
     "vocab_unigram_train",
     "vocab_unigram_encode",
+    "join_bucketed_colocated",
     "sample_stratified_rates",
     "doc_source_entropy",
     "subq_exists_priority",
@@ -114,7 +115,6 @@ PRIORITY: tuple[str, ...] = (
     "events_cohort_retention",
     "events_value_histogram",
     "table_diff_snapshots",
-    "incremental_mv_refresh",
 )
 
 

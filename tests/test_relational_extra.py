@@ -408,3 +408,33 @@ def test_analyze_table_statistics_drive_cbo_estimates(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql("DROP TABLE IF EXISTS cbo_orders_t")
+
+
+def test_bucketed_join_shuffle_free_and_rebuildable(spark, sf_dir):
+    """join_bucketed_colocated's in-query plan assert fires on every
+    run (SMJ present, no hashpartitioning exchange on either join
+    key); the fixture writes one file per bucket and survives an
+    index_fixtures_clear -> rebuild cycle with identical results."""
+    from pathlib import Path
+
+    from hapiy_etl_spark.queries.index_fixtures import (
+        bucketed_tables,
+        index_fixtures_clear,
+    )
+    from hapiy_etl_spark.registry import all_queries
+
+    q = all_queries()["join_bucketed_colocated"]
+    rows1 = [tuple(r) for r in q.fn(spark, sf_dir).collect()]
+    assert rows1  # non-degenerate
+
+    t_orders, _ = bucketed_tables(spark, sf_dir)
+    loc = spark.sql(f"DESCRIBE EXTENDED {t_orders}").collect()
+    path = next(
+        r["data_type"] for r in loc if r["col_name"] == "Location"
+    ).removeprefix("file:")
+    files = [p for p in Path(path).glob("*.parquet")]
+    assert len(files) == 8, files  # one file per bucket
+
+    index_fixtures_clear()
+    rows2 = [tuple(r) for r in q.fn(spark, sf_dir).collect()]
+    assert rows1 == rows2

@@ -284,6 +284,10 @@ SHOWCASE = [
     # trainer's own jobs run eagerly — its returned table is the
     # bounded vocabulary, so the encode plan is the showcase.)
     ("vocab_unigram_encode", ["MapInPandas", "Join", "HashAggregate", "NestedLoop"]),
+    # r15: bucketed co-located join — SortMergeJoin with NO exchange
+    # on either join key (the only Exchanges are the post-join
+    # aggregate and the final sort); the query body asserts this too
+    ("join_bucketed_colocated", ["SortMergeJoin", "Exchange"]),
 ]
 
 
