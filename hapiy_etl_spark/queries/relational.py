@@ -541,6 +541,58 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j
 
 
+@register(
+    "join_bucket_pruned_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey IN (1, 3, 5)
+    ORDER BY o_orderkey
+    """,
+    doc="Bucket-PRUNED point lookup over the bucketed orders table "
+    "(r15, the read-side payoff of join_bucketed_colocated's layout): "
+    "an IN-list on the bucket key lets the optimizer hash each "
+    "literal to its bucket and read AT MOST 3 of the 8 bucket files — "
+    "at 100 TB a keyed lookup touches 1/n_buckets of the table with "
+    "no index structure at all. Plan-asserted in-query: the scan must "
+    "report SelectedBucketsCount <= 3 out of 8, and raises if bucket "
+    "pruning did not engage. The DuckDB twin reads the plain parquet "
+    "— pruning must be semantics-invisible.",
+)
+def join_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from hapiy_etl_spark.queries.index_fixtures import bucketed_tables
+
+    t_orders, _ = bucketed_tables(spark, sf_dir)
+    # DisableUnnecessaryBucketedScan drops the bucketed scan when no
+    # join/agg wants the distribution — it does not credit bucket
+    # FILTER pruning, so pin it off while this plan materializes (the
+    # executedPlan() call below caches the plan in this DataFrame, so
+    # restoring the conf afterwards cannot re-plan it)
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        df = (
+            spark.table(t_orders)
+            .where(F.col("o_orderkey").isin(1, 3, 5))
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            .orderBy("o_orderkey")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(conf_key, old)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"bucketed scan did not engage bucket pruning:\n{plan[:800]}"
+    assert int(m.group(1)) <= 3 and int(m.group(2)) == 8, m.group(0)
+    return df
+
+
 def _morton_sql(cols: list[str], bits: int) -> str:
     """DuckDB bit-interleave expression mirroring operators/maintenance.py
     zorder_key — generated, so the oracle stays bit-for-bit in lockstep."""

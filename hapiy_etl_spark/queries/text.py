@@ -2225,6 +2225,123 @@ def vocab_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bakeoff_oracle() -> str:
+    from hapiy_etl_spark.operators.bpe import (
+        _bpe_merge_ctes,
+        bpe_apply_expr_sql,
+    )
+    from hapiy_etl_spark.operators.unigram import _round_ctes, _train_ctes
+
+    stages, _ = _bpe_merge_ctes(_BPE_N_MERGES)
+    expr, joins = bpe_apply_expr_sql(_BPE_N_MERGES)
+    uni = _train_ctes(
+        _UNI_PARAMS["rounds"],
+        _UNI_PARAMS["l_max"],
+        _UNI_PARAMS["seed_n"],
+        _UNI_PARAMS["vocab_n"],
+    )
+    seg_u, best_u, _, _ = _round_ctes(99, types_rel="types")
+    ctes = (
+        [_BPE_CORPUS_CTE]
+        + stages
+        + uni
+        + [
+            seg_u.replace("vocab98", "kept"),
+            best_u,
+            f"""segb AS (
+        SELECT word,
+               len(string_split(substr(s, 2, length(s) - 2),
+                                chr(31) || chr(31))) AS n_sub
+        FROM (SELECT word, {expr} AS s FROM types, {joins})
+    )""",
+            """segu AS (
+        SELECT word,
+               len(string_split(substr(path, 2), chr(31))) AS n_sub
+        FROM best99
+    )""",
+            """langtok AS (
+        SELECT lang,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )""",
+        ]
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(b.n_sub) * 1.0 / COUNT(*), 6) AS fertility_bpe,
+           ROUND(SUM(u.n_sub) * 1.0 / COUNT(*), 6) AS fertility_unigram
+    FROM langtok l
+    JOIN segb b ON l.word = b.word
+    JOIN segu u ON l.word = u.word
+    WHERE l.word <> ''
+    GROUP BY lang
+    ORDER BY lang"""
+    )
+
+
+@register(
+    "vocab_tokenizer_bakeoff",
+    oracle=_bakeoff_oracle(),
+    doc="Tokenizer BAKE-OFF (r15): per language, fertility under the "
+    "learned BPE (6 merges) and the learned unigram-LM vocabulary "
+    "(2 EM rounds) side by side — the 'which tokenizer do I ship' "
+    "table a corpus team reads before committing trillions of tokens "
+    "to one segmentation. Both trainers run their production paths "
+    "(operators/bpe.py rank-priority Arrow encoder; "
+    "operators/unigram.py exact-integer Arrow Viterbi), both segment "
+    "ONCE at word-TYPE grain off one shared type table, and the "
+    "language-tagged token stream hash-joins both segmentations — at "
+    "100 TB the heavy side is two vocabulary-bounded joins, never a "
+    "re-segmentation per occurrence. The DuckDB twin replays BOTH "
+    "training chains and both type-grain segmentations in one "
+    "statement, so a single hash pins two trainers end-to-end.",
+)
+def vocab_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hapiy_etl_spark.operators.bpe import bpe_segment, bpe_train
+    from hapiy_etl_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    types_full = _bpe_word_types(docs)
+    merges = bpe_train(types_full, _BPE_N_MERGES)
+    seg_b = bpe_segment(types_full.select("word"), "word", merges).select(
+        "word", F.size("subwords").alias("n_sub_bpe")
+    )
+    vocab = unigram_train(types_full, **_UNI_PARAMS)
+    seg_u = unigram_segment(
+        types_full.select("word"), "word", vocab, l_max=_UNI_PARAMS["l_max"]
+    ).select("word", F.size("subwords").alias("n_sub_uni"))
+    langtok = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        langtok.join(seg_b, "word")
+        .join(seg_u, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("n_sub_bpe") / F.count("*"), 6).alias(
+                "fertility_bpe"
+            ),
+            F.round(F.sum("n_sub_uni") / F.count("*"), 6).alias(
+                "fertility_unigram"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "context_length_fit",
     oracle="""

@@ -54,13 +54,16 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
 # r15 window (tools/rotate_priority.py over CORRECTNESS_r01..r14):
-# never-checked r15 registrations lead (persisted IVF-PQ probe, the
-# audio pair, BPE-grain packing, the unigram tokenizer pair), then
-# the TWENTY-ONE r9-stale queries VERDICT r14 item 1 flags (5 rounds
-# old, at the rotation gate's edge), then the two queries materially
-# changed by the r15 group-commit work, then stalest-green-first
-# backfill (the r10 agg_* cohort; its last two entries rotated out
-# to fund the unigram pair's first presentation).
+# the NINE never-checked r15 registrations lead (persisted IVF-PQ
+# probe, the audio pair, BPE-grain packing, the unigram tokenizer
+# pair + bake-off, the bucketed-join pair — every new registration
+# must present in its own round to keep the 0-never-checked record),
+# then the TWENTY-ONE r9-stale queries VERDICT r14 item 1 flags
+# (5 rounds old, at the rotation gate's edge), then the two queries
+# materially changed by the r15 group-commit work, then
+# stalest-green-first backfill (the r10 agg_* cohort; its tail
+# rotated out to fund the new-query presentations — the r10 cohort
+# leads the r16 window).
 PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_index_probe",
     "multimodal_audio_dedup",
@@ -68,7 +71,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pack_bpe",
     "vocab_unigram_train",
     "vocab_unigram_encode",
+    "vocab_tokenizer_bakeoff",
     "join_bucketed_colocated",
+    "join_bucket_pruned_lookup",
     "sample_stratified_rates",
     "doc_source_entropy",
     "subq_exists_priority",
@@ -113,8 +118,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_top_k_freq",
     "interval_overlap_sessions",
     "events_cohort_retention",
-    "events_value_histogram",
-    "table_diff_snapshots",
 )
 
 

@@ -288,6 +288,8 @@ SHOWCASE = [
     # on either join key (the only Exchanges are the post-join
     # aggregate and the final sort); the query body asserts this too
     ("join_bucketed_colocated", ["SortMergeJoin", "Exchange"]),
+    # r15: bucket-pruned point lookup — the scan reads 3 of 8 buckets
+    ("join_bucket_pruned_lookup", ["SelectedBucketsCount", "PushedFilters"]),
 ]
 
 
@@ -396,6 +398,11 @@ def main() -> None:
             hits = [ln.strip() for ln in plan.splitlines() if marker in ln][:3]
             for h in hits:
                 h = re.sub(r"#\d+L?", "", h)  # strip expr ids for stable diffs
+                # keep the marker visible when it sits deep in a long
+                # line (e.g. SelectedBucketsCount inside a FileScan)
+                idx = h.find(marker)
+                if idx > 120:
+                    h = "… " + h[max(0, idx - 20) : idx + 140]
                 out.append(f"- `{h[:160]}`")
             if not hits:
                 out.append(f"- (no `{marker}` in plan)")
