@@ -636,8 +636,9 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    rounds: int = 3,
+    rounds: int | None = 3,
     checkpoint_every: int = 2,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Pick one survivor per duplicate cluster: min-label propagation
     (connected components over the pair graph), returns (doc_id,
@@ -645,10 +646,18 @@ def dedup_clusters(
 
     Labels converge once ``rounds`` ≥ the graph diameter; duplicate
     clusters are near-cliques (diameter ≤ 2-3), so the default 3 rounds
-    is exact for them — raise ``rounds`` for long-chain graphs. Edges
-    are cached so the upstream candidate generator (LSH etc.) runs
-    exactly once; each round is a join + groupBy-min on (node, label)
-    pairs.
+    is exact for them. ``rounds=None`` (r15) runs CONVERGE-DETECTED:
+    propagate until a full round changes no label (fixpoint = exact
+    connected components at ANY diameter, closing the data-dependence a
+    fixed round count carries on long-chain graphs), guarded by
+    ``max_rounds`` — a duplicate chain longer than 64 hops means the
+    candidate generator is broken, and the loud error beats silently
+    wrong clusters. Each converge-mode round eager-localCheckpoints
+    (the convergence probe is an action anyway — the checkpoint makes
+    it pay for materialization exactly once) and the probe itself is a
+    LIMIT-1 join on the bounded label table. Edges are cached so the
+    upstream candidate generator (LSH etc.) runs exactly once; each
+    round is a join + groupBy-min on (node, label) pairs.
 
     Iterative lineage is the classic Spark trap: each round's plan
     embeds the previous round's twice, so an unbroken loop builds an
@@ -672,15 +681,42 @@ def dedup_clusters(
         .distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("label"))
     )
-    for r in range(rounds):
+
+    def _one_round(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
+            edges.join(lbl, edges.b == lbl.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
+        return lbl.join(neighbor_min, lbl.node == neighbor_min.a, "left").select(
             "node", F.least("label", F.coalesce("nmin", "label")).alias("label")
         )
+
+    if rounds is None:
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            new_labels = _one_round(labels).localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"label propagation did not converge in {max_rounds} rounds"
+                " — the candidate pair graph has an implausibly long chain"
+            )
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+
+    for r in range(rounds):
+        labels = _one_round(labels)
         if checkpoint_every and (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -41,11 +41,14 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver round) pays the candidate generation + label propagation
     once, not three times.
 
-    rounds=4 = observed convergence (round 3 on every fixture/SF) + 1
-    margin; near-dup clusters at threshold 0.5 are dense near-cliques.
-    The exact-components recursive-CTE oracles fail loudly if a longer
-    chain ever appears — raise rounds then. checkpoint_every=2 -> one
-    lineage break, final plan depth 3^2.
+    rounds=None (r15) = CONVERGE-DETECTED propagation: the loop runs
+    until a full round changes no label, so the components are the
+    exact fixpoint at ANY graph diameter — the fixed-round count this
+    helper carried through r14 (rounds=4 = observed diameter + 1) was
+    data-dependent, honest only because the exact-components
+    recursive-CTE oracles would fail loudly on a longer chain. Observed
+    convergence is round 3 on every fixture/SF (dense near-cliques at
+    threshold 0.5), so converge mode costs one extra probe round.
     """
     key = (spark.sparkContext.applicationId, str(sf_dir))
     hit = _NEARDUP_CACHE.get(key)
@@ -72,7 +75,7 @@ def _neardup_clusters_build(
     pairs = D.jaccard_pairs(
         t["documents"], "doc_id", "text", n=3, threshold=0.5, df_cap=100
     ).cache()
-    clusters = D.dedup_clusters(pairs, rounds=4, checkpoint_every=2).cache()
+    clusters = D.dedup_clusters(pairs, rounds=None).cache()
     clusters.count()  # materialize now so the pairs cache can be released
     pairs.unpersist()
     _NEARDUP_CACHE[key] = clusters
@@ -98,7 +101,7 @@ def union_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], "doc_id", "text", n=3,
         jaccard_threshold=0.5, containment_threshold=0.6, df_cap=100,
     )
-    clusters = D.dedup_clusters(edges, rounds=4, checkpoint_every=2).cache()
+    clusters = D.dedup_clusters(edges, rounds=None).cache()
     clusters.count()
     _NEARDUP_CACHE[key] = clusters
     return clusters
@@ -2827,10 +2830,10 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/dedup.py union_neardup_edges — composing the two pair "
     "operators would run the identical join twice), with the same "
     "df_cap=100 hot-shingle guard (never all-pairs); components via "
-    "4-round min-label propagation (observed union-graph diameter + 1 "
-    "— containment adds star edges, not chains; the oracle's exact "
-    "recursive-CTE closure over the identical graph fails loudly if a "
-    "longer chain ever appears), checkpointed before the double-"
+    "CONVERGE-DETECTED min-label propagation (r15: rounds=None runs "
+    "to the fixpoint, so the components match the oracle's exact "
+    "recursive-CTE closure at ANY graph diameter — no more "
+    "observed-diameter round count), checkpointed before the double-"
     "consumption election.",
 )
 def dedup_containment_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2840,11 +2843,9 @@ def dedup_containment_survivorship(spark: SparkSession, sf_dir: str) -> DataFram
     docs = t["documents"]
     # session-cached union-graph cluster artifact (materialized once,
     # like neardup_clusters — the production posture; the timed cost of
-    # this query is the ELECTION). rounds=4 is the neardup_clusters
-    # convergence setting (observed diameter + 1): containment adds
-    # STAR edges around canonical docs (diameter ~2), not chains, and
-    # the oracle's exact fixpoint closure fails loudly if a longer
-    # chain ever appears — raise rounds there.
+    # this query is the ELECTION). The artifact propagates labels to
+    # CONVERGENCE (rounds=None, r15), so the match with the oracle's
+    # exact fixpoint closure holds at any diameter by construction.
     clusters = union_neardup_clusters(spark, sf_dir)
     members = clusters.join(docs.select("doc_id", "n_chars", "source"), "doc_id")
     rk = F.row_number().over(

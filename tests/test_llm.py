@@ -2066,3 +2066,23 @@ def test_containment_survivorship_election_invariant(spark):
         for r in D.dedup_clusters(j_only, rounds=4, checkpoint_every=2).collect()
     }
     assert 1 not in j_labels and j_labels[2] == j_labels[3]
+
+
+def test_dedup_clusters_converge_detected_on_long_chain(spark):
+    """rounds=None propagates to the fixpoint on a graph whose
+    diameter exceeds any fixed round count: an 11-hop path collapses
+    to one component under converge mode, while the fixed 3-round
+    setting provably cannot reach the far end (the data-dependence
+    the r15 change removes)."""
+    from pyspark.sql import functions as F
+
+    from hapiy_etl_spark.operators.dedup import dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    fixed = dedup_clusters(edges, rounds=3)
+    assert fixed.where(F.col("cluster_id") != 0).count() > 0
+    conv = dedup_clusters(edges, rounds=None).collect()
+    assert len(conv) == 12
+    assert all(r["cluster_id"] == 0 for r in conv)
