@@ -3163,6 +3163,121 @@ def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+def _unigram_pack_oracle() -> str:
+    from hapiy_etl_spark.operators.unigram import _round_ctes, _train_ctes
+
+    ctes = _train_ctes(
+        _UNI_PARAMS["rounds"],
+        _UNI_PARAMS["l_max"],
+        _UNI_PARAMS["seed_n"],
+        _UNI_PARAMS["vocab_n"],
+    )
+    seg_u, best_u, _, _ = _round_ctes(99, types_rel="types")
+    ctes.append(seg_u.replace("vocab98", "kept"))
+    ctes.append(best_u)
+    return (
+        "WITH RECURSIVE "
+        + _BPE_CORPUS_CTE
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + """,
+    segd AS (
+        SELECT word,
+               len(string_split(substr(path, 2), chr(31))) AS n_sub
+        FROM best99
+    ),
+    doctok AS (
+        SELECT source, doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    counts AS (
+        SELECT source, doc_id, CAST(SUM(n_sub) AS BIGINT) AS n_toks
+        FROM doctok JOIN segd USING (word)
+        WHERE word <> ''
+        GROUP BY source, doc_id
+    ),
+    cum AS (
+        SELECT source, doc_id, n_toks,
+               SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS c
+        FROM counts
+    )
+    SELECT source, doc_id,
+           CAST(n_toks AS BIGINT) AS n_unigram_tokens,
+           CAST(floor((c - n_toks) / 2048) AS BIGINT) AS first_seq,
+           CAST(floor((c - 1) / 2048) AS BIGINT) AS last_seq,
+           CAST(floor((c - 1) / 2048)
+                - floor((c - n_toks) / 2048) + 1 AS BIGINT) AS n_seqs
+    FROM cum
+    ORDER BY source, doc_id"""
+    )
+
+
+@register(
+    "corpus_pack_unigram",
+    oracle=_unigram_pack_oracle(),
+    doc="Sequence packing at UNIGRAM-token grain (r15 — completes the "
+    "packing trilogy: whitespace corpus_pack_sequences, BPE "
+    "corpus_pack_bpe, and now the unigram-LM vocabulary from "
+    "vocab_unigram_train). Same composition at the same cheap grains: "
+    "Viterbi-segment ONCE at word-TYPE grain (exact-integer Arrow "
+    "kernel), ONE hash join keys per-type subword counts to the token "
+    "stream, doc-grain sum, per-SOURCE running-sum window assigns "
+    "2048-token spans. The DuckDB twin replays unigram training, the "
+    "type-grain segmentation, AND the packing recurrence in one "
+    "statement. A tokenizer swap changes ONE stage of the pipeline — "
+    "the point of keeping segmentation at type grain.",
+)
+def corpus_pack_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hapiy_etl_spark.operators.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    ctx = 2048
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    types_full = _bpe_word_types(docs)
+    vocab = unigram_train(types_full, **_UNI_PARAMS)
+    segd = unigram_segment(
+        types_full.select("word"), "word", vocab, l_max=_UNI_PARAMS["l_max"]
+    ).select("word", F.size("subwords").alias("n_sub"))
+    doctok = (
+        docs.where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    counts = (
+        doctok.join(segd, "word")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("n_sub").cast("long").alias("n_toks"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("c", F.sum("n_toks").over(w))
+    first_seq = F.floor((F.col("c") - F.col("n_toks")) / ctx)
+    last_seq = F.floor((F.col("c") - 1) / ctx)
+    return cum.select(
+        "source",
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_unigram_tokens"),
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("long").alias("n_seqs"),
+    ).orderBy("source", "doc_id")
+
+
 @register(
     "text_bigram_logprob",
     oracle="""

@@ -72,6 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "vocab_unigram_train",
     "vocab_unigram_encode",
     "vocab_tokenizer_bakeoff",
+    "corpus_pack_unigram",
     "join_bucketed_colocated",
     "join_bucket_pruned_lookup",
     "sample_stratified_rates",
@@ -117,7 +118,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_kmv_distinct_sketch",
     "agg_approx_top_k_freq",
     "interval_overlap_sessions",
-    "events_cohort_retention",
 )
 
 
