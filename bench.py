@@ -221,7 +221,11 @@ def main() -> None:
     # idle-box rep at ~240 s wall (195 timed + ~45 prewarm) — 780 left
     # rep 3 starting with ~10 s of margin, so any ambient load would
     # again stop the protocol at 2 reps. Worst case ~27 min.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    # 1020 (r15): 262 queries + the bucketed-tables fixture put an
+    # idle-box rep at ~250-265 s wall — at 900, rep 3 started with
+    # ~120 s of margin on an idle box and none under ambient load;
+    # 1020 keeps the 3-rep median protocol. Worst case ~31 min.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1020"))
     bench_t0 = time.perf_counter()
     per_rep: list[dict[str, float]] = []
     rep_loads: list[float] = []
