@@ -54,10 +54,11 @@ def register(name: str, oracle: str | None = None, doc: str = "") -> Callable[[Q
 # `python tools/rotate_priority.py` (failures first, then never-checked,
 # then stalest greens).
 # r15 window (tools/rotate_priority.py over CORRECTNESS_r01..r14):
-# the NINE never-checked r15 registrations lead (persisted IVF-PQ
+# the TEN never-checked r15 registrations lead (persisted IVF-PQ
 # probe, the audio pair, BPE-grain packing, the unigram tokenizer
-# pair + bake-off, the bucketed-join pair — every new registration
-# must present in its own round to keep the 0-never-checked record),
+# pair + bake-off + unigram-grain packing, the bucketed-join pair —
+# every new registration must present in its own round to keep the
+# 0-never-checked record),
 # then the TWENTY-ONE r9-stale queries VERDICT r14 item 1 flags
 # (5 rounds old, at the rotation gate's edge), then the two queries
 # materially changed by the r15 group-commit work, then
