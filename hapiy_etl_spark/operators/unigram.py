@@ -78,13 +78,26 @@ def _better(a: tuple, b: tuple) -> bool:
 
 
 def viterbi_segment(
-    word: str, vocab: dict[str, int], l_max: int
+    word: str, vocab: dict[str, int], l_max: int, unk_count: int | None = None
 ) -> tuple[str, ...]:
     """Best parse of ``word`` into vocabulary pieces under the exact
     criterion. Python ints never overflow; the SQL twin's HUGEINT is
-    guarded by SCORE_CAP (module docstring). Raises if the word is not
-    coverable (cannot happen for trainer vocabularies — single
-    characters are never pruned)."""
+    guarded by SCORE_CAP (module docstring).
+
+    ``unk_count=None`` (training): raises if the word is not coverable
+    — cannot happen for trainer vocabularies, where single characters
+    are never pruned, so a raise means a broken vocab and must be
+    loud. ``unk_count=k`` (encode-time OOV fallback): a single
+    character ABSENT from the vocabulary still forms a piece, scored
+    ``k`` — the <unk> posture of production tokenizers (Kudo 2018 §3),
+    so encoding text whose alphabet exceeds the training corpus
+    degrades to char pieces instead of crashing. The fallback STRICTLY
+    extends the domain without touching existing results: a char
+    absent from a trainer vocabulary cannot occur inside any vocab
+    piece (pieces are substrings of training words, whose chars are
+    all kept), so a previously-coverable word gains no new parses and
+    its argmax is bit-identical with the flag on or off —
+    pytest-pinned."""
     n = len(word)
     best: list[tuple | None] = [None] * (n + 1)
     best[0] = (0, 1, ())
@@ -96,7 +109,10 @@ def viterbi_segment(
         for le in range(1, min(l_max, n - i) + 1):
             c = vocab.get(word[i : i + le])
             if c is None:
-                continue
+                if le == 1 and unk_count is not None:
+                    c = unk_count
+                else:
+                    continue
             cand = (
                 k0 + 1,
                 p0 * min(c, SCORE_CAP),
@@ -209,12 +225,20 @@ def unigram_train(
 
 
 def unigram_segment(
-    df: DataFrame, word_col: str, vocab: DataFrame, l_max: int = 4
+    df: DataFrame,
+    word_col: str,
+    vocab: DataFrame,
+    l_max: int = 4,
+    unk_count: int | None = 1,
 ) -> DataFrame:
     """ENCODE with a learned vocabulary: collect the bounded vocab
     table once, broadcast, Arrow Viterbi over the column's DISTINCT
     word types, hash-join the parses back (the ``bpe_segment`` shape).
-    Adds ``subwords array<string>``; NULL words keep NULL subwords."""
+    Adds ``subwords array<string>``; NULL words keep NULL subwords.
+    Out-of-vocabulary characters fall back to score-``unk_count``
+    char pieces by default (``viterbi_segment`` docstring) — encode
+    never crashes on text whose alphabet exceeds the training corpus;
+    pass ``unk_count=None`` to make unseen chars raise instead."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -229,7 +253,7 @@ def unigram_segment(
                 {
                     "__uni_word": pdf["__uni_word"],
                     "subwords": [
-                        list(viterbi_segment(w, v, l_max))
+                        list(viterbi_segment(w, v, l_max, unk_count))
                         for w in pdf["__uni_word"]
                     ],
                 }

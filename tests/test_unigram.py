@@ -196,3 +196,32 @@ def test_encode_roundtrips_corpus_words(spark):
         F.array_join("subwords", "") != F.col("word")
     ).count()
     assert bad == 0
+
+
+def test_oov_fallback_extends_without_changing_covered_words():
+    vocab = {"a": 5, "b": 3, "ab": 9}
+    # covered word: identical with the fallback on or off
+    assert viterbi_segment("abab", vocab, 4) == viterbi_segment(
+        "abab", vocab, 4, unk_count=1
+    )
+    # word with an unseen char: raises without the fallback,
+    # segments through a char piece with it
+    with pytest.raises(ValueError, match="not coverable"):
+        viterbi_segment("axb", vocab, 4)
+    assert viterbi_segment("axb", vocab, 4, unk_count=1) == ("a", "x", "b")
+
+
+def test_segment_encodes_unseen_alphabet(spark):
+    train = spark.createDataFrame(
+        [("spark", 5), ("park", 3)], "word string, cnt long"
+    )
+    vocab = unigram_train(train, rounds=1, l_max=4, seed_n=10, vocab_n=5)
+    from pyspark.sql import functions as F
+
+    words = spark.createDataFrame(
+        [("spark",), ("quartz!",)], "word string"
+    )
+    seg = unigram_segment(words, "word", vocab)
+    rows = {r["word"]: r["subwords"] for r in seg.collect()}
+    assert "".join(rows["spark"]) == "spark"
+    assert "".join(rows["quartz!"]) == "quartz!"  # decode identity holds
