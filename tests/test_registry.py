@@ -160,3 +160,21 @@ def test_no_registered_query_plans_global_window(spark, sf_dir):
                 offenders.append(q.name)
                 break
     assert not offenders, f"single-partition (global) Window plans in: {offenders}"
+
+
+def test_priority_window_is_well_formed():
+    """The driver's correctness pass covers only the FIRST 50
+    registered queries, and PRIORITY is what orders them — a typo'd
+    or stale name there silently shrinks the evidence window (the
+    sort treats unknown names as absent and backfills from
+    registration order), so the window must be exactly 50 real,
+    distinct query names."""
+    from hapiy_etl_spark.registry import PRIORITY
+
+    names = set(all_queries())
+    unknown = [n for n in PRIORITY if n not in names]
+    assert unknown == [], f"PRIORITY names not in registry: {unknown}"
+    assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entries"
+    assert len(PRIORITY) == 50, (
+        f"PRIORITY must fill the driver's 50-query window, got {len(PRIORITY)}"
+    )
