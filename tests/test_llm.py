@@ -2086,3 +2086,26 @@ def test_dedup_clusters_converge_detected_on_long_chain(spark):
     conv = dedup_clusters(edges, rounds=None).collect()
     assert len(conv) == 12
     assert all(r["cluster_id"] == 0 for r in conv)
+
+
+def test_band_energy_batched_bit_identical():
+    """The r15 batched FFT path (_band_energy_sigs: windows sharing a
+    slice width stack into one rfft) must produce BIT-identical
+    signatures to the per-window kernel — rows of a batched rfft
+    transform independently."""
+    import numpy as np
+
+    from hapiy_etl_spark.operators.multimodal import (
+        _band_energy_sig,
+        _band_energy_sigs,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        n = int(rng.integers(1, 4000))
+        x = rng.integers(0, 256, size=n).astype(np.float64) - 128.0
+        step = max(1, -(-x.size // 8))
+        wins = [x[w * step : (w + 1) * step] for w in range(8)]
+        assert _band_energy_sigs(wins) == [
+            _band_energy_sig(w) for w in wins
+        ]
