@@ -2109,3 +2109,26 @@ def test_band_energy_batched_bit_identical():
         assert _band_energy_sigs(wins) == [
             _band_energy_sig(w) for w in wins
         ]
+
+
+def test_dhash_batched_bit_identical():
+    """The r15 batched frame-dHash path (_dhash_from_bytes_batch:
+    same-length frames stack into one reduceat along axis=1) must
+    hash BIT-identically to the per-frame kernel, including empty
+    and sub-grid frames."""
+    import numpy as np
+
+    from hapiy_etl_spark.operators.multimodal import (
+        _dhash_from_bytes,
+        _dhash_from_bytes_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        n = int(rng.integers(0, 3000))
+        data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        step = max(1, -(-len(data) // 8))
+        frames = [data[f * step : (f + 1) * step] for f in range(8)]
+        assert _dhash_from_bytes_batch(frames) == [
+            _dhash_from_bytes(f) for f in frames
+        ]
