@@ -79,6 +79,53 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return out
 
 
+# Exchange-vs-parallelism floor for spread(): inputs below this are too
+# small for map-side fan-out to beat the repartition's fixed cost (the
+# threshold guards MICRO-batches; any production input whose map stage
+# matters is orders of magnitude above it).
+SPREAD_MIN_BYTES = 384 << 10
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Fan a narrow input out to the session's parallelism before
+    CPU-heavy per-row map work (optimization guide §2.5, input skew:
+    a single-file / single-row-group parquet is UNSPLITTABLE, so the
+    whole map side — tokenize, shingle, explode, Arrow kernels — runs
+    in ONE task no matter how many cores the session has; the driver
+    testdata tables are exactly that shape).
+
+    Scale-adaptive, not a local[32] constant: a no-op whenever the
+    plan already carries >= ``defaultParallelism`` partitions (the
+    production case — a 100 TB table scans as thousands of splits, and
+    an extra exchange there would be pure cost). Locally it pays one
+    tiny shuffle of the base rows (the documents table is ~0.6 MB at
+    sf0.1) to unlock full-width map-side compute. Hash-repartitions on
+    ``key_cols`` — deterministic under task retry, unlike round-robin
+    (SPARK-38388) — so callers pass the row id. Only safe above
+    set-semantics consumers (aggregation / join / per-row functions);
+    never insert above limit()/head-style operators.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        # size floor: never pay an exchange to parallelize a trivially
+        # small input (measured at sf0.1: spreading the healers'
+        # micro-batches cost +0.2-0.3 s each while the full-corpus
+        # builds won 0.3-2.1 s). Catalyst's optimizedPlan stats give
+        # file bytes for scans (the callers' shape); an UNKNOWN size
+        # reports Long.MaxValue and conservatively counts as big.
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        if int(stats.sizeInBytes()) < SPREAD_MIN_BYTES:
+            return df
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df  # unplannable frame: leave untouched
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def write_partitioned(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     """Partitioned parquet write — the scale-out sink.
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hapiy_etl_spark.io import spread
 from hapiy_etl_spark.operators.textstats import token_hash, tokens
 
 
@@ -99,7 +100,9 @@ def jaccard_pairs(
     multi-word string; a 64-bit collision would need ~2^32 distinct
     shingles to become likely, so counts are unaffected in practice.
     """
-    sh = df.select(
+    # spread (io.py): parallelize the shingle+explode map side when the
+    # input is an unsplittable single-partition scan (guide §2.5)
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     ).select("doc", F.xxhash64("s").alias("sh"))
     if df_cap is not None:
@@ -157,7 +160,9 @@ def containment_pairs(
     hot-shingle skew guard), and 8-byte xxhash64 join key as
     ``jaccard_pairs``; the direction split is a cheap union over the
     pair-grain aggregate, never a second corpus scan."""
-    sh = df.select(
+    # spread (io.py): parallelize the shingle+explode map side when the
+    # input is an unsplittable single-partition scan (guide §2.5)
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     ).select("doc", F.xxhash64("s").alias("sh"))
     if df_cap is not None:
@@ -209,7 +214,9 @@ def union_neardup_edges(
     identical join separately — composing them would scan the corpus
     twice for the same counts); same xxhash64 8-byte key and ``df_cap``
     hot-shingle guard. Returns (id_a, id_b), id_a < id_b."""
-    sh = df.select(
+    # spread (io.py): parallelize the shingle+explode map side when the
+    # input is an unsplittable single-partition scan (guide §2.5)
+    sh = spread(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     ).select("doc", F.xxhash64("s").alias("sh"))
     if df_cap is not None:
@@ -265,7 +272,7 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    with_sh = df.select(F.col(id_col).alias("doc_id_"), shingles(text_col, n).alias("sh")).where(
+    with_sh = spread(df, id_col).select(F.col(id_col).alias("doc_id_"), shingles(text_col, n).alias("sh")).where(
         F.size("sh") > 0
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
@@ -322,6 +329,11 @@ def minhash_signatures(
         )
     else:
         base_h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
+    # spread (io.py): parallelize the shingle+explode map side when the
+    # input is an unsplittable single-partition scan (guide §2.5)
+    # NOT spread (io.py): measured at sf0.1 — the tokenless 8-byte hash
+    # map stage is too cheap for the extra exchange to pay (5-rep
+    # standalone medians 0.77 -> 0.79/0.92 s with spread)
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     ).select("doc", base_h.alias("h"))
@@ -780,7 +792,12 @@ def simhash_signatures(
     with md5, which is what lets dedup_simhash_portable carry a full
     DuckDB oracle twin. Default stays xxhash64/64-bit for the hot path.
     """
-    tok = df.select(F.col(id_col).alias("doc"), F.explode_outer(tokens(text_col)).alias("tok"))
+    # NOT spread (io.py): measured at sf0.1 — 5-rep standalone medians
+    # 2.44 -> 2.65 s with spread; the vote aggregation dominates, not
+    # the single-task tokenize, so the extra exchange is pure cost here
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode_outer(tokens(text_col)).alias("tok")
+    )
     if portable:
         h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
         n_bits = PORTABLE_SIMHASH_BITS
@@ -987,7 +1004,10 @@ def shared_span_pairs(
         ),
     )
     grams = (
-        df.select(F.col(id_col).alias("doc"), F.explode(win).alias("w"))
+        # spread (io.py): the O(tokens*k) window-hash construction is the
+        # heavy map stage — parallelize it off a single-partition scan
+        spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(win).alias("w"))
         .select("doc", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
     # Match-ability pre-filter: a hash occurring ONCE in the whole

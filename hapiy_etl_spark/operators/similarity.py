@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from hapiy_etl_spark.io import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ in double precision (left-fold, deterministic order)."""
@@ -758,7 +760,11 @@ def pq_topk(
                         out_d.append(col[ci])
             yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__score": out_d})
 
-    local = corpus.select(corpus_id, vec).mapInPandas(
+    # spread (io.py): encode+ADC are per-row and the local top-k keeps
+    # every kth-distance tie under a total order (layout-invariant by
+    # design) — fan a single-partition corpus scan out before the
+    # Python boundary (guide §2.5/§4)
+    local = spread(corpus.select(corpus_id, vec), corpus_id).mapInPandas(
         adc_partition, "__qid long, __cid long, __score double"
     )
     if not refine:
@@ -943,6 +949,9 @@ def pq_index_probe(
                         out_d.append(col[ci])
             yield pd.DataFrame({"__qid": out_q, "__cid": out_c, "__score": out_d})
 
+    # NOT spread (io.py): probes scan small stored-code slices (the
+    # restricted exact-regime tables) — measured +0.2 s from the extra
+    # exchange + 32 tiny Python tasks
     local = codes_df.select(corpus_id, "codes").mapInPandas(
         adc_codes, "__qid long, __cid long, __score double"
     )

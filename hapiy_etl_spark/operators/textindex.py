@@ -74,7 +74,11 @@ def postings_build(
     appended batches, so corpus-average document length is exact at
     any index version. Tokenization (whitespace split, NULL-text docs
     drop at explode) matches the corpus BM25 queries bit-for-bit."""
-    tok = docs.select(
+    from hapiy_etl_spark.io import spread
+
+    # spread (io.py): parallelize tokenize+bucket off a single-partition
+    # scan or single-file change-feed batch (guide §2.5)
+    tok = spread(docs, doc_id).select(
         F.col(doc_id).alias("__doc"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("__t"),
     )
@@ -326,9 +330,14 @@ def shingle_postings_build(
     here: the shingle kernel would otherwise map each to the ``['']``
     fallback shingle — one junk posting per doc that the DuckDB twins
     (whose unnest drops NULL) would never see."""
+    from hapiy_etl_spark.io import spread
     from hapiy_etl_spark.operators.dedup import shingles
 
-    docs = docs.where(F.col(text_col).isNotNull())
+    # spread (io.py): the shingle construction + md5 term bucketing is
+    # the heavy map stage, and index builds are fed either by a
+    # single-partition scan or a single-file change-feed batch — fan it
+    # out before the explode (guide §2.5)
+    docs = spread(docs.where(F.col(text_col).isNotNull()), doc_id)
     sh = docs.select(
         F.col(doc_id).alias("__doc"),
         F.explode(shingles(F.col(text_col), k)).alias("__s"),
