@@ -68,6 +68,30 @@ def _epoch_us(v) -> int:
     return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
 
 
+def _stat_json_value(v):
+    """Collected min/max → the manifest's JSON stats representation —
+    shared by the per-dir and grouped stats passes so their recorded
+    entries can never diverge. Dates/timestamps become epoch-micro
+    NUMBERS, not ISO strings: numeric stats keep the pruner's
+    str-vs-nonstr conservatism intact (an ISO string is
+    indistinguishable from a user's plain-string data, so a datetime
+    filter could strict-compare against a string column's stats and
+    silently prune rows Spark's casting row filter would match). NaN
+    never enters the manifest — it admits no total order, so a NaN
+    bound is recorded as unusable."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return _epoch_us(v)
+    if isinstance(v, _dt.date):
+        return _epoch_us(_dt.datetime(v.year, v.month, v.day))
+    if isinstance(v, float) and v != v:
+        return None
+    if isinstance(v, (int, float, str)) or v is None:
+        return v
+    return None
+
+
 def _stats_norm(v):
     """Caller-side bound → the manifest's stats representation."""
     import datetime as _dt
@@ -1033,8 +1057,6 @@ class TxTable:
         timestamps are recorded as ISO strings (ordered the same way),
         anything else is skipped (recorded as [None, None] so readers
         know stats were requested but unusable)."""
-        import datetime as _dt
-
         from pyspark.sql import functions as F
 
         aggs = []
@@ -1042,30 +1064,85 @@ class TxTable:
             aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
         row = df.agg(*aggs).collect()[0]
 
-        def _j(v):
-            # Dates/timestamps become epoch-micro NUMBERS, not ISO
-            # strings: numeric stats keep the pruner's str-vs-nonstr
-            # conservatism intact (an ISO string is indistinguishable
-            # from a user's plain-string data, so a datetime filter
-            # could strict-compare against a string column's stats and
-            # silently prune rows Spark's casting row filter would
-            # match). NaN never enters the manifest — it admits no
-            # total order, so a NaN bound is recorded as unusable.
-            if isinstance(v, _dt.datetime):
-                return _epoch_us(v)
-            if isinstance(v, _dt.date):
-                return _epoch_us(_dt.datetime(v.year, v.month, v.day))
-            if isinstance(v, float) and v != v:
-                return None
-            if isinstance(v, (int, float, str)) or v is None:
-                return v
-            return None
-
         out = {}
         for c in cols:
-            mn, mx = _j(row[f"__mn_{c}"]), _j(row[f"__mx_{c}"])
+            mn = _stat_json_value(row[f"__mn_{c}"])
+            mx = _stat_json_value(row[f"__mx_{c}"])
             out[c] = [mn, mx] if mn is not None and mx is not None else [None, None]
         return out
+
+    @staticmethod
+    def _grouped_column_stats(
+        df: DataFrame, group_col: str, cols: Sequence[str]
+    ) -> dict:
+        """{group -> {col: [min, max]}} in ONE agg job — the grouped
+        form of :meth:`_column_stats` (optimization r15): a clustered
+        rewrite needs per-dir stats for every bucket, and one grouped
+        pass over the spool replaces one driver-scheduled job per dir.
+        Value normalization is shared (``_stat_json_value``), so the
+        recorded entries are byte-identical to the per-dir form."""
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        out: dict = {}
+        for row in df.groupBy(group_col).agg(*aggs).collect():
+            ent = {}
+            for c in cols:
+                mn = _stat_json_value(row[f"__mn_{c}"])
+                mx = _stat_json_value(row[f"__mx_{c}"])
+                ent[c] = (
+                    [mn, mx] if mn is not None and mx is not None else [None, None]
+                )
+            out[int(row[group_col])] = ent
+        return out
+
+    def _grouped_bloom_build(
+        self, df: DataFrame, group_col: str, col: str, bits: int, k: int
+    ) -> dict:
+        """{group -> bloom entry} in ONE distinct job — the grouped form
+        of :meth:`_bloom_build` (optimization r15): same xxhash64 seed
+        positions, same geometry recording, one job for ALL of a
+        clustered rewrite's dirs instead of one per dir. The distinct
+        (group, position) set is bounded by n_groups x bits."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        typ = df.schema[col].dataType.simpleString()
+        if typ not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom_cols[{col!r}] has type {typ}; blooms support "
+                f"{sorted(_BLOOM_TYPES)} (point lookups on other types "
+                "use stats_cols range pruning instead)"
+            )
+        seeds = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
+                for i in range(k)
+            ]
+        )
+        rows = (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(group_col).alias("g"), F.explode(seeds).alias("p"))
+            .distinct()
+            .collect()
+        )
+        bufs: dict[int, bytearray] = {}
+        for r in rows:
+            buf = bufs.setdefault(int(r["g"]), bytearray(bits // 8))
+            pos = int(r["p"])
+            buf[pos // 8] |= 1 << (pos % 8)
+        return {
+            g: {
+                "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+                "type": typ,
+                "bits": bits,
+                "k": k,
+            }
+            for g, buf in bufs.items()
+        }
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data_dir(df)
@@ -1948,37 +2025,69 @@ class TxTable:
             ).parquet(str(spool))
             dirs, schemas, stats, blooms = [], {}, {}, {}
             try:
-                for sub in sorted(
+                subs = sorted(
                     spool.glob(f"{bcol}=*"),
                     key=lambda p: int(p.name[len(bcol) + 1 :]),
-                ):
+                )
+                # Per-dir metadata from ONE grouped pass over the spool
+                # (optimization r15, guide §1.2 "remove passes"): the
+                # per-dir read-back loop ran ONE stats job + one bloom
+                # job per column PER DIR — n_dirs x cols tiny jobs whose
+                # driver-side scheduling gaps dominated the compaction
+                # (measured: 48 jobs / 3.1 s of gaps on the zorder
+                # slice). The spool files ARE the committed bytes (the
+                # rename below moves, never rewrites them), so grouping
+                # by the spool's partition column reads back exactly the
+                # written data — the provably-covering contract is
+                # unchanged. Bucket subdir order maps 1:1 to dir order.
+                buckets = [int(p.name[len(bcol) + 1 :]) for p in subs]
+                if subs:
+                    written_all = self.spark.read.parquet(str(spool))
+                    stats_by_bucket = self._grouped_column_stats(
+                        written_all, bcol, stats_cols
+                    )
+                    bloom_geoms: dict[str, tuple[int, int]] = {}
+                    if bloom_cols:
+                        for col in bloom_cols:
+                            bloom_geoms[col] = (
+                                int(bloom_bits or self.BLOOM_BITS),
+                                int(bloom_k or self.BLOOM_K),
+                            )
+                    else:
+                        for col, (bb, bk) in inherited.items():
+                            if col in written_all.columns:
+                                bloom_geoms[col] = (bb, bk)
+                    blooms_by_bucket: dict[int, dict] = {}
+                    for col, (bb, bk) in bloom_geoms.items():
+                        for bkt, entry in self._grouped_bloom_build(
+                            written_all, bcol, col, bb, bk
+                        ).items():
+                            blooms_by_bucket.setdefault(bkt, {})[col] = entry
+                    # every bucket file was written by the one snapshot
+                    # job above — a single schema read covers all dirs
+                    schema_json = self.spark.read.parquet(
+                        str(subs[0])
+                    ).schema.jsonValue()
+                for sub, bkt in zip(subs, buckets):
                     d = f"s-{uuid.uuid4().hex[:12]}"
                     os.rename(sub, self.path / "data" / d)
                     dirs.append(d)
+                    schemas[d] = schema_json
+                    stats[d] = stats_by_bucket.get(
+                        bkt, {c: [None, None] for c in stats_cols}
+                    )
+                    if blooms_by_bucket.get(bkt):
+                        blooms[d] = blooms_by_bucket[bkt]
                 if not dirs:
                     # an empty snapshot writes no bucket subdirs; a
                     # manifest needs at least one dir to carry the schema
                     d = self._write_data_dir(snap)
                     dirs.append(d)
-                for d in dirs:
                     written = self.spark.read.parquet(
                         str(self.path / "data" / d)
                     )
                     schemas[d] = written.schema.jsonValue()
                     stats[d] = self._column_stats(written, stats_cols)
-                    if bloom_cols:
-                        blooms[d] = self._bloom_build(
-                            written, bloom_cols, bloom_bits, bloom_k
-                        )
-                    elif inherited:
-                        ent: dict = {}
-                        for col, (bb, bk) in inherited.items():
-                            if col in written.columns:
-                                ent.update(
-                                    self._bloom_build(written, [col], bb, bk)
-                                )
-                        if ent:
-                            blooms[d] = ent
             except Exception:
                 for d in dirs:
                     shutil.rmtree(self.path / "data" / d, ignore_errors=True)
