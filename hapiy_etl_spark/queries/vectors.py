@@ -1519,27 +1519,44 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     queries = emb.where(F.col("vec_id") < 10)
-    # eager checkpoint: the exact ranking joins against EVERY arm (plus
-    # the n_expected count) — without it the brute-force scan re-runs
-    # once per arm through lineage (7x at 6 arms)
-    exact = (
-        S.cosine_topk(queries, emb, "vec_id", "vec_id", k=3)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
     cent, assigned, pq_books, resid_books = ann_audit_artifacts(spark, sf_dir)
-    # each quantized family scans ONCE: the widened ADC pool (top
-    # refine*k, checkpointed) serves both its raw arm (pool rank <= k
-    # IS the unrefined ADC top-k — same ordering, same tie-breaks) and
-    # its re-ranked arm (exact cosine over the pool), so the audit pays
-    # one encode+score pass per family instead of two
-    pq_pool = S.pq_topk(
-        queries, emb, "vec_id", "vec_id", k=4 * 3, codebooks=pq_books
-    ).localCheckpoint(eager=True)
-    ivfpq_pool = S.ivf_pq_topk(
-        queries, emb, "vec_id", "vec_id", k=8 * 3, n_probe=6,
-        index=(cent, assigned), codebooks=resid_books,
-    ).localCheckpoint(eager=True)
+    # The three materialized inputs — the exact ranking (joined by
+    # EVERY arm, so checkpointed once instead of re-running the brute
+    # scan 7x through lineage) and the two widened ADC pools (each
+    # serves its raw arm AND its re-ranked arm, so each family pays one
+    # encode+score pass) — are INDEPENDENT eager checkpoints that were
+    # built back-to-back, leaving the cluster idle through each one's
+    # driver tail. Overlap them from a small thread pool (optimization
+    # guide §2.6: actions are only sequential because the driver calls
+    # them sequentially); each checkpoint's content is deterministic,
+    # so the audit table is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return (
+            S.cosine_topk(queries, emb, "vec_id", "vec_id", k=3)
+            .select("vec_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _pq_pool():
+        return S.pq_topk(
+            queries, emb, "vec_id", "vec_id", k=4 * 3, codebooks=pq_books
+        ).localCheckpoint(eager=True)
+
+    def _ivfpq_pool():
+        return S.ivf_pq_topk(
+            queries, emb, "vec_id", "vec_id", k=8 * 3, n_probe=6,
+            index=(cent, assigned), codebooks=resid_books,
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_exact = pool.submit(_exact)
+        f_pq = pool.submit(_pq_pool)
+        f_ivfpq = pool.submit(_ivfpq_pool)
+        exact, pq_pool, ivfpq_pool = (
+            f_exact.result(), f_pq.result(), f_ivfpq.result()
+        )
     methods = {
         "lsh": S.lsh_topk(
             queries, emb, "vec_id", "vec_id", k=3, n_planes=4, multi_probe=1
