@@ -291,6 +291,11 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
+        # live parallelism read back from the RUNNING SparkContext (not
+        # the env): scaling-evidence contract (VERDICT r15 item 2) — the
+        # driver's lower-core bench can verify $SPARK_GRAFT_CPUS took
+        # effect instead of heuristically suspecting it was ignored
+        "cpus": int(spark.sparkContext.defaultParallelism),
         # value/queries are PER-QUERY MEDIANS over `reps` timed passes;
         # run_totals + per-pass load averages expose the ambient-load
         # swing (identical code measured 1.3-4x apart on this shared

@@ -121,8 +121,20 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
             return df
         if df.rdd.getNumPartitions() >= target:
             return df
-    except Exception:
-        return df  # unplannable frame: leave untouched
+    except Exception as ex:  # unplannable frame: leave untouched — but
+        # say so (ADVICE r15): the probe rides a private Spark API
+        # (_jdf.queryExecution().optimizedPlan().stats()); if an upgrade
+        # breaks it the fan-out would otherwise silently stop firing.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "spread(): size/partition probe failed (%s: %s) — leaving "
+            "the frame un-spread; if this appears after a Spark upgrade "
+            "the private stats API likely moved",
+            type(ex).__name__,
+            ex,
+        )
+        return df
     return df.repartition(target, *[F.col(c) for c in key_cols])
 
 

@@ -329,8 +329,6 @@ def minhash_signatures(
         )
     else:
         base_h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31))
-    # spread (io.py): parallelize the shingle+explode map side when the
-    # input is an unsplittable single-partition scan (guide §2.5)
     # NOT spread (io.py): measured at sf0.1 — the tokenless 8-byte hash
     # map stage is too cheap for the extra exchange to pay (5-rep
     # standalone medians 0.77 -> 0.79/0.92 s with spread)

@@ -471,31 +471,97 @@ def ivf_topk(
     )
 
 
+#: lazily-created spawn pool for the per-subspace codebook fits — lives
+#: for the process (pool PROCESS state, not result caching: every fit
+#: recomputes from its sample). Spawn, not fork: a forked child of a
+#: py4j-attached driver can GC shared JavaObjects and write their
+#: finalizer commands onto the parent's live gateway socket.
+_PQ_FIT_POOL = None
+#: sticky off-switch: spawn re-executes the parent's __main__ module in
+#: each worker, so a driver whose __main__ is un-runnable (stdin / REPL
+#: heredoc) breaks every worker at startup — after ONE such failure the
+#: fit stays serial instead of paying pool-spawn + failure per call
+_PQ_FIT_POOL_BROKEN = False
+
+
+def _pq_fit_pool():
+    global _PQ_FIT_POOL
+    if _PQ_FIT_POOL is None:
+        import multiprocessing as mp
+        import os
+        from concurrent.futures import ProcessPoolExecutor
+
+        _PQ_FIT_POOL = ProcessPoolExecutor(
+            max_workers=min(16, os.cpu_count() or 2),
+            mp_context=mp.get_context("spawn"),
+        )
+    return _PQ_FIT_POOL
+
+
 def _pq_codebooks(sample, m: int, n_codes: int, seed: int, iters: int = 8):
     """Per-subspace Lloyd k-means on a DRIVER-SIDE SAMPLE — codebooks
     are tiny (m x n_codes x sub_dim) and, like the IVF quantizer, only
     need to be roughly right; at corpus scale the sample stays bounded
     while the codebooks still converge. Deterministic: seeded init from
-    sample rows, fixed iteration count, ties broken by index."""
+    sample rows, fixed iteration count, ties broken by index.
+
+    The m subspace fits are INDEPENDENT and run on a spawn process
+    pool (optimization r16, VERDICT r15 item 4; guide §4.5 — a thread
+    pool measured 2-4x SLOWER in r15: the 256-cluster update loop is
+    thousands of small GIL-bound numpy calls). Init indices are drawn
+    serially first, so the shared RandomState sequence — and therefore
+    every codebook — is bit-identical to the serial fit
+    (np.array_equal-pinned in tests/test_optimization_r16.py); the
+    cluster is idle during this driver-side fit, so the pool's cores
+    are free capacity at any scale. Any pool failure falls back to the
+    serial loop."""
     import numpy as np
+
+    from hapiy_etl_spark._pqfit import fit_subspace
 
     n, dim = sample.shape
     sub = dim // m
     rng = np.random.RandomState(seed)
+    # pre-draw every subspace's init serially: the RNG consumption order
+    # is exactly the serial loop's, so results cannot drift
+    inits = [rng.choice(n, size=min(n_codes, n), replace=False) for _ in range(m)]
+    global _PQ_FIT_POOL, _PQ_FIT_POOL_BROKEN
     books = np.empty((m, n_codes, sub), dtype=np.float64)
-    for j in range(m):
-        x = sample[:, j * sub : (j + 1) * sub]
-        cent = x[rng.choice(n, size=min(n_codes, n), replace=False)]
-        if len(cent) < n_codes:  # degenerate tiny sample: pad by repeat
-            cent = np.resize(cent, (n_codes, sub))
-        for _ in range(iters):
-            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(n_codes):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = x[mask].mean(axis=0)
-        books[j] = cent
+    fitted = None
+    if m > 1 and not _PQ_FIT_POOL_BROKEN:
+        try:
+            pool = _pq_fit_pool()
+            fitted = list(
+                pool.map(
+                    fit_subspace,
+                    [
+                        np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub])
+                        for j in range(m)
+                    ],
+                    inits,
+                    [n_codes] * m,
+                    [iters] * m,
+                )
+            )
+        except Exception:  # pool unavailable/broken: STICKY serial
+            # fallback — a broken pool would otherwise pay spawn+failure
+            # on every subsequent fit
+            _PQ_FIT_POOL_BROKEN = True
+            try:
+                if _PQ_FIT_POOL is not None:
+                    _PQ_FIT_POOL.shutdown(wait=False)
+            except Exception:
+                pass
+            _PQ_FIT_POOL = None
+            fitted = None
+    if fitted is not None:
+        for j in range(m):
+            books[j] = fitted[j]
+    else:
+        for j in range(m):
+            books[j] = fit_subspace(
+                sample[:, j * sub : (j + 1) * sub], inits[j], n_codes, iters
+            )
     return books
 
 

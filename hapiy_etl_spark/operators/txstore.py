@@ -209,6 +209,17 @@ def _bloom_bits_for(n: int, cap: int = BLOOM_RESIZE_CAP_BITS) -> int:
     return bits
 
 
+def _validate_bloom_geometry(bits: int, k: int) -> None:
+    """Shared bits/k validation for the per-dir AND grouped bloom
+    builders (ADVICE r15: the grouped form dropped it, so bits like
+    1001 surfaced as an IndexError mid-build instead of a clear
+    ValueError, and k <= 0 silently recorded no bloom at all)."""
+    if bits <= 0 or bits % 8:
+        raise ValueError(f"bloom_bits must be a positive multiple of 8: {bits}")
+    if k <= 0:
+        raise ValueError(f"bloom_k must be positive: {k}")
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
@@ -894,10 +905,7 @@ class TxTable:
 
         bits = int(bits or self.BLOOM_BITS)
         k = int(k or self.BLOOM_K)
-        if bits <= 0 or bits % 8:
-            raise ValueError(f"bloom_bits must be a positive multiple of 8: {bits}")
-        if k <= 0:
-            raise ValueError(f"bloom_k must be positive: {k}")
+        _validate_bloom_geometry(bits, k)
         out = {}
         for c in cols:
             typ = df.schema[c].dataType.simpleString()
@@ -1099,13 +1107,33 @@ class TxTable:
         return out
 
     def _grouped_bloom_build(
-        self, df: DataFrame, group_col: str, col: str, bits: int, k: int
+        self,
+        df: DataFrame,
+        group_col: str,
+        col: str,
+        bits: int,
+        k: int,
+        groups: Sequence[int] | None = None,
     ) -> dict:
-        """{group -> bloom entry} in ONE distinct job — the grouped form
-        of :meth:`_bloom_build` (optimization r15): same xxhash64 seed
+        """{group -> bloom entry} in ONE job — the grouped form of
+        :meth:`_bloom_build` (optimization r15): same xxhash64 seed
         positions, same geometry recording, one job for ALL of a
-        clustered rewrite's dirs instead of one per dir. The distinct
-        (group, position) set is bounded by n_groups x bits."""
+        clustered rewrite's dirs instead of one per dir.
+
+        Bitmaps aggregate EXECUTOR-SIDE (optimization r16, VERDICT r15
+        item 7): distinct (group, position) pairs reduce to per-(group,
+        byte) ``bit_or`` partials, then one sparse byte list per group —
+        so the driver collect is bounded at n_groups rows x ≤ bits/8
+        set bytes, instead of n_groups x bits position rows (a wide
+        compaction at scale would otherwise sum the old per-dir driver
+        peaks into one collect; guide §5). Bit positions are identical
+        to the per-dir form, so recorded entries stay byte-identical
+        (pinned by tests/test_optimization_r15.py).
+
+        ``groups`` pre-seeds an all-zero bloom for listed groups with
+        no non-NULL rows (ADVICE r15: the per-dir form records an
+        all-zero bloom for an all-NULL dir — which prunes every probe —
+        and the grouped form silently dropped those entries)."""
         import base64
 
         from pyspark.sql import functions as F
@@ -1117,6 +1145,7 @@ class TxTable:
                 f"{sorted(_BLOOM_TYPES)} (point lookups on other types "
                 "use stats_cols range pruning instead)"
             )
+        _validate_bloom_geometry(bits, k)
         seeds = F.array(
             *[
                 F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
@@ -1127,13 +1156,27 @@ class TxTable:
             df.where(F.col(col).isNotNull())
             .select(F.col(group_col).alias("g"), F.explode(seeds).alias("p"))
             .distinct()
+            # executor-side bitmap fold: OR the single-bit values into
+            # per-(group, byte) partials, then pack each group's sparse
+            # (byte index, byte value) pairs into one row
+            .select(
+                "g",
+                (F.col("p") / 8).cast("int").alias("byte"),
+                F.expr("shiftleft(1, int(p % 8))").cast("int").alias("v"),
+            )
+            .groupBy("g", "byte")
+            .agg(F.bit_or("v").alias("v"))
+            .groupBy("g")
+            .agg(F.collect_list(F.struct("byte", "v")).alias("bv"))
             .collect()
         )
-        bufs: dict[int, bytearray] = {}
+        bufs: dict[int, bytearray] = {
+            int(g): bytearray(bits // 8) for g in (groups or ())
+        }
         for r in rows:
             buf = bufs.setdefault(int(r["g"]), bytearray(bits // 8))
-            pos = int(r["p"])
-            buf[pos // 8] |= 1 << (pos % 8)
+            for e in r["bv"]:
+                buf[int(e["byte"])] = int(e["v"])
         return {
             g: {
                 "b64": base64.b64encode(bytes(buf)).decode("ascii"),
@@ -2041,26 +2084,30 @@ class TxTable:
                 # written data — the provably-covering contract is
                 # unchanged. Bucket subdir order maps 1:1 to dir order.
                 buckets = [int(p.name[len(bcol) + 1 :]) for p in subs]
+                bloom_geoms: dict[str, tuple[int, int]] = {}
+                if bloom_cols:
+                    for col in bloom_cols:
+                        bloom_geoms[col] = (
+                            int(bloom_bits or self.BLOOM_BITS),
+                            int(bloom_k or self.BLOOM_K),
+                        )
+                else:
+                    for col, (bb, bk) in inherited.items():
+                        if col in snap.columns:
+                            bloom_geoms[col] = (bb, bk)
                 if subs:
                     written_all = self.spark.read.parquet(str(spool))
                     stats_by_bucket = self._grouped_column_stats(
                         written_all, bcol, stats_cols
                     )
-                    bloom_geoms: dict[str, tuple[int, int]] = {}
-                    if bloom_cols:
-                        for col in bloom_cols:
-                            bloom_geoms[col] = (
-                                int(bloom_bits or self.BLOOM_BITS),
-                                int(bloom_k or self.BLOOM_K),
-                            )
-                    else:
-                        for col, (bb, bk) in inherited.items():
-                            if col in written_all.columns:
-                                bloom_geoms[col] = (bb, bk)
                     blooms_by_bucket: dict[int, dict] = {}
                     for col, (bb, bk) in bloom_geoms.items():
+                        # groups=buckets: a bucket whose bloom column is
+                        # entirely NULL still records an all-zero bloom,
+                        # exactly as the per-dir read-back did (ADVICE
+                        # r15) — it prunes every probe against that dir
                         for bkt, entry in self._grouped_bloom_build(
-                            written_all, bcol, col, bb, bk
+                            written_all, bcol, col, bb, bk, groups=buckets
                         ).items():
                             blooms_by_bucket.setdefault(bkt, {})[col] = entry
                     # every bucket file was written by the one snapshot
@@ -2088,6 +2135,16 @@ class TxTable:
                     )
                     schemas[d] = written.schema.jsonValue()
                     stats[d] = self._column_stats(written, stats_cols)
+                    # the empty-fallback dir records all-zero blooms too
+                    # (ADVICE r15): they prune every probe, same as the
+                    # per-dir read-back form recorded for a rowless dir
+                    empty_blooms = {
+                        col: self._bloom_build(written, [col], bb, bk)[col]
+                        for col, (bb, bk) in bloom_geoms.items()
+                        if col in written.columns
+                    }
+                    if empty_blooms:
+                        blooms[d] = empty_blooms
             except Exception:
                 for d in dirs:
                     shutil.rmtree(self.path / "data" / d, ignore_errors=True)

@@ -237,9 +237,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signatures per-hash-table and is NOT the preferred scale path. "
     "Kept registered solely to prove the pyspark.ml MinHashLSH surface "
     "(HashingTF + approxSimilarityJoin) is supported, so the input is "
-    "CAPPED to a deterministic 1/8 hash-slice of documents (r15, "
-    "VERDICT r14 item 5: an API demo must not be the most expensive "
-    "steady query in the bench; the operator itself takes any frame). "
+    "CAPPED to a deterministic 1/8 slice of documents (r15, VERDICT "
+    "r14 item 5: an API demo must not be the most expensive steady "
+    "query in the bench; the operator itself takes any frame). The "
+    "slice keys on a CONTENT prefix, not the doc id (r16, VERDICT r15 "
+    "item 8: an id-hash slice kept ~no near-dup pairs at small SFs — "
+    "0 rows, a vacuous demo): near-duplicate documents share their "
+    "opening text, so a prefix-keyed shard keeps dup families "
+    "co-resident — the cluster-preserving sharding a real dedup "
+    "workload uses — and the demo's output is non-degenerate at every "
+    "SF while the input stays capped at ~1/8 of the corpus. "
     "Rows-only, FINAL (banded LSH has no SQL twin); the "
     "driver-visible bound: planted exact+near duplicate pairs are "
     "recalled 10/10 and the threshold rejects sub-0.5-Jaccard pairs "
@@ -248,7 +255,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     demo_slice = t["documents"].where(
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)) == 0
+        F.pmod(F.xxhash64(F.substring("text", 1, 64)), F.lit(8)) == 0
     )
     return D.minhash_lsh_pairs(
         demo_slice, "doc_id", "text", n=3, jaccard_threshold=0.5
@@ -2312,7 +2319,14 @@ def vocab_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    types_full = _bpe_word_types(docs)
+    # ONE shared tokenization pass (optimization r16, VERDICT r15 item
+    # 5; guide §1.2): the type table feeds BOTH trainers and BOTH
+    # type-grain segmenters — uncheckpointed, each consumer re-derived
+    # the corpus explode+agg through lineage (4 corpus tokenizations
+    # per bake-off). The eager localCheckpoint materializes it once;
+    # content is deterministic (a groupBy aggregate), so both training
+    # chains and the oracle hash are unchanged.
+    types_full = _bpe_word_types(docs).localCheckpoint(eager=True)
     merges = bpe_train(types_full, _BPE_N_MERGES)
     seg_b = bpe_segment(types_full.select("word"), "word", merges).select(
         "word", F.size("subwords").alias("n_sub_bpe")
