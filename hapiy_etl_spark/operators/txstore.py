@@ -2247,13 +2247,29 @@ def txgroup_commit_appends(group_path: str, appends: list[dict]) -> list[int]:
     when all of them exist. Returns the committed versions."""
     gp = Path(group_path)
     gp.mkdir(parents=True, exist_ok=True)
-    staged = []
-    for a in appends:
+    # Stage CONCURRENTLY (optimization r16, guide §2.6): each table's
+    # spool write (+ stats/bloom read-back) is an independent Spark
+    # job, and the driver previously submitted them back-to-back so the
+    # cluster idled through each one's tail. Staging order is
+    # irrelevant — nothing is visible until the group record publishes,
+    # and the manifests build sequentially below AFTER all stages — so
+    # overlapping 2-3 jobs changes no byte of what commits. A failed
+    # stage propagates before any manifest is built, leaving only
+    # unreferenced spool dirs (vacuum debris), same as the serial form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage(a):
         t = a["table"]
         d, se, be = t._stage_append(
             a["df"], a.get("stats_cols"), a.get("bloom_cols")
         )
-        staged.append((t, a, d, se, be))
+        return (t, a, d, se, be)
+
+    if len(appends) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(appends))) as pool:
+            staged = list(pool.map(_stage, appends))
+    else:
+        staged = [_stage(a) for a in appends]
     manifests = [
         (
             t,

@@ -197,7 +197,16 @@ def unigram_train(
     multi-char pieces drop, characters persist at ``max(usage, 1)``)
     -> prune to the top ``vocab_n`` pieces plus all characters."""
     spark = words.sparkSession
-    types = words.localCheckpoint(eager=True)
+    try:
+        # a caller that already materialized the type table (the
+        # bake-off's shared tokenization pass, r16) need not pay a
+        # second copy: a LogicalRDD plan IS a local checkpoint
+        already = (
+            words._jdf.queryExecution().analyzed().nodeName() == "LogicalRDD"
+        )
+    except Exception:
+        already = False
+    types = words if already else words.localCheckpoint(eager=True)
     subs = _seed_candidates(types, l_max)
     top = subs.orderBy(F.col("cnt").desc(), "piece").limit(seed_n).collect()
     char_rows = subs.where(F.length("piece") == 1).collect()

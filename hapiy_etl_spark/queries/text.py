@@ -492,15 +492,26 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     textindex.stamp_cache_drop(str(base))  # same-path rebuild (ADVICE r11)
     idx = TxTable(spark, f"{base}/idx")
     # history lands as two index appends (any batching works — the
-    # signature table is a plain append-only TxTable)
+    # signature table is a plain append-only TxTable). The two appends
+    # are independent writers, so they submit from a 2-thread pool
+    # (optimization r16, guide §2.6) and the second job back-fills the
+    # first's task tail; the optimistic manifest commit resolves the
+    # version race exactly as documented (the loser re-publishes its
+    # already-spooled dir). Index CONTENT is identical either way —
+    # only the dir commit order can swap, and every consumer unions
+    # the snapshot.
+    from concurrent.futures import ThreadPoolExecutor
+
     halves = corpus.withColumn("h", F.pmod(F.xxhash64("doc_id"), F.lit(2)))
-    for i in range(2):
-        idx.append(
-            D.minhash_signatures(
-                halves.where(F.col("h") == i).drop("h"),
-                "doc_id", "text", n=3, portable=True,
-            )
+    sig_halves = [
+        D.minhash_signatures(
+            halves.where(F.col("h") == i).drop("h"),
+            "doc_id", "text", n=3, portable=True,
         )
+        for i in range(2)
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(idx.append, sig_halves))
     batch_sigs = D.minhash_signatures(
         batch, "doc_id", "text", n=3, portable=True
     )

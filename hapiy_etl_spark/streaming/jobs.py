@@ -737,7 +737,15 @@ def ingest_dedup_batch(
                         sigs, idx_rows, **mh_kw
                     ).select(F.col("new_id").alias("doc"))
                 )
-        drop = drop.distinct()
+        # materialize the dedup DECISION once (optimization r16, guide
+        # §1.2): both staged appends (survivors AND kept_bands) anti-join
+        # against `drop`, and without this the whole decision subplan —
+        # batch self band-join + pruned index band-join + distinct —
+        # re-executed inside EACH staged write. The id list is tiny
+        # (bounded by the batch), content-deterministic, and the
+        # checkpoint additionally gives the planner exact size stats so
+        # the anti-joins broadcast it.
+        drop = drop.distinct().localCheckpoint(eager=True)
         # re-select after the anti-join: joining on "doc" moves it
         # first, and the index must keep band_postings' canonical
         # (bb, band, key, doc, sig) layout so a healer-built index is
