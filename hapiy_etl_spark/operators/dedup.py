@@ -793,30 +793,39 @@ def simhash_signatures(
     # NOT spread (io.py): measured at sf0.1 — 5-rep standalone medians
     # 2.44 -> 2.65 s with spread; the vote aggregation dominates, not
     # the single-task tokenize, so the extra exchange is pure cost here
+    #
+    # Expressions build as SQL strings parsed server-side (optimization
+    # r16): the Column-API form issued ~8 py4j round-trips per bit —
+    # ~1.5 s of pure DataFrame CONSTRUCTION per call at 64 bits,
+    # measured larger than the query's whole execution. One F.expr per
+    # vote (and one for the packed signature) moves the tree-building
+    # into Catalyst's parser; the parsed expressions are identical
+    # (same functions, same null semantics), pinned by the portable
+    # twin's DuckDB oracle and the sf0.1 sorted-result identity.
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode_outer(tokens(text_col)).alias("tok")
     )
     if portable:
-        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        h_sql = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
         n_bits = PORTABLE_SIMHASH_BITS
     else:
-        h = F.xxhash64("tok")
+        h_sql = "xxhash64(tok)"
         n_bits = 64
+    ht = tok.select("doc", F.expr(h_sql).alias("h"))
     votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), {b})) != 0 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"v{b}")
         for b in range(n_bits)
     ]
-    agg = tok.groupBy("doc").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return agg.select("doc", sig.alias("sig"))
+    agg = ht.groupBy("doc").agg(*votes)
+    sig_sql = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(n_bits)
+    )
+    return agg.select("doc", F.expr(sig_sql).alias("sig"))
 
 
 def _simhash_tables(max_hamming: int) -> list[tuple[int, ...]]:
@@ -901,26 +910,28 @@ def signature_band_pairs(
     widths = [n_bits // m + (1 if i < n_bits % m else 0) for i in range(m)]
     offsets = [sum(widths[:i]) for i in range(m)]
 
-    def block(i: int) -> Column:
-        return F.shiftright("sig", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+    # band table keys as ONE server-side-parsed expression (optimization
+    # r16): the Column-API form issued ~15 py4j round-trips per table —
+    # ~1 s of DataFrame construction per call at C(6,3)=20 tables,
+    # comparable to the query's execution. Identical arithmetic
+    # (shiftright is the same arithmetic shift, masks are the same
+    # literals), pinned by planted-recall tests and result identity.
+    def block_sql(i: int) -> str:
+        return f"(shiftright(sig, {offsets[i]}) & {(1 << widths[i]) - 1})"
 
-    def table_key(combo: tuple[int, ...]) -> Column:
-        # pack the chosen block values into one long (combined ~32 bits)
-        key = F.lit(0).cast("long")
+    def table_key_sql(combo: tuple[int, ...]) -> str:
+        key = "CAST(0 AS BIGINT)"
         for i in combo:
-            key = F.shiftleft(key, widths[i]).bitwiseOR(block(i))
+            key = f"(shiftleft({key}, {widths[i]}) | {block_sql(i)})"
         return key
 
+    structs = ", ".join(
+        f"struct(CAST({t} AS INT) AS band, {table_key_sql(combo)} AS key)"
+        for t, combo in enumerate(tables)
+    )
     bands = sig.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("band"), table_key(combo).alias("key"))
-                for t, combo in enumerate(tables)
-            ])
-        ).alias("bk"),
-    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "doc", "sig", F.expr(f"inline(array({structs}))")
+    )
     if key_cap is not None:
         from pyspark.sql import Window as W
 

@@ -203,18 +203,33 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(v·plane_i). Cosine-close
-    vectors collide with high probability."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        bucket = bucket.bitwiseOR(
-            F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+    vectors collide with high probability. ``vec`` is the COLUMN NAME.
+
+    Built as ONE server-side-parsed expression (optimization r16): the
+    Column-API form issued one py4j round-trip per plane COMPONENT
+    (n_planes x dim literals — ~0.5 s of driver-side DataFrame
+    construction per call at 8x64), all pure chatter. Literals embed
+    via CAST('<repr>' AS DOUBLE): repr is the shortest round-trip
+    decimal and Double.parseDouble is correctly rounded, so every
+    plane component is the identical binary64 the old F.lit carried;
+    the fold is the same left-to-right aggregate as :func:`dot`."""
+
+    def dot_sql(p: list[float]) -> str:
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in p)
+        return (
+            f"aggregate(zip_with({vec}, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-    return bucket
+
+    bits = " | ".join(
+        f"(CASE WHEN {dot_sql(p)} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(bits)
 
 
 def lsh_topk(
@@ -254,7 +269,7 @@ def lsh_topk(
 
     c_sigs = F.array(
         *[
-            F.struct(F.lit(t).alias("table"), lsh_bucket(F.col("__cv"), p).alias("bucket"))
+            F.struct(F.lit(t).alias("table"), lsh_bucket("__cv", p).alias("bucket"))
             for t, p in enumerate(tables)
         ]
     )
@@ -263,7 +278,7 @@ def lsh_topk(
     )
 
     def probes(t: int, p: list[list[float]]):
-        base = lsh_bucket(F.col("__qv"), p)
+        base = lsh_bucket("__qv", p)
         out = [F.struct(F.lit(t).alias("table"), base.alias("bucket"))]
         if multi_probe >= 1:
             out += [
