@@ -1268,9 +1268,27 @@ class TxTable:
         if stats_cols or bloom_cols:
             try:
                 written = self.spark.read.parquet(str(self.path / "data" / d))
-                if stats_cols:
+                if stats_cols and bloom_cols:
+                    # the stats agg and the bloom distinct are
+                    # independent jobs over the same committed bytes —
+                    # submit them together (guide §2.6) so the second
+                    # back-fills the first's tail instead of idling
+                    # through it; every append with both pays this pair
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        f_stats = pool.submit(
+                            self._column_stats, written, stats_cols
+                        )
+                        f_bloom = pool.submit(
+                            self._bloom_build,
+                            written, bloom_cols, bloom_bits, bloom_k,
+                        )
+                        stats_entry = f_stats.result()
+                        bloom_entry = f_bloom.result()
+                elif stats_cols:
                     stats_entry = self._column_stats(written, stats_cols)
-                if bloom_cols:
+                elif bloom_cols:
                     bloom_entry = self._bloom_build(
                         written, bloom_cols, bloom_bits, bloom_k
                     )

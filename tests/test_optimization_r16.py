@@ -149,6 +149,102 @@ def test_clustered_optimize_all_null_bucket_keeps_bloom(spark, tmp_path):
         )
 
 
+@pytest.mark.parametrize("portable", [False, True])
+def test_simhash_expr_build_matches_column_build(spark, portable):
+    # r16: simhash_signatures builds its vote/packing expressions as
+    # parsed SQL (construction-time optimization); this pins the new
+    # form against the pre-r16 Column-API reference, value for value
+    from pyspark.sql import functions as F
+
+    import hapiy_etl_spark.operators.dedup as D
+    from hapiy_etl_spark.operators.textstats import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "totally different words here"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+    def reference(df, portable):
+        tok = df.select(
+            F.col("doc_id").alias("doc"),
+            F.explode_outer(tokens("text")).alias("tok"),
+        )
+        if portable:
+            h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            n_bits = D.PORTABLE_SIMHASH_BITS
+        else:
+            h = F.xxhash64("tok")
+            n_bits = 64
+        votes = [
+            F.sum(
+                F.when(
+                    h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+        agg = tok.groupBy("doc").agg(*votes)
+        sig = F.lit(0).cast("long")
+        for b in range(n_bits):
+            sig = sig.bitwiseOR(
+                F.when(
+                    F.col(f"v{b}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return agg.select("doc", sig.alias("sig"))
+
+    got = {
+        r.doc: r.sig
+        for r in D.simhash_signatures(
+            docs, "doc_id", "text", portable=portable
+        ).collect()
+    }
+    want = {r.doc: r.sig for r in reference(docs, portable).collect()}
+    assert got == want
+    assert got[1] == got[2]  # identical texts share a signature
+
+
+def test_lsh_bucket_expr_matches_reference(spark):
+    # r16: lsh_bucket builds as one parsed expression — pin against the
+    # pre-r16 Column-API fold on real embedding shapes (incl. exact
+    # double literal round-trip through CAST('<repr>' AS DOUBLE))
+    from pyspark.sql import functions as F
+
+    import hapiy_etl_spark.operators.similarity as S
+
+    planes = S._hyperplanes(8, 6, seed=42)
+    df = spark.createDataFrame(
+        [(i, [((i * 37 + j * 13) % 17 - 8) / 7.0 for j in range(8)]) for i in range(20)],
+        "id long, v array<double>",
+    )
+
+    def reference(vec, planes):
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(x) for x in p])
+            bucket = bucket.bitwiseOR(
+                F.when(
+                    S.dot(vec, plane) > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return bucket
+
+    got = {r.id: r.b for r in df.select("id", S.lsh_bucket("v", planes).alias("b")).collect()}
+    want = {
+        r.id: r.b
+        for r in df.select("id", reference(F.col("v"), planes).alias("b")).collect()
+    }
+    assert got == want
+
+
 def test_minhash_lsh_demo_slice_non_degenerate(spark):
     # VERDICT r15 item 8: the capped demo must keep >0 near-dup pairs
     # at the oracle SF (the id-hash slice kept ~none)

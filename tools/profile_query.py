@@ -101,7 +101,9 @@ def main() -> None:
             if e.get("Event") == "SparkListenerJobStart":
                 jobs[e["Job ID"]] = [e["Submission Time"] / 1000.0, None, None]
                 props = e.get("Properties") or {}
-                jobs[e["Job ID"]][2] = props.get("spark.job.description", "")
+                jobs[e["Job ID"]][2] = props.get(
+                    "spark.job.description", ""
+                ) or props.get("callSite.short", "")
             elif e.get("Event") == "SparkListenerJobEnd":
                 if e["Job ID"] in jobs:
                     jobs[e["Job ID"]][1] = e["Completion Time"] / 1000.0
