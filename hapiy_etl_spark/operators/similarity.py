@@ -499,9 +499,23 @@ _PQ_FIT_POOL = None
 _PQ_FIT_POOL_BROKEN = False
 
 
+def _pq_fit_pool_shutdown():
+    """Close the fit pool BEFORE interpreter teardown (an atexit-less
+    executor tears down inside weakref callbacks after module globals
+    are gone and prints a spurious AttributeError traceback)."""
+    global _PQ_FIT_POOL
+    if _PQ_FIT_POOL is not None:
+        try:
+            _PQ_FIT_POOL.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass
+        _PQ_FIT_POOL = None
+
+
 def _pq_fit_pool():
     global _PQ_FIT_POOL
     if _PQ_FIT_POOL is None:
+        import atexit
         import multiprocessing as mp
         import os
         from concurrent.futures import ProcessPoolExecutor
@@ -510,6 +524,7 @@ def _pq_fit_pool():
             max_workers=min(16, os.cpu_count() or 2),
             mp_context=mp.get_context("spawn"),
         )
+        atexit.register(_pq_fit_pool_shutdown)
     return _PQ_FIT_POOL
 
 
