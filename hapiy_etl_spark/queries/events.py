@@ -2088,11 +2088,16 @@ def stats_pruned_time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = ev.withColumn(
         "wk", F.floor(F.datediff(F.col("ts"), F.lit(mn)) / F.lit(7))
     )
+    # which weeks are non-empty, in ONE job (optimization r16, guide
+    # §1.2): the per-week limit(1).count() probe was one scan job per
+    # candidate week before any append ran
+    present = {
+        int(r["wk"]) for r in wk.groupBy("wk").count().collect()
+    }
     n_dirs = 0
     for w in range(6):
-        batch = wk.where(F.col("wk") == w).drop("wk")
-        if batch.limit(1).count():
-            src.append(batch, stats_cols=["ts"])
+        if w in present:
+            src.append(wk.where(F.col("wk") == w).drop("wk"), stats_cols=["ts"])
             n_dirs += 1
     sliced = src.read(where_range={"ts": (lo, hi)})
     from hapiy_etl_spark.operators.txstore import dirs_read

@@ -5440,13 +5440,23 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir, rounded to a power of two — the default 4 KB bloom saturates
     # above ~3k keys/dir and its false-positive rate would erode the
     # pruning invariant as sf grows (review r7)
-    n_docs = docs.count()
+    # bucket occupancy + corpus count in ONE job (optimization r16,
+    # guide §1.2): the per-bucket limit(1).count() probe was one scan
+    # job per candidate bucket before any append ran
+    bcounts = {
+        int(r["b"]): int(r["count"])
+        for r in bucketed.groupBy("b").count().collect()
+    }
+    n_docs = sum(bcounts.values())
     bits = 1 << max(15, (n_docs * 20 // 4).bit_length())
     n_dirs = 0
     for i in range(4):
-        batch = bucketed.where(F.col("b") == i).drop("b")
-        if batch.limit(1).count():
-            src.append(batch, bloom_cols=["doc_id"], bloom_bits=bits)
+        if bcounts.get(i):
+            src.append(
+                bucketed.where(F.col("b") == i).drop("b"),
+                bloom_cols=["doc_id"],
+                bloom_bits=bits,
+            )
             n_dirs += 1
 
     frames = []
@@ -5521,9 +5531,12 @@ def bloom_merge_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     bits = 1 << max(15, (n_docs * 20 // 3).bit_length())
     w = W.orderBy("doc_id")
+    # materialize the ranked thirds ONCE (optimization r16, guide
+    # §1.2): each append otherwise re-ran the global row_number window
+    # — a single-partition sort of the whole corpus per batch
     thirds = docs.withColumn(
         "b", ((F.row_number().over(w) - 1) * 3 / F.lit(n_docs)).cast("int")
-    )
+    ).localCheckpoint(eager=True)
     for i in range(3):
         src.append(
             thirds.where(F.col("b") == i).drop("b"),
@@ -5613,9 +5626,11 @@ def bloom_batch_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     bits = 1 << max(15, (n_docs * 20 // 3).bit_length())
     w = W.orderBy("doc_id")
+    # materialize the ranked thirds ONCE (optimization r16, guide
+    # §1.2): each append otherwise re-ran the global row_number window
     thirds = docs.withColumn(
         "b", ((F.row_number().over(w) - 1) * 3 / F.lit(n_docs)).cast("int")
-    )
+    ).localCheckpoint(eager=True)
     for i in range(3):
         src.append(
             thirds.where(F.col("b") == i).drop("b"),
